@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Readers over the engine's table surface.
+  *
+  * The reference ingests CSV objects from S3 prefixes with hand-rolled
+  * listing/pruning (reference: dags/etl/extract_stream_data.py:26-60 listing,
+  * :124-150 mtime pruning, :62-77 per-file read). Spark's file sources subsume
+  * all of that: globbing skips zero-length files, `modifiedAfter` replaces the
+  * 2-hour recency heuristic, and explicit schemas replace dtype inference
+  * (SURVEY.md §1.3 — inference differences are a correctness hazard).
+  *
+  * Scale posture: these return lazy scans; filters/projections composed on top
+  * reach the parquet reader as PushedFilters/ReadSchema. No collect, no
+  * eager materialization.
+  */
+object Tables {
+
+  /** Driver test tables (TESTDATA.md). */
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark has no native type
+    // for. Sessions set spark.sql.legacy.parquet.nanosAsLong, so it arrives
+    // as Long nanos-since-epoch; convert to microsecond TimestampType by
+    // truncation — the same NS→US semantics as DuckDB's CAST(ts AS TIMESTAMP),
+    // keeping the oracle comparable.
+    if (name == "events" && df.schema.exists(f => f.name == "ts" && f.dataType == LongType))
+      df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast(LongType)))
+    else df
+  }
+
+  /** CSV scan with explicit schema (S1). `modifiedAfter` gives the reference's
+    * incremental-window semantics (S3) natively; Spark skips empty files (S2).
+    */
+  def csv(spark: SparkSession, schema: StructType, path: String,
+          modifiedAfter: Option[String] = None): DataFrame = {
+    val base = spark.read.schema(schema).option("header", "true")
+    modifiedAfter.fold(base)(ts => base.option("modifiedAfter", ts)).csv(path)
+  }
+
+  /** Row lineage (P1): the reference tags every row with its source object key
+    * (reference: dags/etl/extract_stream_data.py:186-188). */
+  def withLineage(df: DataFrame, colName: String = "source_file"): DataFrame =
+    df.withColumn(colName, input_file_name())
+}
