@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.operators.{Cleaning, Kpis, Validation}
 import graft.sources.Tables
 
@@ -25,8 +26,8 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("genre_kpis")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = core
+  /** One entry per implemented operator from SURVEY.md §2 + extensions. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = core ++ ext
 
   // ---------------------------------------------------------------- core ---
 
@@ -157,9 +158,64 @@ object SparkEntry {
       Kpis.hourlyUniquesApprox(t(s, dir, "events"), "ts", "user_id"))
   )
 
+  // ---------------------------------------------- LLM-pipeline extensions ---
+
+  /** Training-data-pipeline operators over documents/embeddings
+    * (SURVEY.md §7.3.7; ext/ package). */
+  private val ext: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Corpus rollup: tokenization + one-pass aggregation.
+    "text_stats" -> ((s, dir) => TextAnalysis.textStats(t(s, dir, "documents"))),
+
+    // Vocabulary top-k with deterministic tie-break.
+    "top_tokens" -> ((s, dir) => TextAnalysis.topTokens(t(s, dir, "documents"), 20)),
+
+    // Language-ID heuristic (marker-word scoring) rolled up vs labels.
+    "lang_id_confusion" -> ((s, dir) =>
+      TextAnalysis.langIdConfusion(t(s, dir, "documents"))),
+
+    // Per-doc quality scoring (length/stopword/token-shape ratios).
+    "quality_scores" -> ((s, dir) =>
+      TextAnalysis.qualityScores(t(s, dir, "documents"))),
+
+    // Content fingerprint (md5 of normalized token stream) exact-dedup groups.
+    "doc_fingerprints" -> ((s, dir) =>
+      TextAnalysis.fingerprintDedup(t(s, dir, "documents"))),
+
+    // Exact 5-gram Jaccard near-dup pairs (correctness baseline).
+    "neardup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), k = 5, threshold = 0.8)),
+
+    // MinHash+LSH banding candidates (the linear-ish 100 TB dedup path).
+    "neardup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents"), k = 5, bands = 16)),
+
+    // 32-bit SimHash signature collisions.
+    "neardup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"))),
+
+    // Exact cosine top-5 for 10 probe vectors (brute-force ANN baseline).
+    "knn_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnBruteForce(emb, emb.where(col("vec_id") < 10), k = 5)
+    }),
+
+    // LSH-bucketed ANN (sign-bit hyperplane buckets — the scale path).
+    "knn_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnLsh(emb, emb.where(col("vec_id") < 10), k = 5)
+    }),
+
+    // Multimodal plumbing: binary payload + partition-local feature extract.
+    "media_feature_stats" -> ((s, dir) =>
+      Multimodal.mediaFeatureStats(t(s, dir, "documents")))
+  )
+
   /** DuckDB twins for the driver's differential check. Keys must mirror
     * [[queries]]; result column names and ORDER BY match exactly. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = coreOracle ++ extOracle
+
+  private val coreOracle: Map[String, String] = Map(
     "genre_kpis" ->
       """SELECT p_type, count(l_partkey) AS listen_count,
          round(avg(l_extendedprice), 6) AS avg_duration
@@ -262,4 +318,209 @@ object SparkEntry {
          max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type"""
   )
+
+  // ------------------------------------------------- extension oracles ---
+
+  /** Shared DuckDB CTE fragments mirroring TextAnalysis.tokens /
+    * Dedup.shingleRows exactly (token regex, k=5 shingles, distinct). */
+  private val tokCte =
+    "tok AS (SELECT doc_id, lang, source, n_chars, " +
+      "regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents)"
+  private val shCte =
+    "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+      "generate_series(1, len(w)-4), i -> array_to_string(w[i:i+4], ' ')))) " +
+      "AS shingle FROM tok WHERE len(w) >= 5)"
+
+  /** Left-fold sum starting at 0.0 — same op order as Spark's
+    * aggregate(..., 0.0, (acc, x) => acc + x). */
+  private def foldSum(items: String, init: String = "0.0"): String =
+    s"list_reduce(list_prepend($init, $items), (a, x) -> a + x)"
+
+  /** DuckDB dot product of two float lists in doubles, index order. */
+  private def dotSql(a: String, b: String): String =
+    foldSum(s"list_transform(generate_series(1, len($a)), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
+
+  private def planeLiteral(p: Array[Double]): String =
+    p.map(v => f"$v%.3f").mkString("[", ", ", "]")
+
+  private val extOracle: Map[String, String] = {
+    val markers = TextAnalysis.langMarkers.map { case (l, ms) =>
+      l -> ms.map(m => s"x = '$m'").mkString(" OR ")
+    }.toMap
+    val planes = Similarity.hyperplanes(4, 64)
+    val bucketOf = (v: String) => planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${dotSql(v, planeLiteral(p))} >= 0.0 " +
+        s"THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+
+    Map(
+      "text_stats" ->
+        s"""WITH $tokCte
+           SELECT lang, source, count(*) AS n_docs,
+             CAST(sum(len(w)) AS BIGINT) AS total_tokens,
+             round(avg(len(w)), 6) AS avg_tokens,
+             round(avg(n_chars), 6) AS avg_chars
+           FROM tok GROUP BY lang, source ORDER BY lang, source""",
+
+      "top_tokens" ->
+        """SELECT token, count(*) AS n FROM (
+             SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+             FROM documents)
+           GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+
+      "lang_id_confusion" ->
+        s"""WITH $tokCte,
+           s AS (SELECT lang,
+             len(list_filter(w, x -> ${markers("de")})) AS s_de,
+             len(list_filter(w, x -> ${markers("en")})) AS s_en,
+             len(list_filter(w, x -> ${markers("es")})) AS s_es,
+             len(list_filter(w, x -> ${markers("fr")})) AS s_fr
+             FROM tok)
+           SELECT lang,
+             CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unk'
+                  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                  WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                  WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS predicted_lang,
+             count(*) AS n_docs
+           FROM s GROUP BY 1, 2 ORDER BY lang, predicted_lang""",
+
+      "quality_scores" ->
+        s"""WITH $tokCte,
+           q AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(w, x -> x = 'the' OR x = 'a' OR x = 'of'
+               OR x = 'and' OR x = 'is' OR x = 'in')) AS BIGINT) AS stop_hits,
+             CASE WHEN len(w) = 0 THEN 0.0
+                  ELSE CAST(${foldSum("list_transform(w, x -> length(x))", "CAST(0 AS BIGINT)")} AS DOUBLE) / len(w)
+             END AS atl
+             FROM tok),
+           q2 AS (SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens = 0 THEN 0.0
+                  ELSE CAST(stop_hits AS DOUBLE) / n_tokens END AS stopword_ratio,
+             atl FROM q)
+           SELECT doc_id, n_tokens, stopword_ratio,
+             round(atl, 6) AS avg_token_len,
+             round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+               + stopword_ratio * 0.3 + least(atl / 8.0, 1.0) * 0.2, 6)
+               AS quality_score
+           FROM q2 ORDER BY doc_id""",
+
+      "doc_fingerprints" ->
+        """SELECT md5(array_to_string(
+             regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fingerprint,
+           count(*) AS n_copies, min(doc_id) AS survivor_doc_id
+           FROM documents GROUP BY 1 ORDER BY fingerprint""",
+
+      "neardup_jaccard" ->
+        s"""WITH $tokCte, $shCte,
+           sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+           freq AS (SELECT shingle, count(*) AS c FROM sh GROUP BY 1),
+           pruned AS (SELECT sh.doc_id, sh.shingle FROM sh
+                      JOIN freq USING (shingle) WHERE c <= 1000),
+           common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        count(*) AS n_common
+                      FROM pruned a JOIN pruned b
+                      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+           SELECT doc_a, doc_b, n_common,
+             round(CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common), 6) AS jaccard
+           FROM common JOIN sizes na ON na.doc_id = doc_a
+                       JOIN sizes nb ON nb.doc_id = doc_b
+           WHERE round(CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common), 6) >= 0.8
+           ORDER BY doc_a, doc_b""",
+
+      "neardup_minhash" ->
+        s"""WITH $tokCte, $shCte,
+           bands AS (SELECT doc_id, band,
+               min(md5(CAST(band AS VARCHAR) || '|' || shingle)) AS sig
+             FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band)
+             GROUP BY doc_id, band)
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS n_shared_bands
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 1 ORDER BY doc_a, doc_b""",
+
+      "neardup_simhash" ->
+        s"""WITH toks AS (SELECT doc_id, list_distinct(
+               regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents),
+           h AS (SELECT doc_id, list_transform(w, t ->
+               ${foldSum(
+                 "list_transform(generate_series(1, 8), i -> " +
+                   "CAST(CASE WHEN ascii(substr(md5(t), i, 1)) <= 57 " +
+                   "THEN ascii(substr(md5(t), i, 1)) - 48 " +
+                   "ELSE ascii(substr(md5(t), i, 1)) - 87 END AS BIGINT) " +
+                   "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+                 "CAST(0 AS BIGINT)")}) AS hashes
+             FROM toks),
+           sig AS (SELECT doc_id, ${foldSum(
+             "list_transform(generate_series(0, 31), j -> " +
+               "CASE WHEN " + foldSum(
+                 "list_transform(hashes, hh -> CASE WHEN " +
+                   "CAST(floor(hh / pow(2.0, j)) AS BIGINT) % 2 = 1 " +
+                   "THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)",
+                 "CAST(0 AS BIGINT)") + " > 0 " +
+               "THEN CAST(pow(2.0, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)",
+             "CAST(0 AS BIGINT)")} AS simhash
+             FROM h)
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS simhash
+           FROM sig a JOIN sig b
+             ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+           ORDER BY doc_a, doc_b""",
+
+      "knn_bruteforce" ->
+        s"""WITH v AS (SELECT vec_id, embedding AS emb FROM embeddings),
+           p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               ${dotSql("q.emb", "c.emb")} AS d,
+               ${dotSql("q.emb", "q.emb")} AS qn2,
+               ${dotSql("c.emb", "c.emb")} AS cn2
+             FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+           s AS (SELECT query_id, cand_id,
+               round(CASE WHEN sqrt(qn2) = 0.0 OR sqrt(cn2) = 0.0 THEN 0.0
+                          ELSE d / (sqrt(qn2) * sqrt(cn2)) END, 6) AS cos_sim
+             FROM p)
+           SELECT query_id, cand_id, cos_sim, CAST(rn AS BIGINT) AS rank
+           FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, cand_id) AS rn FROM s)
+           WHERE rn <= 5 ORDER BY query_id, rank""",
+
+      "knn_lsh" ->
+        s"""WITH v AS (SELECT vec_id, embedding AS emb,
+               ${bucketOf("embedding")} AS bucket FROM embeddings),
+           p AS (SELECT q.vec_id AS query_id, q.bucket AS bucket,
+               c.vec_id AS cand_id,
+               ${dotSql("q.emb", "c.emb")} AS d,
+               ${dotSql("q.emb", "q.emb")} AS qn2,
+               ${dotSql("c.emb", "c.emb")} AS cn2
+             FROM v q JOIN v c ON q.vec_id < 10 AND c.bucket = q.bucket
+               AND c.vec_id <> q.vec_id),
+           s AS (SELECT query_id, bucket, cand_id,
+               round(CASE WHEN sqrt(qn2) = 0.0 OR sqrt(cn2) = 0.0 THEN 0.0
+                          ELSE d / (sqrt(qn2) * sqrt(cn2)) END, 6) AS cos_sim
+             FROM p)
+           SELECT query_id, bucket, cand_id, cos_sim, CAST(rn AS BIGINT) AS rank
+           FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, cand_id) AS rn FROM s)
+           WHERE rn <= 5 ORDER BY query_id, rank""",
+
+      "media_feature_stats" ->
+        s"""WITH f AS (SELECT doc_id, source AS kind,
+               CAST(length(text) AS BIGINT) AS byte_len,
+               ${foldSum(
+                 "list_transform(generate_series(1, length(text)), " +
+                   "i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))",
+                 "CAST(0 AS BIGINT)")} AS checksum
+             FROM documents),
+           g AS (SELECT kind, byte_len, checksum,
+               CASE WHEN byte_len = 0 THEN 0.0
+                    ELSE floor((CAST(checksum AS DOUBLE) / byte_len) * 1000000.0)
+                         / 1000000.0 END AS feat_mean
+             FROM f)
+           SELECT kind, count(*) AS n_items,
+             CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+             CAST(sum(checksum) AS BIGINT) AS total_checksum,
+             round(avg(feat_mean), 4) AS avg_feat_mean
+           FROM g GROUP BY kind ORDER BY kind"""
+    )
+  }
 }

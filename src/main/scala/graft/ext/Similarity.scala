@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (vec_id, embedding: array<float>, label) — SURVEY.md §7.3.7.
+  *
+  * Two paths:
+  *  - [[knnBruteForce]]: exact cosine top-k — the correctness baseline.
+  *    Query side is tiny (a handful of probe vectors) so it broadcasts; the
+  *    candidate corpus streams through one WholeStageCodegen projection and
+  *    a per-query top-k window. At 100 TB the corpus never shuffles: only
+  *    (queries × k) rows survive to the window.
+  *  - [[knnLsh]]: random-hyperplane LSH (sign bits → bucket id). Buckets
+  *    co-partition candidates and queries, so each query only scans its own
+  *    bucket — the linear-ish scale path (Charikar SimHash / Indyk-Motwani
+  *    LSH). Recall is tested against brute force in the spec, not oracled.
+  *
+  * The dot product is a higher-order `aggregate` over `zip_with` — codegen'd
+  * built-ins, no UDF. Elements are cast float→double *before* multiply and
+  * summed left-to-right, i.e. the same IEEE754 operation sequence any other
+  * engine performs with the same plan, which keeps cosine values
+  * bit-comparable for the oracle (rounded to 6 dp anyway).
+  */
+object Similarity {
+
+  /** Left-fold dot product in doubles: sum_i a[i]*b[i]. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity; 0.0 for zero-norm inputs. */
+  def cosine(a: Column, b: Column): Column = {
+    val na = sqrt(dot(a, a))
+    val nb = sqrt(dot(b, b))
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
+  }
+
+  /** Exact cosine top-k: for each query vector (`queries`, small — gets
+    * broadcast), the k nearest corpus vectors by cosine, deterministically
+    * tie-broken (cosine desc, candidate id asc). Self-pairs excluded. */
+  def knnBruteForce(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (values in [-0.5, 0.5)),
+    * generated from a fixed seed — inlined as literals so an external oracle
+    * can use the exact same planes. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    // 3-decimal grid keeps the literal SQL text small and exact in binary?
+    // No — 0.001 is not exact in binary, but BOTH engines parse the same
+    // decimal literal to the same nearest double, so determinism holds.
+    Array.fill(nPlanes, dim)(math.floor(rnd.nextDouble() * 1000.0 - 500.0) / 1000.0)
+  }
+
+  /** Bucket id = integer of sign bits of dot(v, plane_p), p = 0..P-1. */
+  def bucketId(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(v, typedLit(p.toSeq)) >= 0.0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: exact top-k *within* the query's bucket. Candidates
+    * and queries shuffle once on the bucket id; each query compares against
+    * its bucket only (corpus/2^P per bucket in expectation). */
+  def knnLsh(corpus: DataFrame, queries: DataFrame, k: Int,
+             nPlanes: Int = 4, seed: Long = 42L): DataFrame = {
+    val dim = 64
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+      bucketId(col("embedding"), planes).as("bucket"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      bucketId(col("embedding"), planes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("bucket"), col("cand_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

@@ -1,0 +1,136 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, over the
+  * `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * The reference has no text analytics (its only string ops are lowercase +
+  * whitelist membership — reference: dags/etl/schema_check.py:176-181); these
+  * are the SURVEY.md §7.3.7 extensions. Everything below is built-in-only
+  * (codegen'd, no UDFs): `regexp_extract_all` tokenization, higher-order
+  * `filter`/`transform`/`aggregate` lambdas, `md5` fingerprints.
+  *
+  * Scale posture: every operator is a projection or a single hash aggregate —
+  * no self-joins, no windows over the whole corpus, no collect. Token
+  * explosion (`topTokens`) does one explode + one partial-aggregated groupBy;
+  * at 100 TB the explode fan-out (~tokens/doc) is bounded and map-side
+  * combine collapses the long tail before the shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace/punctuation-robust tokenizer: all [a-z0-9]+ runs, lowercased.
+    * A "BPE-ish" regex in the sense that it splits on every non-alnum byte
+    * and never produces empty tokens (unlike split-on-whitespace).
+    */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** Corpus rollup per (lang, source): doc counts, token counts, avg chars.
+    * One aggregation pass. */
+  def textStats(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), col("source"), col("n_chars"),
+        size(tokens(col("text"))).as("n_tokens"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(avg(col("n_tokens")), 6).as("avg_tokens"),
+        round(avg(col("n_chars")), 6).as("avg_chars"))
+      .orderBy(col("lang"), col("source"))
+
+  /** Top-k corpus vocabulary with deterministic tie-break (count desc, token
+    * asc). explode → partial-agg groupBy → single top-k. */
+  def topTokens(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+
+  /** Language marker words: tiny per-language stopword sets. On real corpora
+    * these would be the top character n-grams / function words per language;
+    * the mechanism (per-language hit scoring, deterministic argmax) is the
+    * operator under test. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de", "que"),
+    "fr" -> Seq("le", "la", "et", "les"))
+
+  private def hitCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => markers.map(m => t === lit(m)).reduce(_ || _)))
+
+  /** N-gram-heuristic language ID: score = marker-word hits per language,
+    * predicted = argmax with ties broken alphabetically, 'unk' when no
+    * marker hits at all. Pure projection — embarrassingly parallel. */
+  def withLangId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = docs.withColumn("__t", toks)
+      .withColumn("s_de", hitCount(col("__t"), langMarkers(0)._2))
+      .withColumn("s_en", hitCount(col("__t"), langMarkers(1)._2))
+      .withColumn("s_es", hitCount(col("__t"), langMarkers(2)._2))
+      .withColumn("s_fr", hitCount(col("__t"), langMarkers(3)._2))
+    scored.withColumn("predicted_lang",
+      when(greatest(col("s_de"), col("s_en"), col("s_es"), col("s_fr")) === 0, lit("unk"))
+        .when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es")
+          && col("s_de") >= col("s_fr"), lit("de"))
+        .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), lit("en"))
+        .when(col("s_es") >= col("s_fr"), lit("es"))
+        .otherwise(lit("fr")))
+      .drop("__t")
+  }
+
+  /** Confusion rollup of the language-ID heuristic vs the labeled lang. */
+  def langIdConfusion(docs: DataFrame): DataFrame =
+    withLangId(docs)
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted_lang"))
+
+  /** Quality scoring: length/stopword/token-shape ratios combined into a
+    * bounded linear score. Deliberately transcendental-free (no exp/log) so
+    * the score is bit-reproducible across engines (SURVEY.md §7.5.1c).
+    */
+  def qualityScored(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.withColumn("__t", toks)
+      .withColumn("n_tokens", size(col("__t")).cast("long"))
+      .withColumn("stop_hits",
+        hitCount(col("__t"), Seq("the", "a", "of", "and", "is", "in")).cast("long"))
+      .withColumn("avg_token_len",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(
+            aggregate(col("__t"), lit(0L), (acc, t) => acc + length(t))
+              .cast("double") / col("n_tokens")))
+      .withColumn("stopword_ratio",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("stop_hits").cast("double") / col("n_tokens")))
+      .withColumn("quality_score", round(
+        least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.5
+          + col("stopword_ratio") * 0.3
+          + least(col("avg_token_len") / 8.0, lit(1.0)) * 0.2, 6))
+      .drop("__t")
+  }
+
+  /** Per-document quality rows (projection only). */
+  def qualityScores(docs: DataFrame): DataFrame =
+    qualityScored(docs)
+      .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"),
+        round(col("avg_token_len"), 6).as("avg_token_len"), col("quality_score"))
+      .orderBy(col("doc_id"))
+
+  /** Document fingerprinting: md5 over the whitespace-normalized lowercased
+    * token stream — the canonical-form hash used for exact dedup at scale
+    * (one groupBy on a 32-char key instead of full-text comparison). */
+  def fingerprint(text: Column): Column =
+    md5(array_join(tokens(text), " "))
+
+  /** Exact-dedup surface on the fingerprint: one group per distinct content,
+    * survivor = smallest doc_id (deterministic; SURVEY.md §2.5 D1/D2 at
+    * document scale). */
+  def fingerprintDedup(docs: DataFrame): DataFrame =
+    docs.select(fingerprint(col("text")).as("fingerprint"), col("doc_id"))
+      .groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("survivor_doc_id"))
+      .orderBy(col("fingerprint"))
+}
