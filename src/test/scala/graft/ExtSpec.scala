@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenizer lowercases, splits on non-alnum, never emits empty tokens") {
+    val df = Seq("  Hello,   WORLD-99!x ", "", "...").toDF("text")
+    val out = df.select(TextAnalysis.tokens(col("text")).as("t"))
+      .as[Seq[String]].collect()
+    assert(out(0) === Seq("hello", "world", "99", "x"))
+    assert(out(1) === Seq.empty)
+    assert(out(2) === Seq.empty)
+  }
+
+  test("fingerprint is whitespace/case-insensitive content identity") {
+    val df = Seq(
+      (1L, "the  quick   fox"),
+      (2L, "The quick fox"),
+      (3L, "the quick fox jumped")).toDF("doc_id", "text")
+    val fps = df.select(TextAnalysis.fingerprint(col("text")).as("f"))
+      .as[String].collect()
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+    val dedup = TextAnalysis.fingerprintDedup(df).collect()
+    assert(dedup.length === 2)
+    assert(dedup.map(_.getLong(2)).toSet === Set(1L, 3L)) // smallest ids survive
+  }
+
+  test("language ID picks argmax marker hits, alphabetical on ties, unk on zero") {
+    val df = Seq(
+      (1L, "the cat of the house"),   // en
+      (2L, "el gato de la casa que"), // es
+      (3L, "xyzzy plugh"),            // unk
+      (4L, "la la")                   // es-vs-fr tie -> 'es' (alphabetical)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withLangId(df).orderBy("doc_id")
+      .select("predicted_lang").as[String].collect()
+    assert(out.toSeq === Seq("en", "es", "unk", "es"))
+  }
+
+  test("quality score is bounded and zero-safe on empty text") {
+    val df = Seq((1L, "", 0L), (2L, "the a of and is in", 18L),
+      (3L, ("word " * 200).trim, 1000L)).toDF("doc_id", "text", "n_chars")
+    val out = TextAnalysis.qualityScores(df).orderBy("doc_id").collect()
+    assert(out(0).getDouble(4) === 0.0)
+    val scores = out.map(_.getDouble(4))
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(2) >= 0.5) // long doc maxes the length term
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingleRows: docs shorter than k tokens produce no shingles") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c d e f")).toDF("doc_id", "text")
+    val sh = Dedup.shingleRows(df, 5)
+    assert(sh.where(col("doc_id") === 1).count() === 0)
+    assert(sh.where(col("doc_id") === 2).count() === 2) // 6-5+1 shingles
+  }
+
+  test("jaccard: identical docs score 1.0, disjoint docs never pair") {
+    val text = "one two three four five six seven eight nine ten"
+    val df = Seq((1L, text), (2L, text),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(df, 5, 0.5).collect()
+    assert(pairs.length === 1)
+    assert((pairs(0).getLong(0), pairs(0).getLong(1)) === (1L, 2L))
+    assert(pairs(0).getDouble(3) === 1.0)
+  }
+
+  test("minhash LSH candidates include the true near-dup pair") {
+    val base = "one two three four five six seven eight nine ten eleven twelve"
+    val df = Seq((1L, base), (2L, base + " thirteen"),
+      (3L, "totally different words with no overlap at all here now")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(df, 5, bands = 16).collect()
+    assert(pairs.exists(r => r.getLong(0) === 1L && r.getLong(1) === 2L))
+    assert(!pairs.exists(r => r.getLong(1) === 3L || r.getLong(0) === 3L))
+  }
+
+  test("simhash: identical token sets collide; signature is a 32-bit value") {
+    val df = Seq((1L, "spark scala data"), (2L, "data spark scala"),
+      (3L, "utterly unrelated vocabulary")).toDF("doc_id", "text")
+    val sig = Dedup.withSimhash(df).select("doc_id", "simhash")
+      .as[(Long, Long)].collect().toMap
+    assert(sig(1L) === sig(2L)) // order-insensitive (distinct token set)
+    assert(sig.values.forall(s => s >= 0 && s < (1L << 32)))
+    val pairs = Dedup.simhashPairs(df).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: identical=1, orthogonal=0, zero-norm=0") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(0.0f, 0.0f), Seq(1.0f, 1.0f))).toDF("a", "b")
+    val out = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(out(0) === 1.0)
+    assert(out(1) === 0.0)
+    assert(out(2) === 0.0)
+  }
+
+  test("brute-force kNN ranks by cosine desc, excludes self, ties to smaller id") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f)),   // closest to 0
+      (2L, Seq(0.0f, 1.0f)),   // orthogonal to 0
+      (3L, Seq(1.0f, 0.0f)))   // identical to 0
+      .toDF("vec_id", "embedding")
+    val out = Similarity.knnBruteForce(vecs, vecs.where(col("vec_id") === 0), 3)
+      .select("cand_id").as[Long].collect()
+    assert(out.toSeq === Seq(3L, 1L, 2L)) // identical first, then near, then orthogonal
+  }
+
+  test("LSH: identical vectors always share a bucket and find each other") {
+    val vecs = (0L until 20L).map { i =>
+      val v = Array.tabulate(64)(d => math.sin(i * 64.0 + d).toFloat)
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val dup = Seq((100L, Array.tabulate(64)(d => math.sin(5 * 64.0 + d).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val corpus = vecs.union(dup)
+    val out = Similarity.knnLsh(corpus, corpus.where(col("vec_id") === 100L), 1)
+    val top = out.select("cand_id").as[Long].collect()
+    assert(top.toSeq === Seq(5L)) // its exact twin, same bucket by construction
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stub extractor: features are pure functions of the payload bytes") {
+    val f = Multimodal.StubFeatureExtractor.decode(
+      Multimodal.MediaItem(7L, "img", Array[Byte](1, 2, 3)))
+    assert(f === Multimodal.MediaFeatures(7L, "img", 3L, 6L, 2.0))
+    val empty = Multimodal.StubFeatureExtractor.decode(
+      Multimodal.MediaItem(8L, "img", Array.empty))
+    assert(empty.byte_len === 0L && empty.feat_mean === 0.0)
+  }
+
+  test("extractFeatures runs partition-local over a typed Dataset") {
+    val docs = Seq((1L, "ab", "s1", 2L), (2L, "cd", "s2", 2L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val feats = Multimodal.extractFeatures(
+      Multimodal.documentsAsMedia(docs), Multimodal.StubFeatureExtractor)
+      .orderBy("item_id").collect()
+    assert(feats(0).byte_len === 2L)
+    assert(feats(0).checksum === 'a'.toLong + 'b'.toLong)
+  }
+}

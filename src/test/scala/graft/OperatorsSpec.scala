@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+import graft.operators.{Cleaning, Enrich, Kpis, Validation}
+
+class CleaningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("D1 dedupRows removes exact duplicates and is idempotent") {
+    val df = Seq((1, "a"), (1, "a"), (2, "b")).toDF("k", "v")
+    val once = Cleaning.dedupRows(df)
+    assert(once.count() === 2)
+    assert(Cleaning.dedupRows(once).count() === 2)
+  }
+
+  test("D2-deterministic dedupFirstBy keeps smallest by order columns") {
+    val df = Seq((1, 3, "late"), (1, 1, "early"), (2, 5, "only"))
+      .toDF("k", "ts", "tag")
+    val out = Cleaning.dedupFirstBy(df, Seq("k"), Seq("ts")).orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getString(2)))
+    assert(out.toSeq === Seq((1, "early"), (2, "only")))
+  }
+
+  test("D3 dropNullKeys drops rows with null in any key column") {
+    val df = Seq((Some(1), "a"), (None, "b")).toDF("k", "v")
+    assert(Cleaning.dropNullKeys(df, Seq("k")).count() === 1)
+  }
+
+  test("D5 unionAll tolerates schema drift (missing columns become null)") {
+    val a = Seq((1, "x")).toDF("k", "extra")
+    val b = Seq(2).toDF("k")
+    val u = Cleaning.unionAll(Seq(a, b)).orderBy("k").collect()
+    assert(u.length === 2)
+    assert(u(1).isNullAt(1))
+  }
+}
+
+class KpisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("A4 modeTop1 breaks count ties to the smallest value (pandas semantics)") {
+    // group 1: b x2, a x2 -> tie -> 'a' wins; group 2: c x1
+    val df = Seq((1, "b"), (1, "b"), (1, "a"), (1, "a"), (2, "c"))
+      .toDF("k", "v")
+    val out = Kpis.modeTop1(df, "k", "v", "top").orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(out.toSeq === Seq((1, "a"), (2, "c")))
+  }
+
+  test("A1+A2 genreKpis counts and averages per dim key") {
+    val fact = Seq((1, 10.0), (1, 20.0), (2, 5.0)).toDF("fk", "dur")
+    val dim = Seq((1, "rock"), (2, "jazz")).toDF("dk", "genre")
+    val out = Kpis.genreKpis(fact, dim, "fk", "dk", "genre", "dur")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq(("jazz", 1L, 5.0), ("rock", 2L, 15.0)))
+  }
+
+  test("A3+A5 hourlyKpisHod folds all dates into 24 hour-of-day buckets") {
+    val df = Seq(
+      ("2024-01-01 05:00:00", 1L, "x"),
+      ("2024-06-30 05:59:59", 2L, "x"),  // different date, same hour bucket
+      ("2024-01-01 06:00:00", 1L, "y"))
+      .toDF("ts_s", "user_id", "etype")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val out = Kpis.hourlyKpisHod(df, "ts", "user_id", "etype")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    assert(out.toSeq === Seq((5, 2L, 0.5, "x"), (6, 1L, 1.0, "y")))
+  }
+
+  test("diversity ratio stays in (0, 1]") {
+    val df = Seq.tabulate(50)(i => ("2024-01-01 03:10:00", i.toLong, s"v${i % 7}"))
+      .toDF("ts_s", "user_id", "etype")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val d = Kpis.hourlyKpisHod(df, "ts", "user_id", "etype")
+      .select("diversity").as[Double].head()
+    assert(d > 0.0 && d <= 1.0)
+  }
+}
+
+class ValidationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("one-pass report counts nulls, dups and violations") {
+    val df = Seq(
+      (Some(1), Some(10), "ok"),
+      (None, Some(-5), "ok"),        // null key, negative value
+      (Some(1), None, "bad"),        // null value, invalid type
+      (Some(1), Some(10), "ok"))     // dup of row 1 on (k)
+      .toDF("k", "v", "t")
+    val r = Validation.report(df, Seq(
+      Validation.rowCount,
+      Validation.nullCount("k"),
+      Validation.nullCount("v"),
+      Validation.dupCount(Seq("k")),
+      Validation.violations("neg_v", col("v") < 0),
+      Validation.violations("bad_t", !col("t").isin("ok")))).head()
+    assert(r.getLong(0) === 4)  // n_rows
+    assert(r.getLong(1) === 1)  // null_k
+    assert(r.getLong(2) === 1)  // null_v
+    assert(r.getLong(3) === 2)  // 4 rows - 2 distinct k structs (1, null)
+    assert(r.getLong(4) === 1)  // neg
+    assert(r.getLong(5) === 1)  // bad type
+  }
+
+  test("requireColumns is a schema-level gate (no job)") {
+    val df = Seq((1, 2)).toDF("a", "b")
+    assert(Validation.requireColumns(df, Seq("a", "b")).isRight)
+    assert(Validation.requireColumns(df, Seq("a", "zzz")) === Left(Seq("zzz")))
+  }
+}
+
+class EnrichSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fillMissing adds only absent columns") {
+    val df = Seq((1, "x")).toDF("k", "present")
+    val out = Enrich.fillMissing(df, Map("present" -> "IGNORED", "added" -> 0))
+    assert(out.columns.toSet === Set("k", "present", "added"))
+    assert(out.select("present").as[String].head() === "x")
+    assert(out.select("added").as[Int].head() === 0)
+  }
+
+  test("P11 hourToTimestamp anchors on the parameterized day, not wall clock") {
+    val df = Seq(0, 5, 23).toDF("hour")
+    val out = Enrich.hourToTimestamp(df, "hour", "2024-06-25", "ts")
+      .orderBy("hour").select("ts").as[java.sql.Timestamp].collect()
+    assert(out(0).toInstant.toString === "2024-06-25T00:00:00Z")
+    assert(out(1).toInstant.toString === "2024-06-25T05:00:00Z")
+    assert(out(2).toInstant.toString === "2024-06-25T23:00:00Z")
+  }
+
+  test("enrich chains broadcast inner joins on named keys") {
+    val fact = Seq((1, 10), (2, 20), (3, 30)).toDF("dk", "m")
+    val dim = Seq((1, "a"), (2, "b")).toDF("dk", "name")
+    val out = Enrich.enrich(fact, Seq((dim, Seq("dk"))))
+    assert(out.count() === 2) // inner join drops unmatched fact row
+  }
+}
