@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.operators.{Cleaning, Kpis, Validation}
 import graft.sources.Tables
+import graft.Pipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
@@ -155,7 +156,12 @@ object SparkEntry {
     // A3-approx: the 100 TB path for distinct counts (HLL sketch). Sketches
     // are not comparable across engines → no oracle entry (rows-only check).
     "hourly_uniques_approx" -> ((s, dir) =>
-      Kpis.hourlyUniquesApprox(t(s, dir, "events"), "ts", "user_id"))
+      Kpis.hourlyUniquesApprox(t(s, dir, "events"), "ts", "user_id")),
+
+    // §3.1: the whole reference DAG as ONE lazy plan (Pipeline.run); this is
+    // the genre-KPI output of the composed extract→validate→KPI pipeline.
+    "pipeline_kpis" -> ((s, dir) =>
+      Pipeline.run(s, t(s, dir, "events")).genreKpis)
   )
 
   // ---------------------------------------------- LLM-pipeline extensions ---
@@ -316,6 +322,11 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
          CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
          max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "pipeline_kpis" ->
+      """SELECT event_type, count(*) AS listen_count,
+         round(avg(value), 6) AS avg_duration
          FROM events GROUP BY event_type ORDER BY event_type"""
   )
 

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.JdbcUpsertSink
+
+/** Upsert semantics against embedded Derby (offline-safe; ships in
+  * /opt/spark/jars). Asserts the reference's delete-scope contract: rows
+  * are replaced iff (key, load_date) collides — SURVEY.md §7.5.5. */
+class JdbcUpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val url = s"jdbc:derby:memory:graftdb;create=true"
+  private val sink = JdbcUpsertSink(url)
+  private val ddl =
+    """CREATE TABLE genre_kpis (
+       "genre" VARCHAR(64) NOT NULL,
+       "listen_count" BIGINT,
+       "load_date" DATE NOT NULL)"""
+
+  test("upsert is idempotent and delete scope is (key, load_date)") {
+    sink.ensureTable(ddl, "genre_kpis")
+    sink.ensureTable(ddl, "genre_kpis") // second call must be a no-op
+
+    val d1 = java.sql.Date.valueOf("2024-06-25")
+    val d2 = java.sql.Date.valueOf("2024-06-26")
+    val batch1 = Seq(("rock", 10L, d1), ("jazz", 5L, d1))
+      .toDF("genre", "listen_count", "load_date")
+
+    sink.upsert(batch1, "genre_kpis", Seq("genre"), "load_date", numPartitions = 2)
+    assert(sink.countWhere("genre_kpis", "1=1") === 2)
+
+    // Re-running the same batch: no duplicates (idempotence).
+    sink.upsert(batch1, "genre_kpis", Seq("genre"), "load_date", numPartitions = 2)
+    assert(sink.countWhere("genre_kpis", "1=1") === 2)
+
+    // Same keys, new date: previous date's rows must survive.
+    val batch2 = Seq(("rock", 99L, d2)).toDF("genre", "listen_count", "load_date")
+    sink.upsert(batch2, "genre_kpis", Seq("genre"), "load_date")
+    assert(sink.countWhere("genre_kpis", "1=1") === 3)
+
+    // Same key+date with a new value: replaced, not appended.
+    val batch3 = Seq(("rock", 42L, d1)).toDF("genre", "listen_count", "load_date")
+    sink.upsert(batch3, "genre_kpis", Seq("genre"), "load_date")
+    assert(sink.countWhere("genre_kpis", "1=1") === 3)
+    assert(sink.countWhere("genre_kpis",
+      "\"genre\" = 'rock' AND \"listen_count\" = 42") === 1)
+    assert(sink.countWhere("genre_kpis",
+      "\"genre\" = 'jazz' AND \"listen_count\" = 5") === 1)
+  }
+}
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cleanEvents unions, drops null keys and dedups on event identity") {
+    val a = Seq((Some(1L), "2024-01-01 00:00:00", "view"),
+      (None, "2024-01-01 00:00:01", "view")).toDF("user_id", "ts", "event_type")
+    val b = Seq((Some(1L), "2024-01-01 00:00:00", "view")) // dup of a's first
+      .toDF("user_id", "ts", "event_type")
+    val out = Pipeline.cleanEvents(Seq(a, b), Seq("user_id", "ts"), Seq("user_id"))
+    assert(out.count() === 1)
+  }
+
+  test("run computes both KPI families and the report from one frame") {
+    val events = Seq(
+      (1L, "2024-01-01 05:00:00", "view", 1.0),
+      (2L, "2024-01-01 05:30:00", "click", 2.0),
+      (1L, "2024-01-02 06:00:00", "view", 3.0))
+      .toDF("user_id", "ts_s", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val out = Pipeline.run(spark, events)
+    assert(out.hourlyKpis.count() === 2) // hours 5 and 6
+    assert(out.genreKpis.collect().map(_.getString(0)).toSeq === Seq("click", "view"))
+    assert(out.validationReport.head().getLong(0) === 3)
+  }
+
+  test("run fails fast on missing required columns") {
+    val bad = Seq(1).toDF("not_it")
+    assertThrows[IllegalArgumentException] {
+      Pipeline.run(spark, bad)
+    }
+  }
+}
