@@ -440,17 +440,28 @@ object SparkEntry {
            WHERE round(CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common), 6) >= 0.8
            ORDER BY doc_a, doc_b""",
 
-      "neardup_minhash" ->
+      "neardup_minhash" -> {
+        // hex→int fold of md5 substring [off+1, off+8] (mirrors Spark's
+        // conv(substring(md5(shingle), off+1, 8), 16, 10)).
+        def h32(off: Int) = foldSum(
+          "list_transform(generate_series(1, 8), i -> " +
+            s"CAST(CASE WHEN ascii(substr(md5(shingle), $off + i, 1)) <= 57 " +
+            s"THEN ascii(substr(md5(shingle), $off + i, 1)) - 48 " +
+            s"ELSE ascii(substr(md5(shingle), $off + i, 1)) - 87 END AS BIGINT) " +
+            "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+          "CAST(0 AS BIGINT)")
         s"""WITH $tokCte, $shCte,
+           hashed AS (SELECT doc_id, ${h32(0)} AS h1, ${h32(8)} AS h2 FROM sh),
            bands AS (SELECT doc_id, band,
-               min(md5(CAST(band AS VARCHAR) || '|' || shingle)) AS sig
-             FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band)
+               min((h1 + band * h2) % 4294967296) AS sig
+             FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band)
              GROUP BY doc_id, band)
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              count(*) AS n_shared_bands
            FROM bands a JOIN bands b
              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-           GROUP BY 1, 2 HAVING count(*) >= 1 ORDER BY doc_a, doc_b""",
+           GROUP BY 1, 2 HAVING count(*) >= 1 ORDER BY doc_a, doc_b"""
+      },
 
       "neardup_simhash" ->
         s"""WITH toks AS (SELECT doc_id, list_distinct(

@@ -32,17 +32,33 @@ object Dedup {
   /** (doc_id, shingle) rows: distinct k-gram word shingles per document.
     * Explode fan-out is ~tokens/doc; distinct-per-doc keeps the join
     * fan-in bounded. */
-  def shingleRows(docs: DataFrame, k: Int): DataFrame = {
+  /** (doc_id, shingles: array<string>) — distinct k-gram shingles per doc as
+    * ONE projection, so multiple consumers (explode, sizes) branch off a
+    * single tokenization instead of re-running the regexp per branch. */
+  def docShingles(docs: DataFrame, k: Int): DataFrame = {
     val w = TextAnalysis.tokens(col("text"))
-    // NB: docs with < k tokens are filtered BEFORE the sequence() — Spark's
-    // sequence(1, n) turns *descending* for n < 1 rather than empty.
-    docs.select(col("doc_id"), w.as("w"))
-      .where(size(col("w")) >= k)
-      .select(col("doc_id"), array_distinct(
-        transform(sequence(lit(1), size(col("w")) - (k - 1)),
-          i => array_join(slice(col("w"), i, lit(k)), " "))).as("shingles"))
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    // The shingle transform fans out ~tokens× work per row; a small input
+    // (one parquet file => one partition) would otherwise run it on a single
+    // core. Rebalance to the cluster's parallelism first — at corpus scale
+    // the scan is already many-partitioned and this shuffle is one tiny
+    // extra exchange of raw text.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    // NB: the < k-token case must be handled INSIDE the expression (empty
+    // array), not only by a preceding filter — Spark's sequence(1, n) turns
+    // *descending* for n < 1 rather than empty, and the optimizer may
+    // evaluate the projection on rows the filter would drop.
+    docs.repartition(par).select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"),
+        when(size(col("w")) >= k, array_distinct(
+          transform(sequence(lit(1), size(col("w")) - (k - 1)),
+            i => array_join(slice(col("w"), i, lit(k)), " "))))
+          .otherwise(array().cast("array<string>")).as("shingles"))
+      .where(size(col("shingles")) > 0)
   }
+
+  def shingleRows(docs: DataFrame, k: Int): DataFrame =
+    docShingles(docs, k)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
 
   /** Exact n-gram Jaccard near-dup pairs: |A∩B| / |A∪B| >= threshold.
     * `maxBucket` drops stop-shingles (shared by too many docs) before the
@@ -50,12 +66,17 @@ object Dedup {
     * quadratic on boilerplate text. */
   def jaccardPairs(docs: DataFrame, k: Int, threshold: Double,
                    maxBucket: Int = 1000): DataFrame = {
-    val sh = shingleRows(docs, k)
+    val ds = docShingles(docs, k)
+    val sh = ds.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val pruned = sh.withColumn("__freq",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("shingle"))))
       .where(col("__freq") <= maxBucket).drop("__freq")
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    // Per-doc set sizes are a PROJECTION off the shingle arrays (no explode,
+    // no groupBy). One row per doc: small enough that AQE broadcasts it at
+    // test scale, correctly shuffle-joins on doc_id at corpus scale.
+    val sizes =
+      ds.select(col("doc_id"), size(col("shingles")).cast("long").as("n_shingles"))
     val a = pruned.as("a")
     val b = pruned.as("b")
     val common = a.join(b, col("a.shingle") === col("b.shingle")
@@ -76,13 +97,26 @@ object Dedup {
 
   /** MinHash signatures, one row per (doc, band): the band's signature is
     * min(md5(band || '|' || shingle)) over the doc's shingles — md5 keyed by
-    * band index plays the role of B independent hash functions. */
-  def minhashBands(docs: DataFrame, k: Int, bands: Int): DataFrame =
-    shingleRows(docs, k)
-      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(min(md5(concat(col("band").cast("string"), lit("|"), col("shingle"))))
-        .as("sig"))
+    * band index plays the role of B independent hash functions.
+    *
+    * Perf shape: ONE md5 per (band, shingle) pair would be bands×|shingles|
+    * hash evaluations; instead we hash each shingle once and derive the B
+    * band hashes by Kirsch-Mitzenmacher double hashing (h1 + b·h2 mod 2^32,
+    * h1/h2 = two 32-bit halves of one md5) — a standard Bloom/MinHash
+    * construction. The per-band mins are B parallel `min` aggregates in one
+    * partial-aggregated groupBy (map-side combine, one shuffle on doc_id),
+    * then unpivoted to (doc, band, sig) rows for the LSH bucket join. */
+  def minhashBands(docs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val hashed = shingleRows(docs, k)
+      .withColumn("h1", conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(md5(col("shingle")), 9, 8), 16, 10).cast("long"))
+    val M = 4294967296L // 2^32
+    val sigCols = (0 until bands).map(b =>
+      min((col("h1") + lit(b.toLong) * col("h2")) % M).as(s"sig_$b"))
+    val wide = hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val stackExpr = (0 until bands).map(b => s"${b}L, sig_$b").mkString(", ")
+    wide.selectExpr("doc_id", s"stack($bands, $stackExpr) AS (band, sig)")
+  }
 
   /** LSH candidate pairs: docs colliding on >= `minBands` band signatures.
     * Only colliding docs are ever paired — the linear-ish 100 TB path. */
@@ -99,36 +133,30 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 32-bit SimHash over the document's distinct tokens, computed from the
-    * first 8 hex digits of md5(token): bit j of the signature is 1 iff the
-    * sum over tokens of (bit j present ? +1 : -1) is positive. Pure
-    * projection (higher-order lambdas, no UDF, no shuffle). All bit ops are
-    * expressed as pow/floor/mod arithmetic (exact in doubles below 2^53) so
-    * the identical formula runs on any ANSI SQL engine for the oracle check.
-    */
+  /** 32-bit SimHash over the document's distinct tokens: token hash = first
+    * 8 hex digits of md5(token) as a 32-bit int; bit j of the signature is 1
+    * iff the sum over tokens of (bit j present ? +1 : -1) is positive.
+    *
+    * Perf shape: explode(distinct tokens) → one md5 + conv per token → 32
+    * static-shift bit votes as parallel `sum` aggregates in ONE
+    * partial-aggregated groupBy. Everything stays in WholeStageCodegen with
+    * map-side combine; the earlier nested-lambda formulation (aggregate
+    * inside aggregate over 32 bits × tokens) evaluated interpreted and was
+    * ~50× slower at sf0.1. Semantics unchanged (same md5-derived hash, same
+    * votes; token-less docs get signature 0 via the left join). */
   def withSimhash(docs: DataFrame): DataFrame = {
-    val toks = array_distinct(TextAnalysis.tokens(col("text")))
-    // hex digit char -> value: '0'..'9' = 48..57, 'a'..'f' = 97..102.
-    val hexVal = (c: org.apache.spark.sql.Column) =>
-      when(ascii(c) <= 57, ascii(c) - 48).otherwise(ascii(c) - 87)
-    // per token: 32-bit int from the first 8 md5 hex digits.
-    val tokenHash = (t: org.apache.spark.sql.Column) =>
-      aggregate(
-        transform(sequence(lit(1), lit(8)),
-          i => hexVal(substring(md5(t), 1, 8).substr(i, lit(1))).cast("long")
-            * pow(lit(16.0), (lit(8) - i).cast("double")).cast("long")),
-        lit(0L), (acc, x) => acc + x)
-    // bit j of h  =  floor(h / 2^j) % 2   (h >= 0 < 2^32).
-    docs.withColumn("__hashes", transform(toks, t => tokenHash(t)))
-      .withColumn("simhash",
-        aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, j) =>
-          acc + when(
-            aggregate(col("__hashes"), lit(0L),
-              (s, h) => s + when(
-                floor(h.cast("double") / pow(lit(2.0), j.cast("double")))
-                  .cast("long") % 2 === 1, 1L).otherwise(-1L)) > 0,
-            pow(lit(2.0), j.cast("double")).cast("long")).otherwise(0L)))
-      .drop("__hashes")
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val toks = docs.repartition(par).select(col("doc_id"),
+      explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
+    val hashed = toks.withColumn("h",
+      conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+    val bitVotes = (0 until 32).map(j =>
+      sum(when(shiftright(col("h"), j) % 2 === 1, 1L).otherwise(-1L)).as(s"v$j"))
+    val votes = hashed.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
+    val sig = (0 until 32).map(j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    docs.join(votes.select(col("doc_id"), sig.as("simhash")), Seq("doc_id"), "left")
+      .withColumn("simhash", coalesce(col("simhash"), lit(0L)))
   }
 
   /** SimHash near-dup pairs: exact 32-bit signature collision. */

@@ -42,7 +42,11 @@ object Similarity {
     * tie-broken (cosine desc, candidate id asc). Self-pairs excluded. */
   def knnBruteForce(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    // Rebalance the candidate side: queries×dim dot products per corpus row
+    // must engage every core even when the corpus scan is one small file.
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = corpus.repartition(par)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
@@ -79,8 +83,10 @@ object Similarity {
              nPlanes: Int = 4, seed: Long = 42L): DataFrame = {
     val dim = 64
     val planes = hyperplanes(nPlanes, dim, seed)
-    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
-      bucketId(col("embedding"), planes).as("bucket"))
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = corpus.repartition(par)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+        bucketId(col("embedding"), planes).as("bucket"))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
       bucketId(col("embedding"), planes).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
