@@ -214,7 +214,30 @@ object SparkEntry {
 
     // Multimodal plumbing: binary payload + partition-local feature extract.
     "media_feature_stats" -> ((s, dir) =>
-      Multimodal.mediaFeatureStats(t(s, dir, "documents")))
+      Multimodal.mediaFeatureStats(t(s, dir, "documents"))),
+
+    // TF-IDF top-3 tokens for the first 20 docs (corpus-wide df).
+    "tfidf_top_tokens" -> ((s, dir) =>
+      TextAnalysis.tfIdf(t(s, dir, "documents"), topK = 3,
+        docFilter = col("doc_id") < 20)),
+
+    // from_json -> MapType extraction on events.props (SURVEY.md §1.2).
+    "props_map_stats" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k",
+          element_at(from_json(col("props"),
+            org.apache.spark.sql.types.DataType.fromDDL("MAP<STRING, INT>")), "k"))
+        .groupBy(floor(col("k") / 10.0).cast("long").as("k_decile"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("k_decile"))),
+
+    // Skew-safe two-phase salted aggregation (SURVEY.md §7.5.6): identical
+    // result to a direct groupBy count, straggler-immune shape.
+    "salted_hourly_counts" -> ((s, dir) =>
+      graft.operators.Skew.saltedCount(
+          t(s, dir, "events").withColumn("hour", hour(col("ts"))),
+          keys = Seq("hour"), saltFrom = Seq("user_id"), salts = 32)
+        .orderBy(col("hour")))
   )
 
   /** DuckDB twins for the driver's differential check. Keys must mirror
@@ -524,6 +547,34 @@ object SparkEntry {
            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                    ORDER BY cos_sim DESC, cand_id) AS rn FROM s)
            WHERE rn <= 5 ORDER BY query_id, rank""",
+
+      "tfidf_top_tokens" ->
+        s"""WITH $tokCte,
+           t AS (SELECT doc_id, unnest(w) AS token FROM tok),
+           tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+           dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+           n AS (SELECT count(*) AS n_docs FROM documents),
+           scored AS (SELECT doc_id, token, tf, df,
+               round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+             FROM tf JOIN dfq USING (token) CROSS JOIN n
+             WHERE doc_id < 20),
+           r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, token) AS rank FROM scored)
+           SELECT doc_id, token, tf, df, tfidf, CAST(rank AS BIGINT) AS rank
+           FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+      "props_map_stats" ->
+        """SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INT)
+             / 10.0) AS BIGINT) AS k_decile,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+             AS sum_k
+           FROM events GROUP BY 1 ORDER BY 1""",
+
+      "salted_hourly_counts" ->
+        """SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+           count(*) AS n
+           FROM events GROUP BY 1 ORDER BY 1""",
 
       "media_feature_stats" ->
         s"""WITH f AS (SELECT doc_id, source AS kind,

@@ -119,6 +119,35 @@ object TextAnalysis {
         round(col("avg_token_len"), 6).as("avg_token_len"), col("quality_score"))
       .orderBy(col("doc_id"))
 
+  /** TF-IDF: per-doc top-k tokens by tf × ln(N/df). Classic IR weighting
+    * (Salton & Buckley) as three hash aggregates + one broadcast of the
+    * single-row corpus count — no driver-side collect, fully lazy.
+    *
+    * `docFilter` restricts the OUTPUT docs only; document frequency is
+    * computed over the whole corpus first (filtering before df would
+    * change the statistic). */
+  def tfIdf(docs: DataFrame, topK: Int,
+            docFilter: Column = lit(true)): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val toks = docs.repartition(par)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token").asc)
+    scored.where(docFilter)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("tfidf"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** Document fingerprinting: md5 over the whitespace-normalized lowercased
     * token stream — the canonical-form hash used for exact dedup at scale
     * (one groupBy on a 32-char key instead of full-text comparison). */
