@@ -206,6 +206,11 @@ object SparkEntry {
       Similarity.knnBruteForce(emb, emb.where(col("vec_id") < 10), k = 5)
     }),
 
+    // Embedding-cosine near-dup pairs (brute-force baseline; LSH bucketing
+    // is the scale path).
+    "neardup_cosine" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4)),
+
     // LSH-bucketed ANN (sign-bit hyperplane buckets — the scale path).
     "knn_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -528,6 +533,17 @@ object SparkEntry {
            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                    ORDER BY cos_sim DESC, cand_id) AS rn FROM s)
            WHERE rn <= 5 ORDER BY query_id, rank""",
+
+      "neardup_cosine" ->
+        s"""WITH v AS (SELECT vec_id, embedding AS emb,
+               ${dotSql("embedding", "embedding")} AS n2 FROM embeddings),
+           p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(CASE WHEN sqrt(a.n2) = 0.0 OR sqrt(b.n2) = 0.0 THEN 0.0
+                          ELSE ${dotSql("a.emb", "b.emb")}
+                               / (sqrt(a.n2) * sqrt(b.n2)) END, 6) AS cos_sim
+             FROM v a JOIN v b ON a.vec_id < b.vec_id)
+           SELECT vec_a, vec_b, cos_sim FROM p
+           WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""",
 
       "knn_lsh" ->
         s"""WITH v AS (SELECT vec_id, embedding AS emb,

@@ -37,26 +37,58 @@ object Similarity {
     when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
   }
 
+  /** Pairwise cosine with norms computed ONCE per side (not 3 dot products
+    * per pair). Op order matches [[cosine]]: dot / (sqrt(n2a) * sqrt(n2b)).
+    */
+  private def pairCosine(dotCol: Column, n2a: Column, n2b: Column): Column =
+    when(sqrt(n2a) === 0.0 || sqrt(n2b) === 0.0, lit(0.0))
+      .otherwise(dotCol / (sqrt(n2a) * sqrt(n2b)))
+
   /** Exact cosine top-k: for each query vector (`queries`, small — gets
     * broadcast), the k nearest corpus vectors by cosine, deterministically
     * tie-broken (cosine desc, candidate id asc). Self-pairs excluded. */
   def knnBruteForce(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      dot(col("embedding"), col("embedding")).as("qn2"))
     // Rebalance the candidate side: queries×dim dot products per corpus row
     // must engage every core even when the corpus scan is one small file.
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val c = corpus.repartition(par)
-      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+        dot(col("embedding"), col("embedding")).as("cn2"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+        round(pairCosine(dot(col("qv"), col("cv")), col("qn2"), col("cn2")), 6)
+          .as("cos_sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding-cosine near-dup pairs: all (a < b) pairs with cosine >=
+    * threshold. Brute-force N²/2 — the correctness baseline whose scale
+    * path is [[knnLsh]]-style bucketing (compare within LSH buckets only).
+    * Norms are precomputed per vector; the threshold filters on the ROUNDED
+    * value so an external oracle computing the same rounded cosine agrees
+    * at the boundary. */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val v = corpus.repartition(par).select(col("vec_id"), col("embedding"),
+      dot(col("embedding"), col("embedding")).as("n2"))
+    val a = v.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
+      col("n2").as("n2a"))
+    val b = v.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
+      col("n2").as("n2b"))
+    a.crossJoin(b).where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(pairCosine(dot(col("va"), col("vb")), col("n2a"), col("n2b")), 6)
+          .as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   /** Deterministic pseudo-random hyperplanes (values in [-0.5, 0.5)),

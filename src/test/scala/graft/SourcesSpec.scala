@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.{Sinks, Tables}
+
+class SourcesSpec extends SparkSpec {
+
+  private val schema = StructType.fromDDL("id BIGINT, name STRING")
+
+  test("S1 csv scan with explicit schema reads headers and skips empty files") {
+    val dir = Files.createTempDirectory("csv-src")
+    Files.writeString(dir.resolve("a.csv"), "id,name\n1,x\n2,y\n")
+    Files.writeString(dir.resolve("empty.csv"), "")
+    val df = Tables.csv(spark, schema, dir.toString + "/*.csv")
+    assert(df.count() === 2)
+    assert(df.schema === schema)
+  }
+
+  test("S3 modifiedAfter prunes files by mtime (the reference's 2h window)") {
+    val dir = Files.createTempDirectory("csv-mtime")
+    val old = dir.resolve("old.csv")
+    Files.writeString(old, "id,name\n1,old\n")
+    Files.setLastModifiedTime(old,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 48L * 3600 * 1000))
+    Files.writeString(dir.resolve("new.csv"), "id,name\n2,new\n")
+    val cutoff = java.time.Instant.now().minusSeconds(3600)
+      .toString.replace("Z", "")
+    val recent = Tables.csv(spark, schema, dir.toString + "/*.csv",
+      modifiedAfter = Some(cutoff))
+    val names = recent.collect().map(_.getString(1))
+    assert(names.toSeq === Seq("new"))
+  }
+
+  test("P1 lineage column carries the source file path") {
+    val dir = Files.createTempDirectory("csv-lineage")
+    Files.writeString(dir.resolve("part1.csv"), "id,name\n1,x\n")
+    val df = Tables.withLineage(Tables.csv(spark, schema, dir.toString + "/*.csv"))
+    val src = df.select("source_file").collect().head.getString(0)
+    assert(src.contains("part1.csv"))
+  }
+
+  test("S4/S5 sinks round-trip: singleCsv and json") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("sink-out")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    Sinks.singleCsv(df, out.resolve("csv").toString)
+    val back = spark.read.schema(schema).option("header", "true")
+      .csv(out.resolve("csv").toString)
+    assert(back.count() === 2)
+    Sinks.json(df, out.resolve("json").toString)
+    assert(spark.read.json(out.resolve("json").toString).count() === 2)
+  }
+}
