@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.operators.{Cleaning, Kpis, Skew}
+
+/** Property-based invariants (SURVEY.md §5.2.3) via raw ScalaCheck (the
+  * scalatest bridge is not in the offline cache). Row counts are kept
+  * small: each property case is a Spark job. */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rowsGen: Gen[List[(Int, String)]] =
+    Gen.listOfN(30, Gen.zip(Gen.choose(0, 5), Gen.oneOf("a", "b", "c")))
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("dedup is idempotent and bounded by input size") {
+    check(Prop.forAll(rowsGen) { rows =>
+      val df = rows.toDF("k", "v")
+      val once = Cleaning.dedupRows(df)
+      val n1 = once.count()
+      n1 == Cleaning.dedupRows(once).count() &&
+        n1 <= rows.size && n1 == rows.distinct.size
+    })
+  }
+
+  test("union count equals sum of counts; dedup(union(x,x)) == dedup(x)") {
+    check(Prop.forAll(rowsGen) { rows =>
+      val df = rows.toDF("k", "v")
+      val u = Cleaning.unionAll(Seq(df, df))
+      u.count() == 2L * rows.size &&
+        Cleaning.dedupRows(u).count() == rows.distinct.size
+    })
+  }
+
+  test("salted count equals direct count for arbitrary key skew") {
+    check(Prop.forAll(rowsGen) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("k", "v")
+        val direct = df.groupBy($"k").count().orderBy($"k")
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+        val salted = Skew.saltedCount(df, Seq("k"), Seq("v"), salts = 4)
+          .orderBy($"k").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+        salted == direct
+      }
+    })
+  }
+
+  test("diversity ratio always lands in (0, 1]") {
+    val evGen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0, 23), Gen.choose(1L, 5L), Gen.oneOf("x", "y", "z")))
+    check(Prop.forAll(evGen) { rows =>
+      rows.isEmpty || {
+        val df = rows.map { case (h, u, v) =>
+          (java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00"), u, v)
+        }.toDF("ts", "user_id", "event_type")
+        val out = Kpis.hourlyKpisHod(df, "ts", "user_id", "event_type")
+          .select("diversity").as[Double].collect()
+        out.forall(d => d > 0.0 && d <= 1.0)
+      }
+    })
+  }
+}
