@@ -47,13 +47,16 @@ object Dedup {
     // array), not only by a preceding filter — Spark's sequence(1, n) turns
     // *descending* for n < 1 rather than empty, and the optimizer may
     // evaluate the projection on rows the filter would drop.
+    // No size()>0 filter here: a filter on the computed column would make
+    // Catalyst evaluate the whole shingle transform a second time (once for
+    // the predicate, once for the projection); downstream explode() already
+    // drops empty arrays for free.
     docs.repartition(par).select(col("doc_id"), w.as("w"))
       .select(col("doc_id"),
         when(size(col("w")) >= k, array_distinct(
           transform(sequence(lit(1), size(col("w")) - (k - 1)),
             i => array_join(slice(col("w"), i, lit(k)), " "))))
           .otherwise(array().cast("array<string>")).as("shingles"))
-      .where(size(col("shingles")) > 0)
   }
 
   def shingleRows(docs: DataFrame, k: Int): DataFrame =

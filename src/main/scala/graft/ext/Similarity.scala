@@ -25,10 +25,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-fold dot product in doubles: sum_i a[i]*b[i]. */
+  /** Left-fold dot product in doubles: sum_i a[i]*b[i]. Generic (per-row
+    * sized) variant — allocates a zipped intermediate per row. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
+
+  /** Fixed-dimension dot product: folds over a LITERAL index sequence
+    * (constant-folded once per plan, not allocated per row) and never
+    * materializes the products array — the hot-path variant for N²-pair
+    * scoring, where zip_with's per-pair 64-element allocation is pure GC
+    * churn. Same op order as [[dot]] (left fold from 0.0), so results are
+    * bit-identical. */
+  def dotN(a: Column, b: Column, dim: Int): Column =
+    aggregate(sequence(lit(1), lit(dim)), lit(0.0),
+      (acc, i) => acc + element_at(a, i).cast("double")
+        * element_at(b, i).cast("double"))
 
   /** Cosine similarity; 0.0 for zero-norm inputs. */
   def cosine(a: Column, b: Column): Column = {
@@ -47,19 +59,20 @@ object Similarity {
   /** Exact cosine top-k: for each query vector (`queries`, small — gets
     * broadcast), the k nearest corpus vectors by cosine, deterministically
     * tie-broken (cosine desc, candidate id asc). Self-pairs excluded. */
-  def knnBruteForce(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def knnBruteForce(corpus: DataFrame, queries: DataFrame, k: Int,
+                    dim: Int = 64): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-      dot(col("embedding"), col("embedding")).as("qn2"))
+      dotN(col("embedding"), col("embedding"), dim).as("qn2"))
     // Rebalance the candidate side: queries×dim dot products per corpus row
     // must engage every core even when the corpus scan is one small file.
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val c = corpus.repartition(par)
       .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
-        dot(col("embedding"), col("embedding")).as("cn2"))
+        dotN(col("embedding"), col("embedding"), dim).as("cn2"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
-        round(pairCosine(dot(col("qv"), col("cv")), col("qn2"), col("cn2")), 6)
+        round(pairCosine(dotN(col("qv"), col("cv"), dim), col("qn2"), col("cn2")), 6)
           .as("cos_sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
@@ -75,17 +88,18 @@ object Similarity {
     * Norms are precomputed per vector; the threshold filters on the ROUNDED
     * value so an external oracle computing the same rounded cosine agrees
     * at the boundary. */
-  def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
+                         dim: Int = 64): DataFrame = {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val v = corpus.repartition(par).select(col("vec_id"), col("embedding"),
-      dot(col("embedding"), col("embedding")).as("n2"))
+      dotN(col("embedding"), col("embedding"), dim).as("n2"))
     val a = v.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
       col("n2").as("n2a"))
     val b = v.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
       col("n2").as("n2b"))
     a.crossJoin(b).where(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(pairCosine(dot(col("va"), col("vb")), col("n2a"), col("n2b")), 6)
+        round(pairCosine(dotN(col("va"), col("vb"), dim), col("n2a"), col("n2b")), 6)
           .as("cos_sim"))
       .where(col("cos_sim") >= threshold)
       .orderBy(col("vec_a"), col("vec_b"))
@@ -105,7 +119,8 @@ object Similarity {
   /** Bucket id = integer of sign bits of dot(v, plane_p), p = 0..P-1. */
   def bucketId(v: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      when(dot(v, typedLit(p.toSeq)) >= 0.0, lit(1L << i)).otherwise(lit(0L))
+      when(dotN(v, typedLit(p.toSeq), p.length) >= 0.0, lit(1L << i))
+        .otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** LSH-bucketed ANN: exact top-k *within* the query's bucket. Candidates
@@ -118,13 +133,16 @@ object Similarity {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val c = corpus.repartition(par)
       .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+        dotN(col("embedding"), col("embedding"), dim).as("cn2"),
         bucketId(col("embedding"), planes).as("bucket"))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      dotN(col("embedding"), col("embedding"), dim).as("qn2"),
       bucketId(col("embedding"), planes).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("bucket"), col("cand_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+        round(pairCosine(dotN(col("qv"), col("cv"), dim), col("qn2"), col("cn2")), 6)
+          .as("cos_sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("cand_id").asc)

@@ -115,7 +115,8 @@ class SimilaritySpec extends SparkSpec {
       (2L, Seq(0.0f, 1.0f)),   // orthogonal to 0
       (3L, Seq(1.0f, 0.0f)))   // identical to 0
       .toDF("vec_id", "embedding")
-    val out = Similarity.knnBruteForce(vecs, vecs.where(col("vec_id") === 0), 3)
+    val out = Similarity.knnBruteForce(vecs, vecs.where(col("vec_id") === 0), 3,
+        dim = 2)
       .select("cand_id").as[Long].collect()
     assert(out.toSeq === Seq(3L, 1L, 2L)) // identical first, then near, then orthogonal
   }

@@ -132,6 +132,15 @@ class EnrichSpec extends SparkSpec {
     assert(out(2).toInstant.toString === "2024-06-25T23:00:00Z")
   }
 
+  test("P4 numeric coercion: try_cast gives null-on-error under ANSI mode") {
+    // Spark 4 runs ANSI by default: a plain cast on bad input THROWS; the
+    // reference's pd.to_numeric(errors='coerce') semantic is try_cast.
+    val df = Seq("12.5", "not-a-number", "").toDF("raw")
+    val out = df.select(expr("try_cast(raw AS double)").as("v"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out.toSeq === Seq(Some(12.5), None, None))
+  }
+
   test("enrich chains broadcast inner joins on named keys") {
     val fact = Seq((1, 10), (2, 20), (3, 30)).toDF("dk", "m")
     val dim = Seq((1, "a"), (2, "b")).toDF("dk", "name")
