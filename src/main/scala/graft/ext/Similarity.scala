@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions.dotNative
+
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (vec_id, embedding: array<float>, label) — SURVEY.md §7.3.7.
   *
@@ -62,17 +64,17 @@ object Similarity {
   def knnBruteForce(corpus: DataFrame, queries: DataFrame, k: Int,
                     dim: Int = 64): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-      dotN(col("embedding"), col("embedding"), dim).as("qn2"))
+      dotNative(col("embedding"), col("embedding")).as("qn2"))
     // Rebalance the candidate side: queries×dim dot products per corpus row
     // must engage every core even when the corpus scan is one small file.
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val c = corpus.repartition(par)
       .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
-        dotN(col("embedding"), col("embedding"), dim).as("cn2"))
+        dotNative(col("embedding"), col("embedding")).as("cn2"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
-        round(pairCosine(dotN(col("qv"), col("cv"), dim), col("qn2"), col("cn2")), 6)
+        round(pairCosine(dotNative(col("qv"), col("cv")), col("qn2"), col("cn2")), 6)
           .as("cos_sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
@@ -92,14 +94,14 @@ object Similarity {
                          dim: Int = 64): DataFrame = {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val v = corpus.repartition(par).select(col("vec_id"), col("embedding"),
-      dotN(col("embedding"), col("embedding"), dim).as("n2"))
+      dotNative(col("embedding"), col("embedding")).as("n2"))
     val a = v.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
       col("n2").as("n2a"))
     val b = v.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
       col("n2").as("n2b"))
     a.crossJoin(b).where(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(pairCosine(dotN(col("va"), col("vb"), dim), col("n2a"), col("n2b")), 6)
+        round(pairCosine(dotNative(col("va"), col("vb")), col("n2a"), col("n2b")), 6)
           .as("cos_sim"))
       .where(col("cos_sim") >= threshold)
       .orderBy(col("vec_a"), col("vec_b"))
@@ -133,15 +135,15 @@ object Similarity {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val c = corpus.repartition(par)
       .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
-        dotN(col("embedding"), col("embedding"), dim).as("cn2"),
+        dotNative(col("embedding"), col("embedding")).as("cn2"),
         bucketId(col("embedding"), planes).as("bucket"))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-      dotN(col("embedding"), col("embedding"), dim).as("qn2"),
+      dotNative(col("embedding"), col("embedding")).as("qn2"),
       bucketId(col("embedding"), planes).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("bucket"), col("cand_id"),
-        round(pairCosine(dotN(col("qv"), col("cv"), dim), col("qn2"), col("cn2")), 6)
+        round(pairCosine(dotNative(col("qv"), col("cv")), col("qn2"), col("cn2")), 6)
           .as("cos_sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))

@@ -1,0 +1,29 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.DotProductExpr
+
+/** Session extension registering graft's native expressions as SQL
+  * functions (`SELECT graft_dot(a, b)`), so pure-SQL users get the codegen
+  * path too. Enable with
+  * `spark.sql.extensions=graft.plans.GraftExtensions` or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`.
+  *
+  * The DataFrame API does not require this — `VectorFunctions.dotNative`
+  * builds the expression directly.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_dot expects exactly 2 arguments")
+        DotProductExpr(children.head, children(1))
+      }))
+  }
+}

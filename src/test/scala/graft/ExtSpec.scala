@@ -135,6 +135,46 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.VectorFunctions.dotNative
+
+  test("native dot product is bit-identical to the higher-order fold") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)((
+      Seq.fill(64)(rnd.nextFloat() * 2 - 1),
+      Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val out = df.select(
+      dotNative(col("a"), col("b")).as("native"),
+      Similarity.dotN(col("a"), col("b"), 64).as("fold")).collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0))
+        === java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("native dot product null semantics match the fold (null array/element)") {
+    val df = Seq(
+      (Some(Seq(Some(1.0f), Some(2.0f))), Some(Seq(Some(3.0f), Some(4.0f)))),
+      (None, Some(Seq(Some(1.0f), Some(1.0f)))),
+      (Some(Seq(Some(1.0f), None)), Some(Seq(Some(1.0f), Some(1.0f)))))
+      .toDF("a", "b")
+    val out = df.select(dotNative(col("a"), col("b"))).collect()
+    assert(out(0).getDouble(0) === 11.0)
+    assert(out(1).isNullAt(0))
+    assert(out(2).isNullAt(0))
+  }
+
+  test("type check rejects non-float-array inputs with a named error") {
+    val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b") // double arrays
+    val e = intercept[Exception] {
+      df.select(dotNative(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("graft_dot") || e.getMessage.contains("DATATYPE"))
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
