@@ -29,9 +29,6 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** (doc_id, shingle) rows: distinct k-gram word shingles per document.
-    * Explode fan-out is ~tokens/doc; distinct-per-doc keeps the join
-    * fan-in bounded. */
   /** (doc_id, shingles: array<string>) — distinct k-gram shingles per doc as
     * ONE projection, so multiple consumers (explode, sizes) branch off a
     * single tokenization instead of re-running the regexp per branch. */
@@ -59,9 +56,15 @@ object Dedup {
           .otherwise(array().cast("array<string>")).as("shingles"))
   }
 
+  // explode_outer + isNotNull instead of explode: InferFiltersFromGenerate
+  // would add size(shingles)>0 under an inner explode and predicate
+  // pushdown then INLINES the whole tokenize->shingle expression into a
+  // Filter below the repartition (recomputed, single-partition). The outer
+  // variant is exempt; the null filter runs on the generated output.
   def shingleRows(docs: DataFrame, k: Int): DataFrame =
     docShingles(docs, k)
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .select(col("doc_id"), explode_outer(col("shingles")).as("shingle"))
+      .where(col("shingle").isNotNull)
 
   /** Exact n-gram Jaccard near-dup pairs: |A∩B| / |A∪B| >= threshold.
     * `maxBucket` drops stop-shingles (shared by too many docs) before the
@@ -70,21 +73,33 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, k: Int, threshold: Double,
                    maxBucket: Int = 1000): DataFrame = {
     val ds = docShingles(docs, k)
-    val sh = ds.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val pruned = sh.withColumn("__freq",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("shingle"))))
-      .where(col("__freq") <= maxBucket).drop("__freq")
+    val sh = ds.select(col("doc_id"), explode_outer(col("shingles")).as("shingle"))
+      .where(col("shingle").isNotNull) // outer: see shingleRows
+    // Bucket-collect instead of self-join: ONE shuffle groups the doc ids
+    // sharing each shingle; pairs are generated inside the bucket. A
+    // self-join on shingle recomputes the whole tokenize->shingle->explode
+    // pipeline on both sides (Spark does not reuse the exchange across the
+    // aliased branches) and shuffles the corpus twice. collect_set spills
+    // via ObjectHashAggregate; the maxBucket cap drops boilerplate
+    // stop-shingles. (At extreme skew, pre-filter hot shingles with a
+    // count-only pass before collecting — same shapes, one more shuffle.)
+    val buckets = sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("d"),
+        count(lit(1)).as("c"))
+      .where(col("c") >= 2 && col("c") <= maxBucket)
+    val pairs = buckets.select(explode_outer(
+        flatten(transform(col("d"), (x, i) =>
+          transform(slice(col("d"), i + 2, size(col("d"))),
+            y => struct(x.as("_1"), y.as("_2"))))))
+        .as("p"))
+      .where(col("p").isNotNull) // outer: see shingleRows
     // Per-doc set sizes are a PROJECTION off the shingle arrays (no explode,
     // no groupBy). One row per doc: small enough that AQE broadcasts it at
     // test scale, correctly shuffle-joins on doc_id at corpus scale.
     val sizes =
       ds.select(col("doc_id"), size(col("shingles")).cast("long").as("n_shingles"))
-    val a = pruned.as("a")
-    val b = pruned.as("b")
-    val common = a.join(b, col("a.shingle") === col("b.shingle")
-        && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val common = pairs
+      .groupBy(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     common
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
@@ -150,7 +165,8 @@ object Dedup {
   def withSimhash(docs: DataFrame): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val toks = docs.repartition(par).select(col("doc_id"),
-      explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
+        explode_outer(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
+      .where(col("tok").isNotNull) // outer: see shingleRows re InferFiltersFromGenerate
     val hashed = toks.withColumn("h",
       conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
     val bitVotes = (0 until 32).map(j =>

@@ -42,7 +42,8 @@ object TextAnalysis {
   /** Top-k corpus vocabulary with deterministic tie-break (count desc, token
     * asc). explode → partial-agg groupBy → single top-k. */
   def topTokens(docs: DataFrame, k: Int): DataFrame =
-    docs.select(explode(tokens(col("text"))).as("token"))
+    docs.select(explode_outer(tokens(col("text"))).as("token"))
+      .where(col("token").isNotNull) // outer: avoids InferFiltersFromGenerate
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
@@ -130,7 +131,8 @@ object TextAnalysis {
             docFilter: Column = lit(true)): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val toks = docs.repartition(par)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("token"))
+      .where(col("token").isNotNull) // outer: avoids InferFiltersFromGenerate
     val tf = toks.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
