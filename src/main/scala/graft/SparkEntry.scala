@@ -161,7 +161,22 @@ object SparkEntry {
     // §3.1: the whole reference DAG as ONE lazy plan (Pipeline.run); this is
     // the genre-KPI output of the composed extract→validate→KPI pipeline.
     "pipeline_kpis" -> ((s, dir) =>
-      Pipeline.run(s, t(s, dir, "events")).genreKpis)
+      Pipeline.run(s, t(s, dir, "events")).genreKpis),
+
+    // As-of join (point-in-time enrichment; SURVEY.md §7.4a): each click
+    // paired with the user's latest view at or before it.
+    "asof_click_view" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("view_ts"))
+        .agg(max(col("value")).as("view_value"))
+      graft.operators.AsOf.asOfJoin(clicks, views,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "view_ts",
+          rightValCols = Seq("view_ts", "view_value"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    })
   )
 
   // ---------------------------------------------- LLM-pipeline extensions ---
@@ -355,7 +370,21 @@ object SparkEntry {
     "pipeline_kpis" ->
       """SELECT event_type, count(*) AS listen_count,
          round(avg(value), 6) AS avg_duration
-         FROM events GROUP BY event_type ORDER BY event_type"""
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // DuckDB has a native ASOF JOIN — the perfect oracle for our
+    // union-and-carry-forward implementation. CAST(ts AS TIMESTAMP)
+    // truncates DuckDB's ns to the same microseconds Spark computes with.
+    "asof_click_view" ->
+      """WITH clicks AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+                         FROM events WHERE event_type = 'click'),
+         views AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts,
+                          max(value) AS view_value
+                   FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+         SELECT c.user_id, c.event_id, c.ts, v.view_ts, v.view_value
+         FROM clicks c ASOF LEFT JOIN views v
+           ON c.user_id = v.user_id AND c.ts >= v.view_ts
+         ORDER BY c.user_id, c.ts, c.event_id"""
   )
 
   // ------------------------------------------------- extension oracles ---

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructField
+
+/** Distributed as-of join — for each left row, the latest right row with
+  * `rightTs <= leftTs` in the same key group (time-series point-in-time
+  * enrichment). Spark has no native ASOF join; the reference has none
+  * either — this is a SURVEY.md §7.4(a) "compose existing ops" operator:
+  * the union-and-carry-forward formulation used by every distributed
+  * engine that lacks the physical operator.
+  *
+  * Shape: union both sides tagged, ONE shuffle on the keys, one
+  * in-partition sort by (ts, side), then last_value(ignoreNulls) carries
+  * the most recent right values forward onto each left row. No join
+  * explosion, no per-left-row range scan; state is one row of carried
+  * values per partition stream — the same asymptotics as a merge as-of.
+  *
+  * Right rows must be unique per (keys, rightTs) for deterministic output
+  * (pre-aggregate the right side; ties inside a timestamp are otherwise
+  * engine-defined — DuckDB ASOF picks an arbitrary one).
+  */
+object AsOf {
+
+  /** @param rightValCols right columns carried onto left rows (must not
+    *                     collide with left column names)
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               rightValCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rightSchema = right.schema
+
+    def nullOf(f: StructField) = lit(null).cast(f.dataType)
+
+    val l = left
+      .withColumn("__t", col(leftTs))
+      .withColumn("__isR", lit(0))
+      .select((leftCols.map(col) :+ col("__t") :+ col("__isR")) ++
+        rightValCols.map(c =>
+          nullOf(rightSchema(c)).as(c)): _*)
+    val r = right
+      .withColumn("__t", col(rightTs))
+      .withColumn("__isR", lit(1))
+      .select((leftCols.map(c =>
+        if (keys.contains(c)) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c))
+        :+ col("__t") :+ col("__isR")) ++ rightValCols.map(col): _*)
+
+    // right rows sort BEFORE left rows at equal ts (isR desc) so an exact
+    // timestamp match is visible to the left row (l.ts >= r.ts semantics).
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__isR").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    rightValCols.foldLeft(l.unionByName(r)) { case (df, c) =>
+        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      }
+      .where(col("__isR") === 0)
+      .drop("__t", "__isR")
+  }
+}

@@ -30,8 +30,12 @@ object Tables {
     // as Long nanos-since-epoch; convert to microsecond TimestampType by
     // truncation — the same NS→US semantics as DuckDB's CAST(ts AS TIMESTAMP),
     // keeping the oracle comparable.
+    // NB: integer `div`, not `/` — Spark's `/` on longs is DOUBLE division,
+    // and ns-epoch values (~1.7e18) exceed 2^53, so floor(ts/1000.0) lands
+    // ±1 µs off the true value. Exposed by the as-of join (raw timestamp
+    // output); latent in hour-granularity aggregates.
     if (name == "events" && df.schema.exists(f => f.name == "ts" && f.dataType == LongType))
-      df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast(LongType)))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

@@ -80,6 +80,33 @@ class KpisSpec extends SparkSpec {
   }
 }
 
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.AsOf
+
+  test("as-of join picks the latest right row at or before each left ts") {
+    val left = Seq((1, 5, "l5"), (1, 2, "l2"), (2, 9, "l9"))
+      .toDF("k", "lt", "tag")
+    val right = Seq((1, 1, 10.0), (1, 4, 40.0), (1, 6, 60.0), (2, 100, 999.0))
+      .toDF("k", "rt", "v")
+    val out = AsOf.asOfJoin(left, right, Seq("k"), "lt", "rt", Seq("v"))
+      .orderBy("k", "lt")
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    // l2 -> rt=1 (10.0); l5 -> rt=4 (40.0), NOT rt=6; l9 -> no match
+    assert(out.toSeq === Seq((1, 2, Some(10.0)), (1, 5, Some(40.0)),
+      (2, 9, None)))
+  }
+
+  test("as-of join: exact timestamp equality matches (>= semantics)") {
+    val left = Seq((1, 4)).toDF("k", "lt")
+    val right = Seq((1, 4, 40.0), (1, 3, 30.0)).toDF("k", "rt", "v")
+    val out = AsOf.asOfJoin(left, right, Seq("k"), "lt", "rt", Seq("v"))
+      .collect()
+    assert(out.head.getDouble(2) === 40.0)
+  }
+}
+
 class ValidationSpec extends SparkSpec {
   import spark.implicits._
 
