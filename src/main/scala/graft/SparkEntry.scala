@@ -176,7 +176,13 @@ object SparkEntry {
           keys = Seq("user_id"), leftTs = "ts", rightTs = "view_ts",
           rightValCols = Seq("view_ts", "view_value"))
         .orderBy(col("user_id"), col("ts"), col("event_id"))
-    })
+    }),
+
+    // Gap sessionization (30 min): lag-mark → running-sum session ids →
+    // per-session aggregate; streaming twin uses flatMapGroupsWithState.
+    "user_sessions" -> ((s, dir) =>
+      graft.operators.Sessionize.sessionStats(
+        t(s, dir, "events"), "user_id", "ts", "value", gapSeconds = 1800))
   )
 
   // ---------------------------------------------- LLM-pipeline extensions ---
@@ -384,7 +390,20 @@ object SparkEntry {
          SELECT c.user_id, c.event_id, c.ts, v.view_ts, v.view_value
          FROM clicks c ASOF LEFT JOIN views v
            ON c.user_id = v.user_id AND c.ts >= v.view_ts
-         ORDER BY c.user_id, c.ts, c.event_id"""
+         ORDER BY c.user_id, c.ts, c.event_id""",
+
+    "user_sessions" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                    FROM events),
+         f AS (SELECT user_id, ts, value,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS is_new
+               FROM e),
+         s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+         SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events, round(sum(value), 6) AS sum_value
+         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
   )
 
   // ------------------------------------------------- extension oracles ---

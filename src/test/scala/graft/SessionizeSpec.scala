@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sessionize
+import graft.streaming.StreamingSessions
+import graft.streaming.StreamingSessions.SessionEvent
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("batch sessionization splits on gaps > threshold") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:10:00"), 2.0),  // same session (10 min gap)
+      (1L, ts("2024-01-01 11:00:00"), 4.0),  // 50 min gap -> new session
+      (2L, ts("2024-01-01 09:00:00"), 8.0))
+      .toDF("user_id", "ts", "value")
+    val out = Sessionize.sessionStats(events, "user_id", "ts", "value", 1800)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      (1L, "2024-01-01 10:00:00.0", 2L, 3.0),
+      (1L, "2024-01-01 11:00:00.0", 1L, 4.0),
+      (2L, "2024-01-01 09:00:00.0", 1L, 8.0)))
+  }
+
+  test("streaming sessionization closes sessions on gap and on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val sessions = StreamingSessions.sessionize(
+      input.toDS(), gapSeconds = 1800, watermark = "0 seconds")
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-sess").toString
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    // batch 1: two events one session, then a gap inside the SAME batch
+    // closes it immediately.
+    input.addData(
+      SessionEvent(1L, ts("2024-01-01 10:00:00"), 1.0),
+      SessionEvent(1L, ts("2024-01-01 10:10:00"), 2.0),
+      SessionEvent(1L, ts("2024-01-01 12:00:00"), 4.0))
+    q.processAllAvailable()
+    val afterGap = spark.sql(
+      "SELECT n_events, sum_value FROM sess_out ORDER BY session_start")
+      .as[(Long, Double)].collect()
+    assert(afterGap.toSeq === Seq((2L, 3.0)))
+
+    // batch 2: advance the watermark far past 12:00 + gap -> the open
+    // session times out and is emitted.
+    input.addData(SessionEvent(99L, ts("2024-01-01 15:00:00"), 0.0))
+    q.processAllAvailable()
+    input.addData(SessionEvent(99L, ts("2024-01-01 15:00:01"), 0.0))
+    q.processAllAvailable()
+    val closed = spark.sql(
+      "SELECT user_id, n_events FROM sess_out WHERE user_id = 1 ORDER BY session_start")
+      .as[(Long, Long)].collect()
+    q.stop()
+    assert(closed.toSeq === Seq((1L, 2L), (1L, 1L)))
+  }
+}
