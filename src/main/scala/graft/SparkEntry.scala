@@ -182,7 +182,17 @@ object SparkEntry {
     // per-session aggregate; streaming twin uses flatMapGroupsWithState.
     "user_sessions" -> ((s, dir) =>
       graft.operators.Sessionize.sessionStats(
-        t(s, dir, "events"), "user_id", "ts", "value", gapSeconds = 1800))
+        t(s, dir, "events"), "user_id", "ts", "value", gapSeconds = 1800)),
+
+    // Hierarchical aggregation (ROLLUP): subtotals + grand total in one
+    // pass — free Catalyst capability beyond the reference's flat groupBy.
+    "returns_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("total_price"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first))
   )
 
   // ---------------------------------------------- LLM-pipeline extensions ---
@@ -236,6 +246,16 @@ object SparkEntry {
     "knn_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.knnLsh(emb, emb.where(col("vec_id") < 10), k = 5)
+    }),
+
+    // IVF-bucketed ANN (k-means inverted lists, nprobe search). Centroids
+    // are engine-specific (mllib k-means) → rows-only check, no oracle;
+    // recall vs brute force is asserted in the spec instead.
+    "knn_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = Similarity.ivfFit(emb, nlist = 8)
+      Similarity.knnIvf(emb, emb.where(col("vec_id") < 10), k = 5,
+        centroids, nprobe = 3)
     }),
 
     // Multimodal plumbing: binary payload + partition-local feature extract.
@@ -403,7 +423,13 @@ object SparkEntry {
                  ROWS UNBOUNDED PRECEDING) AS sid FROM f)
          SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
            count(*) AS n_events, round(sum(value), 6) AS sum_value
-         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
+         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
+
+    "returns_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         round(sum(l_extendedprice), 2) AS total_price
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
   )
 
   // ------------------------------------------------- extension oracles ---

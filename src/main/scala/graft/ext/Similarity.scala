@@ -125,6 +125,73 @@ object Similarity {
         .otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF coarse quantizer: k-means centroids fit on (a sample of) the
+    * corpus. Deterministic under a fixed seed and input. Centroids come
+    * back to the driver (nlist × dim doubles — tiny) to be inlined as plan
+    * literals; the corpus itself never leaves the executors. */
+  def ivfFit(corpus: DataFrame, nlist: Int, seed: Long = 42L,
+             maxIter: Int = 20): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = corpus.select(
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .fit(feats)
+    model.clusterCenters.map(_.toArray)
+  }
+
+  /** Nearest-centroid list id, by squared L2 distance expanded as
+    * |v|² − 2·v·c + |c|² (|v|² constant per row → argmin over −2·v·c + |c|²).
+    * One [[dotN]] per centroid, all inlined literals — a pure projection. */
+  def ivfListId(v: Column, centroids: Array[Array[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(-2.0) * dotN(v, typedLit(c.toSeq), c.length) + lit(c2))
+        .as("d"), lit(i).as("i"))
+    }
+    array_min(array(scored: _*)).getField("i")
+  }
+
+  /** IVF-bucketed ANN: queries search only their `nprobe` nearest lists.
+    * Corpus shuffles once on list id; each query fans out to nprobe list
+    * partitions (corpus/nlist × nprobe candidates in expectation) — the
+    * standard inverted-file trade of recall for a nlist/nprobe speedup. */
+  def knnIvf(corpus: DataFrame, queries: DataFrame, k: Int,
+             centroids: Array[Array[Double]], nprobe: Int,
+             dim: Int = 64): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = corpus.repartition(par)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+        dotNative(col("embedding"), col("embedding")).as("cn2"),
+        ivfListId(col("embedding"), centroids).as("list_id"))
+    // nprobe nearest lists per query: sort the per-centroid distance
+    // structs and take the first nprobe ids.
+    val probeIds = {
+      val scored = centroids.zipWithIndex.map { case (cent, i) =>
+        val c2 = cent.map(x => x * x).sum
+        struct((lit(-2.0) * dotN(col("embedding"), typedLit(cent.toSeq),
+          cent.length) + lit(c2)).as("d"), lit(i).as("i"))
+      }
+      slice(transform(array_sort(array(scored: _*)), s => s.getField("i")),
+        1, nprobe)
+    }
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        dotNative(col("embedding"), col("embedding")).as("qn2"),
+        explode(probeIds).as("list_id"))
+    val scored = c.join(broadcast(q), Seq("list_id"))
+      .where(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(pairCosine(dotNative(col("qv"), col("cv")), col("qn2"), col("cn2")), 6)
+          .as("cos_sim"))
+      .dropDuplicates("query_id", "cand_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: exact top-k *within* the query's bucket. Candidates
     * and queries shuffle once on the bucket id; each query compares against
     * its bucket only (corpus/2^P per bucket in expectation). */

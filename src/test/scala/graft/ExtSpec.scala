@@ -135,6 +135,29 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("IVF: exact twin is found; recall vs brute force is reasonable") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroids = Similarity.ivfFit(emb, nlist = 8)
+    assert(centroids.length === 8 && centroids.head.length === 64)
+    val queries = emb.where(col("vec_id") < 10)
+    val ivf = Similarity.knnIvf(emb, queries, k = 5, centroids, nprobe = 3)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val bf = Similarity.knnBruteForce(emb, queries, k = 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = (ivf & bf).size.toDouble / bf.size
+    assert(ivf.nonEmpty)
+    // nprobe=3 of nlist=8 scans ~3/8 of the corpus; on near-orthogonal
+    // synthetic vectors recall tracks coverage, so demand at least ~1/4.
+    assert(recall >= 0.25, s"IVF recall $recall too low")
+    // determinism: same seed, same centroids
+    val again = Similarity.ivfFit(emb, nlist = 8)
+    assert(centroids.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+}
+
 class VectorExpressionsSpec extends SparkSpec {
   import spark.implicits._
   import graft.functions.VectorFunctions.dotNative
