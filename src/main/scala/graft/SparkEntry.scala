@@ -262,6 +262,21 @@ object SparkEntry {
     "media_feature_stats" -> ((s, dir) =>
       Multimodal.mediaFeatureStats(t(s, dir, "documents"))),
 
+    // Custom TypedImperativeAggregate: per-label centroid via vec_sum
+    // (single mutable double[dim] buffer per group — no posexplode
+    // shuffle). First 8 dims in long format for the oracle.
+    "label_centroids" -> ((s, dir) => {
+      val agg = t(s, dir, "embeddings")
+        .groupBy(col("label"))
+        .agg(graft.functions.VectorAggregates.vecSum(col("embedding")).as("vs"),
+          count(lit(1)).as("n"))
+      agg.select(col("label"), col("n"),
+          posexplode(slice(col("vs"), 1, 8)).as(Seq("dim", "s")))
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          round(col("s") / col("n"), 4).as("centroid"))
+        .orderBy(col("label"), col("dim"))
+    }),
+
     // TF-IDF top-3 tokens for the first 20 docs (corpus-wide df).
     "tfidf_top_tokens" -> ((s, dir) =>
       TextAnalysis.tfIdf(t(s, dir, "documents"), topK = 3,
@@ -665,6 +680,14 @@ object SparkEntry {
         """SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
            count(*) AS n
            FROM events GROUP BY 1 ORDER BY 1""",
+
+      "label_centroids" ->
+        """SELECT label, i - 1 AS dim, round(avg(e), 4) AS centroid
+           FROM (SELECT label,
+                   CAST(unnest(embedding[1:8]) AS DOUBLE) AS e,
+                   generate_subscripts(embedding[1:8], 1) AS i
+                 FROM embeddings)
+           GROUP BY label, i ORDER BY label, dim""",
 
       "media_feature_stats" ->
         s"""WITH f AS (SELECT doc_id, source AS kind,

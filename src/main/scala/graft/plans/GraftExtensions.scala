@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotProductExpr
+import graft.functions.{DotProductExpr, VectorSum}
 
 /** Session extension registering graft's native expressions as SQL
   * functions (`SELECT graft_dot(a, b)`), so pure-SQL users get the codegen
@@ -24,6 +24,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_dot expects exactly 2 arguments")
         DotProductExpr(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("vec_sum"),
+      new ExpressionInfo(classOf[VectorSum].getName, "vec_sum"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "vec_sum expects exactly 1 argument")
+        VectorSum(children.head).toAggregateExpression()
       }))
   }
 }

@@ -198,6 +198,40 @@ class VectorExpressionsSpec extends SparkSpec {
   }
 }
 
+class VectorAggregatesSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.VectorAggregates.vecSum
+
+  test("vec_sum: element-wise sums, null arrays ignored, null elements zero") {
+    val df = Seq(
+      (1, Some(Seq(Some(1.0f), Some(2.0f)))),
+      (1, Some(Seq(Some(10.0f), None))),
+      (1, None),
+      (2, Some(Seq(Some(5.0f), Some(5.0f), Some(5.0f))))) // wider vector
+      .toDF("k", "v")
+    val out = vecOut(df)
+    assert(out(1) === Seq(11.0, 2.0))
+    assert(out(2) === Seq(5.0, 5.0, 5.0))
+  }
+
+  test("vec_sum merges buffers across partitions correctly") {
+    val df = (1 to 100).map(i => (1, Seq(1.0f, 2.0f))).toDF("k", "v")
+      .repartition(7)
+    assert(vecOut(df)(1) === Seq(100.0, 200.0))
+  }
+
+  test("vec_sum: group with only null input yields null") {
+    val df = Seq((1, None: Option[Seq[Float]])).toDF("k", "v")
+    val row = df.groupBy($"k").agg(vecSum($"v").as("s")).collect().head
+    assert(row.isNullAt(1))
+  }
+
+  private def vecOut(df: org.apache.spark.sql.DataFrame): Map[Int, Seq[Double]] =
+    df.groupBy($"k").agg(vecSum($"v").as("s")).collect()
+      .filterNot(_.isNullAt(1))
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+}
+
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
