@@ -178,6 +178,22 @@ object SparkEntry {
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     }),
 
+    // Same as-of semantics through graft's CUSTOM PHYSICAL OPERATOR
+    // (plans/AsOfJoinExec via GraftExtensions): sort-merge with O(1)
+    // carried state instead of union+window. Same oracle as above.
+    "asof_click_view_native" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("view_ts"))
+        .agg(max(col("value")).as("view_value"))
+      graft.operators.AsOf.asOfJoinNative(clicks, views,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "view_ts",
+          rightValCols = Seq("view_ts", "view_value"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
     // Gap sessionization (30 min): lag-mark → running-sum session ids →
     // per-session aggregate; streaming twin uses flatMapGroupsWithState.
     "user_sessions" -> ((s, dir) =>
@@ -417,6 +433,17 @@ object SparkEntry {
     // union-and-carry-forward implementation. CAST(ts AS TIMESTAMP)
     // truncates DuckDB's ns to the same microseconds Spark computes with.
     "asof_click_view" ->
+      """WITH clicks AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+                         FROM events WHERE event_type = 'click'),
+         views AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts,
+                          max(value) AS view_value
+                   FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+         SELECT c.user_id, c.event_id, c.ts, v.view_ts, v.view_value
+         FROM clicks c ASOF LEFT JOIN views v
+           ON c.user_id = v.user_id AND c.ts >= v.view_ts
+         ORDER BY c.user_id, c.ts, c.event_id""",
+
+    "asof_click_view_native" ->
       """WITH clicks AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
                          FROM events WHERE event_type = 'click'),
          views AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts,

@@ -24,6 +24,33 @@ import org.apache.spark.sql.types.StructField
   */
 object AsOf {
 
+  /** Native-operator variant: same semantics as [[asOfJoin]], planned as
+    * graft's custom [[graft.plans.AsOfJoinExec]] (sort-merge, O(1) carried
+    * state — see the Scaladoc there). Requires
+    * [[graft.plans.GraftExtensions]] on the session. The right side is
+    * internally re-aliased so self-derived frames (both sides projected
+    * from the same source) do not collide on expression ids. */
+  def asOfJoinNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     leftTs: String, rightTs: String,
+                     rightValCols: Seq[String]): DataFrame = {
+    import graft.plans.AsOfJoinNode
+    import org.apache.spark.sql.graft.Bridge
+    // fresh exprIds on the right (self-join safety)
+    val r2 = right.toDF(right.columns.map("__r_" + _): _*)
+    val lPlan = Bridge.analyzedPlan(left)
+    val rPlan = Bridge.analyzedPlan(r2)
+    def lAttr(n: String) = lPlan.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"left column not found: $n"))
+    def rAttr(n: String) = rPlan.output.find(_.name == "__r_" + n).getOrElse(
+      throw new IllegalArgumentException(s"right column not found: $n"))
+    val node = AsOfJoinNode(lPlan, rPlan,
+      keys.map(lAttr), keys.map(rAttr), lAttr(leftTs), rAttr(rightTs),
+      rightValCols.map(rAttr))
+    Bridge.ofRows(left.sparkSession, node)
+      .select(left.columns.map(col) ++
+        rightValCols.map(c => col("__r_" + c).as(c)): _*)
+  }
+
   /** @param rightValCols right columns carried onto left rows (must not
     *                     collide with left column names)
     */

@@ -98,6 +98,20 @@ class AsOfSpec extends SparkSpec {
       (2, 9, None)))
   }
 
+  test("native as-of operator plans as AsOfJoinExec and matches the composed op") {
+    val left = Seq((1, 5, "l5"), (1, 2, "l2"), (2, 9, "l9"), (3, 1, "l1"))
+      .toDF("k", "lt", "tag")
+    val right = Seq((1, 1, 10.0), (1, 4, 40.0), (1, 6, 60.0), (2, 100, 999.0))
+      .toDF("k", "rt", "v")
+    val native = AsOf.asOfJoinNative(left, right, Seq("k"), "lt", "rt", Seq("v"))
+    // physical node prints as "AsOfJoin" (nodeName strips the Exec suffix)
+    assert(native.queryExecution.executedPlan.toString.contains("AsOfJoin "))
+    val a = native.orderBy("k", "lt").collect().map(_.toSeq).toSeq
+    val b = AsOf.asOfJoin(left, right, Seq("k"), "lt", "rt", Seq("v"))
+      .orderBy("k", "lt").collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
   test("as-of join: exact timestamp equality matches (>= semantics)") {
     val left = Seq((1, 4)).toDF("k", "lt")
     val right = Seq((1, 4, 40.0), (1, 3, 30.0)).toDF("k", "rt", "v")
