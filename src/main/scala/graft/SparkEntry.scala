@@ -208,7 +208,73 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_extendedprice")), 2).as("total_price"))
         .orderBy(col("l_returnflag").asc_nulls_first,
-          col("l_linestatus").asc_nulls_first))
+          col("l_linestatus").asc_nulls_first)),
+
+    // CUBE: all grouping-set combinations in one pass (ROLLUP's sibling).
+    "cube_status_priority" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // PIVOT with an explicit value list (explicit = one pass, no extra
+    // distinct-values job); absent combinations filled to 0.
+    "pivot_priority_status" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))
+        .orderBy(col("o_orderpriority"))),
+
+    // Exact percentiles (order statistics with linear interpolation) —
+    // one sort-based aggregate per group, unpivoted to long format.
+    "price_percentiles" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.95D))")
+            .as("qs"),
+          count(lit(1)).as("n"))
+        .select(col("o_orderpriority"), col("n"),
+          posexplode(col("qs")).as(Seq("q_idx", "q_value")))
+        .select(col("o_orderpriority"), col("n"),
+          col("q_idx").cast("long").as("q_idx"),
+          round(col("q_value"), 4).as("q_value"))
+        .orderBy(col("o_orderpriority"), col("q_idx"))),
+
+    // The 100 TB percentile path: t-digest sketch (approx_percentile) —
+    // single streaming pass, no per-group sort. Sketches are not
+    // cross-engine comparable → rows-only check (accuracy vs the exact
+    // query is asserted in OperatorsSpec instead).
+    "price_percentiles_approx" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("approx_percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.95D), 10000)")
+            .as("qs"))
+        .select(col("o_orderpriority"),
+          posexplode(col("qs")).as(Seq("q_idx", "q_value")))
+        .orderBy(col("o_orderpriority"), col("q_idx"))),
+
+    // Bucketized range join (operators/RangeJoin): lineitem ship dates
+    // (points) into 7-day order windows (intervals) with NO equi key —
+    // day-bucket equi-join + residual instead of a nested-loop theta join.
+    "range_join_ship_windows" -> ((s, dir) => {
+      val windows = t(s, dir, "orders")
+        .where(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey").as("window_key"),
+          col("o_orderdate").as("w_start"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("w_end"))
+      val points = t(s, dir, "lineitem")
+        .select(col("l_shipdate"), col("l_quantity"))
+      graft.operators.RangeJoin
+        .pointInTimeWindow(points, "l_shipdate", windows, "w_start", "w_end")
+        .groupBy(col("window_key"))
+        .agg(count(lit(1)).as("n_shipments"),
+          round(sum(col("l_quantity")), 2).as("total_qty"))
+        .orderBy(col("window_key"))
+    })
   )
 
   // ---------------------------------------------- LLM-pipeline extensions ---
@@ -257,6 +323,12 @@ object SparkEntry {
     // is the scale path).
     "neardup_cosine" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4)),
+
+    // LSH-bucketed cosine near-dup (the scale path made concrete): compare
+    // only within hyperplane buckets — one shuffle, (N/2^P)² pairs/bucket.
+    "neardup_cosine_lsh" -> ((s, dir) =>
+      Similarity.cosineNearDupPairsLsh(t(s, dir, "embeddings"),
+        threshold = 0.4, nPlanes = 4)),
 
     // LSH-bucketed ANN (sign-bit hyperplane buckets — the scale path).
     "knn_lsh" -> ((s, dir) => {
@@ -471,7 +543,38 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
          round(sum(l_extendedprice), 2) AS total_price
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "cube_status_priority" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         round(sum(o_totalprice), 2) AS total_price
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "pivot_priority_status" ->
+      """SELECT o_orderpriority,
+         count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+         count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+         count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "price_percentiles" ->
+      """SELECT o_orderpriority, n,
+         generate_subscripts(qs, 1) - 1 AS q_idx,
+         round(unnest(qs), 4) AS q_value
+         FROM (SELECT o_orderpriority, count(*) AS n,
+                 quantile_cont(o_totalprice, [0.25, 0.5, 0.75, 0.95]) AS qs
+               FROM orders GROUP BY o_orderpriority)
+         ORDER BY o_orderpriority, q_idx""",
+
+    "range_join_ship_windows" ->
+      """SELECT o_orderkey AS window_key, count(*) AS n_shipments,
+         round(sum(l_quantity), 2) AS total_qty
+         FROM orders JOIN lineitem
+           ON l_shipdate >= o_orderdate
+          AND l_shipdate < o_orderdate + INTERVAL 7 DAY
+         WHERE o_orderkey % 100 = 0
+         GROUP BY 1 ORDER BY 1"""
   )
 
   // ------------------------------------------------- extension oracles ---
@@ -659,6 +762,18 @@ object SparkEntry {
                                / (sqrt(a.n2) * sqrt(b.n2)) END, 6) AS cos_sim
              FROM v a JOIN v b ON a.vec_id < b.vec_id)
            SELECT vec_a, vec_b, cos_sim FROM p
+           WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""",
+
+      "neardup_cosine_lsh" ->
+        s"""WITH v AS (SELECT vec_id, embedding AS emb,
+               ${dotSql("embedding", "embedding")} AS n2,
+               ${bucketOf("embedding")} AS bucket FROM embeddings),
+           p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+               round(CASE WHEN sqrt(a.n2) = 0.0 OR sqrt(b.n2) = 0.0 THEN 0.0
+                          ELSE ${dotSql("a.emb", "b.emb")}
+                               / (sqrt(a.n2) * sqrt(b.n2)) END, 6) AS cos_sim
+             FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+           SELECT vec_a, vec_b, bucket, cos_sim FROM p
            WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""",
 
       "knn_lsh" ->

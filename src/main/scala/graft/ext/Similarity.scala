@@ -107,6 +107,35 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** LSH-bucketed cosine near-dup pairs — the linear-ish scale path for
+    * [[cosineNearDupPairs]]: only vectors landing in the same hyperplane
+    * bucket are compared (corpus shuffles ONCE on the bucket id; expected
+    * pairs-per-bucket = (N/2^P)² instead of N²). Recall is bounded by the
+    * bucket split — near-dups on a hyperplane boundary are missed, which is
+    * the deliberate trade; raise recall with fewer planes or multiple plane
+    * sets (OR-amplification), both pure config. Bucket semantics are
+    * deterministic (seeded planes), so an external oracle reproduces them
+    * exactly. */
+  def cosineNearDupPairsLsh(corpus: DataFrame, threshold: Double,
+                            nPlanes: Int = 4, seed: Long = 42L,
+                            dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val v = corpus.repartition(par).select(col("vec_id"), col("embedding"),
+      dotNative(col("embedding"), col("embedding")).as("n2"),
+      bucketId(col("embedding"), planes).as("bucket"))
+    val a = v.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("embedding").as("va"), col("n2").as("n2a"))
+    val b = v.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("embedding").as("vb"), col("n2").as("n2b"))
+    a.join(b, Seq("bucket")).where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("bucket"),
+        round(pairCosine(dotNative(col("va"), col("vb")), col("n2a"), col("n2b")), 6)
+          .as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (values in [-0.5, 0.5)),
     * generated from a fixed seed — inlined as literals so an external oracle
     * can use the exact same planes. */

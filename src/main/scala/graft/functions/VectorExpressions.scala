@@ -55,16 +55,24 @@ case class DotProductExpr(left: Expression, right: Expression)
     s
   }
 
+  // Local names MUST be freshName'd: two dot products fused into the same
+  // WholeStageCodegen function otherwise redeclare `i`/`n`/`sum`, janino
+  // throws "Redefinition of local variable", and the WHOLE projection
+  // silently falls back to interpreter mode — the exact overhead this
+  // expression exists to remove.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("dotN")
+      val sum = ctx.freshName("dotSum")
+      val i = ctx.freshName("dotI")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double sum = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  if ($a.isNullAt(i) || $b.isNullAt(i)) { ${ev.isNull} = true; break; }
-         |  sum += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $sum += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
-         |${ev.value} = sum;
+         |${ev.value} = $sum;
        """.stripMargin
     })
 

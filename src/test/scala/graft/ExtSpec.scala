@@ -189,6 +189,31 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out(2).isNullAt(0))
   }
 
+  test("multiple dot products fuse into one codegen function without collision") {
+    // Regression: fixed local names (`i`/`n`/`sum`) in doGenCode collide when
+    // two DotProductExpr instances land in the same generated function —
+    // janino rejects the class and the whole projection silently drops to
+    // interpreter mode. CODEGEN_ONLY turns that silent fallback into a test
+    // failure.
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val df = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+      val out = df.select(
+        dotNative(col("a"), col("b")).as("ab"),
+        dotNative(col("a"), col("a")).as("aa"),
+        dotNative(col("b"), col("b")).as("bb")).collect()
+      assert(out(0).getDouble(0) === 11.0)
+      assert(out(0).getDouble(1) === 5.0)
+      assert(out(0).getDouble(2) === 25.0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
   test("type check rejects non-float-array inputs with a named error") {
     val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b") // double arrays
     val e = intercept[Exception] {

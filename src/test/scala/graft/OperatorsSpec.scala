@@ -189,3 +189,19 @@ class EnrichSpec extends SparkSpec {
     assert(out.count() === 2) // inner join drops unmatched fact row
   }
 }
+
+class PercentileSpec extends SparkSpec {
+
+  test("approx_percentile (t-digest) tracks exact percentile within 1% on orders") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val exact = orders
+      .selectExpr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.95D)) AS qs")
+      .collect()(0).getSeq[Double](0)
+    val approx = orders
+      .selectExpr("approx_percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.95D), 10000) AS qs")
+      .collect()(0).getSeq[Double](0)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(e - a) / e <= 0.01, s"exact=$e approx=$a")
+    }
+  }
+}
