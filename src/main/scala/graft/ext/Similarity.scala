@@ -154,19 +154,60 @@ object Similarity {
         .otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** IVF coarse quantizer: k-means centroids fit on (a sample of) the
-    * corpus. Deterministic under a fixed seed and input. Centroids come
-    * back to the driver (nlist × dim doubles — tiny) to be inlined as plan
-    * literals; the corpus itself never leaves the executors. */
+  /** IVF coarse quantizer: Lloyd's k-means over a BOUNDED deterministic
+    * sample of the corpus — the `samplePerList × nlist` lowest vec_ids,
+    * fetched via orderBy+limit (per-partition top-k merge, never a full
+    * sort) and fit on the driver.
+    *
+    * Why driver-side (vs the earlier mllib KMeans): the quantizer only
+    * needs a representative sample (FAISS trains on ~256 points/list), so
+    * the fit is O(sample × nlist × dim × iters) REGARDLESS of corpus size
+    * — a few ms of arithmetic. Running those Lloyd iterations as 20+
+    * distributed mllib jobs is pure scheduling overhead at every scale
+    * (9.7 s vs ~0.1 s at sf0.1), and the corpus-side cost (one bounded
+    * top-k scan) is unchanged. Deterministic by construction: sorted
+    * sample, evenly-spaced init, first-index tie-breaks, no RNG — `seed`
+    * is kept for API stability but unused. */
   def ivfFit(corpus: DataFrame, nlist: Int, seed: Long = 42L,
-             maxIter: Int = 20): Array[Array[Double]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val feats = corpus.select(
-      array_to_vector(col("embedding").cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
-      .fit(feats)
-    model.clusterCenters.map(_.toArray)
+             maxIter: Int = 20, samplePerList: Int = 256): Array[Array[Double]] = {
+    val pts: Array[Array[Double]] = corpus
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(nlist * samplePerList)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(pts.length >= nlist, s"need >= $nlist sample vectors, got ${pts.length}")
+    val dim = pts(0).length
+    var centroids = Array.tabulate(nlist)(i =>
+      pts((i.toLong * pts.length / nlist).toInt).clone())
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Long](nlist)
+      pts.foreach { p =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < nlist) {
+          var d = 0.0
+          var j = 0
+          while (j < dim) { val t = p(j) - centroids(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += p(j); j += 1 }
+        counts(best) += 1
+      }
+      val next = Array.tabulate(nlist) { c =>
+        if (counts(c) == 0) centroids(c) // empty list: keep previous centroid
+        else sums(c).map(_ / counts(c))
+      }
+      moved = (0 until nlist).exists(c =>
+        !java.util.Arrays.equals(next(c), centroids(c)))
+      centroids = next
+      iter += 1
+    }
+    centroids
   }
 
   /** Nearest-centroid list id, by squared L2 distance expanded as
