@@ -257,6 +257,36 @@ object SparkEntry {
           posexplode(col("qs")).as(Seq("q_idx", "q_value")))
         .orderBy(col("o_orderpriority"), col("q_idx"))),
 
+    // Set intersection (INTERSECT DISTINCT): users who both viewed and
+    // purchased. Set-op breadth beyond the reference's union-only surface.
+    "viewers_and_buyers" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.where(col("event_type") === "view").select(col("user_id"))
+        .intersect(ev.where(col("event_type") === "purchase").select(col("user_id")))
+        .orderBy(col("user_id"))
+    }),
+
+    // Set difference (EXCEPT DISTINCT): users with a high-value purchase
+    // but no high-value view (the unfiltered variant is empty on this
+    // dense synthetic stream — every user does everything).
+    "big_buyers_no_big_view" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.where(col("event_type") === "purchase" && col("value") > 200)
+        .select(col("user_id"))
+        .except(ev.where(col("event_type") === "view" && col("value") > 200)
+          .select(col("user_id")))
+        .orderBy(col("user_id"))
+    }),
+
+    // Scalar subquery through the SQL surface (spark.sql + temp view):
+    // orders above 1.8x the global average price.
+    "orders_above_avg" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("graft_orders")
+      s.sql("""SELECT o_orderkey, o_totalprice FROM graft_orders
+               WHERE o_totalprice > (SELECT 1.8 * avg(o_totalprice) FROM graft_orders)
+               ORDER BY o_orderkey""")
+    }),
+
     // Bucketized range join (operators/RangeJoin): lineitem ship dates
     // (points) into 7-day order windows (intervals) with NO equi key —
     // day-bucket equi-join + residual instead of a nested-loop theta join.
@@ -379,6 +409,21 @@ object SparkEntry {
         .groupBy(floor(col("k") / 10.0).cast("long").as("k_decile"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
         .orderBy(col("k_decile"))),
+
+    // Deterministic hash-bucket train/val/test split (ext/Sampling): split
+    // assignment from row identity, stable across runs/engines/layouts —
+    // the property df.sample()/TABLESAMPLE cannot give.
+    "doc_splits" -> ((s, dir) =>
+      graft.ext.Sampling.deterministicSplit(t(s, dir, "documents"),
+          col("doc_id"), Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("split"))),
+
+    // Token-count budgeting estimates per language (whitespace / BPE-ish
+    // pre-tokenizer / chars-per-4) — one pass, no explode.
+    "token_estimates" -> ((s, dir) =>
+      TextAnalysis.tokenEstimates(t(s, dir, "documents"))),
 
     // Skew-safe two-phase salted aggregation (SURVEY.md §7.5.6): identical
     // result to a direct groupBy count, straggler-immune shape.
@@ -566,6 +611,25 @@ object SparkEntry {
                  quantile_cont(o_totalprice, [0.25, 0.5, 0.75, 0.95]) AS qs
                FROM orders GROUP BY o_orderpriority)
          ORDER BY o_orderpriority, q_idx""",
+
+    "viewers_and_buyers" ->
+      """SELECT user_id FROM events WHERE event_type = 'view'
+         INTERSECT
+         SELECT user_id FROM events WHERE event_type = 'purchase'
+         ORDER BY user_id""",
+
+    "big_buyers_no_big_view" ->
+      """SELECT user_id FROM events
+         WHERE event_type = 'purchase' AND value > 200
+         EXCEPT
+         SELECT user_id FROM events
+         WHERE event_type = 'view' AND value > 200
+         ORDER BY user_id""",
+
+    "orders_above_avg" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice > (SELECT 1.8 * avg(o_totalprice) FROM orders)
+         ORDER BY o_orderkey""",
 
     "range_join_ship_windows" ->
       """SELECT o_orderkey AS window_key, count(*) AS n_shipments,
@@ -822,6 +886,36 @@ object SparkEntry {
         """SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
            count(*) AS n
            FROM events GROUP BY 1 ORDER BY 1""",
+
+      "doc_splits" -> {
+        // 32-bit int from the first 8 hex chars of md5 (mirrors Spark's
+        // conv(substring(md5(...), 1, 8), 16, 10)).
+        val hex32 = foldSum(
+          "list_transform(generate_series(1, 8), i -> " +
+            "CAST(CASE WHEN ascii(substr(mh, i, 1)) <= 57 " +
+            "THEN ascii(substr(mh, i, 1)) - 48 " +
+            "ELSE ascii(substr(mh, i, 1)) - 87 END AS BIGINT) " +
+            "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+          "CAST(0 AS BIGINT)")
+        s"""WITH m AS (SELECT doc_id, n_chars,
+               md5(CAST(doc_id AS VARCHAR)) AS mh FROM documents),
+           h AS (SELECT doc_id, n_chars, $hex32 % 100 AS bucket FROM m)
+           SELECT CASE WHEN bucket < 80 THEN 'train'
+                       WHEN bucket < 90 THEN 'val'
+                       ELSE 'test' END AS split,
+             count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+           FROM h GROUP BY 1 ORDER BY split"""
+      },
+
+      "token_estimates" ->
+        """SELECT lang, count(*) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+             AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(text,
+             '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'))) AS BIGINT) AS bpe_tokens,
+           CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT)
+             AS char_est_tokens
+           FROM documents GROUP BY lang ORDER BY lang""",
 
       "label_centroids" ->
         """SELECT label, i - 1 AS dim, round(avg(e), 4) AS centroid

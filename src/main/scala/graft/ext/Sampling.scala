@@ -1,0 +1,52 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / dataset-split operators for training-data
+  * pipelines.
+  *
+  * A training corpus needs train/validation/test splits that are (a) STABLE
+  * across runs, engines and cluster layouts — re-running the pipeline must
+  * not migrate documents between splits, or eval sets silently leak into
+  * training; (b) assigned from the row's own identity, never from
+  * row position, partition id or an RNG (all three change under
+  * repartitioning/AQE). `df.sample()`/TABLESAMPLE fail (a) and (b).
+  *
+  * The standard construction: hash a stable key, bucket the hash, map bucket
+  * ranges to splits. Implemented with `md5` (engine-portable, so the DuckDB
+  * oracle reproduces assignments exactly); a production deployment can swap
+  * `xxhash64` for speed — same shapes. Pure projection: no shuffle, no RNG,
+  * embarrassingly parallel at any scale.
+  */
+object Sampling {
+
+  /** Hash bucket in [0, buckets) from the key's md5 — the first 8 hex chars
+    * parsed as a 32-bit int. Uniform for any key type (cast to string). */
+  def hashBucket(key: Column, buckets: Int): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** Assign each row to a named split by hash-bucket ranges. `weights` are
+    * integer percents summing to <= 100 (any remainder joins the LAST
+    * split), e.g. Seq("train" -> 80, "val" -> 10, "test" -> 10). */
+  def deterministicSplit(df: DataFrame, key: Column,
+                         weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.nonEmpty && weights.map(_._2).sum <= 100,
+      s"split weights must sum to <= 100: $weights")
+    val bucket = hashBucket(key, 100)
+    val bounds = weights.scanLeft(0)(_ + _._2).tail
+    val expr = weights.zip(bounds).init.foldRight(
+      lit(weights.last._1): Column) { case (((name, _), hi), rest) =>
+      when(bucket < hi, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Systematic deterministic sample: keep rows whose key hashes below
+    * `percent` of the bucket space. Stable under reruns and engine changes
+    * (unlike `df.sample`), so downstream joins between sampled tables stay
+    * consistent. */
+  def hashSample(df: DataFrame, key: Column, percent: Int): DataFrame =
+    df.where(hashBucket(key, 100) < percent)
+}

@@ -164,4 +164,29 @@ object TextAnalysis {
       .groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("survivor_doc_id"))
       .orderBy(col("fingerprint"))
+
+  /** Token-count estimators, rolled up per language — the budgeting pass a
+    * training pipeline runs before tokenizing 100 TB for real. Three
+    * standard estimates per document, cheapest to closest:
+    *  - whitespace runs (`\S+`) — classic word count;
+    *  - a BPE-ish pre-tokenizer count: letter runs, single digits, single
+    *    punctuation marks (the granularity byte-pair tokenizers split at
+    *    before merges — digits and punctuation rarely merge);
+    *  - the chars/4 rule of thumb used for quick corpus sizing.
+    * One projection + one hash aggregate; no explode (counting needs only
+    * `size`, never the token rows). */
+  def tokenEstimates(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast("long").as("ws"),
+        size(regexp_extract_all(col("text"),
+            lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"), lit(0)))
+          .cast("long").as("bpe"),
+        ceil(length(col("text")) / 4.0).cast("long").as("est4"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"),
+        sum(col("est4")).as("char_est_tokens"))
+      .orderBy(col("lang"))
 }

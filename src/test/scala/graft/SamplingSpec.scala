@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("deterministicSplit is stable, exhaustive, and roughly proportional") {
+    val df = (0L until 2000L).toDF("id")
+    val split = Sampling.deterministicSplit(df, col("id"),
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val counts = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts.values.sum === 2000L)
+    // hash buckets are uniform-ish; generous bounds so the test is not flaky
+    assert(counts("train") > 1400 && counts("train") < 1800, counts)
+    assert(counts("val") > 100 && counts("val") < 320, counts)
+    // identical assignment on a re-run and under a different layout
+    val again = Sampling.deterministicSplit(df.repartition(7), col("id"),
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    assert(split.orderBy("id").as[(Long, String)].collect().toSeq
+      === again.orderBy("id").as[(Long, String)].collect().toSeq)
+  }
+
+  test("split boundaries follow cumulative weights; remainder joins last split") {
+    val df = (0L until 500L).toDF("id")
+    // weights summing under 100: the uncovered tail must land in "b"
+    val split = Sampling.deterministicSplit(df, col("id"),
+      Seq("a" -> 50, "b" -> 10))
+    val withBucket = split.withColumn("bucket", Sampling.hashBucket(col("id"), 100))
+      .as[(Long, String, Long)].collect()
+    withBucket.foreach { case (_, s, b) =>
+      assert(if (b < 50) s == "a" else s == "b", s"bucket=$b split=$s")
+    }
+  }
+
+  test("hashSample keeps a stable subset consistent with the split buckets") {
+    val df = (0L until 1000L).toDF("id")
+    val sampled = Sampling.hashSample(df, col("id"), 20)
+      .as[Long].collect().toSet
+    assert(sampled.nonEmpty && sampled.size < 400)
+    val again = Sampling.hashSample(df.repartition(3), col("id"), 20)
+      .as[Long].collect().toSet
+    assert(sampled === again)
+    // sampling at 100% keeps everything
+    assert(Sampling.hashSample(df, col("id"), 100).count() === 1000L)
+  }
+
+  test("rejects weights summing over 100") {
+    val df = Seq(1L).toDF("id")
+    intercept[IllegalArgumentException] {
+      Sampling.deterministicSplit(df, col("id"), Seq("a" -> 90, "b" -> 20))
+    }
+  }
+}
