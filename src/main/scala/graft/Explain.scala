@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan inspector: prints the formatted physical plan for the named
+  * SparkEntry queries (all of them with no args) — the feedback loop for
+  * the scale checklist: filters pushed to the scan (PushedFilters), columns
+  * pruned (ReadSchema), dims broadcast, no nested-loop joins, wide
+  * WholeStageCodegen spans.
+  *
+  * Usage: sbt "runMain graft.Explain [sfDir] [query ...]"
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { name =>
+      println(s"\n===== $name =====")
+      SparkEntry.queries.get(name) match {
+        case Some(fn) => fn(spark, sfDir).explain("formatted")
+        case None => println(s"unknown query: $name")
+      }
+    }
+    spark.stop()
+  }
+}

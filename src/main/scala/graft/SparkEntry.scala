@@ -130,6 +130,22 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("rn"))
     }),
 
+    // §2.6 breadth: lag (inter-order gap in days) + ntile quartiles —
+    // the navigation/distribution window families next to
+    // window_running_total's ranking/frame families.
+    "cust_order_gaps" -> ((s, dir) => {
+      val byDate = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val byPrice = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(byDate))
+            .cast("long").as("days_since_prev"),
+          ntile(4).over(byPrice).cast("long").as("price_quartile"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // §2.8 validation rule engine: whole rule-set in ONE aggregation pass.
     "validation_report" -> ((s, dir) => {
       import Validation._
@@ -524,6 +540,16 @@ object SparkEntry {
            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
          FROM orders ORDER BY o_custkey, rn""",
+
+    "cust_order_gaps" ->
+      """SELECT o_custkey, o_orderkey,
+         datediff('day',
+           lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey),
+           o_orderdate) AS days_since_prev,
+         ntile(4) OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice, o_orderkey) AS price_quartile
+         FROM orders ORDER BY o_custkey, o_orderkey""",
 
     "validation_report" ->
       """SELECT count(*) AS n_rows,

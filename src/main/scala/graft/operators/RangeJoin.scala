@@ -36,7 +36,13 @@ object RangeJoin {
     * seconds first — see [[pointInTimeWindow]]). `bucketWidth` should be on
     * the order of the typical interval length: too small explodes the
     * interval side, too large degrades to a cross join within buckets.
-    * Inner join; every output row satisfies lo <= point < hi. */
+    * Inner join; every output row satisfies lo <= point < hi.
+    *
+    * Precision: bucket ids go through double division; values must satisfy
+    * |x| < 2^52 or bucket assignment can land one off (epoch SECONDS are
+    * fine; epoch NANOS are not — divide them down first). The residual
+    * predicate compares the original values, so a mis-bucketing could only
+    * ever DROP a boundary match, never fabricate one. */
   def pointInInterval(points: DataFrame, pointCol: String,
                       intervals: DataFrame, loCol: String, hiCol: String,
                       bucketWidth: Long): DataFrame = {

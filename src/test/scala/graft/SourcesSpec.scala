@@ -55,3 +55,34 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.json(out.resolve("json").toString).count() === 2)
   }
 }
+
+/** Hive-style partition layout: the 100 TB data-skipping witness. A date/
+  * category-partitioned corpus must answer partition-selective queries by
+  * reading only the matching directories — the plan carries the predicate
+  * as PartitionFilters, not as a post-scan Filter over everything. */
+class PartitionPruningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("partitionBy write + partition-selective read prunes at the scan") {
+    val out = java.nio.file.Files.createTempDirectory("part-events").toString
+    val df = (0 until 1000).map(i =>
+      (i.toLong, s"u$i", if (i % 3 == 0) "view" else if (i % 3 == 1) "click"
+        else "purchase")).toDF("event_id", "user_id", "event_type")
+    df.write.mode("overwrite").partitionBy("event_type").parquet(out)
+
+    val pruned = spark.read.parquet(out).where($"event_type" === "view")
+    assert(pruned.count() === 334)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    // predicate landed in partitionFilters (directory pruning), and only
+    // the event_type=view directory's files were selected
+    assert(scan.partitionFilters.nonEmpty,
+      s"expected partition filters, got: ${scan.partitionFilters}")
+    val selected = scan.selectedPartitions.toPartitionArray
+    assert(scan.relation.location.inputFiles.length > // all files on disk
+      selected.length) // files actually read
+    assert(selected.forall(f => f.urlEncodedPath.contains("event_type%3Dview")
+      || f.urlEncodedPath.contains("event_type=view")))
+  }
+}
