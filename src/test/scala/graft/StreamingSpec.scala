@@ -96,3 +96,42 @@ class StreamingSpec extends SparkSpec {
     assert(sink.countWhere("hourly_kpis", "\"n_events\" = 2") === 1)
   }
 }
+
+class StreamingJoinSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.streaming.StreamingJoins
+
+  test("watermarked interval join attributes purchases to preceding clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp)]
+    val c = clicks.toDF().toDF("c_user", "click_ts")
+    val p = purchases.toDF().toDF("p_user", "purch_ts")
+    val joined = StreamingJoins.intervalJoin(
+      p, "purch_ts", c, "click_ts",
+      col("p_user") === col("c_user"), maxDelay = "10 minutes",
+      watermark = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("attr_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-join").toString)
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    clicks.addData(
+      (1L, ts("2024-01-01 10:00:00")),  // 5 min before u1's purchase -> match
+      (1L, ts("2024-01-01 09:30:00")),  // 35 min before -> outside window
+      (2L, ts("2024-01-01 10:02:00")))  // u2 never purchases
+    purchases.addData(
+      (1L, ts("2024-01-01 10:05:00")),
+      (3L, ts("2024-01-01 10:06:00")))  // u3 never clicked
+    q.processAllAvailable()
+    // a second micro-batch joins against clicks buffered from the first
+    purchases.addData((2L, ts("2024-01-01 10:08:00")))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT p_user, click_ts FROM attr_out ORDER BY p_user").collect()
+    q.stop()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(rows(0).getTimestamp(1) === ts("2024-01-01 10:00:00"))
+    assert(rows(1).getTimestamp(1) === ts("2024-01-01 10:02:00"))
+  }
+}
