@@ -359,6 +359,12 @@ object SparkEntry {
     "neardup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"))),
 
+    // Winnowing (MOSS) rolling-hash fingerprints: >= 10 shared selected
+    // k-gram hashes → near-dup pair.
+    "neardup_winnowing" -> ((s, dir) =>
+      Dedup.winnowingPairs(t(s, dir, "documents"), k = 5, w = 4,
+        minShared = 10)),
+
     // Exact cosine top-5 for 10 probe vectors (brute-force ANN baseline).
     "knn_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -798,6 +804,30 @@ object SparkEntry {
            FROM bands a JOIN bands b
              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
            GROUP BY 1, 2 HAVING count(*) >= 1 ORDER BY doc_a, doc_b"""
+      },
+
+      "neardup_winnowing" -> {
+        val h32m = foldSum(
+          "list_transform(generate_series(1, 8), i -> " +
+            "CAST(CASE WHEN ascii(substr(m, i, 1)) <= 57 " +
+            "THEN ascii(substr(m, i, 1)) - 48 " +
+            "ELSE ascii(substr(m, i, 1)) - 87 END AS BIGINT) " +
+            "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+          "CAST(0 AS BIGINT)")
+        s"""WITH $tokCte,
+           sh AS (SELECT doc_id, list_transform(generate_series(1, len(w)-4),
+               i -> md5(array_to_string(w[i:i+4], ' '))) AS mh
+             FROM tok WHERE len(w) >= 5),
+           h AS (SELECT doc_id, list_transform(mh, m -> $h32m) AS hs FROM sh),
+           fp AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(hs)-3, 1)),
+               j -> list_min(hs[j:j+3])))) AS fp FROM h),
+           pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS n_shared_fp
+             FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+           SELECT doc_a, doc_b, n_shared_fp FROM pairs
+           WHERE n_shared_fp >= 10 ORDER BY doc_a, doc_b"""
       },
 
       "neardup_simhash" ->

@@ -178,6 +178,58 @@ object Dedup {
       .withColumn("simhash", coalesce(col("simhash"), lit(0L)))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken '03 — the MOSS
+    * algorithm): positional k-gram hashes → minimum of each w-hash sliding
+    * window → the distinct selected values are the document's fingerprint
+    * set. Guarantee: any shared token run of length >= w+k-1 contributes at
+    * least one shared fingerprint, while only ~2/(w+1) of all k-gram hashes
+    * are kept — rolling-hash dedup with a provable detection floor at a
+    * fraction of the index size.
+    *
+    * Unlike [[docShingles]] the k-gram hashes here are POSITIONAL (no
+    * array_distinct before windowing — winnowing's guarantee depends on
+    * hash order); selection dedups afterwards. One projection per doc, no
+    * explode until the (doc, fingerprint) rows. */
+  def winnowingFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val toks = docs.repartition(par)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+    val hashed = toks.select(col("doc_id"),
+      when(size(col("w")) >= k,
+        transform(sequence(lit(1), size(col("w")) - (k - 1)),
+          i => conv(substring(md5(array_join(slice(col("w"), i, lit(k)), " ")),
+            1, 8), 16, 10).cast("long")))
+        .otherwise(array().cast("array<long>")).as("hs"))
+    hashed.select(col("doc_id"),
+        explode_outer(when(size(col("hs")) === 0, array().cast("array<long>"))
+          .otherwise(array_distinct(transform(
+            sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(1))),
+            j => array_min(slice(col("hs"), j, lit(w)))))))
+          .as("fp"))
+      .where(col("fp").isNotNull) // outer: see shingleRows
+  }
+
+  /** Near-dup pairs by shared winnowing fingerprints (>= `minShared`).
+    * Same bucket-collect shape as [[jaccardPairs]] — one shuffle groups
+    * doc ids per fingerprint, pairs generate inside the bucket. */
+  def winnowingPairs(docs: DataFrame, k: Int = 5, w: Int = 4,
+                     minShared: Long = 10, maxBucket: Int = 1000): DataFrame = {
+    val fp = winnowingFingerprints(docs, k, w)
+    val buckets = fp.groupBy(col("fp"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("d"), count(lit(1)).as("c"))
+      .where(col("c") >= 2 && col("c") <= maxBucket)
+    val pairs = buckets.select(explode_outer(
+        flatten(transform(col("d"), (x, i) =>
+          transform(slice(col("d"), i + 2, size(col("d"))),
+            y => struct(x.as("_1"), y.as("_2"))))))
+        .as("p"))
+      .where(col("p").isNotNull)
+    pairs.groupBy(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .where(col("n_shared_fp") >= minShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** SimHash near-dup pairs: exact 32-bit signature collision. */
   def simhashPairs(docs: DataFrame): DataFrame = {
     val sig = withSimhash(docs).select(col("doc_id"), col("simhash"))

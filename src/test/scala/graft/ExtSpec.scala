@@ -279,3 +279,47 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(0).checksum === 'a'.toLong + 'b'.toLong)
   }
 }
+
+class WinnowingSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ext.Dedup
+
+  test("winnowing guarantee: shared run of >= w+k-1 tokens => shared fingerprint") {
+    val sharedRun = (1 to 20).map(i => s"common$i").mkString(" ") // 20 >= 4+5-1
+    val docs = Seq(
+      (1L, s"alpha beta gamma $sharedRun delta epsilon"),
+      (2L, s"zeta eta theta iota $sharedRun kappa"),
+      (3L, "totally different words nothing shared here at all with others")
+    ).toDF("doc_id", "text")
+    val fp = Dedup.winnowingFingerprints(docs, k = 5, w = 4)
+    val byDoc = fp.as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "shared run must fingerprint-collide")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    // density: winnowing keeps far fewer fingerprints than k-grams
+    val nGrams1 = docs.where($"doc_id" === 1)
+      .select(size(graft.ext.TextAnalysis.tokens($"text")) - 4).as[Int].head()
+    assert(byDoc(1L).size < nGrams1)
+  }
+
+  test("winnowing pairs rank the near-dup above unrelated docs") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extra trailing words appended here"), // near-dup of 1
+      (3L, (100 to 160).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowingPairs(docs, minShared = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L)))
+  }
+
+  test("short and empty docs produce no fingerprints and no crashes") {
+    val docs = Seq((1L, "one two"), (2L, ""), (3L, "a b c d e f g h i j"))
+      .toDF("doc_id", "text")
+    val fp = Dedup.winnowingFingerprints(docs)
+    assert(fp.where($"doc_id" === 1).count() === 0) // < k tokens
+    assert(fp.where($"doc_id" === 2).count() === 0)
+    assert(fp.where($"doc_id" === 3).count() > 0)
+  }
+}
