@@ -146,6 +146,35 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // Ordered event-path aggregation: per user, the first 5 events as a
+    // "->"-joined path — collect_list of (ts, id, type) structs sorted
+    // in-group (deterministic: struct order = ts, event_id). The standard
+    // funnel/journey primitive; one shuffle, array ops stay in codegen.
+    "user_event_paths" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(array_join(
+          slice(transform(
+            sort_array(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            e => e.getField("event_type")), 1, 5), "->").as("path"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))),
+
+    // Statistical aggregates (sample stddev/variance, correlation,
+    // covariance) per return flag — the moments family beyond sum/avg.
+    "lineitem_stats" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(stddev_samp(col("l_extendedprice")), 4).as("price_stddev"),
+          round(var_samp(col("l_quantity")), 4).as("qty_var"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("qty_price_corr"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("qty_price_covar"))
+        .orderBy(col("l_returnflag"))),
+
     // §2.8 validation rule engine: whole rule-set in ONE aggregation pass.
     "validation_report" -> ((s, dir) => {
       import Validation._
@@ -546,6 +575,21 @@ object SparkEntry {
            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
          FROM orders ORDER BY o_custkey, rn""",
+
+    "user_event_paths" ->
+      """SELECT user_id,
+         array_to_string((list(event_type
+           ORDER BY CAST(ts AS TIMESTAMP), event_id))[1:5], '->') AS path,
+         count(*) AS n_events
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "lineitem_stats" ->
+      """SELECT l_returnflag, count(*) AS n,
+         round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+         round(var_samp(l_quantity), 4) AS qty_var,
+         round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+         round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "cust_order_gaps" ->
       """SELECT o_custkey, o_orderkey,

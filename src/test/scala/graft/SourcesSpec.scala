@@ -143,3 +143,35 @@ class MalformedRecordsSpec extends SparkSpec {
       || e.getCause != null)
   }
 }
+
+/** Clustered layout: repartitionByRange + sortWithinPartitions before the
+  * write produces files with DISJOINT key ranges, which is what makes
+  * parquet min/max row-group skipping effective — a point/range filter
+  * then touches one file instead of all of them. The unsorted write spreads
+  * every key range across every file. */
+class ClusteredWriteSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.{max, min}
+
+  test("range-partitioned sorted write yields disjoint per-file key ranges") {
+    val df = (0 until 10000).map(i => ((i * 7919) % 10000, s"v$i"))
+      .toDF("k", "v")
+    val out = java.nio.file.Files.createTempDirectory("clustered").toString
+    df.repartitionByRange(8, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(out)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length === 8)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min($"k"), max($"k")).collect()(0)
+      (r.getInt(0), r.getInt(1))
+    }.sortBy(_._1)
+    // consecutive file ranges never overlap
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, s"overlap: $hi >= $lo2")
+      case _ =>
+    }
+    // coverage is complete and ordered
+    assert(ranges.head._1 === 0 && ranges.last._2 === 9999)
+  }
+}
