@@ -274,6 +274,19 @@ object SparkEntry {
         .na.fill(0L, Seq("F", "O", "P"))
         .orderBy(col("o_orderpriority"))),
 
+    // Arbitrary GROUPING SETS (neither ROLLUP nor CUBE): per-status and
+    // per-priority subtotals only, no cross product, one pass; grouping_id
+    // disambiguates which set each row came from.
+    "grouping_sets_orders" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("graft_orders_gs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id() AS BIGINT) AS gid, count(*) AS n
+               FROM graft_orders_gs
+               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+               ORDER BY gid, o_orderstatus NULLS FIRST,
+                        o_orderpriority NULLS FIRST""")
+    }),
+
     // Exact percentiles (order statistics with linear interpolation) —
     // one sort-based aggregate per group, unpivoted to long format.
     "price_percentiles" -> ((s, dir) =>
@@ -678,6 +691,15 @@ object SparkEntry {
          count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
          count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "grouping_sets_orders" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+         count(*) AS n
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+         ORDER BY gid, o_orderstatus NULLS FIRST,
+                  o_orderpriority NULLS FIRST""",
 
     "price_percentiles" ->
       """SELECT o_orderpriority, n,
