@@ -274,6 +274,20 @@ object SparkEntry {
         .na.fill(0L, Seq("F", "O", "P"))
         .orderBy(col("o_orderpriority"))),
 
+    // UNPIVOT (wide → long): the four lineitem measures melted to
+    // (metric, value) rows, then the standard per-metric rollup. The
+    // inverse surface of PIVOT; generates rows in-place, no shuffle until
+    // the aggregate.
+    "lineitem_metrics_long" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+            col("l_tax")),
+          "metric", "value")
+        .groupBy(col("l_returnflag"), col("metric"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
+        .orderBy(col("l_returnflag"), col("metric"))),
+
     // Arbitrary GROUPING SETS (neither ROLLUP nor CUBE): per-status and
     // per-priority subtotals only, no cross product, one pass; grouping_id
     // disambiguates which set each row came from.
@@ -691,6 +705,19 @@ object SparkEntry {
          count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
          count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "lineitem_metrics_long" ->
+      """WITH m AS (
+           SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS value
+           FROM lineitem
+           UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice
+           FROM lineitem
+           UNION ALL SELECT l_returnflag, 'l_discount', l_discount
+           FROM lineitem
+           UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+         SELECT l_returnflag, metric, count(*) AS n,
+           round(avg(value), 6) AS avg_value
+         FROM m GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "grouping_sets_orders" ->
       """SELECT o_orderstatus, o_orderpriority,

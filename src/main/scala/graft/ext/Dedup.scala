@@ -200,11 +200,21 @@ object Dedup {
           i => conv(substring(md5(array_join(slice(col("w"), i, lit(k)), " ")),
             1, 8), 16, 10).cast("long")))
         .otherwise(array().cast("array<long>")).as("hs"))
+    // Window min as least(hs[j], ..., hs[j+w-1]) — element_at chains, no
+    // per-position slice allocation (array_min(slice(...)) materializes a
+    // w-array per window; least() is a flat codegen'd comparison tree).
+    // try_element_at (NOT element_at: ANSI mode is on, out-of-bounds would
+    // throw) yields null past the end and least() ignores nulls, so the
+    // short-doc window (fewer than w hashes) falls out for free.
+    def windowMin(hs: org.apache.spark.sql.Column,
+                  j: org.apache.spark.sql.Column) =
+      (0 until w).map(o => try_element_at(hs, j + o))
+        .reduce((a, b) => least(a, b))
     hashed.select(col("doc_id"),
         explode_outer(when(size(col("hs")) === 0, array().cast("array<long>"))
           .otherwise(array_distinct(transform(
             sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(1))),
-            j => array_min(slice(col("hs"), j, lit(w)))))))
+            j => windowMin(col("hs"), j)))))
           .as("fp"))
       .where(col("fp").isNotNull) // outer: see shingleRows
   }

@@ -48,6 +48,21 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(sink.countWhere("genre_kpis",
       "\"genre\" = 'jazz' AND \"listen_count\" = 5") === 1)
   }
+
+  test("spark.read.jdbc round-trips the warehouse table (partitioned read)") {
+    // the read half of the warehouse path: predicate-partitioned parallel
+    // scan of what upsert wrote, types preserved
+    val back = spark.read.jdbc(url, "genre_kpis",
+      Array("\"load_date\" = DATE('2024-06-25')",
+        "\"load_date\" = DATE('2024-06-26')"),
+      new java.util.Properties)
+    assert(back.rdd.getNumPartitions === 2)
+    val rows = back.orderBy(col("genre"), col("load_date"))
+      .as[(String, Long, java.sql.Date)].collect()
+    assert(rows.length === 3)
+    assert(rows.map(_._1).toSeq === Seq("jazz", "rock", "rock"))
+    assert(rows.exists(r => r._1 == "rock" && r._2 == 42L))
+  }
 }
 
 class PipelineSpec extends SparkSpec {
