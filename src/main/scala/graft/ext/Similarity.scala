@@ -219,7 +219,7 @@ object Similarity {
       struct((lit(-2.0) * dotN(v, typedLit(c.toSeq), c.length) + lit(c2))
         .as("d"), lit(i).as("i"))
     }
-    array_min(array(scored: _*)).getField("i")
+    array_min(array(scored.toIndexedSeq: _*)).getField("i")
   }
 
   /** IVF-bucketed ANN: queries search only their `nprobe` nearest lists.
@@ -242,7 +242,7 @@ object Similarity {
         struct((lit(-2.0) * dotN(col("embedding"), typedLit(cent.toSeq),
           cent.length) + lit(c2)).as("d"), lit(i).as("i"))
       }
-      slice(transform(array_sort(array(scored: _*)), s => s.getField("i")),
+      slice(transform(array_sort(array(scored.toIndexedSeq: _*)), s => s.getField("i")),
         1, nprobe)
     }
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),

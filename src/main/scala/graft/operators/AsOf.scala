@@ -36,7 +36,7 @@ object AsOf {
     import graft.plans.AsOfJoinNode
     import org.apache.spark.sql.graft.Bridge
     // fresh exprIds on the right (self-join safety)
-    val r2 = right.toDF(right.columns.map("__r_" + _): _*)
+    val r2 = right.toDF(right.columns.toIndexedSeq.map("__r_" + _): _*)
     val lPlan = Bridge.analyzedPlan(left)
     val rPlan = Bridge.analyzedPlan(r2)
     def lAttr(n: String) = lPlan.output.find(_.name == n).getOrElse(
@@ -47,7 +47,7 @@ object AsOf {
       keys.map(lAttr), keys.map(rAttr), lAttr(leftTs), rAttr(rightTs),
       rightValCols.map(rAttr))
     Bridge.ofRows(left.sparkSession, node)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         rightValCols.map(c => col("__r_" + c).as(c)): _*)
   }
 

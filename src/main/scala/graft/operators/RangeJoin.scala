@@ -59,7 +59,7 @@ object RangeJoin {
           sequence(floor(col(loCol) / bucketWidth).cast("long"),
             floor((col(hiCol) - 1) / bucketWidth).cast("long")))
           .otherwise(array().cast("array<long>")))
-      .select(intervals.columns.map(col) :+
+      .select(intervals.columns.toIndexedSeq.map(col) :+
         explode_outer(col("__buckets")).as("__bucket"): _*)
       .where(col("__bucket").isNotNull)
     p.join(iv, Seq("__bucket"))
