@@ -63,6 +63,32 @@ object SparkEntry {
         .orderBy(col("n_name"))
     }),
 
+    // Same join tree under an explicit SHUFFLE_MERGE hint — the
+    // physical-plan control twin of revenue_by_nation's broadcast()
+    // (SURVEY.md §7.3.4): identical results, sort-merge execution, for
+    // when the "dim" side is too big to broadcast.
+    "revenue_by_nation_merge" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").where(col("l_quantity") > 10)
+      li.join(t(s, dir, "orders").hint("SHUFFLE_MERGE"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").hint("SHUFFLE_MERGE"),
+          col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "nation").hint("SHUFFLE_MERGE"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+             countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("n_name"))
+    }),
+
+    // ISO-week calendar rollup (date_trunc breadth beyond hour/day).
+    "weekly_order_revenue" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(date_trunc("week", col("o_orderdate")).as("week_start"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("week_start"))),
+
     // Left outer join + null-tolerant aggregation (SURVEY.md §2.3 breadth).
     "cust_order_stats" -> ((s, dir) =>
       t(s, dir, "customer")
@@ -552,6 +578,22 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          WHERE l_quantity > 10
          GROUP BY n_name ORDER BY n_name""",
+
+    "revenue_by_nation_merge" ->
+      """SELECT n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(DISTINCT o_orderkey) AS n_orders
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_quantity > 10
+         GROUP BY n_name ORDER BY n_name""",
+
+    "weekly_order_revenue" ->
+      """SELECT CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start,
+         count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+         FROM orders GROUP BY 1 ORDER BY 1""",
 
     "cust_order_stats" ->
       """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
