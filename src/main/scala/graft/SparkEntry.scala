@@ -447,6 +447,17 @@ object SparkEntry {
       Dedup.winnowingPairs(t(s, dir, "documents"), k = 5, w = 4,
         minShared = 10)),
 
+    // Near-dup pairs → dedup GROUPS: connected components over the
+    // winnowing edge list by iterative min-label propagation (ext/
+    // Components); component = smallest doc_id in the cluster, i.e. the
+    // survivor under keep-smallest dedup.
+    "dedup_components" -> ((s, dir) =>
+      graft.ext.Components.connectedComponents(
+          Dedup.winnowingPairs(t(s, dir, "documents"), k = 5, w = 4,
+            minShared = 10),
+          "doc_a", "doc_b")
+        .orderBy(col("doc_id"))),
+
     // Exact cosine top-5 for 10 probe vectors (brute-force ANN baseline).
     "knn_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -843,6 +854,30 @@ object SparkEntry {
         s"THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
 
+    // Winnowing fingerprint pipeline (tok -> positional k-gram md5 ->
+    // 32-bit ints -> window mins -> distinct per doc -> shared-fp pairs),
+    // shared by neardup_winnowing and dedup_components.
+    val winnowH32 = foldSum(
+      "list_transform(generate_series(1, 8), i -> " +
+        "CAST(CASE WHEN ascii(substr(m, i, 1)) <= 57 " +
+        "THEN ascii(substr(m, i, 1)) - 48 " +
+        "ELSE ascii(substr(m, i, 1)) - 87 END AS BIGINT) " +
+        "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+      "CAST(0 AS BIGINT)")
+    val winnowCtes =
+      s"""$tokCte,
+         sh AS (SELECT doc_id, list_transform(generate_series(1, len(w)-4),
+             i -> md5(array_to_string(w[i:i+4], ' '))) AS mh
+           FROM tok WHERE len(w) >= 5),
+         h AS (SELECT doc_id, list_transform(mh, m -> $winnowH32) AS hs FROM sh),
+         fp AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(hs)-3, 1)),
+             j -> list_min(hs[j:j+3])))) AS fp FROM h),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS n_shared_fp
+           FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)"""
+
     Map(
       "text_stats" ->
         s"""WITH $tokCte
@@ -941,29 +976,25 @@ object SparkEntry {
            GROUP BY 1, 2 HAVING count(*) >= 1 ORDER BY doc_a, doc_b"""
       },
 
-      "neardup_winnowing" -> {
-        val h32m = foldSum(
-          "list_transform(generate_series(1, 8), i -> " +
-            "CAST(CASE WHEN ascii(substr(m, i, 1)) <= 57 " +
-            "THEN ascii(substr(m, i, 1)) - 48 " +
-            "ELSE ascii(substr(m, i, 1)) - 87 END AS BIGINT) " +
-            "* CAST(pow(16.0, 8 - i) AS BIGINT))",
-          "CAST(0 AS BIGINT)")
-        s"""WITH $tokCte,
-           sh AS (SELECT doc_id, list_transform(generate_series(1, len(w)-4),
-               i -> md5(array_to_string(w[i:i+4], ' '))) AS mh
-             FROM tok WHERE len(w) >= 5),
-           h AS (SELECT doc_id, list_transform(mh, m -> $h32m) AS hs FROM sh),
-           fp AS (SELECT doc_id, unnest(list_distinct(list_transform(
-               generate_series(1, greatest(len(hs)-3, 1)),
-               j -> list_min(hs[j:j+3])))) AS fp FROM h),
-           pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               count(*) AS n_shared_fp
-             FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
-             GROUP BY 1, 2)
+      "neardup_winnowing" ->
+        s"""WITH $winnowCtes
            SELECT doc_a, doc_b, n_shared_fp FROM pairs
-           WHERE n_shared_fp >= 10 ORDER BY doc_a, doc_b"""
-      },
+           WHERE n_shared_fp >= 10 ORDER BY doc_a, doc_b""",
+
+      // Components via transitive closure (recursive CTE) — structurally
+      // different from Spark's label propagation, same fixpoint.
+      "dedup_components" ->
+        s"""WITH RECURSIVE $winnowCtes,
+           edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                     WHERE n_shared_fp >= 10
+                     UNION SELECT doc_b, doc_a FROM pairs
+                     WHERE n_shared_fp >= 10),
+           reach AS (
+             SELECT a, b FROM edges
+             UNION
+             SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+           SELECT a AS doc_id, least(a, min(b)) AS component
+           FROM reach GROUP BY a ORDER BY doc_id""",
 
       "neardup_simhash" ->
         s"""WITH toks AS (SELECT doc_id, list_distinct(

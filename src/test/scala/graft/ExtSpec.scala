@@ -323,3 +323,36 @@ class WinnowingSpec extends SparkSpec {
     assert(fp.where($"doc_id" === 3).count() > 0)
   }
 }
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ext.Components
+
+  test("chain, triangle, and singleton-pair clusters all get min-id labels") {
+    // 1-2-3-4 chain (diameter 3), 10-11-12 triangle, 20-21 pair
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L)).toDF("a", "b")
+    val cc = Components.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("long path converges within the iteration cap") {
+    // path of 12 nodes: worst-case (diameter 11) shape for label
+    // propagation; must fully merge under the default cap
+    val edges = (0L until 11L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = Components.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect()
+    assert(cc.length === 12)
+    assert(cc.forall(_._2 === 0L))
+  }
+
+  test("keep-smallest survivor selection composes on top") {
+    val edges = Seq((5L, 9L), (9L, 7L), (2L, 3L)).toDF("a", "b")
+    val survivors = Components.connectedComponents(edges, "a", "b")
+      .groupBy($"component").agg(org.apache.spark.sql.functions.min($"doc_id").as("survivor"))
+      .select("survivor").as[Long].collect().toSet
+    assert(survivors === Set(5L, 2L))
+  }
+}
