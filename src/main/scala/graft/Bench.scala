@@ -1,6 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** (steal, total) jiffies from the aggregate cpu line of /proc/stat —
+    * lets gate evaluations separate code regressions from hypervisor
+    * co-tenant noise (BASELINE.md documents 3-4x uniform inflation under
+    * steal). Zeroes on non-Linux. */
+  private def cpuJiffies(): (Long, Long) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        (if (f.length > 7) f(7) else 0L, f.sum)
+      } finally src.close()
+    } catch { case _: Throwable => (0L, 0L) }
+
+  private def loadAvg(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split("\\s+")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -18,15 +37,23 @@ object Bench {
     // whichever query happens to run first.
     spark.range(1000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/region.parquet").count() catch { case _: Throwable => () }
+    val load0 = loadAvg()
+    val (steal0, jiffies0) = cpuJiffies()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val (steal1, jiffies1) = cpuJiffies()
+    val load1 = loadAvg()
+    val stealPct =
+      if (jiffies1 > jiffies0)
+        100.0 * (steal1 - steal0) / (jiffies1 - jiffies0)
+      else 0.0
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_start":$load0,"load_avg_end":$load1,"steal_jiffies":${steal1 - steal0},"steal_pct":$stealPct}""")
     spark.stop()
   }
 }

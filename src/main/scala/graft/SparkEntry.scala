@@ -173,19 +173,30 @@ object SparkEntry {
     }),
 
     // Ordered event-path aggregation: per user, the first 5 events as a
-    // "->"-joined path — collect_list of (ts, id, type) structs sorted
-    // in-group (deterministic: struct order = ts, event_id). The standard
-    // funnel/journey primitive; one shuffle, array ops stay in codegen.
-    "user_event_paths" -> ((s, dir) =>
+    // "->"-joined path. The standard funnel/journey primitive. BOUND-FIRST
+    // shape: a window row_number() <= 5 over (ts, event_id) keeps at most 5
+    // rows per user BEFORE the collect_list, so the aggregation buffer
+    // never holds a user's full history (a hot user with 10^7 events would
+    // OOM the unbounded collect; the window operator spills its partition
+    // buffer to disk instead). n_events comes from a whole-partition count
+    // window over the same partitioning — same single shuffle.
+    "user_event_paths" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+      val ordered = byUser.orderBy(col("ts"), col("event_id"))
       t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          row_number().over(ordered).as("rn"),
+          count(lit(1)).over(byUser).as("n_events"))
+        .where(col("rn") <= 5)
         .groupBy(col("user_id"))
-        .agg(array_join(
-          slice(transform(
+        .agg(array_join(transform(
             sort_array(collect_list(struct(col("ts"), col("event_id"),
               col("event_type")))),
-            e => e.getField("event_type")), 1, 5), "->").as("path"),
-          count(lit(1)).as("n_events"))
-        .orderBy(col("user_id"))),
+            e => e.getField("event_type")), "->").as("path"),
+          max(col("n_events")).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
 
     // Statistical aggregates (sample stddev/variance, correlation,
     // covariance) per return flag — the moments family beyond sum/avg.
@@ -437,9 +448,10 @@ object SparkEntry {
     "neardup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), k = 5, bands = 16)),
 
-    // 32-bit SimHash signature collisions.
+    // 64-bit SimHash near-dups (hamming <= 3) via the pigeonhole band
+    // trick: bucket on exact 16-bit band collision, verify bit_count(xor).
     "neardup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"))),
+      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3)),
 
     // Winnowing (MOSS) rolling-hash fingerprints: >= 10 shared selected
     // k-gram hashes → near-dup pair.
@@ -873,9 +885,12 @@ object SparkEntry {
          fp AS (SELECT doc_id, unnest(list_distinct(list_transform(
              generate_series(1, greatest(len(hs)-3, 1)),
              j -> list_min(hs[j:j+3])))) AS fp FROM h),
+         fpfreq AS (SELECT fp, count(*) AS c FROM fp GROUP BY 1),
+         fpp AS (SELECT fp.doc_id, fp.fp FROM fp JOIN fpfreq USING (fp)
+                 WHERE c >= 2 AND c <= 1000),
          pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              count(*) AS n_shared_fp
-           FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           FROM fpp a JOIN fpp b ON a.fp = b.fp AND a.doc_id < b.doc_id
            GROUP BY 1, 2)"""
 
     Map(
@@ -968,10 +983,13 @@ object SparkEntry {
            bands AS (SELECT doc_id, band,
                min((h1 + band * h2) % 4294967296) AS sig
              FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band)
-             GROUP BY doc_id, band)
+             GROUP BY doc_id, band),
+           freq AS (SELECT band, sig, count(*) AS c FROM bands GROUP BY 1, 2),
+           pruned AS (SELECT bands.* FROM bands JOIN freq USING (band, sig)
+                      WHERE c >= 2 AND c <= 1000)
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              count(*) AS n_shared_bands
-           FROM bands a JOIN bands b
+           FROM pruned a JOIN pruned b
              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
            GROUP BY 1, 2 HAVING count(*) >= 1 ORDER BY doc_a, doc_b"""
       },
@@ -996,32 +1014,59 @@ object SparkEntry {
            SELECT a AS doc_id, least(a, min(b)) AS component
            FROM reach GROUP BY a ORDER BY doc_id""",
 
-      "neardup_simhash" ->
+      "neardup_simhash" -> {
+        // 32-bit word of md5(t) at hex offset `off` (mirrors Spark's
+        // conv(substring(md5(tok), off+1, 8), 16, 10)).
+        def w32(off: Int) = foldSum(
+          "list_transform(generate_series(1, 8), i -> " +
+            s"CAST(CASE WHEN ascii(substr(md5(t), $off + i, 1)) <= 57 " +
+            s"THEN ascii(substr(md5(t), $off + i, 1)) - 48 " +
+            s"ELSE ascii(substr(md5(t), $off + i, 1)) - 87 END AS BIGINT) " +
+            "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+          "CAST(0 AS BIGINT)")
+        // ±1 vote sum for bit `bexp` of each 32-bit word in list `lst`.
+        def vote(lst: String, bexp: String) = foldSum(
+          s"list_transform($lst, hh -> CASE WHEN " +
+            s"CAST(floor(hh / pow(2.0, $bexp)) AS BIGINT) % 2 = 1 " +
+            "THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)",
+          "CAST(0 AS BIGINT)")
+        // 64-bit signature: bits 0-31 from word 1, 32-62 from word 2
+        // (pow(2,j) is a power of two — exact in double, BIGINT-castable
+        // through 2^62); bit 63 added as the Long.MIN_VALUE literal since
+        // 2^63 overflows BIGINT.
+        val lo = foldSum(
+          "list_transform(generate_series(0, 31), j -> " +
+            "CASE WHEN " + vote("hlo", "j") + " > 0 " +
+            "THEN CAST(pow(2.0, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)",
+          "CAST(0 AS BIGINT)")
+        val hi62 = foldSum(
+          "list_transform(generate_series(32, 62), j -> " +
+            "CASE WHEN " + vote("hhi", "j - 32") + " > 0 " +
+            "THEN CAST(pow(2.0, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)",
+          "CAST(0 AS BIGINT)")
+        val bit63 = "CASE WHEN " + vote("hhi", "31") + " > 0 " +
+          "THEN (-9223372036854775807 - 1) ELSE CAST(0 AS BIGINT) END"
         s"""WITH toks AS (SELECT doc_id, list_distinct(
                regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents),
-           h AS (SELECT doc_id, list_transform(w, t ->
-               ${foldSum(
-                 "list_transform(generate_series(1, 8), i -> " +
-                   "CAST(CASE WHEN ascii(substr(md5(t), i, 1)) <= 57 " +
-                   "THEN ascii(substr(md5(t), i, 1)) - 48 " +
-                   "ELSE ascii(substr(md5(t), i, 1)) - 87 END AS BIGINT) " +
-                   "* CAST(pow(16.0, 8 - i) AS BIGINT))",
-                 "CAST(0 AS BIGINT)")}) AS hashes
+           h AS (SELECT doc_id,
+               list_transform(w, t -> ${w32(0)}) AS hlo,
+               list_transform(w, t -> ${w32(8)}) AS hhi
              FROM toks),
-           sig AS (SELECT doc_id, ${foldSum(
-             "list_transform(generate_series(0, 31), j -> " +
-               "CASE WHEN " + foldSum(
-                 "list_transform(hashes, hh -> CASE WHEN " +
-                   "CAST(floor(hh / pow(2.0, j)) AS BIGINT) % 2 = 1 " +
-                   "THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)",
-                 "CAST(0 AS BIGINT)") + " > 0 " +
-               "THEN CAST(pow(2.0, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)",
-             "CAST(0 AS BIGINT)")} AS simhash
-             FROM h)
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS simhash
-           FROM sig a JOIN sig b
-             ON a.simhash = b.simhash AND a.doc_id < b.doc_id
-           ORDER BY doc_a, doc_b""",
+           sig AS (SELECT doc_id, $lo + $hi62 + $bit63 AS simhash FROM h),
+           b AS (SELECT doc_id, simhash, band,
+               ((simhash >> (band * 16)) & 65535) AS bsig
+             FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)),
+           freq AS (SELECT band, bsig, count(*) AS c FROM b GROUP BY 1, 2),
+           pruned AS (SELECT b.* FROM b JOIN freq USING (band, bsig)
+                      WHERE c >= 2 AND c <= 1000),
+           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming
+             FROM pruned a JOIN pruned b2
+               ON a.band = b2.band AND a.bsig = b2.bsig
+               AND a.doc_id < b2.doc_id)
+           SELECT doc_a, doc_b, hamming FROM cand
+           WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
+      },
 
       "knn_bruteforce" ->
         s"""WITH v AS (SELECT vec_id, embedding AS emb FROM embeddings),

@@ -19,30 +19,54 @@ import org.apache.spark.sql.functions._
   * label-propagation baseline; small-star/large-star halves rounds on
   * high-diameter graphs but near-dup clusters don't have them).
   *
-  * Scale posture: edges are persisted once (re-read every round); each
-  * round's labels are EAGERLY localCheckpoint'ed. The checkpoint is what
-  * makes driver-side iteration viable: without it every round's plan
-  * nests the previous round's, and Catalyst re-analysis/optimization time
-  * grows superlinearly with depth (observed: minutes of pure planning by
-  * round ~20). With it, each round plans against a materialized leaf.
-  * Determinism: min() is order-insensitive.
+  * Scale posture: edges are persisted once (re-read every round). Each
+  * round's labels are checkpointed LAZILY and the convergence count is the
+  * materializing action, so a round costs exactly ONE job (the earlier
+  * eager-checkpoint + separate join-and-count shape ran two, the second a
+  * full next-vs-prev join). The checkpoint is what makes driver-side
+  * iteration viable: without it every round's plan nests the previous
+  * round's, and Catalyst re-analysis/optimization time grows superlinearly
+  * with depth (observed: minutes of pure planning by round ~20). With it,
+  * each round plans against a materialized leaf.
+  *
+  * Durability: `localCheckpoint` (default) stores round state on executor
+  * block managers — if an executor is lost, the *job* fails and the caller
+  * retries, which is acceptable because rounds are cheap and the input
+  * `edges` plan is recomputable; Spark task-level retry still covers the
+  * common failure mode (single task death) because each round's lineage
+  * root is the previous checkpoint, still resident. For long multi-hour
+  * runs on preemptible fleets, pass `reliableCheckpoint = true` (requires
+  * `spark.sparkContext.setCheckpointDir(...)`) to write round state to the
+  * checkpoint dir (HDFS/object store) so executor loss survives without a
+  * restart. Determinism: min() is order-insensitive.
   */
 object Components {
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** (node, component) for every node appearing in `edges`; `component` is
     * the smallest node id reachable through the undirected edge set.
     * `maxIter` caps rounds (= propagation hops); components wider than the
     * cap come out under-merged, so size it above the expected diameter —
-    * near-dup clusters are dense and shallow, so the default is generous. */
+    * near-dup clusters are dense and shallow, so the default is generous.
+    * Hitting the cap unconverged logs a warning (or throws when
+    * `failOnNonConvergence`) rather than silently returning under-merged
+    * labels. */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          reliableCheckpoint: Boolean = false,
+                          failOnNonConvergence: Boolean = false): DataFrame = {
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist()
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+    // Lazy checkpoint: the count() below materializes the blocks AND
+    // computes the convergence aggregate in the SAME job.
+    def snapshot(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
+    var labels = snapshot(sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")))
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -51,20 +75,27 @@ object Components {
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(min(col("label")).as("nbr_label"))
-      val next = labels
+      // `ch` rides along in the snapshot so convergence needs no
+      // next-vs-prev join: labels only ever decrease, so changed ⟺ some
+      // neighbor label beat the current one.
+      val next = snapshot(labels
         .join(nbr, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("label"))
-        .localCheckpoint(true) // truncate lineage: see scaladoc
-      changed = next.as("n")
-        .join(labels.as("p"), col("n.node") === col("p.node"))
-        .where(col("n.label") =!= col("p.label"))
-        .count()
-      labels = next
+            .as("label"),
+          coalesce(col("nbr_label") < col("label"), lit(false)).as("ch")))
+      changed = next.where(col("ch")).count() // materializes the snapshot
+      labels = next.drop("ch")
       iter += 1
     }
     sym.unpersist()
+    if (changed > 0) {
+      val msg = s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still changing) — results are under-merged; " +
+        "raise maxIter above the component diameter"
+      if (failOnNonConvergence) throw new IllegalStateException(msg)
+      log.warn(msg)
+    }
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }
 }

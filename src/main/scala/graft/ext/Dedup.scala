@@ -23,9 +23,9 @@ import org.apache.spark.sql.functions._
   *    shuffle to group per band value); candidate generation never compares
   *    non-colliding docs. This is the standard shingle→minhash→band→bucket
   *    pipeline (Broder; Leskovec et al. MMDS ch.3) on DataFrame ops only.
-  *  - SimHash: one projection per doc → 32-bit signature; near-dups collide
-  *    on the exact signature. One groupBy. (Production: 64-bit + rotation
-  *    tables for hamming<=k; the bucketing shape is identical.)
+  *  - SimHash: one aggregation per doc → 64-bit signature; near-dups found
+  *    by the pigeonhole band trick for hamming<=k (Manku et al. WWW'07) —
+  *    bucket on exact band-signature collision, verify with bit_count(xor).
   */
 object Dedup {
 
@@ -137,42 +137,69 @@ object Dedup {
   }
 
   /** LSH candidate pairs: docs colliding on >= `minBands` band signatures.
-    * Only colliding docs are ever paired — the linear-ish 100 TB path. */
+    * Only colliding docs are ever paired — the linear-ish 100 TB path.
+    *
+    * Same bucket-collect shape as [[jaccardPairs]]: ONE shuffle groups the
+    * doc ids sharing each (band, sig) bucket and pairs generate inside the
+    * bucket. The earlier self-join formulation recomputed the whole
+    * shingle→minhash pipeline on both aliased branches (Spark does not
+    * reuse the exchange across self-join aliases) and shuffled the corpus
+    * twice; this shape computes and shuffles it once. `maxBucket` caps
+    * degenerate buckets (e.g. boilerplate-heavy corpora where thousands of
+    * docs share a band signature) before the quadratic in-bucket pair-gen,
+    * exactly like the stop-shingle guard in [[jaccardPairs]]. */
   def minhashPairs(docs: DataFrame, k: Int, bands: Int,
-                   minBands: Int = 1): DataFrame = {
+                   minBands: Int = 1, maxBucket: Int = 1000): DataFrame = {
     val sig = minhashBands(docs, k, bands)
-    val a = sig.as("a")
-    val b = sig.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
-        && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val buckets = sig.groupBy(col("band"), col("sig"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("d"),
+        count(lit(1)).as("c"))
+      .where(col("c") >= 2 && col("c") <= maxBucket)
+    val pairs = buckets.select(explode_outer(
+        flatten(transform(col("d"), (x, i) =>
+          transform(slice(col("d"), i + 2, size(col("d"))),
+            y => struct(x.as("_1"), y.as("_2"))))))
+        .as("p"))
+      .where(col("p").isNotNull) // outer: see shingleRows
+    pairs.groupBy(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
       .where(col("n_shared_bands") >= minBands)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 32-bit SimHash over the document's distinct tokens: token hash = first
-    * 8 hex digits of md5(token) as a 32-bit int; bit j of the signature is 1
-    * iff the sum over tokens of (bit j present ? +1 : -1) is positive.
+  /** 64-bit SimHash over the document's distinct tokens: token hash = the
+    * first 16 hex digits of md5(token) as two 32-bit words (chars 1-8 →
+    * bits 0-31, chars 9-16 → bits 32-63); bit j of the signature is 1 iff
+    * the sum over tokens of (bit j set ? +1 : -1) is positive.
     *
-    * Perf shape: explode(distinct tokens) → one md5 + conv per token → 32
-    * static-shift bit votes as parallel `sum` aggregates in ONE
+    * Perf shape: explode(distinct tokens) → one md5 + two conv per token →
+    * 64 static-shift bit votes as parallel `sum` aggregates in ONE
     * partial-aggregated groupBy. Everything stays in WholeStageCodegen with
-    * map-side combine; the earlier nested-lambda formulation (aggregate
-    * inside aggregate over 32 bits × tokens) evaluated interpreted and was
-    * ~50× slower at sf0.1. Semantics unchanged (same md5-derived hash, same
-    * votes; token-less docs get signature 0 via the left join). */
+    * map-side combine; a nested-lambda formulation (aggregate inside
+    * aggregate over bits × tokens) evaluated interpreted and was ~50×
+    * slower at sf0.1. Token-less docs get signature 0 via the left join.
+    *
+    * 64 bits (vs the earlier 32) is what makes signature buckets usable at
+    * corpus scale: with a 32-bit sig, random collisions alone go quadratic
+    * as N approaches 2^16 per bucket; 64 bits pushes that past any real
+    * corpus, and enables the hamming-distance band trick in
+    * [[simhashPairs]]. Summing distinct powers of two is overflow-safe in
+    * ANSI mode: bits 0..62 sum below 2^63 and adding the bit-63 term
+    * (Long.MinValue) moves the sum back toward zero. */
   def withSimhash(docs: DataFrame): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val toks = docs.repartition(par).select(col("doc_id"),
         explode_outer(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
       .where(col("tok").isNotNull) // outer: see shingleRows re InferFiltersFromGenerate
-    val hashed = toks.withColumn("h",
-      conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
-    val bitVotes = (0 until 32).map(j =>
-      sum(when(shiftright(col("h"), j) % 2 === 1, 1L).otherwise(-1L)).as(s"v$j"))
+    val hashed = toks
+      .withColumn("hLo", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      .withColumn("hHi", conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long"))
+    val bitVotes = (0 until 64).map { j =>
+      val (h, s) = if (j < 32) (col("hLo"), j) else (col("hHi"), j - 32)
+      sum(when(shiftright(h, s) % 2 === 1, 1L).otherwise(-1L)).as(s"v$j")
+    }
     val votes = hashed.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
-    val sig = (0 until 32).map(j =>
+    val sig = (0 until 64).map(j =>
       when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
     docs.join(votes.select(col("doc_id"), sig.as("simhash")), Seq("doc_id"), "left")
       .withColumn("simhash", coalesce(col("simhash"), lit(0L)))
@@ -240,15 +267,51 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** SimHash near-dup pairs: exact 32-bit signature collision. */
-  def simhashPairs(docs: DataFrame): DataFrame = {
+  /** SimHash near-dup pairs with hamming distance <= `maxHamming`, via the
+    * pigeonhole band trick (Manku/Jain/Sarma WWW'07): split the 64-bit
+    * signature into `maxHamming + 1` equal bands — any pair within the
+    * distance bound differs in at most `maxHamming` bits, so it must agree
+    * EXACTLY on at least one band. Candidate generation is therefore
+    * band-bucket collision only (never all-pairs), followed by the exact
+    * `bit_count(xor)` filter.
+    *
+    * Scale shape: same bucket-collect as [[jaccardPairs]]/[[minhashPairs]]
+    * — ONE shuffle groups (doc_id, simhash) per (band, band-sig) bucket,
+    * pairs generate in-bucket, `maxBucket` caps collision buckets (the
+    * guard the 32-bit exact-collision version lacked), and the final
+    * distinct dedups pairs that collide in several bands. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   maxBucket: Int = 1000): DataFrame = {
+    val nBands = maxHamming + 1
+    require(64 % nBands == 0,
+      s"maxHamming + 1 must divide 64 (got ${nBands} bands)")
+    val width = 64 / nBands
+    val mask = (1L << width) - 1
     val sig = withSimhash(docs).select(col("doc_id"), col("simhash"))
-    val a = sig.as("a")
-    val b = sig.as("b")
-    a.join(b, col("a.simhash") === col("b.simhash")
-        && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("simhash"))
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * width).bitwiseAND(lit(mask))
+            .as("bsig"))): _*)).as("bs"))
+    val buckets = banded
+      .groupBy(col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("simhash"))))
+        .as("d"), count(lit(1)).as("c"))
+      .where(col("c") >= 2 && col("c") <= maxBucket)
+    val pairs = buckets.select(explode_outer(
+        flatten(transform(col("d"), (x, i) =>
+          transform(slice(col("d"), i + 2, size(col("d"))),
+            y => struct(x.getField("doc_id").as("doc_a"),
+              y.getField("doc_id").as("doc_b"),
+              x.getField("simhash").as("sig_a"),
+              y.getField("simhash").as("sig_b"))))))
+        .as("p"))
+      .where(col("p").isNotNull) // outer: see shingleRows
+    pairs.select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        bit_count(col("p.sig_a").bitwiseXOR(col("p.sig_b"))).cast("long")
+          .as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 }

@@ -155,9 +155,14 @@ object Similarity {
     }.reduce(_ + _)
 
   /** IVF coarse quantizer: Lloyd's k-means over a BOUNDED deterministic
-    * sample of the corpus — the `samplePerList × nlist` lowest vec_ids,
-    * fetched via orderBy+limit (per-partition top-k merge, never a full
-    * sort) and fit on the driver.
+    * sample of the corpus — the `samplePerList × nlist` rows with the
+    * smallest `xxhash64(vec_id, seed)`, fetched via orderBy+limit
+    * (per-partition top-k merge, never a full sort) and fit on the driver.
+    * Hash order spreads the sample uniformly across the id space: sampling
+    * the LOWEST vec_ids would bias the fit toward whatever content
+    * correlates with early ids (ingestion order, time), degrading list
+    * balance; hash order is ingestion-order-independent and still fully
+    * deterministic for a given `seed`.
     *
     * Why driver-side (vs the earlier mllib KMeans): the quantizer only
     * needs a representative sample (FAISS trains on ~256 points/list), so
@@ -165,14 +170,15 @@ object Similarity {
     * — a few ms of arithmetic. Running those Lloyd iterations as 20+
     * distributed mllib jobs is pure scheduling overhead at every scale
     * (9.7 s vs ~0.1 s at sf0.1), and the corpus-side cost (one bounded
-    * top-k scan) is unchanged. Deterministic by construction: sorted
-    * sample, evenly-spaced init, first-index tie-breaks, no RNG — `seed`
-    * is kept for API stability but unused. */
+    * top-k scan) is unchanged. Deterministic by construction: hash-sorted
+    * sample (vec_id tie-break), evenly-spaced init, first-index
+    * tie-breaks, no RNG. */
   def ivfFit(corpus: DataFrame, nlist: Int, seed: Long = 42L,
              maxIter: Int = 20, samplePerList: Int = 256): Array[Array[Double]] = {
     val pts: Array[Array[Double]] = corpus
       .select(col("vec_id"), col("embedding"))
-      .orderBy(col("vec_id")).limit(nlist * samplePerList)
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      .limit(nlist * samplePerList)
       .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
     require(pts.length >= nlist, s"need >= $nlist sample vectors, got ${pts.length}")
     val dim = pts(0).length

@@ -49,15 +49,19 @@ object RangeJoin {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
     val p = points.withColumn("__bucket",
       floor(col(pointCol) / bucketWidth).cast("long"))
-    // sequence() is inclusive on both ends; hi is exclusive so the last
-    // bucket is floor((hi-1)/W). Empty/inverted intervals (hi <= lo)
-    // produce no buckets via the when() guard rather than a descending
-    // sequence (same Spark pitfall as Dedup.docShingles).
+    // sequence() is inclusive on both ends; the last bucket is floor(hi/W)
+    // — NOT floor((hi-1)/W), which under-covers fractional bounds (e.g.
+    // lo=9.5, hi=10.2, W=10 must reach bucket 1 where point 10.1 lives).
+    // The residual predicate below already drops points >= hi, and each
+    // matching pair still meets only in the point's single bucket, so the
+    // extra bucket row costs one shuffle row and no dedup. Empty/inverted
+    // intervals (hi <= lo) produce no buckets via the when() guard rather
+    // than a descending sequence (same Spark pitfall as Dedup.docShingles).
     val iv = intervals
       .withColumn("__buckets",
         when(col(hiCol) > col(loCol),
           sequence(floor(col(loCol) / bucketWidth).cast("long"),
-            floor((col(hiCol) - 1) / bucketWidth).cast("long")))
+            floor(col(hiCol) / bucketWidth).cast("long")))
           .otherwise(array().cast("array<long>")))
       .select(intervals.columns.toIndexedSeq.map(col) :+
         explode_outer(col("__buckets")).as("__bucket"): _*)
@@ -69,16 +73,23 @@ object RangeJoin {
 
   /** Timestamp convenience: points with timestamp `tsCol` joined into
     * `[startCol, endCol)` timestamp windows, bucketing on whole days by
-    * default. Comparisons happen on epoch seconds (exact — timestamps are
-    * integral microseconds). */
+    * default. Comparisons happen on epoch MICROseconds — exact, since Spark
+    * timestamps are integral microseconds; unix_timestamp() would truncate
+    * to whole seconds and mis-place sub-second boundary rows (e.g. point
+    * 12:00:00.7 vs a window starting 12:00:00.9 both truncate to 12:00:00
+    * and wrongly match). Epoch micros (~1.7e15) stay under the 2^52 bucket
+    * precision bound in [[pointInInterval]]. */
   def pointInTimeWindow(points: DataFrame, tsCol: String,
                         windows: DataFrame, startCol: String, endCol: String,
                         bucketSeconds: Long = 86400L): DataFrame = {
-    val p = points.withColumn("__p", unix_timestamp(col(tsCol)))
+    // cast: unix_micros takes TIMESTAMP only; TIMESTAMP_NTZ inputs (e.g.
+    // parquet dates) convert in the session zone — UTC, deterministic.
+    def micros(c: String) = unix_micros(col(c).cast("timestamp"))
+    val p = points.withColumn("__p", micros(tsCol))
     val w = windows
-      .withColumn("__lo", unix_timestamp(col(startCol)))
-      .withColumn("__hi", unix_timestamp(col(endCol)))
-    pointInInterval(p, "__p", w, "__lo", "__hi", bucketSeconds)
+      .withColumn("__lo", micros(startCol))
+      .withColumn("__hi", micros(endCol))
+    pointInInterval(p, "__p", w, "__lo", "__hi", bucketSeconds * 1000000L)
       .drop("__p", "__lo", "__hi")
   }
 }

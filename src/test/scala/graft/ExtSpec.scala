@@ -82,15 +82,46 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(r => r.getLong(1) === 3L || r.getLong(0) === 3L))
   }
 
-  test("simhash: identical token sets collide; signature is a 32-bit value") {
+  test("simhash: identical token sets collide at hamming 0; unrelated don't pair") {
     val df = Seq((1L, "spark scala data"), (2L, "data spark scala"),
       (3L, "utterly unrelated vocabulary")).toDF("doc_id", "text")
     val sig = Dedup.withSimhash(df).select("doc_id", "simhash")
       .as[(Long, Long)].collect().toMap
     assert(sig(1L) === sig(2L)) // order-insensitive (distinct token set)
-    assert(sig.values.forall(s => s >= 0 && s < (1L << 32)))
+    assert(sig(1L) !== sig(3L)) // 64-bit sig separates unrelated vocab
     val pairs = Dedup.simhashPairs(df).collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+    assert(pairs(0).getLong(2) === 0L) // hamming distance rides along
+  }
+
+  test("simhash: one-token-flipped near-dup found via a band, not exact collision") {
+    // 12 shared tokens + 1 differing: signatures differ but stay within
+    // hamming <= 3 overwhelmingly often for this hash; assert the banded
+    // candidate path surfaces the pair when it does (deterministic data).
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val df = Seq((1L, base + " mike"), (2L, base + " november"),
+      (3L, "one two three")).toDF("doc_id", "text")
+    val sig = Dedup.withSimhash(df).select("doc_id", "simhash")
+      .as[(Long, Long)].collect().toMap
+    val hamming = java.lang.Long.bitCount(sig(1L) ^ sig(2L))
+    val pairs = Dedup.simhashPairs(df, maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    if (hamming <= 7) // pigeonhole guarantee: must be found
+      assert(pairs.contains((1L, 2L, hamming.toLong)))
+    assert(!pairs.exists(p => p._1 === 3L || p._2 === 3L))
+  }
+
+  test("simhash/minhash: maxBucket caps degenerate collision buckets") {
+    // 40 docs with identical text all collide on every band; maxBucket
+    // below the bucket size must drop the whole bucket (no quadratic
+    // pair-gen on boilerplate), and a generous cap must keep all pairs.
+    val docs = (1L to 40L).map(i => (i, "same boilerplate text every time"))
+      .toDF("doc_id", "text")
+    assert(Dedup.simhashPairs(docs, maxBucket = 10).count() === 0L)
+    assert(Dedup.simhashPairs(docs, maxBucket = 100).count() === 40L * 39 / 2)
+    assert(Dedup.minhashPairs(docs, 5, bands = 4, maxBucket = 10).count() === 0L)
+    assert(Dedup.minhashPairs(docs, 5, bands = 4, maxBucket = 100).count()
+      === 40L * 39 / 2)
   }
 }
 
@@ -354,5 +385,28 @@ class ComponentsSpec extends SparkSpec {
       .groupBy($"component").agg(org.apache.spark.sql.functions.min($"doc_id").as("survivor"))
       .select("survivor").as[Long].collect().toSet
     assert(survivors === Set(5L, 2L))
+  }
+
+  test("non-convergence at maxIter throws when failOnNonConvergence is set") {
+    // diameter 11 cannot converge in 2 rounds
+    val edges = (0L until 11L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      Components.connectedComponents(edges, "a", "b", maxIter = 2,
+        failOnNonConvergence = true)
+    }
+    // default: warns but returns (under-merged) labels rather than failing
+    val lenient = Components.connectedComponents(edges, "a", "b", maxIter = 2)
+    assert(lenient.count() === 12)
+  }
+
+  test("reliable checkpoint mode matches localCheckpoint results") {
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val edges = (0L until 8L).map(i => (i, i + 1)).toDF("a", "b") // >=3 rounds
+    val cc = Components.connectedComponents(edges, "a", "b",
+        reliableCheckpoint = true)
+      .as[(Long, Long)].collect()
+    assert(cc.length === 9)
+    assert(cc.forall(_._2 === 0L))
   }
 }

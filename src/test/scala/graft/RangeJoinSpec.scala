@@ -42,6 +42,32 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.count() === 1L)
   }
 
+  test("fractional interval bounds don't drop upper-bucket matches") {
+    // lo=9.5, hi=10.2, W=10: the point 10.1 lives in bucket 1, which
+    // floor((hi-1)/W) = 0 would never explode to — the true match
+    // 9.5 <= 10.1 < 10.2 must survive.
+    val points = Seq((1L, 10.1), (2L, 10.3), (3L, 9.4)).toDF("pid", "p")
+    val intervals = Seq((1L, 9.5, 10.2)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi", 10L)
+      .select($"pid").as[Long].collect().toSet
+    assert(got === Set(1L))
+  }
+
+  test("sub-second timestamps compare exactly (no whole-second truncation)") {
+    // 12:00:00.7 is BEFORE a window starting 12:00:00.9 — second-truncated
+    // comparison would wrongly match both; .95 is inside.
+    val points = Seq((1L, "2024-01-01 12:00:00.700"),
+      (2L, "2024-01-01 12:00:00.950"))
+      .toDF("pid", "ts").withColumn("ts", to_timestamp($"ts"))
+    val windows = Seq(("w1", "2024-01-01 12:00:00.900", "2024-01-01 12:00:01.100"))
+      .toDF("wid", "ws", "we")
+      .withColumn("ws", to_timestamp($"ws"))
+      .withColumn("we", to_timestamp($"we"))
+    val got = RangeJoin.pointInTimeWindow(points, "ts", windows, "ws", "we")
+      .select($"pid").as[Long].collect().toSet
+    assert(got === Set(2L))
+  }
+
   test("pointInTimeWindow joins timestamps into [start, end) windows") {
     val points = Seq(
       (1L, "2024-01-01 00:00:00"),
@@ -60,11 +86,12 @@ class RangeJoinSpec extends SparkSpec {
 
   test("interval side explodes to ceil(len/width)+1 buckets at most") {
     // Plan-shape guard: the generate fan-out is bounded by the interval
-    // length over the bucket width, not by the points side.
+    // length over the bucket width, not by the points side (floor(hi/W)
+    // upper bucket, mirroring pointInInterval).
     val intervals = Seq((1L, 0.0, 100.0)).toDF("iid", "lo", "hi")
     val exploded = intervals
       .withColumn("b", explode(sequence(floor($"lo" / 10).cast("long"),
-        floor(($"hi" - 1) / 10).cast("long"))))
-    assert(exploded.count() === 10L)
+        floor($"hi" / 10).cast("long"))))
+    assert(exploded.count() === 11L)
   }
 }
