@@ -225,6 +225,25 @@ object SparkEntry {
           !col("event_type").isin("view", "click", "purchase"))))
     }),
 
+    // §2.8 dtype-conformance: declared expected schema vs actual, per
+    // column (reference schema_check.py:100-107). `value` is deliberately
+    // declared string and `session_id` declared-but-absent so the
+    // type_mismatch and missing statuses have live witnesses; `props` is
+    // left undeclared.
+    "schema_report" -> ((s, dir) =>
+      Validation.schemaReport(t(s, dir, "events"), Seq(
+        "event_id" -> "bigint", "ts" -> "timestamp", "user_id" -> "bigint",
+        "event_type" -> "string", "value" -> "string",
+        "session_id" -> "string"))),
+
+    // §2.8 distinct-invalid-values: the offending values themselves, not
+    // just a count (reference schema_check.py:176-181 reports the invalid
+    // genre list). events carries 'signup'/'error' outside the KPI
+    // whitelist — real witnesses.
+    "invalid_event_types" -> ((s, dir) =>
+      Validation.invalidValues(t(s, dir, "events"), "event_type",
+        Seq("view", "click", "purchase"))),
+
     // Multimodal/JSON column extraction (events.props, SURVEY.md §1.2).
     "json_kpis" -> ((s, dir) =>
       t(s, dir, "events")
@@ -394,6 +413,32 @@ object SparkEntry {
       s.sql("""SELECT o_orderkey, o_totalprice FROM graft_orders
                WHERE o_totalprice > (SELECT 1.8 * avg(o_totalprice) FROM graft_orders)
                ORDER BY o_orderkey""")
+    }),
+
+    // Correlated EXISTS through the SQL surface: Catalyst rewrites it to a
+    // left-semi hash join on o_custkey with the price/priority filter
+    // pushed below — the declarative twin of semi_join_customers.
+    "exists_urgent_cust" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("graft_customer_ex")
+      t(s, dir, "orders").createOrReplaceTempView("graft_orders_ex")
+      s.sql("""SELECT c_custkey, c_name FROM graft_customer_ex c
+               WHERE EXISTS (SELECT 1 FROM graft_orders_ex o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_orderpriority = '1-URGENT'
+                               AND o.o_totalprice > 300000)
+               ORDER BY c_custkey""")
+    }),
+
+    // NOT IN subquery (null-aware anti join): parts never shipped in
+    // near-full quantity. l_partkey is non-null so the null-aware check
+    // degenerates to a plain anti join — the plan to verify at scale.
+    "not_in_bulk_parts" -> ((s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("graft_part_ni")
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem_ni")
+      s.sql("""SELECT p_partkey, p_name FROM graft_part_ni
+               WHERE p_partkey NOT IN (SELECT l_partkey FROM graft_lineitem_ni
+                                       WHERE l_quantity >= 49)
+               ORDER BY p_partkey""")
     }),
 
     // Bucketized range join (operators/RangeJoin): lineitem ship dates
@@ -703,6 +748,40 @@ object SparkEntry {
                     THEN 1 END) AS invalid_type
          FROM events""",
 
+    // Schema-metadata oracle: DuckDB's DESCRIBE over the same parquet view,
+    // with DuckDB type names mapped to Spark simpleString names. The
+    // declared list must stay in lockstep with the Spark query's.
+    "schema_report" ->
+      """WITH decl(col_name, declared_type) AS (VALUES
+           ('event_id', 'bigint'), ('ts', 'timestamp'),
+           ('user_id', 'bigint'), ('event_type', 'string'),
+           ('value', 'string'), ('session_id', 'string')),
+         act AS (SELECT column_name AS col_name,
+             CASE column_type
+               WHEN 'BIGINT' THEN 'bigint' WHEN 'VARCHAR' THEN 'string'
+               WHEN 'DOUBLE' THEN 'double' WHEN 'TIMESTAMP' THEN 'timestamp'
+               WHEN 'TIMESTAMP_NS' THEN 'timestamp'
+               ELSE lower(column_type) END AS actual_type
+           FROM (DESCRIBE events))
+         SELECT col_name, d.declared_type AS declared_type,
+           a.actual_type AS actual_type,
+           CASE WHEN d.col_name IS NULL THEN TRUE
+                WHEN a.col_name IS NULL THEN FALSE
+                ELSE d.declared_type = a.actual_type END AS conforms,
+           CASE WHEN d.col_name IS NULL THEN 'undeclared'
+                WHEN a.col_name IS NULL THEN 'missing'
+                WHEN d.declared_type = a.actual_type THEN 'ok'
+                ELSE 'type_mismatch' END AS status
+         FROM decl d FULL JOIN act a USING (col_name)
+         ORDER BY col_name""",
+
+    "invalid_event_types" ->
+      """SELECT lower(event_type) AS invalid_value, count(*) AS n_rows
+         FROM events
+         WHERE event_type IS NOT NULL
+           AND lower(event_type) NOT IN ('view', 'click', 'purchase')
+         GROUP BY 1 ORDER BY 1""",
+
     "json_kpis" ->
       """SELECT event_type, count(*) AS n,
          CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
@@ -820,6 +899,20 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE o_totalprice > (SELECT 1.8 * avg(o_totalprice) FROM orders)
          ORDER BY o_orderkey""",
+
+    "exists_urgent_cust" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderpriority = '1-URGENT'
+                         AND o.o_totalprice > 300000)
+         ORDER BY c_custkey""",
+
+    "not_in_bulk_parts" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
+                                 WHERE l_quantity >= 49)
+         ORDER BY p_partkey""",
 
     "range_join_ship_windows" ->
       """SELECT o_orderkey AS window_key, count(*) AS n_shipments,

@@ -50,4 +50,42 @@ object Validation {
     val missing = required.filterNot(df.columns.contains)
     if (missing.nonEmpty) Left(missing) else Right(df)
   }
+
+  /** Declared-dtype conformance report (reference:
+    * dags/etl/schema_check.py:100-107 — each declared column's actual dtype
+    * checked against the expected one, mismatches reported as warnings).
+    * One row per column: declared vs actual `DataType.simpleString`, a
+    * conform flag, and a status in {ok, type_mismatch, missing,
+    * undeclared}. Pure schema metadata — builds from `df.schema`, runs no
+    * job, so it is free at any data scale. */
+  def schemaReport(df: DataFrame, declared: Seq[(String, String)]): DataFrame = {
+    val actual = df.schema.map(f => f.name -> f.dataType.simpleString)
+    val actualMap = actual.toMap
+    val declNames = declared.map(_._1).toSet
+    val rows: Seq[(String, String, String, Boolean, String)] =
+      declared.map { case (n, dt) =>
+        actualMap.get(n) match {
+          case Some(a) if a == dt => (n, dt, a, true, "ok")
+          case Some(a)            => (n, dt, a, false, "type_mismatch")
+          case None               => (n, dt, null, false, "missing")
+        }
+      } ++ actual.collect { case (n, a) if !declNames(n) =>
+        (n, null, a, true, "undeclared")
+      }
+    import df.sparkSession.implicits._
+    rows.toDF("col_name", "declared_type", "actual_type", "conforms", "status")
+      .orderBy(col("col_name"))
+  }
+
+  /** The DISTINCT offending values for a whitelist rule, with counts — the
+    * reference reports the invalid values themselves, not only a count
+    * (dags/etl/schema_check.py:176-181, lowercased like the reference's
+    * genre check). One hash aggregate over the filtered scan; the result is
+    * bounded by value cardinality, not row count. */
+  def invalidValues(df: DataFrame, c: String, allowed: Seq[String]): DataFrame =
+    df.where(col(c).isNotNull &&
+        !lower(col(c)).isin(allowed.map(_.toLowerCase): _*))
+      .groupBy(lower(col(c)).as("invalid_value"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("invalid_value"))
 }

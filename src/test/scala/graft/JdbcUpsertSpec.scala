@@ -49,6 +49,39 @@ class JdbcUpsertSpec extends SparkSpec {
       "\"genre\" = 'jazz' AND \"listen_count\" = 5") === 1)
   }
 
+  test("mergeUpsert (MERGE dialect) matches delete+insert semantics") {
+    val mergeDdl =
+      """CREATE TABLE genre_kpis_m (
+         "genre" VARCHAR(64) NOT NULL,
+         "listen_count" BIGINT,
+         "load_date" DATE NOT NULL)"""
+    sink.ensureTable(mergeDdl, "genre_kpis_m")
+    val d1 = java.sql.Date.valueOf("2024-06-25")
+    val d2 = java.sql.Date.valueOf("2024-06-26")
+    val batch1 = Seq(("rock", 10L, d1), ("jazz", 5L, d1))
+      .toDF("genre", "listen_count", "load_date")
+
+    sink.mergeUpsert(batch1, "genre_kpis_m", Seq("genre"), "load_date",
+      numPartitions = 2)
+    assert(sink.countWhere("genre_kpis_m", "1=1") === 2)
+
+    // idempotence: same batch re-merged, no duplicates
+    sink.mergeUpsert(batch1, "genre_kpis_m", Seq("genre"), "load_date")
+    assert(sink.countWhere("genre_kpis_m", "1=1") === 2)
+
+    // same key, new date: inserted alongside
+    sink.mergeUpsert(Seq(("rock", 99L, d2)).toDF("genre", "listen_count",
+      "load_date"), "genre_kpis_m", Seq("genre"), "load_date")
+    assert(sink.countWhere("genre_kpis_m", "1=1") === 3)
+
+    // same key+date, new value: updated in place
+    sink.mergeUpsert(Seq(("rock", 42L, d1)).toDF("genre", "listen_count",
+      "load_date"), "genre_kpis_m", Seq("genre"), "load_date")
+    assert(sink.countWhere("genre_kpis_m", "1=1") === 3)
+    assert(sink.countWhere("genre_kpis_m",
+      "\"genre\" = 'rock' AND \"listen_count\" = 42") === 1)
+  }
+
   test("spark.read.jdbc round-trips the warehouse table (partitioned read)") {
     // the read half of the warehouse path: predicate-partitioned parallel
     // scan of what upsert wrote, types preserved

@@ -151,6 +151,26 @@ class ValidationSpec extends SparkSpec {
     assert(Validation.requireColumns(df, Seq("a", "b")).isRight)
     assert(Validation.requireColumns(df, Seq("a", "zzz")) === Left(Seq("zzz")))
   }
+
+  test("schemaReport covers ok/type_mismatch/missing/undeclared statuses") {
+    val df = Seq((1L, "x", 2.5)).toDF("id", "name", "score")
+    val got = Validation.schemaReport(df, Seq(
+        "id" -> "bigint", "name" -> "int", "absent" -> "string"))
+      .collect().map(r => (r.getString(0), r.getBoolean(3), r.getString(4)))
+    assert(got.toSeq === Seq(
+      ("absent", false, "missing"),
+      ("id", true, "ok"),
+      ("name", false, "type_mismatch"),
+      ("score", true, "undeclared")))
+  }
+
+  test("invalidValues reports distinct lowercased offenders with counts") {
+    val df = Seq("Rock", "ROCK", "pop", "polka", "polka", null)
+      .toDF("genre")
+    val got = Validation.invalidValues(df, "genre", Seq("rock", "pop"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq(("polka", 2L))) // whitelist is case-insensitive
+  }
 }
 
 class EnrichSpec extends SparkSpec {
