@@ -186,11 +186,16 @@ object Dedup {
     * [[simhashPairs]]. Summing distinct powers of two is overflow-safe in
     * ANSI mode: bits 0..62 sum below 2^63 and adding the bit-63 term
     * (Long.MinValue) moves the sum back toward zero. */
-  def withSimhash(docs: DataFrame): DataFrame = {
+  /** (doc_id, simhash) for EVERY doc, from ONE scan of `docs`: the
+    * explode_outer null-token row a token-less doc keeps (no isNotNull
+    * filter here, unlike [[shingleRows]]) hashes to null, its null bit
+    * tests fall through when()'s otherwise to a −1 vote, and all-negative
+    * votes yield signature 0 — the same default a join-back would assign,
+    * without scanning or shuffling the corpus a second time. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val toks = docs.repartition(par).select(col("doc_id"),
-        explode_outer(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
-      .where(col("tok").isNotNull) // outer: see shingleRows re InferFiltersFromGenerate
+      explode_outer(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
     val hashed = toks
       .withColumn("hLo", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
       .withColumn("hHi", conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long"))
@@ -201,9 +206,15 @@ object Dedup {
     val votes = hashed.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
     val sig = (0 until 64).map(j =>
       when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-    docs.join(votes.select(col("doc_id"), sig.as("simhash")), Seq("doc_id"), "left")
-      .withColumn("simhash", coalesce(col("simhash"), lit(0L)))
+    votes.select(col("doc_id"), sig.as("simhash"))
   }
+
+  /** Convenience: `docs` with the signature appended (joins the one-scan
+    * [[simhashSignatures]] back on doc_id; pair generation should use the
+    * signatures directly and skip this join). */
+  def withSimhash(docs: DataFrame): DataFrame =
+    docs.join(simhashSignatures(docs), Seq("doc_id"), "left")
+      .withColumn("simhash", coalesce(col("simhash"), lit(0L)))
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken '03 — the MOSS
     * algorithm): positional k-gram hashes → minimum of each w-hash sliding
@@ -287,7 +298,7 @@ object Dedup {
       s"maxHamming + 1 must divide 64 (got ${nBands} bands)")
     val width = 64 / nBands
     val mask = (1L << width) - 1
-    val sig = withSimhash(docs).select(col("doc_id"), col("simhash"))
+    val sig = simhashSignatures(docs)
     val banded = sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"),
