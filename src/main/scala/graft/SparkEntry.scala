@@ -597,6 +597,36 @@ object SparkEntry {
     "token_estimates" -> ((s, dir) =>
       TextAnalysis.tokenEstimates(t(s, dir, "documents"))),
 
+    // Eval-set decontamination: (test doc, train doc) pairs sharing >= 5
+    // 5-gram shingles across the deterministic 80/10/10 split — one scan,
+    // one shuffle (the jaccard bucket-collect shape restricted to
+    // cross-split pairs).
+    "contamination_report" -> ((s, dir) =>
+      Dedup.contaminationPairs(t(s, dir, "documents"), k = 5,
+        weights = Seq("train" -> 80, "val" -> 10, "test" -> 10),
+        minShared = 5)),
+
+    // Per-doc repetition score: share of the doc taken by its most
+    // frequent token (boilerplate/spam signal), argmax folded into the
+    // aggregation via min(struct(-count, token)).
+    "doc_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionScores(t(s, dir, "documents"))),
+
+    // Context-window packing: 2048-token position-packing bins per lang
+    // stream (ordered by doc_id), rolled up to per-bin doc/token counts.
+    "context_packing" -> ((s, dir) =>
+      graft.ext.Sampling.packByTokenBudget(
+          t(s, dir, "documents")
+            .select(col("lang"), col("doc_id"),
+              size(TextAnalysis.tokens(col("text"))).cast("long")
+                .as("n_tokens")),
+          orderCol = col("doc_id"), tokensCol = col("n_tokens"),
+          budget = 2048, partitionCols = Seq(col("lang")))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("window_tokens"))
+        .orderBy(col("lang"), col("bin"))),
+
     // Skew-safe two-phase salted aggregation (SURVEY.md §7.5.6): identical
     // result to a direct groupBy count, straggler-immune shape.
     "salted_hourly_counts" -> ((s, dir) =>
@@ -1276,6 +1306,63 @@ object SparkEntry {
            CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT)
              AS char_est_tokens
            FROM documents GROUP BY lang ORDER BY lang""",
+
+      "contamination_report" -> {
+        // hashBucket mirror (see doc_splits) on the shingle-row split.
+        val hex32 = foldSum(
+          "list_transform(generate_series(1, 8), i -> " +
+            "CAST(CASE WHEN ascii(substr(mh, i, 1)) <= 57 " +
+            "THEN ascii(substr(mh, i, 1)) - 48 " +
+            "ELSE ascii(substr(mh, i, 1)) - 87 END AS BIGINT) " +
+            "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+          "CAST(0 AS BIGINT)")
+        s"""WITH $tokCte, $shCte,
+           m AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS mh
+                 FROM documents),
+           spl AS (SELECT doc_id,
+               CASE WHEN ($hex32 % 100) < 80 THEN 'train'
+                    WHEN ($hex32 % 100) < 90 THEN 'val'
+                    ELSE 'test' END AS split FROM m),
+           shs AS (SELECT sh.doc_id, shingle, split
+                   FROM sh JOIN spl USING (doc_id)
+                   WHERE split IN ('train', 'test')),
+           freq AS (SELECT shingle, count(*) AS c FROM shs GROUP BY 1),
+           ok AS (SELECT shs.* FROM shs JOIN freq USING (shingle)
+                  WHERE c <= 1000),
+           pairs AS (SELECT a.doc_id AS test_doc, b.doc_id AS train_doc,
+               count(*) AS n_shared
+             FROM ok a JOIN ok b ON a.shingle = b.shingle
+               AND a.split = 'test' AND b.split = 'train'
+             GROUP BY 1, 2)
+           SELECT test_doc, train_doc, n_shared FROM pairs
+           WHERE n_shared >= 5 ORDER BY test_doc, train_doc"""
+      },
+
+      "doc_repetition" ->
+        """WITH t2 AS (SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+           FROM documents),
+           r AS (SELECT doc_id, token, count(*) AS c FROM t2 GROUP BY 1, 2),
+           s AS (SELECT doc_id, token, c,
+               max(c) OVER (PARTITION BY doc_id) AS mx,
+               sum(c) OVER (PARTITION BY doc_id) AS tot FROM r)
+           SELECT doc_id, CAST(tot AS BIGINT) AS n_tokens,
+             min(CASE WHEN c = mx THEN token END) AS top_token,
+             CAST(mx AS BIGINT) AS top_count,
+             round(CAST(mx AS DOUBLE) / tot, 6) AS top_ratio
+           FROM s GROUP BY doc_id, tot, mx ORDER BY doc_id""",
+
+      "context_packing" ->
+        """WITH c AS (SELECT lang, doc_id,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+           FROM documents),
+           b AS (SELECT lang, doc_id, n_tokens,
+               CAST(floor((sum(n_tokens) OVER (PARTITION BY lang
+                 ORDER BY doc_id) - n_tokens) / 2048.0) AS BIGINT) AS bin
+             FROM c)
+           SELECT lang, bin, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS window_tokens
+           FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
 
       "label_centroids" ->
         """SELECT label, i - 1 AS dim, round(avg(e), 4) AS centroid

@@ -278,6 +278,49 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Eval-set decontamination (the GPT-3/PaLM-style n-gram overlap check):
+    * (test doc, train doc) pairs sharing >= `minShared` k-gram shingles,
+    * where splits come from [[Sampling.deterministicSplit]] over doc_id.
+    *
+    * Split assignment is a pure projection of doc_id, so the whole check
+    * rides the [[jaccardPairs]] bucket-collect shape — ONE corpus scan,
+    * ONE shuffle on the shingle, `maxBucket` stop-shingle guard — with
+    * pair generation restricted to cross-split (test × train) pairs inside
+    * each bucket. Rows from other splits (val) are dropped before the
+    * shuffle. At 100 TB this is the same cost as one near-dup pass; the
+    * naive formulation (join test-shingles against train-shingles) would
+    * shuffle and compute the shingle pipeline twice. */
+  def contaminationPairs(docs: DataFrame, k: Int,
+                         weights: Seq[(String, Int)],
+                         trainSplit: String = "train",
+                         testSplit: String = "test",
+                         minShared: Long = 5,
+                         maxBucket: Int = 1000): DataFrame = {
+    val sh = Sampling.deterministicSplit(shingleRows(docs, k),
+        col("doc_id"), weights)
+      .where(col("split").isin(trainSplit, testSplit))
+    // collect_set skips nulls, so each bucket carries its train and test
+    // doc sets side by side from one aggregation.
+    val buckets = sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_set(when(col("split") === trainSplit,
+          col("doc_id")))).as("tr"),
+        sort_array(collect_set(when(col("split") === testSplit,
+          col("doc_id")))).as("te"),
+        count(lit(1)).as("c"))
+      .where(size(col("tr")) >= 1 && size(col("te")) >= 1
+        && col("c") <= maxBucket)
+    val pairs = buckets.select(explode_outer(
+        flatten(transform(col("te"), t =>
+          transform(col("tr"), r =>
+            struct(t.as("_1"), r.as("_2"))))))
+        .as("p"))
+      .where(col("p").isNotNull) // outer: see shingleRows
+    pairs.groupBy(col("p._1").as("test_doc"), col("p._2").as("train_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy(col("test_doc"), col("train_doc"))
+  }
+
   /** SimHash near-dup pairs with hamming distance <= `maxHamming`, via the
     * pigeonhole band trick (Manku/Jain/Sarma WWW'07): split the 64-bit
     * signature into `maxHamming + 1` equal bands — any pair within the

@@ -49,4 +49,30 @@ object Sampling {
     * consistent. */
   def hashSample(df: DataFrame, key: Column, percent: Int): DataFrame =
     df.where(hashBucket(key, 100) < percent)
+
+  /** Context-window packing: assign documents, in the deterministic
+    * per-stream order `orderCol`, to consecutive fixed-token-budget bins —
+    * the sequence-packing pass that turns a shuffled corpus into training
+    * windows. `bin = floor(tokens_before_this_doc / budget)`: bins are
+    * contiguous token ranges of the stream and a document belongs to the
+    * bin where its first token lands (position packing — the streaming-
+    * concatenation semantics most training loaders use, not bin-closing
+    * greedy packing, and exactly reproducible in any engine with window
+    * sums).
+    *
+    * Scale: one window aggregate per stream partition. Streams
+    * (`partitionCols`) must be finer than "the whole corpus" at real scale
+    * — shard keys like (source, shard) keep each sequential scan bounded;
+    * packing is inherently sequential *within* a stream by definition. */
+  def packByTokenBudget(df: DataFrame, orderCol: Column, tokensCol: Column,
+                        budget: Long,
+                        partitionCols: Seq[Column] = Nil): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionCols: _*).orderBy(orderCol)
+    df.withColumn("__cum", sum(tokensCol).over(w))
+      .withColumn("bin",
+        floor((col("__cum") - tokensCol).cast("double") / budget).cast("long"))
+      .drop("__cum")
+  }
 }

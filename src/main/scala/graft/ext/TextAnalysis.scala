@@ -165,6 +165,35 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("survivor_doc_id"))
       .orderBy(col("fingerprint"))
 
+  /** Per-document repetition scoring: the share of the document taken by
+    * its single most frequent token — the cheap boilerplate/spam signal a
+    * training pipeline thresholds on (a doc that is 40% one token is
+    * generated/repeated content, not prose). Token-less docs are absent
+    * (no tokens → nothing to score).
+    *
+    * Shape: explode (positional tokens, NOT distinct — repetition is the
+    * point) → (doc, token) counts → per-doc rollup in a second hash
+    * aggregate. The min(struct(-count, token)) trick folds argmax-with-
+    * deterministic-tie-break (highest count, then alphabetically first
+    * token) into the same aggregation pass — no window, no self-join. */
+  def repetitionScores(docs: DataFrame): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val toks = docs.repartition(par)
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("token"))
+      .where(col("token").isNotNull) // outer: avoids InferFiltersFromGenerate
+    val counts = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        min(struct((-col("c")).as("nc"), col("token").as("t"))).as("top"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("top.t").as("top_token"),
+        (-col("top.nc")).as("top_count"),
+        round((-col("top.nc")).cast("double") / col("n_tokens"), 6)
+          .as("top_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-count estimators, rolled up per language — the budgeting pass a
     * training pipeline runs before tokenizing 100 TB for real. Three
     * standard estimates per document, cheapest to closest:

@@ -51,6 +51,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scores.forall(s => s >= 0.0 && s <= 1.0))
     assert(scores(2) >= 0.5) // long doc maxes the length term
   }
+
+  test("repetition score: top-token share with alphabetical tie-break") {
+    val df = Seq((1L, "a a a b"), (2L, "y x"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionScores(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      (1L, 4L, "a", 3L, 0.75),
+      (2L, 2L, "x", 1L, 0.5))) // tie -> alphabetically first; empty doc absent
+  }
+
+  test("context packing bins are contiguous token ranges per stream") {
+    val df = Seq(("en", 1L, 10L), ("en", 2L, 10L), ("en", 3L, 10L),
+      ("en", 4L, 10L), ("de", 1L, 30L)).toDF("lang", "doc_id", "n_tokens")
+    val out = graft.ext.Sampling.packByTokenBudget(df, col("doc_id"),
+        col("n_tokens"), budget = 25, partitionCols = Seq(col("lang")))
+      .orderBy(col("lang"), col("doc_id"))
+      .select("lang", "doc_id", "bin")
+      .as[(String, Long, Long)].collect()
+    // en: first tokens land at 0,10,20,30 -> bins 0,0,0,1; de restarts at 0
+    assert(out.toSeq === Seq(("de", 1L, 0L), ("en", 1L, 0L), ("en", 2L, 0L),
+      ("en", 3L, 0L), ("en", 4L, 1L)))
+  }
 }
 
 class DedupSpec extends SparkSpec {
@@ -109,6 +132,26 @@ class DedupSpec extends SparkSpec {
     if (hamming <= 7) // pigeonhole guarantee: must be found
       assert(pairs.contains((1L, 2L, hamming.toLong)))
     assert(!pairs.exists(p => p._1 === 3L || p._2 === 3L))
+  }
+
+  test("contamination: identical cross-split docs pair, same-split docs don't") {
+    import graft.ext.Sampling
+    // find one train id and two test ids under the 80/10/10 doc_id split
+    val splits = Sampling.deterministicSplit(
+        (0L until 300L).toDF("doc_id"), col("doc_id"),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .as[(Long, String)].collect()
+    val trainId = splits.collectFirst { case (id, "train") => id }.get
+    val Seq(testA, testB) = splits.collect { case (id, "test") => id }.take(2).toSeq
+    val text = "one two three four five six seven eight nine ten"
+    val docs = Seq((trainId, text), (testA, text), (testB, text))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.contaminationPairs(docs, k = 5,
+        weights = Seq("train" -> 80, "val" -> 10, "test" -> 10), minShared = 5)
+      .select("test_doc", "train_doc").as[(Long, Long)].collect().toSet
+    // both test docs flag against the train doc; the test-test identical
+    // pair is NOT reported (decontamination is cross-split only)
+    assert(pairs === Set((testA, trainId), (testB, trainId)))
   }
 
   test("simhash/minhash: maxBucket caps degenerate collision buckets") {
