@@ -72,10 +72,17 @@ object Dedup {
     * quadratic on boilerplate text. */
   def jaccardPairs(docs: DataFrame, k: Int, threshold: Double,
                    maxBucket: Int = 1000): DataFrame = {
-    val ds = docShingles(docs, k)
-    val sh = ds.select(col("doc_id"), explode_outer(col("shingles")).as("shingle"))
+    // Each exploded shingle row carries its doc's set size `n` (a size()
+    // off the already-computed array — no second tokenization), so the
+    // union-size denominator rides the bucket structs and the old
+    // sizes-table joins disappear: those two joins each re-ran the WHOLE
+    // tokenize->shingle pipeline as their build side (3 corpus scans
+    // total, caught by PlanShapeSpec). Now: ONE scan, ONE shuffle.
+    val sh = docShingles(docs, k)
+      .select(col("doc_id"), size(col("shingles")).cast("long").as("n"),
+        explode_outer(col("shingles")).as("shingle"))
       .where(col("shingle").isNotNull) // outer: see shingleRows
-    // Bucket-collect instead of self-join: ONE shuffle groups the doc ids
+    // Bucket-collect instead of self-join: ONE shuffle groups the docs
     // sharing each shingle; pairs are generated inside the bucket. A
     // self-join on shingle recomputes the whole tokenize->shingle->explode
     // pipeline on both sides (Spark does not reuse the exchange across the
@@ -84,28 +91,24 @@ object Dedup {
     // stop-shingles. (At extreme skew, pre-filter hot shingles with a
     // count-only pass before collecting — same shapes, one more shuffle.)
     val buckets = sh.groupBy(col("shingle"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("d"),
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("n")))).as("d"),
         count(lit(1)).as("c"))
       .where(col("c") >= 2 && col("c") <= maxBucket)
     val pairs = buckets.select(explode_outer(
         flatten(transform(col("d"), (x, i) =>
           transform(slice(col("d"), i + 2, size(col("d"))),
-            y => struct(x.as("_1"), y.as("_2"))))))
+            y => struct(x.getField("doc_id").as("a"),
+              x.getField("n").as("na"),
+              y.getField("doc_id").as("b"),
+              y.getField("n").as("nb"))))))
         .as("p"))
       .where(col("p").isNotNull) // outer: see shingleRows
-    // Per-doc set sizes are a PROJECTION off the shingle arrays (no explode,
-    // no groupBy). One row per doc: small enough that AQE broadcasts it at
-    // test scale, correctly shuffle-joins on doc_id at corpus scale.
-    val sizes =
-      ds.select(col("doc_id"), size(col("shingles")).cast("long").as("n_shingles"))
-    val common = pairs
-      .groupBy(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
+    // n_a/n_b are functionally dependent on doc_a/doc_b; keeping them as
+    // grouping keys changes nothing about the groups and keeps this a
+    // single aggregate.
+    pairs.groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"),
+        col("p.na").as("n_a"), col("p.nb").as("n_b"))
       .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_shingles", "n_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_shingles", "n_b"), Seq("doc_b"))
       .withColumn("jaccard", round(col("n_common").cast("double")
         / (col("n_a") + col("n_b") - col("n_common")), 6))
       .where(col("jaccard") >= threshold)
