@@ -612,6 +612,25 @@ object SparkEntry {
     "doc_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionScores(t(s, dir, "documents"))),
 
+    // Source-mixture sampling: per-language keep rates (all of en, half of
+    // de, a quarter of zh, 10% elsewhere), counted per lang.
+    "mixture_counts" -> ((s, dir) =>
+      graft.ext.Sampling.mixtureSample(t(s, dir, "documents"),
+          col("doc_id"), col("lang"),
+          Seq("en" -> 100, "de" -> 50, "zh" -> 25), defaultPercent = 10)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))),
+
+    // Int8 embedding quantization quality: per-label mean/max
+    // reconstruction error of absmax-scaled int8 codes.
+    "embedding_quant_error" -> ((s, dir) =>
+      Similarity.quantizeInt8(t(s, dir, "embeddings"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg(col("quant_mae")), 6).as("avg_abs_err"),
+          round(max(col("quant_mae")), 6).as("max_abs_err"))
+        .orderBy(col("label"))),
+
     // Context-window packing: 2048-token position-packing bins per lang
     // stream (ordered by doc_id), rolled up to per-bin doc/token counts.
     "context_packing" -> ((s, dir) =>
@@ -1351,6 +1370,40 @@ object SparkEntry {
              CAST(mx AS BIGINT) AS top_count,
              round(CAST(mx AS DOUBLE) / tot, 6) AS top_ratio
            FROM s GROUP BY doc_id, tot, mx ORDER BY doc_id""",
+
+      "mixture_counts" -> {
+        val hex32 = foldSum(
+          "list_transform(generate_series(1, 8), i -> " +
+            "CAST(CASE WHEN ascii(substr(mh, i, 1)) <= 57 " +
+            "THEN ascii(substr(mh, i, 1)) - 48 " +
+            "ELSE ascii(substr(mh, i, 1)) - 87 END AS BIGINT) " +
+            "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+          "CAST(0 AS BIGINT)")
+        s"""WITH m AS (SELECT lang, md5(CAST(doc_id AS VARCHAR)) AS mh
+               FROM documents),
+           h AS (SELECT lang, $hex32 % 100 AS bucket FROM m)
+           SELECT lang, count(*) AS n_docs FROM h
+           WHERE bucket < CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50
+                                    WHEN 'zh' THEN 25 ELSE 10 END
+           GROUP BY 1 ORDER BY 1"""
+      },
+
+      "embedding_quant_error" ->
+        """WITH s AS (SELECT vec_id, label, embedding,
+             list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+           FROM embeddings),
+           e AS (SELECT label,
+               CASE WHEN scale = 0 THEN 0.0 ELSE
+                 list_reduce(list_prepend(0.0, list_transform(embedding,
+                   x -> abs(floor(CAST(x AS DOUBLE) / scale + 0.5) * scale
+                     - CAST(x AS DOUBLE)))), (a, b) -> a + b)
+                 / len(embedding) END AS mae
+             FROM s)
+           SELECT label, count(*) AS n_vecs,
+             round(avg(mae), 6) AS avg_abs_err,
+             round(max(mae), 6) AS max_abs_err
+           FROM e GROUP BY label ORDER BY label""",
 
       "context_packing" ->
         """WITH c AS (SELECT lang, doc_id,

@@ -50,6 +50,25 @@ object Sampling {
   def hashSample(df: DataFrame, key: Column, percent: Int): DataFrame =
     df.where(hashBucket(key, 100) < percent)
 
+  /** Source-mixture sampling: per-stratum keep rates (integer percents) —
+    * the mixture-weighting pass that up/down-samples sources or languages
+    * into a training mix (e.g. keep all of en, half of de, a tenth of the
+    * long tail). Same determinism contract as [[hashSample]]: assignment
+    * is a pure function of the row's key, so re-runs, engine changes and
+    * repartitioning never migrate rows in or out of the mix. Strata absent
+    * from `rates` fall back to `defaultPercent`. Pure filter — no shuffle,
+    * pushes below downstream aggregates. */
+  def mixtureSample(df: DataFrame, key: Column, stratum: Column,
+                    rates: Seq[(String, Int)],
+                    defaultPercent: Int = 100): DataFrame = {
+    require((defaultPercent +: rates.map(_._2)).forall(p => p >= 0 && p <= 100),
+      s"rates must be percents in [0, 100]: $rates default $defaultPercent")
+    val rateExpr = rates.foldRight(lit(defaultPercent): Column) {
+      case ((s, p), rest) => when(stratum === lit(s), lit(p)).otherwise(rest)
+    }
+    df.where(hashBucket(key, 100) < rateExpr)
+  }
+
   /** Context-window packing: assign documents, in the deterministic
     * per-stream order `orderCol`, to consecutive fixed-token-budget bins —
     * the sequence-packing pass that turns a shuffled corpus into training

@@ -216,6 +216,32 @@ object Similarity {
     centroids
   }
 
+  /** Per-vector int8 quantization (absmax scaling — the standard 4x
+    * compression applied to embedding corpora before ANN indexing):
+    * `scale = max|x| / 127`, `q_i = round(x_i / scale)` computed as
+    * `floor(x/scale + 0.5)` — explicit, because CAST-to-int rounding is
+    * engine-specific (Spark truncates, DuckDB rounds half-even) while
+    * floor is IEEE-identical everywhere. Appends the code array, the
+    * scale, and the per-vector mean reconstruction error (the quality
+    * metric a pipeline thresholds before committing to int8). Pure
+    * projection — no shuffle, embarrassingly parallel. Zero vectors get
+    * code 0 / error 0. */
+  def quantizeInt8(vecs: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol)
+    vecs
+      .withColumn("scale",
+        array_max(transform(v, x => abs(x.cast("double")))) / 127.0)
+      .withColumn("qcode",
+        when(col("scale") === 0.0, transform(v, _ => lit(0)))
+          .otherwise(transform(v,
+            x => floor(x.cast("double") / col("scale") + 0.5).cast("int"))))
+      .withColumn("quant_mae",
+        when(col("scale") === 0.0, lit(0.0))
+          .otherwise(aggregate(v, lit(0.0), (acc, x) =>
+            acc + abs(floor(x.cast("double") / col("scale") + 0.5)
+              * col("scale") - x.cast("double"))) / size(v)))
+  }
+
   /** Nearest-centroid list id, by squared L2 distance expanded as
     * |v|² − 2·v·c + |c|² (|v|² constant per row → argmin over −2·v·c + |c|²).
     * One [[dotN]] per centroid, all inlined literals — a pure projection. */

@@ -55,4 +55,37 @@ class SamplingSpec extends SparkSpec {
       Sampling.deterministicSplit(df, col("id"), Seq("a" -> 90, "b" -> 20))
     }
   }
+
+  test("mixtureSample applies per-stratum rates with a default fallback") {
+    val df = (0L until 900L).map(i =>
+      (i, Seq("en", "de", "xx")((i % 3).toInt))).toDF("id", "src")
+    val kept = Sampling.mixtureSample(df, col("id"), col("src"),
+        Seq("en" -> 100, "de" -> 50), defaultPercent = 0)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(kept("en") === 300L)                    // 100% stratum keeps all
+    assert(kept("de") > 100L && kept("de") < 200L) // ~50% of 300
+    assert(!kept.contains("xx"))                   // 0% default drops stratum
+    // stable under repartitioning (hash of key, not position)
+    val again = Sampling.mixtureSample(df.repartition(7), col("id"),
+        col("src"), Seq("en" -> 100, "de" -> 50), defaultPercent = 0)
+      .select("id").as[Long].collect().toSet
+    val first = Sampling.mixtureSample(df, col("id"), col("src"),
+        Seq("en" -> 100, "de" -> 50), defaultPercent = 0)
+      .select("id").as[Long].collect().toSet
+    assert(first === again)
+  }
+
+  test("int8 quantization: codes bounded, error small, zero vector safe") {
+    import graft.ext.Similarity
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df).orderBy("vec_id")
+      .select("qcode", "scale", "quant_mae")
+      .as[(Seq[Int], Double, Double)].collect()
+    assert(out(0)._1 === Seq(127, -63, 32, 0)) // floor(x/scale + 0.5)
+    assert(out(0)._1.forall(c => c >= -127 && c <= 127))
+    assert(out(0)._3 < out(0)._2) // mean error under one quantization step
+    assert(out(1)._1 === Seq(0, 0, 0, 0) && out(1)._3 === 0.0)
+  }
 }
