@@ -29,10 +29,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** (doc_id, shingles: array<string>) — distinct k-gram shingles per doc as
-    * ONE projection, so multiple consumers (explode, sizes) branch off a
-    * single tokenization instead of re-running the regexp per branch. */
-  def docShingles(docs: DataFrame, k: Int): DataFrame = {
+  /** (doc_id[, carry...], shingles: array<string>) — distinct k-gram
+    * shingles per doc as ONE projection, so multiple consumers (explode,
+    * sizes) branch off a single tokenization instead of re-running the
+    * regexp per branch. `carry` names cheap per-doc columns to keep
+    * alongside (e.g. a split label) — carrying them through beats joining
+    * them back after the explode. */
+  def docShingles(docs: DataFrame, k: Int,
+                  carry: Seq[String] = Nil): DataFrame = {
     val w = TextAnalysis.tokens(col("text"))
     // The shingle transform fans out ~tokens× work per row; a small input
     // (one parquet file => one partition) would otherwise run it on a single
@@ -40,6 +44,7 @@ object Dedup {
     // the scan is already many-partitioned and this shuffle is one tiny
     // extra exchange of raw text.
     val par = docs.sparkSession.sparkContext.defaultParallelism
+    val keep = col("doc_id") +: carry.map(col)
     // NB: the < k-token case must be handled INSIDE the expression (empty
     // array), not only by a preceding filter — Spark's sequence(1, n) turns
     // *descending* for n < 1 rather than empty, and the optimizer may
@@ -48,12 +53,12 @@ object Dedup {
     // Catalyst evaluate the whole shingle transform a second time (once for
     // the predicate, once for the projection); downstream explode() already
     // drops empty arrays for free.
-    docs.repartition(par).select(col("doc_id"), w.as("w"))
-      .select(col("doc_id"),
+    docs.repartition(par).select(keep :+ w.as("w"): _*)
+      .select(keep :+
         when(size(col("w")) >= k, array_distinct(
           transform(sequence(lit(1), size(col("w")) - (k - 1)),
             i => array_join(slice(col("w"), i, lit(k)), " "))))
-          .otherwise(array().cast("array<string>")).as("shingles"))
+          .otherwise(array().cast("array<string>")).as("shingles"): _*)
   }
 
   // explode_outer + isNotNull instead of explode: InferFiltersFromGenerate
@@ -299,9 +304,17 @@ object Dedup {
                          testSplit: String = "test",
                          minShared: Long = 5,
                          maxBucket: Int = 1000): DataFrame = {
-    val sh = Sampling.deterministicSplit(shingleRows(docs, k),
-        col("doc_id"), weights)
-      .where(col("split").isin(trainSplit, testSplit))
+    // Split BEFORE shingling: one md5 per DOC (not per exploded shingle
+    // row), and docs from other splits (val) never get tokenized at all —
+    // the filter runs on the cheap split projection under the shingle
+    // transform.
+    val sh = docShingles(
+        Sampling.deterministicSplit(docs, col("doc_id"), weights)
+          .where(col("split").isin(trainSplit, testSplit)),
+        k, carry = Seq("split"))
+      .select(col("doc_id"), col("split"),
+        explode_outer(col("shingles")).as("shingle"))
+      .where(col("shingle").isNotNull) // outer: see shingleRows
     // collect_set skips nulls, so each bucket carries its train and test
     // doc sets side by side from one aggregation.
     val buckets = sh.groupBy(col("shingle"))
