@@ -70,6 +70,21 @@ object StreamingKpis {
       dedupWithWatermark(events, tsCol, idCols, Some(watermark)),
       tsCol, userCol, watermark = None)
 
+  /** Streaming content dedup for document ingestion — the streaming twin
+    * of `TextAnalysis.fingerprintDedup` and the shape an LLM-data pipeline
+    * runs at the crawl frontier: fingerprint each arriving doc's canonical
+    * token stream (md5 — identical to the batch fingerprint, so batch
+    * backfills and the stream agree on identity) and drop re-crawls of the
+    * same content within the watermark horizon. State is one 32-char key
+    * per distinct document seen inside the horizon — bounded, unlike an
+    * ever-growing seen-set. */
+  def dedupDocsByFingerprint(docs: DataFrame, tsCol: String,
+                             watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("fingerprint",
+        graft.ext.TextAnalysis.fingerprint(col("text")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("fingerprint"))
+
   /** Task-5 twin: micro-batch upsert through the same idempotent JDBC sink
     * as batch — redelivered micro-batches collapse on (keys, dateCol). */
   def toUpsertSink(kpis: DataFrame, sink: JdbcUpsertSink, table: String,

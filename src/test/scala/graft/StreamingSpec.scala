@@ -32,6 +32,30 @@ class StreamingSpec extends SparkSpec {
     assert(n === 2)
   }
 
+  test("streaming fingerprint dedup drops same-content re-crawls only") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val deduped = StreamingKpis.dedupDocsByFingerprint(docs, "ts")
+    val q = deduped.writeStream.format("memory").queryName("docdedup_out")
+      .option("checkpointLocation", tmp("ckpt-docdedup")).outputMode("append")
+      .start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    input.addData(
+      (t0, 1L, "the quick fox"),
+      (t0, 2L, "The  quick   FOX"), // same canonical content -> dropped
+      (t0, 3L, "something else"))
+    q.processAllAvailable()
+    input.addData((t0, 4L, "the quick fox")) // re-crawl, later micro-batch
+    q.processAllAvailable()
+    val kept = spark.sql("SELECT doc_id FROM docdedup_out").as[Long]
+      .collect().toSet
+    q.stop()
+    assert(kept.size === 2)
+    assert(kept.contains(3L))
+    assert(kept.intersect(Set(1L, 2L)).size === 1) // one survivor per content
+  }
+
   test("windowed KPIs bucket by calendar hour with bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long)]
