@@ -612,6 +612,22 @@ object SparkEntry {
     "doc_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionScores(t(s, dir, "documents"))),
 
+    // Heavy hitters WITHOUT a vocabulary-wide shuffle: Misra-Gries sketch
+    // (capacity 64) -> top 20. The sketch family (like approx_count_
+    // distinct / approx_percentile) is engine-specific -> rows-only check;
+    // SketchSpec asserts the retention + error-bound guarantees vs exact.
+    "top_tokens_sketch" -> ((s, dir) => {
+      import graft.functions.SketchAggregates.freqItems
+      t(s, dir, "documents")
+        .select(explode_outer(TextAnalysis.tokens(col("text"))).as("token"))
+        .where(col("token").isNotNull)
+        .agg(freqItems(col("token"), 64).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.item").as("token"), col("e.est").as("est_count"))
+        .orderBy(col("est_count").desc, col("token"))
+        .limit(20)
+    }),
+
     // Source-mixture sampling: per-language keep rates (all of en, half of
     // de, a quarter of zh, 10% elsewhere), counted per lang.
     "mixture_counts" -> ((s, dir) =>

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductExpr, VectorSum}
+import graft.functions.{DotProductExpr, FrequentItemsSketch, VectorSum}
 
 /** Session extension registering graft's native expressions as SQL
   * functions (`SELECT graft_dot(a, b)`), so pure-SQL users get the codegen
@@ -32,6 +32,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "vec_sum expects exactly 1 argument")
         VectorSum(children.head).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("freq_items"),
+      new ExpressionInfo(classOf[FrequentItemsSketch].getName, "freq_items"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "freq_items expects (column, capacity)")
+        require(children(1).foldable, "freq_items capacity must be a literal")
+        FrequentItemsSketch(children.head,
+          children(1).eval().asInstanceOf[Number].intValue())
+          .toAggregateExpression()
       }))
   }
 }
