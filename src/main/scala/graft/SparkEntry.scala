@@ -415,6 +415,32 @@ object SparkEntry {
                ORDER BY o_orderkey""")
     }),
 
+    // SCD type-2 dimension merge (operators/Scd): the customer segment
+    // dimension versioned at 1995-01-01, merged with a snapshot where
+    // every 10th customer changed segment as of 1996-01-01 — changed keys
+    // get a closed-out old version + a new open one, the rest pass
+    // through. One full-outer join; version rows emitted via explode (no
+    // per-branch join recompute).
+    "scd2_customer_dim" -> ((s, dir) => {
+      import graft.operators.Scd
+      val cust = t(s, dir, "customer")
+      val dim = cust.select(col("c_custkey"),
+          col("c_mktsegment").as("segment"))
+        .withColumn("effective_from", lit("1995-01-01").cast("date"))
+        .withColumn("effective_to", lit(null).cast("date"))
+      val upd = cust.select(col("c_custkey"),
+        when(col("c_custkey") % 10 === 0,
+          concat(col("c_mktsegment"), lit("_V2")))
+          .otherwise(col("c_mktsegment")).as("segment"))
+      Scd.scd2Merge(dim, upd, keys = Seq("c_custkey"),
+          attrs = Seq("segment"), asOf = lit("1996-01-01").cast("date"))
+        // DATE surfaces as python `object` from Spark parquet but
+        // datetime64 from DuckDB — emit timestamps for the comparator.
+        .withColumn("effective_from", col("effective_from").cast("timestamp"))
+        .withColumn("effective_to", col("effective_to").cast("timestamp"))
+        .orderBy(col("c_custkey"), col("effective_from"))
+    }),
+
     // Correlated EXISTS through the SQL surface: Catalyst rewrites it to a
     // left-semi hash join on o_custkey with the price/priority filter
     // pushed below — the declarative twin of semi_join_customers.
@@ -972,6 +998,30 @@ object SparkEntry {
                          AND o.o_orderpriority = '1-URGENT'
                          AND o.o_totalprice > 300000)
          ORDER BY c_custkey""",
+
+    "scd2_customer_dim" ->
+      """WITH dim AS (SELECT c_custkey, c_mktsegment AS seg,
+             DATE '1995-01-01' AS eff_from, CAST(NULL AS DATE) AS eff_to
+           FROM customer),
+         upd AS (SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 0 THEN c_mktsegment || '_V2'
+                  ELSE c_mktsegment END AS seg FROM customer),
+         j AS (SELECT c_custkey, dim.seg AS dseg, upd.seg AS useg,
+                 dim.eff_from
+               FROM dim FULL JOIN upd USING (c_custkey)),
+         out AS (
+           SELECT c_custkey, dseg AS segment, eff_from, CAST(NULL AS DATE)
+             AS eff_to FROM j WHERE useg IS NULL OR dseg = useg
+           UNION ALL
+           SELECT c_custkey, dseg, eff_from, DATE '1996-01-01' FROM j
+           WHERE useg IS NOT NULL AND dseg IS NOT NULL AND dseg <> useg
+           UNION ALL
+           SELECT c_custkey, useg, DATE '1996-01-01', CAST(NULL AS DATE)
+           FROM j WHERE useg IS NOT NULL AND (dseg IS NULL OR dseg <> useg))
+         SELECT c_custkey, segment,
+           CAST(eff_from AS TIMESTAMP) AS effective_from,
+           CAST(eff_to AS TIMESTAMP) AS effective_to
+         FROM out ORDER BY c_custkey, effective_from""",
 
     "not_in_bulk_parts" ->
       """SELECT p_partkey, p_name FROM part
