@@ -638,6 +638,19 @@ object SparkEntry {
     "doc_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionScores(t(s, dir, "documents"))),
 
+    // Blocked fuzzy matching (entity resolution): part names within one
+    // edit of each other, blocked on the first name token; rolled up to
+    // per-block pair counts (the synthetic catalog's tiny name space makes
+    // raw pair lists huge — the rollup is the witness).
+    "fuzzy_part_pairs" -> ((s, dir) =>
+      graft.ext.Fuzzy.blockedNamePairs(t(s, dir, "part"),
+          "p_partkey", "p_name",
+          block = split(col("p_name"), " ").getItem(0), maxDist = 1)
+        .groupBy(col("block"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("edit_dist")), 6).as("avg_dist"))
+        .orderBy(col("block"))),
+
     // Heavy hitters WITHOUT a vocabulary-wide shuffle: Misra-Gries sketch
     // (capacity 64) -> top 20. The sketch family (like approx_count_
     // distinct / approx_percentile) is engine-specific -> rows-only check;
@@ -1436,6 +1449,18 @@ object SparkEntry {
              CAST(mx AS BIGINT) AS top_count,
              round(CAST(mx AS DOUBLE) / tot, 6) AS top_ratio
            FROM s GROUP BY doc_id, tot, mx ORDER BY doc_id""",
+
+      "fuzzy_part_pairs" ->
+        """WITH b AS (SELECT p_partkey, p_name,
+             split_part(p_name, ' ', 1) AS block FROM part),
+           pairs AS (SELECT a.block,
+               levenshtein(a.p_name, c.p_name) AS edit_dist
+             FROM b a JOIN b c
+               ON a.block = c.block AND a.p_partkey < c.p_partkey
+             WHERE levenshtein(a.p_name, c.p_name) <= 1)
+           SELECT block, count(*) AS n_pairs,
+             round(avg(edit_dist), 6) AS avg_dist
+           FROM pairs GROUP BY block ORDER BY block""",
 
       "mixture_counts" -> {
         val hex32 = foldSum(

@@ -168,6 +168,32 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class FuzzySpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ext.Fuzzy
+
+  test("blocked fuzzy match pairs within-block near names only") {
+    val df = Seq(
+      (1L, "acme corp"),  // block "acme"
+      (2L, "acme corq"),  // 1 edit from #1, same block
+      (3L, "acme unrelated name"), // same block, far
+      (4L, "acmf corp"))  // 1 edit from #1 but DIFFERENT block -> never compared
+      .toDF("id", "name")
+    val pairs = Fuzzy.blockedNamePairs(df, "id", "name",
+        block = split(col("name"), " ").getItem(0), maxDist = 1)
+      .select("id_a", "id_b", "edit_dist")
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.toSeq === Seq((1L, 2L, 1L)))
+  }
+
+  test("maxBucket drops degenerate blocks instead of going quadratic") {
+    val df = (1L to 50L).map(i => (i, s"name $i")).toDF("id", "name")
+    val capped = Fuzzy.blockedNamePairs(df, "id", "name", lit("all"),
+      maxDist = 10, maxBucket = 10)
+    assert(capped.count() === 0L)
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
