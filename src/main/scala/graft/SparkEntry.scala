@@ -638,6 +638,15 @@ object SparkEntry {
     "doc_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionScores(t(s, dir, "documents"))),
 
+    // Calendar-spine gap fill: hourly counts of a SPARSE event subset
+    // (big purchases) where dead hours appear explicitly with 0 — the
+    // alerting/dashboarding shape the data-present-only rollup can't give.
+    "hourly_gapfill" -> ((s, dir) =>
+      graft.operators.GapFill.hourlyCounts(
+        t(s, dir, "events")
+          .where(col("event_type") === "purchase" && col("value") > 200),
+        "ts")),
+
     // Blocked fuzzy matching (entity resolution): part names within one
     // edit of each other, blocked on the first name token; rolled up to
     // per-block pair counts (the synthetic catalog's tiny name space makes
@@ -1449,6 +1458,18 @@ object SparkEntry {
              CAST(mx AS BIGINT) AS top_count,
              round(CAST(mx AS DOUBLE) / tot, 6) AS top_ratio
            FROM s GROUP BY doc_id, tot, mx ORDER BY doc_id""",
+
+      "hourly_gapfill" ->
+        """WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
+               AS hour_start, count(*) AS c
+             FROM events WHERE event_type = 'purchase' AND value > 200
+             GROUP BY 1),
+           bounds AS (SELECT min(hour_start) mn, max(hour_start) mx FROM h),
+           spine AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+               AS hour_start FROM bounds)
+           SELECT hour_start, CAST(coalesce(c, 0) AS BIGINT) AS n_events
+           FROM spine LEFT JOIN h USING (hour_start)
+           ORDER BY hour_start""",
 
       "fuzzy_part_pairs" ->
         """WITH b AS (SELECT p_partkey, p_name,

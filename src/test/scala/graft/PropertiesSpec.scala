@@ -52,6 +52,47 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("context packing: bins contiguous from 0, sums bounded by budget+straddle") {
+    val tokGen = Gen.listOfN(25, Gen.choose(1L, 40L))
+    check(Prop.forAll(tokGen) { toks =>
+      toks.isEmpty || {
+        val budget = 64L
+        val df = toks.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+          .toDF("doc_id", "n")
+        val out = graft.ext.Sampling.packByTokenBudget(df, $"doc_id", $"n",
+            budget).groupBy($"bin")
+          .agg(sum($"n").as("tot")).orderBy($"bin")
+          .as[(Long, Long)].collect()
+        val bins = out.map(_._1)
+        val maxDoc = toks.max
+        // bins are 0..k consecutive; each bin holds < budget + the one
+        // straddling doc (position packing: a doc belongs where its first
+        // token lands)
+        bins.toSeq == (0L until bins.length).toSeq &&
+          out.forall { case (_, tot) => tot < budget + maxDoc } &&
+          out.map(_._2).sum == toks.sum
+      }
+    })
+  }
+
+  test("gap-fill spine is dense, zero-filled, and count-preserving") {
+    val evGen = Gen.listOfN(12, Gen.choose(0, 200)) // sparse hours over ~8 days
+    check(Prop.forAll(evGen) { hours =>
+      hours.isEmpty || {
+        val df = hours.zipWithIndex.map { case (h, i) =>
+          (java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")
+            .plusSeconds(h * 3600L + i)), 1L)
+        }.toDF("ts", "x")
+        val out = graft.operators.GapFill.hourlyCounts(df, "ts")
+          .as[(java.sql.Timestamp, Long)].collect()
+        val span = hours.max - hours.min + 1
+        out.length == span &&                      // dense: every hour present
+          out.map(_._2).sum == hours.size &&       // nothing lost
+          out.exists(_._2 == 0L) == (span > hours.distinct.size) // zeros iff gaps
+      }
+    })
+  }
+
   test("diversity ratio always lands in (0, 1]") {
     val evGen = Gen.listOfN(40,
       Gen.zip(Gen.choose(0, 23), Gen.choose(1L, 5L), Gen.oneOf("x", "y", "z")))
