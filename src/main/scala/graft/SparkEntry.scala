@@ -638,6 +638,16 @@ object SparkEntry {
     "doc_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionScores(t(s, dir, "documents"))),
 
+    // Z-order (Morton) codes: the multi-dim clustering key behind
+    // ZORDER BY layouts, as a pure bit-arithmetic projection (operators/
+    // ZOrder; ZOrderSpec proves the both-dims-bounded file property).
+    "zorder_codes" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          graft.operators.ZOrder.zorderCode2(
+            col("c_custkey") % 32, col("c_nationkey"), bits = 5).as("zcode"))
+        .orderBy(col("c_custkey"))),
+
     // Calendar-spine gap fill: hourly counts of a SPARSE event subset
     // (big purchases) where dead hours appear explicitly with 0 — the
     // alerting/dashboarding shape the data-present-only rollup can't give.
@@ -1458,6 +1468,16 @@ object SparkEntry {
              CAST(mx AS BIGINT) AS top_count,
              round(CAST(mx AS DOUBLE) / tot, 6) AS top_ratio
            FROM s GROUP BY doc_id, tot, mx ORDER BY doc_id""",
+
+      "zorder_codes" -> {
+        val z = (0 until 5).map(j =>
+          s"(((a >> $j) & 1) * ${1L << (2 * j)} + " +
+            s"((b >> $j) & 1) * ${1L << (2 * j + 1)})").mkString(" + ")
+        s"""SELECT c_custkey, $z AS zcode
+           FROM (SELECT c_custkey, c_custkey % 32 AS a,
+                   CAST(c_nationkey AS BIGINT) AS b FROM customer)
+           ORDER BY c_custkey"""
+      },
 
       "hourly_gapfill" ->
         """WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
