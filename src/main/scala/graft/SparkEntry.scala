@@ -295,6 +295,37 @@ object SparkEntry {
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     }),
 
+    // Forward as-of: each click attributed to the NEXT view at-or-after it
+    // (the mirror direction; DuckDB ASOF with <= is the oracle).
+    "asof_next_view" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("view_ts"))
+        .agg(max(col("value")).as("view_value"))
+      graft.operators.AsOf.asOfJoinForward(clicks, views,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "view_ts",
+          rightValCols = Seq("view_ts", "view_value"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
+    // Nearest as-of: the time-closest view on either side (tie -> the
+    // preceding one); oracled by joining DuckDB's backward and forward
+    // ASOF results and picking per row by microsecond distance.
+    "asof_nearest_view" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("view_ts"))
+        .agg(max(col("value")).as("view_value"))
+      graft.operators.AsOf.asOfJoinNearest(clicks, views,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "view_ts",
+          rightValCols = Seq("view_ts", "view_value"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
     // Gap sessionization (30 min): lag-mark → running-sum session ids →
     // per-session aggregate; streaming twin uses flatMapGroupsWithState.
     "user_sessions" -> ((s, dir) =>
@@ -928,6 +959,41 @@ object SparkEntry {
          SELECT c.user_id, c.event_id, c.ts, v.view_ts, v.view_value
          FROM clicks c ASOF LEFT JOIN views v
            ON c.user_id = v.user_id AND c.ts >= v.view_ts
+         ORDER BY c.user_id, c.ts, c.event_id""",
+
+    "asof_next_view" ->
+      """WITH clicks AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+                         FROM events WHERE event_type = 'click'),
+         views AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts,
+                          max(value) AS view_value
+                   FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+         SELECT c.user_id, c.event_id, c.ts, v.view_ts, v.view_value
+         FROM clicks c ASOF LEFT JOIN views v
+           ON c.user_id = v.user_id AND c.ts <= v.view_ts
+         ORDER BY c.user_id, c.ts, c.event_id""",
+
+    "asof_nearest_view" ->
+      """WITH clicks AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+                         FROM events WHERE event_type = 'click'),
+         views AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts,
+                          max(value) AS view_value
+                   FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         b AS (SELECT c.event_id, v.view_ts AS b_ts, v.view_value AS b_val
+               FROM clicks c ASOF LEFT JOIN views v
+                 ON c.user_id = v.user_id AND c.ts >= v.view_ts),
+         f AS (SELECT c.event_id, v.view_ts AS f_ts, v.view_value AS f_val
+               FROM clicks c ASOF LEFT JOIN views v
+                 ON c.user_id = v.user_id AND c.ts <= v.view_ts)
+         SELECT c.user_id, c.event_id, c.ts,
+           CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR
+                  epoch_us(c.ts) - epoch_us(b_ts)
+                    <= epoch_us(f_ts) - epoch_us(c.ts))
+                THEN b_ts ELSE f_ts END AS view_ts,
+           CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR
+                  epoch_us(c.ts) - epoch_us(b_ts)
+                    <= epoch_us(f_ts) - epoch_us(c.ts))
+                THEN b_val ELSE f_val END AS view_value
+         FROM clicks c JOIN b USING (event_id) JOIN f USING (event_id)
          ORDER BY c.user_id, c.ts, c.event_id""",
 
     "asof_click_view_native" ->

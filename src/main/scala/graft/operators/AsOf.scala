@@ -88,4 +88,95 @@ object AsOf {
       .where(col("__isR") === 0)
       .drop("__t", "__isR")
   }
+
+  /** Forward as-of: for each left row, the EARLIEST right row with
+    * `rightTs >= leftTs` in the key group — next-event attribution (the
+    * mirror of [[asOfJoin]]'s latest-preceding semantics). Identical
+    * union-and-carry shape, iterated in DESCENDING time order; right rows
+    * still sort before left rows at equal ts so exact matches are seen. */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTs: String, rightTs: String,
+                      rightValCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rightSchema = right.schema
+    def nullOf(f: StructField) = lit(null).cast(f.dataType)
+    val l = left
+      .withColumn("__t", col(leftTs))
+      .withColumn("__isR", lit(0))
+      .select((leftCols.map(col) :+ col("__t") :+ col("__isR")) ++
+        rightValCols.map(c => nullOf(rightSchema(c)).as(c)): _*)
+    val r = right
+      .withColumn("__t", col(rightTs))
+      .withColumn("__isR", lit(1))
+      .select((leftCols.map(c =>
+        if (keys.contains(c)) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c))
+        :+ col("__t") :+ col("__isR")) ++ rightValCols.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").desc, col("__isR").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rightValCols.foldLeft(l.unionByName(r)) { case (df, c) =>
+        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      }
+      .where(col("__isR") === 0)
+      .drop("__t", "__isR")
+  }
+
+  /** Nearest as-of: the right row closest in time on EITHER side (tie →
+    * the preceding one). One shuffle on the keys; the backward and
+    * forward carries are two window passes over the same partitioning
+    * (second pass re-sorts in-partition, no extra exchange), then a
+    * per-row distance pick. */
+  def asOfJoinNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTs: String, rightTs: String,
+                      rightValCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val leftCols = left.columns.toSeq
+    val rightSchema = right.schema
+    def nullOf(f: StructField) = lit(null).cast(f.dataType)
+    val vals = rightValCols :+ "__rts"
+    val l = left
+      .withColumn("__t", col(leftTs))
+      .withColumn("__isR", lit(0))
+      .select((leftCols.map(col) :+ col("__t") :+ col("__isR")) ++
+        rightValCols.map(c => nullOf(rightSchema(c)).as(c)) :+
+        nullOf(rightSchema(rightTs)).as("__rts"): _*)
+    val r = right
+      .withColumn("__t", col(rightTs))
+      .withColumn("__isR", lit(1))
+      .select((leftCols.map(c =>
+        if (keys.contains(c)) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c))
+        :+ col("__t") :+ col("__isR")) ++
+        rightValCols.map(col) :+ col(rightTs).as("__rts"): _*)
+    val wB = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__isR").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").desc, col("__isR").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // all backward carries first, then all forward: adjacent same-spec
+    // window expressions collapse into ONE Window operator each
+    // (interleaving b/f would defeat CollapseWindow -> 2N sorts).
+    val u = l.unionByName(r)
+    val withB = vals.foldLeft(u)((df, c) =>
+      df.withColumn(s"__b_$c", last(col(c), ignoreNulls = true).over(wB)))
+    val withF = vals.foldLeft(withB)((df, c) =>
+      df.withColumn(s"__f_$c", last(col(c), ignoreNulls = true).over(wF)))
+    // exact micros for timestamps; plain numeric distance otherwise
+    def num(c: org.apache.spark.sql.Column) =
+      rightSchema(rightTs).dataType match {
+        case TimestampType => unix_micros(c)
+        case TimestampNTZType => unix_micros(c.cast("timestamp"))
+        case _ => c.cast("double")
+      }
+    val db = num(col("__t")) - num(col("__b___rts"))
+    val df_ = num(col("__f___rts")) - num(col("__t"))
+    val useB = col("__b___rts").isNotNull &&
+      (col("__f___rts").isNull || db <= df_)
+    rightValCols.foldLeft(withF.where(col("__isR") === 0)) { (d, c) =>
+        d.withColumn(c, when(useB, col(s"__b_$c")).otherwise(col(s"__f_$c")))
+      }
+      .select(leftCols.map(col) ++ rightValCols.map(col): _*)
+  }
 }

@@ -119,6 +119,39 @@ class AsOfSpec extends SparkSpec {
       .collect()
     assert(out.head.getDouble(2) === 40.0)
   }
+
+  test("forward as-of picks the earliest right at-or-after each left row") {
+    val left = Seq((1, 5, "l5"), (1, 2, "l2"), (2, 9, "l9"))
+      .toDF("k", "lt", "tag")
+    val right = Seq((1, 1, 10.0), (1, 4, 40.0), (1, 6, 60.0), (2, 5, 50.0))
+      .toDF("k", "rt", "v")
+    val out = AsOf.asOfJoinForward(left, right, Seq("k"), "lt", "rt", Seq("v"))
+      .orderBy("k", "lt")
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    // l2 -> rt=4 (40.0, not rt=1); l5 -> rt=6; l9 -> nothing after -> None
+    assert(out.toSeq === Seq((1, 2, Some(40.0)), (1, 5, Some(60.0)),
+      (2, 9, None)))
+    // exact equality matches forward too
+    val eq = AsOf.asOfJoinForward(Seq((1, 4)).toDF("k", "lt"),
+      Seq((1, 4, 44.0), (1, 9, 99.0)).toDF("k", "rt", "v"),
+      Seq("k"), "lt", "rt", Seq("v")).collect()
+    assert(eq.head.getDouble(2) === 44.0)
+  }
+
+  test("nearest as-of picks the time-closest side, preceding on ties") {
+    val left = Seq((1, 5), (1, 10), (1, 100), (2, 7)).toDF("k", "lt")
+    val right = Seq((1, 4, 40.0), (1, 12, 120.0), (2, 3, 30.0), (2, 11, 110.0))
+      .toDF("k", "rt", "v")
+    val out = AsOf.asOfJoinNearest(left, right, Seq("k"), "lt", "rt", Seq("v"))
+      .orderBy("k", "lt")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    // lt=5: |5-4|=1 < |12-5|=7 -> 40; lt=10: |10-4|=6 > |12-10|=2 -> 120
+    // lt=100: only backward reachable... both exist; |100-12|=88 -> 120
+    // k=2 lt=7: |7-3|=4 = |11-7|=4 tie -> preceding (30)
+    assert(out.toSeq === Seq((1, 5, 40.0), (1, 10, 120.0), (1, 100, 120.0),
+      (2, 7, 30.0)))
+  }
 }
 
 class ValidationSpec extends SparkSpec {
