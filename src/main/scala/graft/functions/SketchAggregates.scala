@@ -105,11 +105,17 @@ case class FrequentItemsSketch(child: Expression, capacity: Int,
     })
   }
 
+  // length-prefixed UTF-8, NOT writeUTF: writeUTF throws
+  // UTFDataFormatException past 65535 bytes, so one pathological token
+  // would fail the job at partial-aggregate shuffle time.
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (k, c) => out.writeUTF(k); out.writeLong(c) }
+    buf.foreach { case (k, c) =>
+      val kb = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -119,7 +125,13 @@ case class FrequentItemsSketch(child: Expression, capacity: Int,
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { buf.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.update(new String(kb, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
     buf
   }
 

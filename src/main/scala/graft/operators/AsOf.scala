@@ -163,15 +163,30 @@ object AsOf {
       df.withColumn(s"__b_$c", last(col(c), ignoreNulls = true).over(wB)))
     val withF = vals.foldLeft(withB)((df, c) =>
       df.withColumn(s"__f_$c", last(col(c), ignoreNulls = true).over(wF)))
-    // exact micros for timestamps; plain numeric distance otherwise
-    def num(c: org.apache.spark.sql.Column) =
-      rightSchema(rightTs).dataType match {
+    // exact micros for timestamps; plain numeric distance otherwise.
+    // The conversion is derived PER COLUMN from the unioned schema (union
+    // coercion has already reconciled each side's contribution); a
+    // timestamp side mixed with a numeric-epoch side is rejected up front
+    // because the units would be incomparable (micros vs caller-defined).
+    def isTime(dt: org.apache.spark.sql.types.DataType) = dt match {
+      case TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    require(
+      isTime(left.schema(leftTs).dataType) == isTime(rightSchema(rightTs).dataType),
+      s"asOfJoinNearest: leftTs '$leftTs' (${left.schema(leftTs).dataType}) and " +
+        s"rightTs '$rightTs' (${rightSchema(rightTs).dataType}) must both be " +
+        "timestamps or both be numeric — their distance is otherwise undefined")
+    def num(c: org.apache.spark.sql.Column, dt: org.apache.spark.sql.types.DataType) =
+      dt match {
         case TimestampType => unix_micros(c)
         case TimestampNTZType => unix_micros(c.cast("timestamp"))
         case _ => c.cast("double")
       }
-    val db = num(col("__t")) - num(col("__b___rts"))
-    val df_ = num(col("__f___rts")) - num(col("__t"))
+    val tDt = withF.schema("__t").dataType
+    val rtsDt = withF.schema("__b___rts").dataType
+    val db = num(col("__t"), tDt) - num(col("__b___rts"), rtsDt)
+    val df_ = num(col("__f___rts"), rtsDt) - num(col("__t"), tDt)
     val useB = col("__b___rts").isNotNull &&
       (col("__f___rts").isNull || db <= df_)
     rightValCols.foldLeft(withF.where(col("__isR") === 0)) { (d, c) =>

@@ -28,9 +28,13 @@ object GapFill {
       .agg(count(lit(1)).as("n_events"))
     // one-row bounds -> exploded sequence; when() guards the empty-input
     // case (sequence(null, null) would throw, an empty array explodes to
-    // nothing). explode_outer: see Dedup.shingleRows.
-    val spine = counts
-      .agg(min(col("hour_start")).as("mn"), max(col("hour_start")).as("mx"))
+    // nothing). explode_outer: see Dedup.shingleRows. Bounds come from the
+    // RAW input, not from `counts` — referencing the uncached aggregate
+    // twice (spine + join) would run the truncate+groupBy subtree twice
+    // per action; min/max commute with date_trunc so the results agree.
+    val spine = df
+      .agg(date_trunc("hour", min(col(tsCol))).as("mn"),
+        date_trunc("hour", max(col(tsCol))).as("mx"))
       .select(explode_outer(
           when(col("mn").isNotNull,
             sequence(col("mn"), col("mx"), expr("INTERVAL 1 HOUR")))

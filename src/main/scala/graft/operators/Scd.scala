@@ -40,13 +40,17 @@ object Scd {
                 attrs: Seq[String], asOf: Column,
                 fromCol: String = "effective_from",
                 toCol: String = "effective_to"): DataFrame = {
+    // explicit presence markers on BOTH sides: inferring dim-side presence
+    // from fromCol nullability would misclassify an open row whose
+    // effective_from is legitimately NULL as absent (dropping its history).
     val open = dim.where(col(toCol).isNull)
+      .withColumn("__d_present", lit(true))
     val closed = dim.where(col(toCol).isNotNull)
     val u = updates.select(
       keys.map(col) ++ attrs.map(c => col(c).as(s"__u_$c")) :+
         lit(true).as("__u_present"): _*)
     val j = open.join(u, keys, "full_outer")
-    val dPresent = col(fromCol).isNotNull
+    val dPresent = col("__d_present") <=> lit(true)
     val uPresent = col("__u_present") <=> lit(true)
     val differs = attrs.map(c => !(col(c) <=> col(s"__u_$c"))).reduce(_ || _)
     def emit(attrCols: Seq[Column], from: Column, to: Column) =

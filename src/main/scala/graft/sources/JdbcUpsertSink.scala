@@ -118,14 +118,22 @@ final case class JdbcUpsertSink(url: String, props: Properties = new Properties)
     val keys = keyCols :+ dateCol
     val keyMatch = keys.map(k => s"t.${quote(k)} = s.${quote(k)}").mkString(" AND ")
     val nonKey = df.columns.filterNot(keys.contains)
-    val setClause = nonKey.map(c => s"${quote(c)} = s.${quote(c)}").mkString(", ")
     val cols = df.columns.map(quote).mkString(", ")
     val values = df.columns.map(c => s"s.${quote(c)}").mkString(", ")
+    // A key-only batch has nothing to UPDATE — an empty SET clause would be
+    // malformed SQL, so emit the insert-only MERGE (matched rows are already
+    // identical by definition of the match condition).
+    val matchedClause =
+      if (nonKey.isEmpty) ""
+      else {
+        val setClause = nonKey.map(c => s"${quote(c)} = s.${quote(c)}").mkString(", ")
+        s"WHEN MATCHED THEN UPDATE SET $setClause"
+      }
     withConn { c =>
       val st = c.createStatement()
       try st.executeUpdate(
         s"""MERGE INTO $table t USING $staging s ON $keyMatch
-            WHEN MATCHED THEN UPDATE SET $setClause
+            $matchedClause
             WHEN NOT MATCHED THEN INSERT ($cols) VALUES ($values)""")
       finally st.close()
     }

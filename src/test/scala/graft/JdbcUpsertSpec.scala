@@ -82,6 +82,22 @@ class JdbcUpsertSpec extends SparkSpec {
       "\"genre\" = 'rock' AND \"listen_count\" = 42") === 1)
   }
 
+  test("mergeUpsert with a key-only batch emits an insert-only MERGE") {
+    // no non-key columns -> an empty UPDATE SET clause would be malformed
+    // SQL; the sink must fall back to WHEN NOT MATCHED-only
+    val ddlK =
+      """CREATE TABLE seen_keys (
+         "genre" VARCHAR(64) NOT NULL,
+         "load_date" DATE NOT NULL)"""
+    sink.ensureTable(ddlK, "seen_keys")
+    val d1 = java.sql.Date.valueOf("2024-06-25")
+    val batch = Seq(("rock", d1), ("jazz", d1)).toDF("genre", "load_date")
+    sink.mergeUpsert(batch, "seen_keys", Seq("genre"), "load_date")
+    assert(sink.countWhere("seen_keys", "1=1") === 2)
+    sink.mergeUpsert(batch, "seen_keys", Seq("genre"), "load_date") // idempotent
+    assert(sink.countWhere("seen_keys", "1=1") === 2)
+  }
+
   test("spark.read.jdbc round-trips the warehouse table (partitioned read)") {
     // the read half of the warehouse path: predicate-partitioned parallel
     // scan of what upsert wrote, types preserved

@@ -152,6 +152,18 @@ class AsOfSpec extends SparkSpec {
     assert(out.toSeq === Seq((1, 5, 40.0), (1, 10, 120.0), (1, 100, 120.0),
       (2, 7, 30.0)))
   }
+
+  test("nearest as-of rejects timestamp-vs-numeric time columns up front") {
+    // micros vs caller-defined epoch units are incomparable; the require
+    // must fire at plan time, not produce a silently-wrong distance
+    val left = Seq((1, java.sql.Timestamp.valueOf("2024-01-01 00:00:05")))
+      .toDF("k", "lt")
+    val right = Seq((1, 4.0, 40.0)).toDF("k", "rt", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.asOfJoinNearest(left, right, Seq("k"), "lt", "rt", Seq("v"))
+    }
+    assert(e.getMessage.contains("must both be"))
+  }
 }
 
 class ValidationSpec extends SparkSpec {

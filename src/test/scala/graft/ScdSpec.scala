@@ -48,6 +48,23 @@ class ScdSpec extends SparkSpec {
     assert(twice.where(col("effective_to") === d("2023-06-01")).count() === 0)
   }
 
+  test("open row with NULL effective_from is still recognized as present") {
+    // presence is an explicit marker, not fromCol nullability: an open row
+    // whose effective_from is legitimately NULL must be closed out on
+    // change, not dropped and re-inserted as brand-new
+    val dimNullFrom = Seq(
+      (5L, "bronze", Option.empty[java.sql.Date], Option.empty[java.sql.Date]))
+      .toDF("id", "tier", "effective_from", "effective_to")
+    val out = Scd.scd2Merge(dimNullFrom, Seq((5L, "gold")).toDF("id", "tier"),
+        Seq("id"), Seq("tier"), asOf = lit("2023-01-01").cast("date"))
+      .orderBy(col("effective_from").asc_nulls_first)
+      .as[(Long, String, Option[java.sql.Date], Option[java.sql.Date])]
+      .collect()
+    assert(out.toSeq === Seq(
+      (5L, "bronze", None, Some(d("2023-01-01"))),          // closed, kept
+      (5L, "gold", Some(d("2023-01-01")), None)))           // new version
+  }
+
   test("point-in-time and current slices select the right versions") {
     val out = Scd.scd2Merge(dim, updates, Seq("id"), Seq("tier"),
       asOf = lit("2023-01-01").cast("date"))

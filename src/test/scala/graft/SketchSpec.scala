@@ -48,6 +48,19 @@ class SketchSpec extends SparkSpec {
     assert(topK(32) === expected)
   }
 
+  test("items longer than 65535 UTF-8 bytes survive the shuffle serializer") {
+    // writeUTF would throw UTFDataFormatException at partial-aggregate
+    // shuffle time; the length-prefixed form must round-trip it
+    val big = "x" * 70000
+    val df = (Seq.fill(50)(big) ++ (1 to 10).map(i => s"small$i"))
+      .toDF("item").repartition(8) // force a partial/merge shuffle
+    val got = df.agg(freqItems(col("item"), 16).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item"), col("e.est")).as[(String, Long)]
+      .collect().toMap
+    assert(got(big) === 50L)
+  }
+
   test("SQL surface: freq_items registered via GraftExtensions") {
     stream.toDF("item").createOrReplaceTempView("sk_items")
     val top = spark.sql(
