@@ -28,7 +28,8 @@ object SparkEntry {
     queries("genre_kpis")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2 + extensions. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = core ++ ext
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    core ++ ext ++ ext3
 
   // ---------------------------------------------------------------- core ---
 
@@ -758,6 +759,58 @@ object SparkEntry {
           t(s, dir, "events").withColumn("hour", hour(col("ts"))),
           keys = Seq("hour"), saltFrom = Seq("user_id"), salts = 32)
         .orderBy(col("hour")))
+  )
+
+  private lazy val ext3: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Bloom-filter runtime join pruning: revenue of lineitems whose order
+    // is URGENT — the big side is pre-filtered through a bloom of the
+    // filtered orders' keys BEFORE the join shuffle (operators/BloomJoin;
+    // no false negatives, so the result is exactly the plain join's).
+    "bloom_pruned_revenue" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      graft.operators.BloomJoin.prunedInnerJoin(
+          t(s, dir, "lineitem"), "l_orderkey", urgent, "o_orderkey",
+          expectedItems = 400000L)
+        .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy(col("order_year"))
+    }),
+
+    // Pattern redaction (PII-scrub machinery, ext/Redaction): per-language
+    // attrition report. The corpus is clean by construction, so the pii
+    // counts double as a leak canary; the 'engine_term' pattern exercises
+    // the nonzero path on real data.
+    "redaction_stats" -> ((s, dir) =>
+      graft.ext.Redaction.redactionStats(t(s, dir, "documents"), "text",
+        groupCols = Seq("lang"),
+        patterns = Seq(
+          "email" -> graft.ext.Redaction.piiPatterns.head._2,
+          "engine_term" -> "\\b(spark|stream)\\b"))),
+
+    // Overlapping token-window chunking (ext/Chunking): every chunk row
+    // with its token count and content hash — 32-token windows, stride 24.
+    "doc_chunks" -> ((s, dir) =>
+      graft.ext.Chunking.chunkByTokens(t(s, dir, "documents"), "text",
+          idCols = Seq("doc_id"), chunkSize = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // Gopher/C4-style hard quality rules: per-language per-rule attrition
+    // funnel (ext/TextAnalysis.qualityFunnel).
+    "quality_funnel" -> ((s, dir) =>
+      TextAnalysis.qualityFunnel(t(s, dir, "documents"))),
+
+    // Token-count histogram: docs per 10-token bucket — the length
+    // distribution a packing/truncation policy is tuned against.
+    "token_histogram" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select((floor(size(TextAnalysis.tokens(col("text"))) / 10.0) * 10)
+          .cast("long").as("bucket_lo"))
+        .groupBy(col("bucket_lo")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("bucket_lo")))
   )
 
   /** DuckDB twins for the driver's differential check. Keys must mirror
@@ -1640,7 +1693,83 @@ object SparkEntry {
              CAST(sum(byte_len) AS BIGINT) AS total_bytes,
              CAST(sum(checksum) AS BIGINT) AS total_checksum,
              round(avg(feat_mean), 4) AS avg_feat_mean
-           FROM g GROUP BY kind ORDER BY kind"""
+           FROM g GROUP BY kind ORDER BY kind""",
+
+      "bloom_pruned_revenue" ->
+        // the bloom prune is a no-false-negative pre-filter: the oracle is
+        // the PLAIN join — any divergence means the bloom dropped a match
+        """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           count(*) AS n_items,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           WHERE o.o_orderpriority = '1-URGENT'
+           GROUP BY 1 ORDER BY 1""",
+
+      "redaction_stats" ->
+        """WITH r AS (SELECT lang, text,
+             len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+             len(regexp_extract_all(text, '\b(spark|stream)\b'))
+               AS n_engine_term,
+             regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '[REDACTED]', 'g'),
+               '\b(spark|stream)\b', '[REDACTED]', 'g') AS red
+           FROM documents)
+           SELECT lang, count(*) AS n_docs,
+             CAST(sum(CASE WHEN n_email > 0 OR n_engine_term > 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_redacted,
+             CAST(sum(n_email) AS BIGINT) AS total_email,
+             CAST(sum(n_engine_term) AS BIGINT) AS total_engine_term,
+             CAST(sum(length(text) - length(red)) AS BIGINT) AS chars_removed
+           FROM r GROUP BY lang ORDER BY lang""",
+
+      "doc_chunks" ->
+        // chunk i covers tokens [i*24+1, i*24+32] (1-based inclusive) =
+        // Spark's slice(toks, i*24+1, 32); last chunk idx =
+        // ceil(max(n-32,0)/24) mirrors Chunking.chunkByTokens
+        """WITH t AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+           n AS (SELECT doc_id, w, len(w) AS n FROM t),
+           c AS (SELECT doc_id, w, unnest(generate_series(0,
+               CAST(ceil(greatest(n - 32, 0) / 24.0) AS BIGINT))) AS chunk_id
+             FROM n WHERE n > 0)
+           SELECT doc_id, chunk_id,
+             CAST(len(w[chunk_id*24 + 1 : chunk_id*24 + 32]) AS BIGINT)
+               AS n_tokens,
+             md5(array_to_string(w[chunk_id*24 + 1 : chunk_id*24 + 32], ' '))
+               AS chunk_hash
+           FROM c ORDER BY doc_id, chunk_id""",
+
+      "quality_funnel" -> {
+        val lenSum = foldSum(
+          "list_transform(w, x -> CAST(length(x) AS BIGINT))",
+          "CAST(0 AS BIGINT)")
+        s"""WITH q AS (SELECT lang, len(w) AS n_tokens,
+             len(list_filter(w, x -> x = 'the' OR x = 'a' OR x = 'of'
+               OR x = 'and' OR x = 'is' OR x = 'in')) AS stop_hits,
+             CASE WHEN len(w) = 0 THEN 0.0
+                  ELSE CAST($lenSum AS DOUBLE) / len(w) END AS avg_len
+           FROM (SELECT lang, regexp_extract_all(lower(text), '[a-z0-9]+')
+                   AS w FROM documents))
+           SELECT lang, count(*) AS n_docs,
+             CAST(sum(CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_min_tokens,
+             CAST(sum(CASE WHEN avg_len >= 3.0 AND avg_len <= 10.0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_avg_len,
+             CAST(sum(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_stopwords,
+             CAST(sum(CASE WHEN n_tokens >= 20 AND avg_len >= 3.0
+               AND avg_len <= 10.0 AND stop_hits >= 2
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+           FROM q GROUP BY lang ORDER BY lang"""
+      },
+
+      "token_histogram" ->
+        """SELECT CAST(floor(len(regexp_extract_all(lower(text),
+             '[a-z0-9]+')) / 10.0) * 10 AS BIGINT) AS bucket_lo,
+           count(*) AS n_docs
+           FROM documents GROUP BY 1 ORDER BY 1"""
     )
   }
 }

@@ -120,6 +120,38 @@ object TextAnalysis {
         round(col("avg_token_len"), 6).as("avg_token_len"), col("quality_score"))
       .orderBy(col("doc_id"))
 
+  /** Gopher/C4-style HARD quality rules — boolean per-document gates, as
+    * opposed to [[qualityScored]]'s continuous score. Production filters
+    * are rule lists (Rae et al. 2021 "Gopher" §A1.1; Raffel et al. 2020
+    * "C4"): each rule kills documents independently, and the pipeline
+    * must account for per-rule attrition, not just the survivor count —
+    * a rule that silently removes 40% of one language is a data bug.
+    * Pure projection; thresholds are integer/rational so the flags are
+    * bit-reproducible across engines. */
+  def qualityFlags(docs: DataFrame, minTokens: Int = 20,
+                   minAvgLen: Double = 3.0, maxAvgLen: Double = 10.0,
+                   minStopHits: Int = 2): DataFrame =
+    qualityScored(docs)
+      .withColumn("pass_min_tokens", col("n_tokens") >= minTokens)
+      .withColumn("pass_avg_len",
+        col("avg_token_len") >= minAvgLen && col("avg_token_len") <= maxAvgLen)
+      .withColumn("pass_stopwords", col("stop_hits") >= minStopHits)
+      .withColumn("keep",
+        col("pass_min_tokens") && col("pass_avg_len") && col("pass_stopwords"))
+
+  /** Per-language attrition funnel over [[qualityFlags]]: documents
+    * scanned, survivors of each rule, and survivors of all rules — one
+    * hash aggregate. */
+  def qualityFunnel(docs: DataFrame): DataFrame =
+    qualityFlags(docs)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pass_min_tokens"), 1L).otherwise(0L)).as("n_min_tokens"),
+        sum(when(col("pass_avg_len"), 1L).otherwise(0L)).as("n_avg_len"),
+        sum(when(col("pass_stopwords"), 1L).otherwise(0L)).as("n_stopwords"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .orderBy(col("lang"))
+
   /** TF-IDF: per-doc top-k tokens by tf × ln(N/df). Classic IR weighting
     * (Salton & Buckley) as three hash aggregates + one broadcast of the
     * single-row corpus count — no driver-side collect, fully lazy.
