@@ -810,7 +810,23 @@ object SparkEntry {
         .select((floor(size(TextAnalysis.tokens(col("text"))) / 10.0) * 10)
           .cast("long").as("bucket_lo"))
         .groupBy(col("bucket_lo")).agg(count(lit(1)).as("n_docs"))
-        .orderBy(col("bucket_lo")))
+        .orderBy(col("bucket_lo"))),
+
+    // Incremental-ingest dedup: the deterministic 80/20 split plays the
+    // existing-corpus / new-batch roles, and every 20th corpus doc is
+    // "re-crawled" into the batch so the duplicate path has real
+    // witnesses; the batch anti-matches the corpus's distinct fingerprint
+    // set (batch-sized shuffle only).
+    "incremental_new_docs" -> ((s, dir) => {
+      val split = graft.ext.Sampling.deterministicSplit(
+        t(s, dir, "documents"), col("doc_id"),
+        Seq("corpus" -> 80, "batch" -> 20))
+      val corpus = split.where(col("split") === "corpus")
+      val batch = split.where(col("split") === "batch")
+        .unionByName(corpus.where(col("doc_id") % 20 === 0))
+      TextAnalysis.incrementalDedupReport(corpus, batch,
+        groupCols = Seq("lang"))
+    })
   )
 
   /** DuckDB twins for the driver's differential check. Keys must mirror
@@ -1769,7 +1785,34 @@ object SparkEntry {
         """SELECT CAST(floor(len(regexp_extract_all(lower(text),
              '[a-z0-9]+')) / 10.0) * 10 AS BIGINT) AS bucket_lo,
            count(*) AS n_docs
-           FROM documents GROUP BY 1 ORDER BY 1"""
+           FROM documents GROUP BY 1 ORDER BY 1""",
+
+      "incremental_new_docs" -> {
+        // hashBucket mirror (see doc_splits): 80/20 corpus/batch split,
+        // then batch fingerprints left-join the corpus's distinct set
+        val hex32 = foldSum(
+          "list_transform(generate_series(1, 8), i -> " +
+            "CAST(CASE WHEN ascii(substr(mh, i, 1)) <= 57 " +
+            "THEN ascii(substr(mh, i, 1)) - 48 " +
+            "ELSE ascii(substr(mh, i, 1)) - 87 END AS BIGINT) " +
+            "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+          "CAST(0 AS BIGINT)")
+        s"""WITH m AS (SELECT doc_id, lang, text,
+               md5(CAST(doc_id AS VARCHAR)) AS mh FROM documents),
+           d AS (SELECT doc_id, lang,
+               md5(array_to_string(
+                 regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fp,
+               $hex32 % 100 AS bucket FROM m),
+           corpus AS (SELECT DISTINCT fp FROM d WHERE bucket < 80),
+           batch AS (SELECT lang, fp FROM d WHERE bucket >= 80
+             UNION ALL
+             SELECT lang, fp FROM d WHERE bucket < 80 AND doc_id % 20 = 0)
+           SELECT b.lang, count(*) AS n_batch,
+             CAST(sum(CASE WHEN c.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new
+           FROM batch b LEFT JOIN corpus c ON b.fp = c.fp
+           GROUP BY b.lang ORDER BY b.lang"""
+      }
     )
   }
 }

@@ -197,6 +197,28 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("survivor_doc_id"))
       .orderBy(col("fingerprint"))
 
+  /** Incremental-ingest dedup: which documents of a new `batch` are
+    * genuinely new vs already present in `corpus`, by canonical content
+    * [[fingerprint]] — the daily-crawl shape (match new files against an
+    * existing 100 TB corpus WITHOUT re-deduping the corpus). Per-group
+    * report: batch size and new-document count.
+    *
+    * Scale shape: the corpus reduces to its distinct 32-char fingerprint
+    * set (one shuffle, done once and reusable/bucketable across batches);
+    * the batch left-joins that set on the fingerprint — batch-sized
+    * shuffle, never corpus-sized. No pairwise comparison anywhere. */
+  def incrementalDedupReport(corpus: DataFrame, batch: DataFrame,
+                             groupCols: Seq[String]): DataFrame = {
+    val seen = corpus.select(fingerprint(col("text")).as("fp"))
+      .distinct().withColumn("__seen", lit(1))
+    batch.withColumn("fp", fingerprint(col("text")))
+      .join(seen, Seq("fp"), "left")
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_batch"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_new"))
+      .orderBy(groupCols.map(col): _*)
+  }
+
   /** Per-document repetition scoring: the share of the document taken by
     * its single most frequent token — the cheap boilerplate/spam signal a
     * training pipeline thresholds on (a doc that is 40% one token is

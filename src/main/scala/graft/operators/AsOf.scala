@@ -133,6 +133,17 @@ object AsOf {
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     val leftCols = left.columns.toSeq
     val rightSchema = right.schema
+    // reject BEFORE any plan construction: analysis (union coercion) is
+    // eager and would otherwise throw its own, less actionable error
+    def isTime(dt: org.apache.spark.sql.types.DataType) = dt match {
+      case TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    require(
+      isTime(left.schema(leftTs).dataType) == isTime(rightSchema(rightTs).dataType),
+      s"asOfJoinNearest: leftTs '$leftTs' (${left.schema(leftTs).dataType}) and " +
+        s"rightTs '$rightTs' (${rightSchema(rightTs).dataType}) must both be " +
+        "timestamps or both be numeric — their distance is otherwise undefined")
     def nullOf(f: StructField) = lit(null).cast(f.dataType)
     val vals = rightValCols :+ "__rts"
     val l = left
@@ -165,18 +176,8 @@ object AsOf {
       df.withColumn(s"__f_$c", last(col(c), ignoreNulls = true).over(wF)))
     // exact micros for timestamps; plain numeric distance otherwise.
     // The conversion is derived PER COLUMN from the unioned schema (union
-    // coercion has already reconciled each side's contribution); a
-    // timestamp side mixed with a numeric-epoch side is rejected up front
-    // because the units would be incomparable (micros vs caller-defined).
-    def isTime(dt: org.apache.spark.sql.types.DataType) = dt match {
-      case TimestampType | TimestampNTZType => true
-      case _ => false
-    }
-    require(
-      isTime(left.schema(leftTs).dataType) == isTime(rightSchema(rightTs).dataType),
-      s"asOfJoinNearest: leftTs '$leftTs' (${left.schema(leftTs).dataType}) and " +
-        s"rightTs '$rightTs' (${rightSchema(rightTs).dataType}) must both be " +
-        "timestamps or both be numeric — their distance is otherwise undefined")
+    // coercion has already reconciled each side's contribution); the
+    // timestamp-vs-numeric mix was rejected up front.
     def num(c: org.apache.spark.sql.Column, dt: org.apache.spark.sql.types.DataType) =
       dt match {
         case TimestampType => unix_micros(c)

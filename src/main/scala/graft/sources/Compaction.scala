@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Small-files compaction — rewrite a table into right-sized,
+  * range-clustered parquet files.
+  *
+  * The reference ingests up to 100 small CSV objects per hourly run
+  * (reference: dags/etl/extract_stream_data.py:31-45) and archives them
+  * as-is; at 100 TB that ingestion pattern produces millions of KB-sized
+  * files, and file-open overhead (not bytes) starts dominating scan time.
+  * The standard fix is a periodic compaction pass: read the small files,
+  * range-repartition on the query-predicate columns, write ~target-sized
+  * files capped with `maxRecordsPerFile`.
+  *
+  * Clustering matters as much as sizing: `repartitionByRange` +
+  * `sortWithinPartitions` makes each output file a contiguous key range,
+  * so parquet footer min/max statistics prune files for range predicates
+  * (same motivation as `operators/ZOrder`, which generalizes the
+  * clustering key to multiple dimensions — use that for multi-column
+  * predicate sets).
+  */
+object Compaction {
+
+  /** Compact `df` into files of at most `targetRowsPerFile` rows,
+    * range-clustered on `clusterCols`. Returns the partition count used.
+    *
+    * Sizing does one extra `count()` — metadata-only on parquet sources
+    * (statistics scan, no data read). Files may exceed the partition
+    * count when a range partition lands over the cap (`maxRecordsPerFile`
+    * splits it into contiguous runs, preserving per-file key ranges). */
+  def compactedWrite(df: DataFrame, path: String, clusterCols: Seq[Column],
+                     targetRowsPerFile: Long): Int = {
+    require(targetRowsPerFile > 0, s"need positive target: $targetRowsPerFile")
+    val n = df.count()
+    val parts = math.max(1, math.ceil(n.toDouble / targetRowsPerFile)).toInt
+    df.repartitionByRange(parts, clusterCols: _*)
+      .sortWithinPartitions(clusterCols: _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .parquet(path)
+    parts
+  }
+}

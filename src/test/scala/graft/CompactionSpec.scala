@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Compaction
+
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("compactedWrite sizes files to the target and clusters by key range") {
+    val n = 10000L
+    val df = spark.range(n).select(col("id"),
+      (col("id") % 97).as("v")) // write unsorted-ish payload
+    val out = java.nio.file.Files.createTempDirectory("graft_compact")
+      .toString + "/t"
+    val parts = Compaction.compactedWrite(df, out, Seq(col("id")),
+      targetRowsPerFile = 1500L)
+    assert(parts === 7) // ceil(10000/1500)
+
+    val back = spark.read.parquet(out)
+    assert(back.count() === n)
+    // per-file row cap + contiguous, pairwise non-overlapping key ranges
+    val files = back.groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("rows"), min("id").as("lo"), max("id").as("hi"))
+      .collect()
+      .map(r => (r.getAs[Long]("rows"), r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._2)
+    assert(files.forall(_._1 <= 1500L), s"file over cap: ${files.mkString}")
+    assert(files.length >= parts)
+    files.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) =>
+        assert(hi1 < lo2, s"overlapping file ranges: $hi1 vs $lo2")
+      case _ =>
+    }
+    // full coverage of the key space
+    assert(files.head._2 === 0L && files.last._3 === n - 1)
+  }
+
+  test("a dataset under one target yields a single file") {
+    val df = spark.range(100).toDF("id")
+    val out = java.nio.file.Files.createTempDirectory("graft_compact1")
+      .toString + "/t"
+    val parts = Compaction.compactedWrite(df, out, Seq(col("id")), 1000L)
+    assert(parts === 1)
+    assert(spark.read.parquet(out).count() === 100)
+  }
+}
+
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("batch docs already in the corpus are not counted as new") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma", "en"),
+      (2L, "uno dos tres", "es"))
+      .toDF("doc_id", "text", "lang")
+    val batch = Seq(
+      (10L, "Alpha  beta GAMMA", "en"), // same canonical fingerprint as 1
+      (11L, "delta epsilon", "en"),     // new
+      (12L, "uno dos tres", "es"),      // dup of 2
+      (13L, "cuatro cinco", "es"))      // new
+      .toDF("doc_id", "text", "lang")
+    val r = graft.ext.TextAnalysis
+      .incrementalDedupReport(corpus, batch, Seq("lang"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(r === Seq(("en", 2L, 1L), ("es", 2L, 1L)))
+  }
+}
