@@ -826,7 +826,20 @@ object SparkEntry {
         .unionByName(corpus.where(col("doc_id") % 20 === 0))
       TextAnalysis.incrementalDedupReport(corpus, batch,
         groupCols = Seq("lang"))
-    })
+    }),
+
+    // Ordered conversion funnel: users clearing view -> click -> purchase
+    // strictly in order (operators/Funnel; one shuffle + one sort, k
+    // chained window-mins, no per-user history buffer).
+    "conversion_funnel" -> ((s, dir) =>
+      graft.operators.Funnel.conversionFunnel(t(s, dir, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))),
+
+    // Weekly cohort retention matrix (operators/Cohort): two user-keyed
+    // aggregates + one user-keyed join; output is cohorts x weeks.
+    "cohort_retention" -> ((s, dir) =>
+      graft.operators.Cohort.weeklyRetention(t(s, dir, "events"),
+        "user_id", "ts"))
   )
 
   /** DuckDB twins for the driver's differential check. Keys must mirror
@@ -1812,7 +1825,48 @@ object SparkEntry {
                AS n_new
            FROM batch b LEFT JOIN corpus c ON b.fp = c.fp
            GROUP BY b.lang ORDER BY b.lang"""
-      }
+      },
+
+      "conversion_funnel" ->
+        // chained window-mins: stage i's min only ranges over events
+        // strictly after the user's stage i-1 time
+        """WITH w0 AS (SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS s0 FROM events),
+           w1 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > s0
+               THEN ts END) OVER (PARTITION BY user_id) AS s1 FROM w0),
+           w2 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s1
+               THEN ts END) OVER (PARTITION BY user_id) AS s2 FROM w1),
+           u AS (SELECT user_id, min(s0) AS s0, min(s1) AS s1, min(s2) AS s2
+             FROM w2 GROUP BY user_id),
+           c AS (SELECT
+               count(CASE WHEN s0 IS NOT NULL THEN 1 END) AS n0,
+               count(CASE WHEN s1 IS NOT NULL THEN 1 END) AS n1,
+               count(CASE WHEN s2 IS NOT NULL THEN 1 END) AS n2 FROM u)
+           SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
+             n0 AS n_users, CASE WHEN n0 = 0 THEN 0.0
+               ELSE round(CAST(n0 AS DOUBLE) / n0, 6) END AS rate_vs_prev
+           FROM c
+           UNION ALL SELECT 1, 'click', n1, CASE WHEN n0 = 0 THEN 0.0
+             ELSE round(CAST(n1 AS DOUBLE) / n0, 6) END FROM c
+           UNION ALL SELECT 2, 'purchase', n2, CASE WHEN n1 = 0 THEN 0.0
+             ELSE round(CAST(n2 AS DOUBLE) / n1, 6) END FROM c
+           ORDER BY stage_idx""",
+
+      "cohort_retention" ->
+        // week-truncated dates make the day diff an exact multiple of 7
+        """WITH c AS (SELECT user_id,
+             date_trunc('week', min(ts)) AS cohort_week
+           FROM events GROUP BY user_id),
+           a AS (SELECT DISTINCT user_id,
+               date_trunc('week', ts) AS active_week
+             FROM events)
+           SELECT cohort_week,
+             CAST(date_diff('day', cohort_week, active_week) // 7 AS BIGINT)
+               AS weeks_since,
+             count(*) AS n_users
+           FROM a JOIN c USING (user_id)
+           GROUP BY 1, 2 ORDER BY 1, 2"""
     )
   }
 }
