@@ -839,7 +839,36 @@ object SparkEntry {
     // aggregates + one user-keyed join; output is cohorts x weeks.
     "cohort_retention" -> ((s, dir) =>
       graft.operators.Cohort.weeklyRetention(t(s, dir, "events"),
-        "user_id", "ts"))
+        "user_id", "ts")),
+
+    // Time-RANGE rolling window (feature engineering): each order's
+    // trailing-7-day revenue for its customer — a VALUE-range frame over
+    // epoch seconds, not a row frame. Cents-integer sum: exact arithmetic
+    // in any engine regardless of windowed-sum accumulation order.
+    "rolling_7d_revenue" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("__sec"))
+        .rangeBetween(-7L * 86400, 0)
+      t(s, dir, "orders")
+        .withColumn("__sec", unix_timestamp(col("o_orderdate")))
+        .withColumn("rev_7d_cents",
+          sum(round(col("o_totalprice") * 100).cast("long")).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("rev_7d_cents"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // Categorical drift report (ext/Drift): language mix of the
+    // deterministic corpus split vs the batch split, with per-category
+    // smoothed KL terms — the crawl-to-crawl dataset-shift alarm.
+    "lang_drift_report" -> ((s, dir) => {
+      val split = graft.ext.Sampling.deterministicSplit(
+        t(s, dir, "documents"), col("doc_id"),
+        Seq("corpus" -> 80, "batch" -> 20))
+      graft.ext.Drift.categoricalDrift(
+        split.where(col("split") === "corpus"),
+        split.where(col("split") === "batch"), col("lang"))
+    })
   )
 
   /** DuckDB twins for the driver's differential check. Keys must mirror
@@ -1866,7 +1895,43 @@ object SparkEntry {
                AS weeks_since,
              count(*) AS n_users
            FROM a JOIN c USING (user_id)
-           GROUP BY 1, 2 ORDER BY 1, 2"""
+           GROUP BY 1, 2 ORDER BY 1, 2""",
+
+      "rolling_7d_revenue" ->
+        """SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS rev_7d_cents
+           FROM orders ORDER BY o_custkey, o_orderkey""",
+
+      "lang_drift_report" -> {
+        val hex32 = foldSum(
+          "list_transform(generate_series(1, 8), i -> " +
+            "CAST(CASE WHEN ascii(substr(mh, i, 1)) <= 57 " +
+            "THEN ascii(substr(mh, i, 1)) - 48 " +
+            "ELSE ascii(substr(mh, i, 1)) - 87 END AS BIGINT) " +
+            "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+          "CAST(0 AS BIGINT)")
+        s"""WITH m AS (SELECT lang, md5(CAST(doc_id AS VARCHAR)) AS mh
+               FROM documents),
+           d AS (SELECT lang, $hex32 % 100 AS bucket FROM m),
+           j AS (SELECT lang,
+               count(CASE WHEN bucket < 80 THEN 1 END) AS n_a,
+               count(CASE WHEN bucket >= 80 THEN 1 END) AS n_b
+             FROM d GROUP BY lang),
+           t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb, count(*) AS k FROM j),
+           p AS (SELECT lang, n_a, n_b,
+               (n_a + 1.0) / (ta + k) AS p_a,
+               (n_b + 1.0) / (tb + k) AS p_b
+             FROM j, t)
+           SELECT lang AS category, CAST(n_a AS BIGINT) AS n_a,
+             CAST(n_b AS BIGINT) AS n_b,
+             round(p_a, 6) AS p_a, round(p_b, 6) AS p_b,
+             round(abs(p_a - p_b), 6) AS abs_delta,
+             round(p_a * ln(p_a / p_b), 6) AS kl_term
+           FROM p ORDER BY category"""
+      }
     )
   }
 }
