@@ -858,6 +858,21 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // Mergeable HLL rollup: daily user sketches union'd into per-type
+    // distinct estimates WITHOUT re-scanning events — the store-the-
+    // sketch pattern (Datasketches HLL; engine-specific -> rows-only
+    // check, accuracy spec-asserted vs exact in HllRollupSpec).
+    "uniques_hll_rollup" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          hll_sketch_estimate(hll_union_agg(col("sk")))
+            .as("est_distinct_users"))
+        .orderBy(col("event_type"))
+    }),
+
     // Categorical drift report (ext/Drift): language mix of the
     // deterministic corpus split vs the batch split, with per-category
     // smoothed KL terms — the crawl-to-crawl dataset-shift alarm.
