@@ -873,6 +873,19 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Salted JOIN twin (operators/Skew.saltedJoin): hot-key-immune
+    // (key, salt) join, row-identical to the plain join the oracle runs.
+    "salted_join_segments" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.operators.Skew.saltedJoin(t(s, dir, "events"), cust,
+          "user_id", salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Categorical drift report (ext/Drift): language mix of the
     // deterministic corpus split vs the batch split, with per-category
     // smoothed KL terms — the crawl-to-crawl dataset-shift alarm.
@@ -1911,6 +1924,13 @@ object SparkEntry {
              count(*) AS n_users
            FROM a JOIN c USING (user_id)
            GROUP BY 1, 2 ORDER BY 1, 2""",
+
+      "salted_join_segments" ->
+        // the salt is internal plumbing: the oracle is the PLAIN join
+        """SELECT c_mktsegment, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+           FROM events e JOIN customer c ON e.user_id = c.c_custkey
+           GROUP BY 1 ORDER BY 1""",
 
       "rolling_7d_revenue" ->
         """SELECT o_custkey, o_orderkey,

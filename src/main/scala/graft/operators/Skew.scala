@@ -47,4 +47,28 @@ object Skew {
     saltedAgg(df, keys, saltFrom, salts,
       Seq(sum(col(sumCol)).as("__s")),
       Seq(sum(col("__s")).as(out)))
+
+  /** Salted inner equi-join — the JOIN-side skew fix for when AQE's
+    * skew-join split cannot apply (e.g. the skewed side feeds a bucketed
+    * or already-exchanged plan, or the engine predates runtime re-plan):
+    * the big side salts each key into `salts` deterministic sub-keys; the
+    * small side replicates each row to ALL salt values (explode of a
+    * `salts`-element array — bounded, data-independent fan-out). Joining
+    * on (key, salt) spreads a hot key over `salts` reducers. Result is
+    * row-identical to `big.join(small, key)` — every (big-row, small-row)
+    * key match meets on exactly one salt value.
+    *
+    * Use for genuinely hot keys with a small dimension side; prefer plain
+    * broadcast when the small side fits the broadcast threshold (no
+    * shuffle at all beats a salted shuffle). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salts: Int = 16): DataFrame = {
+    require(salts > 0, s"need positive salts: $salts")
+    val bigS = big.withColumn("__salt",
+      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(salts)))
+    val smallS = small
+      .withColumn("__salt",
+        explode(sequence(lit(0), lit(salts - 1))))
+    bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -75,6 +75,24 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("salted join equals the plain join for arbitrary skew and dup keys") {
+    val bigGen = Gen.listOfN(60,
+      Gen.zip(Gen.oneOf(1, 1, 1, 1, 2, 3), Gen.choose(0, 99))) // hot key 1
+    val smallGen = Gen.listOfN(6,
+      Gen.zip(Gen.choose(1, 4), Gen.alphaLowerStr.map(_.take(3))))
+    check(Prop.forAll(bigGen, smallGen) { (big, small) =>
+      val b = big.toDF("k", "v")
+      val s = small.toDF("k", "tag") // may contain dup keys -> dup matches
+      val plain = b.join(s, "k").groupBy($"k")
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+        .orderBy($"k").as[(Int, Long, Long)].collect().toSeq
+      val salted = Skew.saltedJoin(b, s, "k", salts = 4).groupBy($"k")
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+        .orderBy($"k").as[(Int, Long, Long)].collect().toSeq
+      salted == plain
+    })
+  }
+
   test("chunking covers every token with the expected chunk count and sizes") {
     val cfgGen = for {
       n <- Gen.choose(0, 120)
