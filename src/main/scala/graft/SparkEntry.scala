@@ -873,6 +873,39 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Point-in-time join against the SCD2 dimension: each order picks the
+    // version valid AT its order date (equi key + validity range — plans
+    // as a sort-merge join with a residual condition, never a nested
+    // loop). Orders predating the dimension land in NO_VERSION: the PIT
+    // contract makes missing history explicit instead of leaking the
+    // current version backwards in time.
+    "scd2_pit_join" -> ((s, dir) => {
+      import graft.operators.Scd
+      val cust = t(s, dir, "customer")
+      val dim0 = cust.select(col("c_custkey"),
+          col("c_mktsegment").as("segment"))
+        .withColumn("effective_from", lit("1995-01-01").cast("date"))
+        .withColumn("effective_to", lit(null).cast("date"))
+      val upd = cust.select(col("c_custkey"),
+        when(col("c_custkey") % 10 === 0,
+          concat(col("c_mktsegment"), lit("_V2")))
+          .otherwise(col("c_mktsegment")).as("segment"))
+      val dim = Scd.scd2Merge(dim0, upd, keys = Seq("c_custkey"),
+          attrs = Seq("segment"), asOf = lit("1996-01-01").cast("date"))
+        .withColumn("effective_from", col("effective_from").cast("timestamp"))
+        .withColumn("effective_to", col("effective_to").cast("timestamp"))
+      val orders = t(s, dir, "orders")
+      orders.join(dim,
+          orders("o_custkey") === dim("c_custkey") &&
+            col("effective_from") <= col("o_orderdate") &&
+            (col("effective_to").isNull ||
+              col("o_orderdate") < col("effective_to")),
+          "left")
+        .groupBy(coalesce(col("segment"), lit("NO_VERSION")).as("segment"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("segment"))
+    }),
+
     // Salted JOIN twin (operators/Skew.saltedJoin): hot-key-immune
     // (key, salt) join, row-identical to the plain join the oracle runs.
     "salted_join_segments" -> ((s, dir) => {
@@ -1931,6 +1964,36 @@ object SparkEntry {
            round(sum(value), 2) AS total_value
            FROM events e JOIN customer c ON e.user_id = c.c_custkey
            GROUP BY 1 ORDER BY 1""",
+
+      "scd2_pit_join" ->
+        // same SCD2 construction as scd2_customer_dim, then each order
+        // left-joins the version whose [eff_from, eff_to) covers its date
+        """WITH dim AS (SELECT c_custkey, c_mktsegment AS seg,
+             DATE '1995-01-01' AS eff_from, CAST(NULL AS DATE) AS eff_to
+           FROM customer),
+         upd AS (SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 0 THEN c_mktsegment || '_V2'
+                  ELSE c_mktsegment END AS seg FROM customer),
+         j AS (SELECT c_custkey, dim.seg AS dseg, upd.seg AS useg,
+                 dim.eff_from
+               FROM dim FULL JOIN upd USING (c_custkey)),
+         ver AS (
+           SELECT c_custkey, dseg AS segment, eff_from, CAST(NULL AS DATE)
+             AS eff_to FROM j WHERE useg IS NULL OR dseg = useg
+           UNION ALL
+           SELECT c_custkey, dseg, eff_from, DATE '1996-01-01' FROM j
+           WHERE useg IS NOT NULL AND dseg IS NOT NULL AND dseg <> useg
+           UNION ALL
+           SELECT c_custkey, useg, DATE '1996-01-01', CAST(NULL AS DATE)
+           FROM j WHERE useg IS NOT NULL AND (dseg IS NULL OR dseg <> useg))
+         SELECT coalesce(v.segment, 'NO_VERSION') AS segment,
+           count(*) AS n_orders
+         FROM orders o LEFT JOIN ver v
+           ON o.o_custkey = v.c_custkey
+           AND CAST(v.eff_from AS TIMESTAMP) <= o.o_orderdate
+           AND (v.eff_to IS NULL
+                OR o.o_orderdate < CAST(v.eff_to AS TIMESTAMP))
+         GROUP BY 1 ORDER BY 1""",
 
       "rolling_7d_revenue" ->
         """SELECT o_custkey, o_orderkey,

@@ -85,6 +85,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(joinAt >= 0 && mightAt >= 0)
   }
 
+  test("SCD2 point-in-time join keeps its equi key (no nested loop)") {
+    val p = plan(SparkEntry.queries("scd2_pit_join")(spark, sf))
+    assert(!p.contains("NestedLoop"),
+      s"PIT join lost its equi key and degraded to a nested loop:\n$p")
+  }
+
   test("ANN paths: corpus scans once; brute-force broadcasts the probe side") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val probes = emb.where(col("vec_id") < 5)
