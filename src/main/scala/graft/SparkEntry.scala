@@ -906,6 +906,25 @@ object SparkEntry {
         .orderBy(col("segment"))
     }),
 
+    // Per-group feature standardization + outlier census: z-scores of
+    // order totals within each priority (window mean/stddev over the
+    // group partition — one shuffle, no derived-table join-back that
+    // would rescan the fact table; the feature-scaling pass of a
+    // training pipeline plus the |z| > 2.5 anomaly count).
+    "zscore_outliers" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+      t(s, dir, "orders")
+        .withColumn("z",
+          (col("o_totalprice") - avg(col("o_totalprice")).over(w)) /
+            stddev_samp(col("o_totalprice")).over(w))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(abs(col("z")) > 2.5, 1L).otherwise(0L)).as("n_outliers"),
+          round(max(col("z")), 4).as("max_z"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Salted JOIN twin (operators/Skew.saltedJoin): hot-key-immune
     // (key, salt) join, row-identical to the plain join the oracle runs.
     "salted_join_segments" -> ((s, dir) => {
@@ -1957,6 +1976,19 @@ object SparkEntry {
              count(*) AS n_users
            FROM a JOIN c USING (user_id)
            GROUP BY 1, 2 ORDER BY 1, 2""",
+
+      "zscore_outliers" ->
+        """WITH z AS (SELECT o_orderpriority,
+             (o_totalprice - avg(o_totalprice)
+               OVER (PARTITION BY o_orderpriority)) /
+             stddev_samp(o_totalprice)
+               OVER (PARTITION BY o_orderpriority) AS z
+           FROM orders)
+           SELECT o_orderpriority, count(*) AS n_orders,
+             CAST(sum(CASE WHEN abs(z) > 2.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+             round(max(z), 4) AS max_z
+           FROM z GROUP BY 1 ORDER BY 1""",
 
       "salted_join_segments" ->
         // the salt is internal plumbing: the oracle is the PLAIN join
