@@ -906,6 +906,17 @@ object SparkEntry {
         .orderBy(col("segment"))
     }),
 
+    // Deterministic k-per-stratum sample (ext/Sampling.samplePerStratum):
+    // the reproducible "reservoir" — 3 docs per language, identical
+    // selection on any engine/run/layout.
+    "lang_doc_sample" -> ((s, dir) =>
+      graft.ext.Sampling.samplePerStratum(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"),
+            col("n_chars")),
+          key = col("doc_id"), stratum = col("lang"), k = 3)
+        .select(col("lang"), col("sample_rank"), col("doc_id"), col("n_chars"))
+        .orderBy(col("lang"), col("sample_rank"))),
+
     // Per-group feature standardization + outlier census: z-scores of
     // order totals within each priority (window mean/stddev over the
     // group partition — one shuffle, no derived-table join-back that
@@ -1976,6 +1987,15 @@ object SparkEntry {
              count(*) AS n_users
            FROM a JOIN c USING (user_id)
            GROUP BY 1, 2 ORDER BY 1, 2""",
+
+      "lang_doc_sample" ->
+        """WITH r AS (SELECT lang, doc_id, n_chars,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+               AS sample_rank
+           FROM documents)
+           SELECT lang, sample_rank, doc_id, n_chars FROM r
+           WHERE sample_rank <= 3 ORDER BY lang, sample_rank""",
 
       "zscore_outliers" ->
         """WITH z AS (SELECT o_orderpriority,

@@ -69,6 +69,23 @@ object Sampling {
     df.where(hashBucket(key, 100) < rateExpr)
   }
 
+  /** Deterministic k-per-stratum sample — the distributed stand-in for
+    * "reservoir sample k per group": rank rows inside each stratum by the
+    * md5 of their key (uniform, engine-portable) with the key itself as
+    * the total-order tie-break, keep the first k. Re-runs, engine swaps
+    * and repartitioning select the SAME rows (df.sample/TABLESAMPLE
+    * cannot promise any of that). One shuffle on the stratum; the window
+    * truncates to k per group before anything else happens. */
+  def samplePerStratum(df: DataFrame, key: Column, stratum: Column,
+                       k: Int): DataFrame = {
+    require(k > 0, s"need positive k: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum)
+      .orderBy(md5(key.cast("string")), key)
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .where(col("sample_rank") <= k)
+  }
+
   /** Context-window packing: assign documents, in the deterministic
     * per-stream order `orderCol`, to consecutive fixed-token-budget bins —
     * the sequence-packing pass that turns a shuffled corpus into training

@@ -75,6 +75,19 @@ class SamplingSpec extends SparkSpec {
     assert(first === again)
   }
 
+  test("samplePerStratum takes exactly min(k, |group|), stable under layout") {
+    val df = (1L to 97L).map(i => (i, s"g${i % 4}")).toDF("id", "g")
+      .union(Seq((1000L, "tiny")).toDF("id", "g")) // group smaller than k
+    def pick(parts: Int) = graft.ext.Sampling.samplePerStratum(
+        df.repartition(parts), col("id"), col("g"), k = 5)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    val a = pick(1)
+    assert(a === pick(17)) // identical selection under any partitioning
+    val perGroup = a.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perGroup("tiny") === 1)
+    assert(Seq("g0", "g1", "g2", "g3").forall(perGroup(_) === 5))
+  }
+
   test("int8 quantization: codes bounded, error small, zero vector safe") {
     import graft.ext.Similarity
     val df = Seq(
