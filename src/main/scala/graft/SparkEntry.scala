@@ -908,27 +908,32 @@ object SparkEntry {
 
     // Deterministic k-per-stratum sample (ext/Sampling.samplePerStratum):
     // the reproducible "reservoir" — 3 docs per language, identical
-    // selection on any engine/run/layout.
+    // selection on any engine/run/layout. The md5 < '8' candidate
+    // pre-filter (keeps ~1/2) bounds the per-stratum sort volume — the
+    // 100 TB shape, exercised here so the oracle covers it.
     "lang_doc_sample" -> ((s, dir) =>
       graft.ext.Sampling.samplePerStratum(
           t(s, dir, "documents").select(col("doc_id"), col("lang"),
             col("n_chars")),
-          key = col("doc_id"), stratum = col("lang"), k = 3)
+          key = col("doc_id"), stratum = col("lang"), k = 3,
+          hexPrefixBelow = Some("8"))
         .select(col("lang"), col("sample_rank"), col("doc_id"), col("n_chars"))
         .orderBy(col("lang"), col("sample_rank"))),
 
     // Per-group feature standardization + outlier census: z-scores of
-    // order totals within each priority (window mean/stddev over the
-    // group partition — one shuffle, no derived-table join-back that
-    // would rescan the fact table; the feature-scaling pass of a
-    // training pipeline plus the |z| > 2.5 anomaly count).
+    // order totals within each priority. Shape: partial-aggregated group
+    // stats (5 rows) broadcast-joined back — NOT a window partitioned by
+    // the 5-value priority, which would sort the whole fact table on 5
+    // reducers (the low-cardinality-window straggler at 100 TB). The
+    // stats pass re-scans the cheap base relation, not a derived
+    // pipeline (the PlanShape join-back rule is about recomputation).
     "zscore_outliers" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("o_orderpriority"))
-      t(s, dir, "orders")
-        .withColumn("z",
-          (col("o_totalprice") - avg(col("o_totalprice")).over(w)) /
-            stddev_samp(col("o_totalprice")).over(w))
+      val orders = t(s, dir, "orders")
+      val stats = orders.groupBy(col("o_orderpriority"))
+        .agg(avg(col("o_totalprice")).as("__mu"),
+          stddev_samp(col("o_totalprice")).as("__sd"))
+      orders.join(broadcast(stats), Seq("o_orderpriority"))
+        .withColumn("z", (col("o_totalprice") - col("__mu")) / col("__sd"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
           sum(when(abs(col("z")) > 2.5, 1L).otherwise(0L)).as("n_outliers"),
@@ -1993,7 +1998,8 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY lang
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
                AS sample_rank
-           FROM documents)
+           FROM documents
+           WHERE md5(CAST(doc_id AS VARCHAR)) < '8')
            SELECT lang, sample_rank, doc_id, n_chars FROM r
            WHERE sample_rank <= 3 ORDER BY lang, sample_rank""",
 

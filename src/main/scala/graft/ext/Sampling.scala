@@ -74,15 +74,34 @@ object Sampling {
     * md5 of their key (uniform, engine-portable) with the key itself as
     * the total-order tie-break, keep the first k. Re-runs, engine swaps
     * and repartitioning select the SAME rows (df.sample/TABLESAMPLE
-    * cannot promise any of that). One shuffle on the stratum; the window
-    * truncates to k per group before anything else happens. */
+    * cannot promise any of that).
+    *
+    * Scale note: the per-stratum window sends each stratum to ONE
+    * reducer — with few large strata (languages over a 100 TB corpus)
+    * that is a single-reducer sort of most of the data. `hexPrefixBelow`
+    * is the fix: pre-filter to rows whose md5 sorts below the given hex
+    * prefix (e.g. "1" keeps ~1/16) BEFORE the shuffle. Because the
+    * pre-filter predicate is a prefix of the rank order itself, ranking
+    * the survivors gives exactly the global ranks as long as every
+    * stratum keeps >= k survivors — size the prefix so the expected
+    * survivor count is >> k (binomial concentration makes a miss
+    * astronomically unlikely, and the miss mode is a visibly short
+    * group, not a wrong row). */
   def samplePerStratum(df: DataFrame, key: Column, stratum: Column,
-                       k: Int): DataFrame = {
+                       k: Int, hexPrefixBelow: Option[String] = None): DataFrame = {
     require(k > 0, s"need positive k: $k")
+    val h = md5(key.cast("string"))
+    val candidates = hexPrefixBelow match {
+      case Some(p) =>
+        require(p.nonEmpty && p.forall(c => "0123456789abcdef".contains(c)),
+          s"hexPrefixBelow must be lowercase hex: '$p'")
+        df.where(h < lit(p))
+      case None => df
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(stratum)
-      .orderBy(md5(key.cast("string")), key)
-    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .orderBy(h, key)
+    candidates.withColumn("sample_rank", row_number().over(w).cast("long"))
       .where(col("sample_rank") <= k)
   }
 

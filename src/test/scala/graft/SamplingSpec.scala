@@ -88,6 +88,21 @@ class SamplingSpec extends SparkSpec {
     assert(Seq("g0", "g1", "g2", "g3").forall(perGroup(_) === 5))
   }
 
+  test("hex-prefix candidate pre-filter preserves the exact global sample") {
+    // the pre-filter predicate is a prefix of the rank order, so ranking
+    // survivors = global ranks whenever >= k rows survive per stratum
+    val df = (1L to 400L).map(i => (i, s"g${i % 2}")).toDF("id", "g")
+    val full = graft.ext.Sampling.samplePerStratum(
+        df, col("id"), col("g"), k = 4)
+      .select("g", "id", "sample_rank").as[(String, Long, Long)]
+      .collect().toSet
+    val pre = graft.ext.Sampling.samplePerStratum(
+        df, col("id"), col("g"), k = 4, hexPrefixBelow = Some("8"))
+      .select("g", "id", "sample_rank").as[(String, Long, Long)]
+      .collect().toSet
+    assert(pre === full)
+  }
+
   test("int8 quantization: codes bounded, error small, zero vector safe") {
     import graft.ext.Similarity
     val df = Seq(
