@@ -204,9 +204,11 @@ object TextAnalysis {
     * report: batch size and new-document count.
     *
     * Scale shape: the corpus reduces to its distinct 32-char fingerprint
-    * set (one shuffle, done once and reusable/bucketable across batches);
-    * the batch left-joins that set on the fingerprint — batch-sized
-    * shuffle, never corpus-sized. No pairwise comparison anywhere. */
+    * set — a corpus-cardinality shuffle of 32-byte keys, paid ONCE and
+    * amortized by persisting the set bucketed on `fp` (BucketingSpec's
+    * zero-Exchange join), after which each daily batch joins with only a
+    * batch-sized shuffle. The full text never shuffles and nothing is
+    * pairwise. */
   def incrementalDedupReport(corpus: DataFrame, batch: DataFrame,
                              groupCols: Seq[String]): DataFrame = {
     val seen = corpus.select(fingerprint(col("text")).as("fp"))
