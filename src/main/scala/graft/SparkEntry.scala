@@ -920,6 +920,22 @@ object SparkEntry {
         .select(col("lang"), col("sample_rank"), col("doc_id"), col("n_chars"))
         .orderBy(col("lang"), col("sample_rank"))),
 
+    // Top-k per group WITHOUT a window sort: the bounded TopKByDouble
+    // aggregate (functions/TopKAggregate) ships only O(groups x k)
+    // tuples through the exchange — the window form shuffles every row.
+    // Deterministic tie-break (value desc, id asc) makes it oracle-exact.
+    "top3_orders_per_cust" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(graft.functions.TopKAggregate.topKBy(
+          col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+        .select(col("o_custkey"),
+          posexplode_outer(col("top")).as(Seq("pos", "e")))
+        .where(col("e").isNotNull)
+        .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rank"),
+          col("e.id").as("o_orderkey"), col("e.v").as("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rank"))),
+
     // Per-group feature standardization + outlier census: z-scores of
     // order totals within each priority. Shape: partial-aggregated group
     // stats (5 rows) broadcast-joined back — NOT a window partitioned by
@@ -2002,6 +2018,15 @@ object SparkEntry {
            WHERE md5(CAST(doc_id AS VARCHAR)) < '8')
            SELECT lang, sample_rank, doc_id, n_chars FROM r
            WHERE sample_rank <= 3 ORDER BY lang, sample_rank""",
+
+      "top3_orders_per_cust" ->
+        // the aggregate's (v desc, id asc) order == this window's order
+        """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
+           FROM orders)
+           SELECT o_custkey, rank, o_orderkey, o_totalprice FROM r
+           WHERE rank <= 3 ORDER BY o_custkey, rank""",
 
       "zscore_outliers" ->
         """WITH z AS (SELECT o_orderpriority,

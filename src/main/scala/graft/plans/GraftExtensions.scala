@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductExpr, FrequentItemsSketch, VectorSum}
+import graft.functions.{DotProductExpr, FrequentItemsSketch, TopKByDouble, VectorSum}
 
 /** Session extension registering graft's native expressions as SQL
   * functions (`SELECT graft_dot(a, b)`), so pure-SQL users get the codegen
@@ -41,6 +41,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children(1).foldable, "freq_items capacity must be a literal")
         FrequentItemsSketch(children.head,
           children(1).eval().asInstanceOf[Number].intValue())
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("top_k_by"),
+      new ExpressionInfo(classOf[TopKByDouble].getName, "top_k_by"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "top_k_by expects (value, id, k)")
+        require(children(2).foldable, "top_k_by k must be a literal")
+        TopKByDouble(children.head, children(1),
+          children(2).eval().asInstanceOf[Number].intValue())
           .toAggregateExpression()
       }))
   }

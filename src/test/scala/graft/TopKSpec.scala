@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.functions.TopKAggregate.topKBy
+
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  // raw ScalaCheck: the scalatest bridge is not in the offline cache
+  // (same pattern as PropertiesSpec)
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def viaAgg(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.groupBy($"g")
+      .agg(topKBy($"v", $"id", k).as("top"))
+      .select($"g", posexplode_outer($"top").as(Seq("pos", "e")))
+      .where($"e".isNotNull)
+      .select($"g", ($"pos" + 1).as("rank"), $"e.id".as("id"), $"e.v".as("v"))
+
+  private def viaWindow(df: org.apache.spark.sql.DataFrame, k: Int) = {
+    val w = Window.partitionBy($"g").orderBy($"v".desc, $"id".asc)
+    df.withColumn("rank", row_number().over(w).cast("int"))
+      .where($"rank" <= k).select($"g", $"rank", $"id", $"v")
+  }
+
+  test("aggregate top-k equals the window form for arbitrary data and ties") {
+    val rowsGen = Gen.listOfN(80, Gen.zip(
+      Gen.choose(0, 3), Gen.choose(0L, 40L), Gen.choose(0, 5).map(_.toDouble)))
+    check(Prop.forAll(rowsGen) { rows =>
+      rows.isEmpty || {
+        // dedup ids within a group (row identity); heavy value ties remain
+        val df = rows.distinct.toDF("g", "id", "v")
+        val a = viaAgg(df, 3).orderBy($"g", $"rank")
+          .as[(Int, Int, Long, Double)].collect().toSeq
+        val w = viaWindow(df, 3).orderBy($"g", $"rank")
+          .as[(Int, Int, Long, Double)].collect().toSeq
+        a == w
+      }
+    })
+  }
+
+  test("result is exact under any partitioning (mergeable, deterministic)") {
+    val df = (1L to 500L).map(i => (i % 5, i, (i % 17).toDouble))
+      .toDF("g", "id", "v")
+    def run(parts: Int) = viaAgg(df.repartition(parts), 4)
+      .orderBy($"g", $"rank").collect().toSeq
+    assert(run(1) === run(32))
+  }
+
+  test("groups smaller than k return all rows; SQL surface registered") {
+    val df = Seq((0, 1L, 9.0), (0, 2L, 8.0), (1, 3L, 7.0)).toDF("g", "id", "v")
+    assert(viaAgg(df, 5).count() === 3)
+    df.createOrReplaceTempView("topk_in")
+    val sql = spark.sql(
+      """SELECT g, e.id FROM (
+           SELECT g, explode(top_k_by(v, id, 1)) AS e
+           FROM topk_in GROUP BY g) ORDER BY g""").as[(Int, Long)].collect()
+    assert(sql.toSeq === Seq((0, 1L), (1, 3L)))
+  }
+}
