@@ -51,11 +51,19 @@ case class TopKByDouble(valueExpr: Expression, idExpr: Expression, k: Int,
   override def nullable: Boolean = false
   override def prettyName: String = "top_k_by"
 
+  // Spark-consistent double ordering (java.lang.Double.compare): NaN
+  // sorts greatest (best under DESC), 0.0 > -0.0 — so results agree with
+  // the row_number()-window form on every input, not just finite ones
+  private def beats(x: (Double, Long), y: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(x._1, y._1)
+    if (c != 0) c > 0 else x._2 < y._2
+  }
+
   // amortized compaction: append freely, re-sort + trim whenever the
   // buffer doubles past k — O(n log k) total, no per-row sorting
   private def compact(buf: mutable.ArrayBuffer[(Double, Long)]): Unit =
     if (buf.length > k) {
-      val best = buf.sortBy { case (v, id) => (-v, id) }.take(k)
+      val best = buf.sortWith(beats).take(k)
       buf.clear()
       buf ++= best
     }
@@ -83,7 +91,7 @@ case class TopKByDouble(valueExpr: Expression, idExpr: Expression, k: Int,
 
   override def eval(buf: mutable.ArrayBuffer[(Double, Long)]): Any = {
     compact(buf)
-    val sorted = buf.sortBy { case (v, id) => (-v, id) }
+    val sorted = buf.sortWith(beats)
     new GenericArrayData(sorted.map { case (v, id) => InternalRow(v, id) })
   }
 

@@ -61,9 +61,9 @@ object StreamingFunnel {
                 advances += StageAdvance(user, i, stages(i), new Timestamp(t))
               }
             }
-          if (advances.result().nonEmpty)
-            state.update(FunnelState(completed.toSeq))
-          advances.result().iterator
+          val out = advances.result() // Builder.result() is single-shot
+          if (out.nonEmpty) state.update(FunnelState(completed.toSeq))
+          out.iterator
       }
   }
 }

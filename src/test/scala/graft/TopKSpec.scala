@@ -54,6 +54,16 @@ class TopKSpec extends SparkSpec {
     assert(run(1) === run(32))
   }
 
+  test("NaN sorts greatest, matching Spark's window ordering") {
+    val df = Seq((0, 1L, 5.0), (0, 2L, Double.NaN), (0, 3L, 9.0))
+      .toDF("g", "id", "v")
+    val a = viaAgg(df, 2).orderBy($"rank")
+      .select($"id").as[Long].collect().toSeq
+    val w = viaWindow(df, 2).orderBy($"rank")
+      .select($"id").as[Long].collect().toSeq
+    assert(a === w && a === Seq(2L, 3L)) // NaN first, then 9.0
+  }
+
   test("groups smaller than k return all rows; SQL surface registered") {
     val df = Seq((0, 1L, 9.0), (0, 2L, 8.0), (1, 3L, 7.0)).toDF("g", "id", "v")
     assert(viaAgg(df, 5).count() === 3)
