@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distribution-drift monitoring — compare a categorical column's
@@ -33,11 +34,17 @@ object Drift {
       .select(col("category"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
-    val totals = joined.agg(
-      sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"),
-      count(lit(1)).as("__k"))
+    // totals via an unpartitioned window over the CATEGORY-cardinality
+    // frame (small by definition) — one pass; a separate totals aggregate
+    // joined back would recompute both groupBys per action (the GapFill
+    // double-scan lesson)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // smoothed proportions: (n + s) / (total + s*k); k = category count
-    val withP = joined.crossJoin(broadcast(totals))
+    val withP = joined
+      .withColumn("__ta", sum(col("n_a")).over(wAll))
+      .withColumn("__tb", sum(col("n_b")).over(wAll))
+      .withColumn("__k", count(lit(1)).over(wAll))
       .withColumn("p_a", (col("n_a") + smoothing) /
         (col("__ta") + lit(smoothing) * col("__k")))
       .withColumn("p_b", (col("n_b") + smoothing) /

@@ -68,7 +68,11 @@ object BloomJoin {
     * that cannot match are dropped before the join's shuffle. Use when
     * `small` is too big to broadcast-join outright (else Spark's broadcast
     * hash join already prunes) yet its key set fits a few MB of bloom
-    * bits — the classic selective-dimension × huge-fact shape. */
+    * bits — the classic selective-dimension × huge-fact shape. `small` is
+    * evaluated twice (bloom build + join side) — deliberate: it is the
+    * cheap side by precondition, and the payoff is shuffling a fraction
+    * of the expensive side. Persist `small` if its lineage is itself
+    * costly. */
   def prunedInnerJoin(big: DataFrame, bigKey: String,
                       small: DataFrame, smallKey: String,
                       expectedItems: Long, fpp: Double = 0.03): DataFrame = {
