@@ -920,6 +920,20 @@ object SparkEntry {
         .select(col("lang"), col("sample_rank"), col("doc_id"), col("n_chars"))
         .orderBy(col("lang"), col("sample_rank"))),
 
+    // Frame sampling (ext/Multimodal.sampleFrames): 64-byte windows,
+    // every 2nd frame — the 1-item -> N-frames video shape with stubbed
+    // decode; rolled up per kind (checksums are engine-portable byte
+    // functions, so the fan-out itself is oracled).
+    "frame_sample_stats" -> ((s, dir) =>
+      graft.ext.Multimodal.sampleFrames(
+          graft.ext.Multimodal.documentsAsMedia(t(s, dir, "documents")),
+          frameSize = 64, everyNth = 2)
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("frame_len")).as("total_frame_bytes"),
+          sum(col("frame_checksum")).as("total_checksum"))
+        .orderBy(col("kind"))),
+
     // Top-k per group WITHOUT a window sort: the bounded TopKByDouble
     // aggregate (functions/TopKAggregate) ships only O(groups x k)
     // tuples through the exchange — the window form shuffles every row.
@@ -2018,6 +2032,31 @@ object SparkEntry {
            WHERE md5(CAST(doc_id AS VARCHAR)) < '8')
            SELECT lang, sample_rank, doc_id, n_chars FROM r
            WHERE sample_rank <= 3 ORDER BY lang, sample_rank""",
+
+      "frame_sample_stats" -> {
+        // frame k covers bytes [k*128+1, k*128+least(64, n-k*128)]; the
+        // ascii fold mirrors the stub's unsigned-byte checksum (text is
+        // ascii, so char == byte)
+        val frameSum = foldSum(
+          "list_transform(generate_series(1, least(64, n - k*128)), " +
+            "i -> CAST(ascii(substr(text, CAST(k*128 + i AS INTEGER), 1)) " +
+            "AS BIGINT))",
+          "CAST(0 AS BIGINT)")
+        s"""WITH f AS (SELECT source AS kind, text, length(text) AS n
+               FROM documents),
+           e AS (SELECT kind, text, n,
+               unnest(generate_series(0,
+                 CAST(ceil(n / 128.0) AS BIGINT) - 1)) AS k
+             FROM f WHERE n > 0),
+           fr AS (SELECT kind,
+               CAST(least(64, n - k*128) AS BIGINT) AS frame_len,
+               $frameSum AS checksum
+             FROM e)
+           SELECT kind, count(*) AS n_frames,
+             CAST(sum(frame_len) AS BIGINT) AS total_frame_bytes,
+             CAST(sum(checksum) AS BIGINT) AS total_checksum
+           FROM fr GROUP BY kind ORDER BY kind"""
+      },
 
       "top3_orders_per_cust" ->
         // the aggregate's (v desc, id asc) order == this window's order

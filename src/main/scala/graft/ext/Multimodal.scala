@@ -76,6 +76,37 @@ object Multimodal {
       .as[MediaItem]
   }
 
+  /** One sampled frame: narrow row (length + checksum), bytes dropped at
+    * the source per the module's scale posture. */
+  final case class MediaFrame(item_id: Long, kind: String, frame_idx: Long,
+                              frame_len: Long, frame_checksum: Long)
+
+  /** Frame sampling — the 1-item → N-frames cardinality change of video
+    * processing: take a `frameSize`-byte window every `everyNth` frame
+    * (stride = frameSize × everyNth; the trailing frame may be short).
+    * The decode is the same deterministic byte-window stub as
+    * [[StubFeatureExtractor]] (no media libs offline); the REAL parts are
+    * the fan-out shape — executor-local flatMap, payloads never shuffle,
+    * output bounded by len/stride per item — and the narrow frame schema
+    * downstream ops aggregate. */
+  def sampleFrames(items: Dataset[MediaItem], frameSize: Int,
+                   everyNth: Int): Dataset[MediaFrame] = {
+    require(frameSize > 0 && everyNth > 0,
+      s"need positive frameSize/everyNth: $frameSize, $everyNth")
+    implicit val enc = Encoders.product[MediaFrame]
+    val stride = frameSize.toLong * everyNth
+    items.flatMap { item =>
+      val n = item.payload.length.toLong
+      (0L until n by stride).iterator.zipWithIndex.map { case (off, idx) =>
+        val len = math.min(frameSize.toLong, n - off).toInt
+        var sum = 0L
+        var i = 0
+        while (i < len) { sum += (item.payload(off.toInt + i) & 0xff); i += 1 }
+        MediaFrame(item.item_id, item.kind, idx.toLong, len.toLong, sum)
+      }
+    }
+  }
+
   /** Rollup of extracted features per kind — the query surface the driver
     * oracles (byte-sum/byte-len are engine-portable functions of the
     * payload). */

@@ -378,6 +378,20 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(0).byte_len === 2L)
     assert(feats(0).checksum === 'a'.toLong + 'b'.toLong)
   }
+
+  test("sampleFrames: stride windows, short tail, empty payload -> no frames") {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaItem]
+    val items = Seq(
+      Multimodal.MediaItem(1L, "vid", ("a" * 10).getBytes), // frames at 0, 6
+      Multimodal.MediaItem(2L, "vid", Array.empty[Byte]))
+      .toDS()
+    // frameSize 4, everyNth 2 -> stride 8: windows at offsets 0 and 8
+    val frames = Multimodal.sampleFrames(items, frameSize = 4, everyNth = 2)
+      .orderBy("item_id", "frame_idx").collect()
+    assert(frames.map(f => (f.item_id, f.frame_idx, f.frame_len)).toSeq ===
+      Seq((1L, 0L, 4L), (1L, 1L, 2L))) // offsets 0 (4 bytes), 8 (2 bytes)
+    assert(frames.forall(_.frame_checksum % 'a'.toLong === 0L))
+  }
 }
 
 class WinnowingSpec extends SparkSpec {
