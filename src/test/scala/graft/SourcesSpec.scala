@@ -174,4 +174,23 @@ class ClusteredWriteSpec extends SparkSpec {
     // coverage is complete and ordered
     assert(ranges.head._1 === 0 && ranges.last._2 === 9999)
   }
+
+  test("ORC round-trip preserves schema, types and predicate pushdown") {
+    // second columnar format beside parquet: same writer/reader surface,
+    // footer-statistics pushdown included (spark-sql bundles ORC)
+    val src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+    val out = java.nio.file.Files.createTempDirectory("orc-rt").toString + "/t"
+    src.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.schema === src.schema)
+    assert(back.count() === src.count())
+    val p = back.where($"o_totalprice" > 100000.0)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), " +
+      "GreaterThan(o_totalprice,100000.0)]"), s"ORC filter not pushed:\n$p")
+    assert(back.where($"o_totalprice" > 100000.0).count() ===
+      src.where($"o_totalprice" > 100000.0).count())
+  }
 }
