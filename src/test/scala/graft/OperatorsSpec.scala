@@ -153,6 +153,40 @@ class AsOfSpec extends SparkSpec {
       (2, 7, 30.0)))
   }
 
+  test("nearest as-of matches a brute-force reference on arbitrary data") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      ls <- Gen.listOfN(12, Gen.zip(Gen.choose(1, 2), Gen.choose(0, 50)))
+      rs <- Gen.listOfN(8, Gen.zip(Gen.choose(1, 2), Gen.choose(0, 50)))
+    } yield (ls.distinct, rs.distinct)
+    val prop = Prop.forAll(gen) { case (ls, rs) =>
+      ls.isEmpty || {
+        val left = ls.toDF("k", "lt")
+        val right = rs.zipWithIndex
+          .map { case ((k, rt), i) => (k, rt, i.toDouble) }
+          .toDF("k", "rt", "v")
+        val got = AsOf.asOfJoinNearest(left, right, Seq("k"), "lt", "rt",
+            Seq("v")).orderBy("k", "lt")
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1),
+            if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+        // brute force: closest |rt - lt| per key, preceding wins ties
+        val byKey = rs.zipWithIndex.groupBy(_._1._1)
+        val want = ls.sorted.map { case (k, lt) =>
+          val cands = byKey.getOrElse(k, Nil)
+          val best = cands.sortBy { case ((_, rt), i) =>
+            (math.abs(rt - lt), if (rt <= lt) 0 else 1, -rt)
+          }.headOption
+          (k, lt, best.map(_._2.toDouble))
+        }
+        got == want
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("nearest as-of rejects timestamp-vs-numeric time columns up front") {
     // micros vs caller-defined epoch units are incomparable; the require
     // must fire at plan time, not produce a silently-wrong distance

@@ -64,6 +64,38 @@ class TopKSpec extends SparkSpec {
     assert(a === w && a === Seq(2L, 3L)) // NaN first, then 9.0
   }
 
+  test("composes with Structured Streaming windowed aggregation") {
+    // TypedImperativeAggregate buffers serialize through streaming state:
+    // the same top-k surface works in a watermarked windowed groupBy
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val q = input.toDF().toDF("ts", "id", "v")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window($"ts", "1 hour"))
+      .agg(topKBy($"v", $"id", 2).as("top"))
+      .select($"window.start".as("ws"), $"top")
+      .writeStream.format("memory").queryName("topk_stream")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-topk").toString)
+      .outputMode("update").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(
+      (t("2024-01-01 10:00:00"), 1L, 5.0),
+      (t("2024-01-01 10:10:00"), 2L, 9.0),
+      (t("2024-01-01 10:20:00"), 3L, 7.0),
+      (t("2024-01-01 11:05:00"), 4L, 1.0))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      """SELECT ws, e.id FROM (
+           SELECT ws, explode(top) AS e FROM topk_stream) ORDER BY ws, e.v DESC""")
+      .as[(java.sql.Timestamp, Long)].collect().toSeq
+    assert(rows === Seq(
+      (t("2024-01-01 10:00:00"), 2L), (t("2024-01-01 10:00:00"), 3L),
+      (t("2024-01-01 11:00:00"), 4L)))
+    q.stop()
+  }
+
   test("groups smaller than k return all rows; SQL surface registered") {
     val df = Seq((0, 1L, 9.0), (0, 2L, 8.0), (1, 3L, 7.0)).toDF("g", "id", "v")
     assert(viaAgg(df, 5).count() === 3)
