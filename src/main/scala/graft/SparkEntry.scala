@@ -920,6 +920,27 @@ object SparkEntry {
         .select(col("lang"), col("sample_rank"), col("doc_id"), col("n_chars"))
         .orderBy(col("lang"), col("sample_rank"))),
 
+    // Time-weighted average over IRREGULAR samples (TWAP / sensor
+    // integral): each observation holds its value until the next one, so
+    // the mean weighs values by holding duration (micros), not by sample
+    // count — burst-sampling cannot bias it. One user-keyed window
+    // (lead) + one aggregate; integer-micro weights keep the weighted
+    // sum engine-exact up to the final division.
+    "twap_by_user" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("__hold",
+          (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+            .cast("double"))
+        .where(col("__hold").isNotNull) // last sample holds nothing
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          round(sum(col("value") * col("__hold")) / sum(col("__hold")), 6)
+            .as("twap"))
+        .orderBy(col("user_id"))
+    }),
+
     // Frame sampling (ext/Multimodal.sampleFrames): 64-byte windows,
     // every 2nd frame — the 1-item -> N-frames video shape with stubbed
     // decode; rolled up per kind (checksums are engine-portable byte
@@ -2032,6 +2053,17 @@ object SparkEntry {
            WHERE md5(CAST(doc_id AS VARCHAR)) < '8')
            SELECT lang, sample_rank, doc_id, n_chars FROM r
            WHERE sample_rank <= 3 ORDER BY lang, sample_rank""",
+
+      "twap_by_user" ->
+        """WITH h AS (SELECT user_id, value,
+             CAST(epoch_us(lead(ts, 1) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id))
+               - epoch_us(ts) AS DOUBLE) AS hold
+           FROM events)
+           SELECT user_id, count(*) AS n_intervals,
+             round(sum(value * hold) / sum(hold), 6) AS twap
+           FROM h WHERE hold IS NOT NULL
+           GROUP BY user_id ORDER BY user_id""",
 
       "frame_sample_stats" -> {
         // frame k covers bytes [k*128+1, k*128+least(64, n-k*128)]; the
