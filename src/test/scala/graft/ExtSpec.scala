@@ -379,6 +379,23 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(0).checksum === 'a'.toLong + 'b'.toLong)
   }
 
+  test("resamplePayload: exact target length, deterministic, empty-safe") {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaItem]
+    val items = Seq(
+      Multimodal.MediaItem(1L, "img", "abcdefgh".getBytes), // downsample 8->4
+      Multimodal.MediaItem(2L, "img", "xy".getBytes),       // upsample 2->4
+      Multimodal.MediaItem(3L, "img", Array.empty[Byte]))
+      .toDS()
+    val out = Multimodal.resamplePayload(items, targetLen = 4)
+      .orderBy("item_id").collect()
+    assert(new String(out(0).payload) === "aceg") // indices 0,2,4,6
+    assert(new String(out(1).payload) === "xxyy") // indices 0,0,1,1
+    assert(out(2).payload.isEmpty)                // empty stays empty
+    // deterministic: same input, same bytes
+    val again = Multimodal.resamplePayload(items, 4).orderBy("item_id").collect()
+    assert(out.map(_.payload.toSeq).toSeq === again.map(_.payload.toSeq).toSeq)
+  }
+
   test("sampleFrames: stride windows, short tail, empty payload -> no frames") {
     implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaItem]
     val items = Seq(
