@@ -50,5 +50,8 @@ class BloomJoinSpec extends SparkSpec {
     // 1M items at 3% fpp needs ~7.3 bits/item
     val bits = BloomJoin.optimalNumBits(1000000L, 0.03)
     assert(bits > 7000000L && bits < 7500000L)
+    intercept[IllegalArgumentException](BloomJoin.optimalNumBits(0L, 0.03))
+    intercept[IllegalArgumentException](BloomJoin.optimalNumBits(10L, 0.0))
+    intercept[IllegalArgumentException](BloomJoin.optimalNumBits(10L, 1.0))
   }
 }

@@ -82,4 +82,14 @@ class CohortSpec extends SparkSpec {
       (w0, 1L, 1L),  // user 1 returns
       (w1, 0L, 1L))) // user 3's cohort
   }
+
+  test("gap weeks stay absent: returning in week 2 does not backfill week 1") {
+    val events = Seq(
+      (1L, ts("2024-01-02 10:00:00")),  // cohort week 2024-01-01
+      (1L, ts("2024-01-16 10:00:00")))  // returns in week 2, skips week 1
+      .toDF("user_id", "ts")
+    val out = Cohort.weeklyRetention(events, "user_id", "ts")
+      .select("weeks_since").as[Long].collect().toSeq
+    assert(out === Seq(0L, 2L)) // week 1 has no row, not a zero row
+  }
 }

@@ -29,6 +29,19 @@ class RedactionSpec extends SparkSpec {
     assert(r(2).getAs[String]("text_redacted") === "nothing sensitive here")
   }
 
+  test("patterns apply in declared order: earlier scrubs consume later matches") {
+    // the email eats its digits before the phone pattern ever sees them;
+    // reversing the list would double-redact — order is part of the API
+    val df = Seq((1L, "mail 555-867-5309@x.co now", "en"))
+      .toDF("doc_id", "text", "lang")
+    val r = Redaction.redact(df, "text").collect().head
+    assert(r.getAs[Long]("n_email") === 1L)
+    assert(r.getAs[String]("text_redacted") === "mail [REDACTED] now")
+    // count columns are computed on the ORIGINAL text, so the phone
+    // pattern still reports its (overlapping) match for auditing
+    assert(r.getAs[Long]("n_phone") === 1L)
+  }
+
   test("redactionStats aggregates touched docs and net chars removed") {
     val s = Redaction.redactionStats(docs, "text", Seq("lang"))
       .orderBy("lang").collect()
@@ -61,6 +74,11 @@ class ChunkingSpec extends SparkSpec {
     // n=7: last chunk starts at 4, holds 3
     assert(chunksOf("a b c d e f g", 4, 2) ===
       Seq((0L, 4L), (1L, 4L), (2L, 3L)))
+  }
+
+  test("stride == chunkSize gives non-overlapping exact partitioning") {
+    assert(chunksOf("a b c d e f g h", 4, 4) === Seq((0L, 4L), (1L, 4L)))
+    assert(chunksOf("a b c d e", 4, 4) === Seq((0L, 4L), (1L, 1L)))
   }
 
   test("every token is covered and consecutive chunks overlap by size-stride") {
