@@ -58,11 +58,37 @@ object Similarity {
     when(sqrt(n2a) === 0.0 || sqrt(n2b) === 0.0, lit(0.0))
       .otherwise(dotCol / (sqrt(n2a) * sqrt(n2b)))
 
+  /** Row cap above which the all-pairs control paths ([[knnBruteForce]],
+    * [[cosineNearDupPairs]]) refuse to run. They exist as correctness
+    * baselines for the bucketed scale paths ([[knnLsh]], [[knnIvf]],
+    * [[cosineNearDupPairsLsh]]) and are quadratic in the corpus — at 100 TB
+    * an accidental invocation is a cluster-killer, so the cap fails fast
+    * with a pointer to the scale path instead. 100k rows ≈ 5×10⁹ pairs,
+    * already minutes of work; anything larger is certainly a mistake. */
+  val BruteForceCap: Long = 100000L
+
+  /** Fail fast when an all-pairs control path is invoked on a corpus above
+    * [[BruteForceCap]] rows, unless the caller explicitly opts in with
+    * `force=true`. The count is one metadata-cheap job (parquet row-group
+    * counts; no column decode) — noise next to the N² work it guards. */
+  private def guardBruteForce(corpus: DataFrame, what: String,
+                              scalePath: String, force: Boolean): Unit =
+    if (!force) {
+      val n = corpus.count()
+      require(n <= BruteForceCap,
+        s"$what is an O(N²) all-pairs control path and the corpus has $n rows " +
+          s"(cap $BruteForceCap). Use $scalePath at corpus scale, or pass " +
+          "force=true to run the brute-force baseline anyway.")
+    }
+
   /** Exact cosine top-k: for each query vector (`queries`, small — gets
     * broadcast), the k nearest corpus vectors by cosine, deterministically
-    * tie-broken (cosine desc, candidate id asc). Self-pairs excluded. */
+    * tie-broken (cosine desc, candidate id asc). Self-pairs excluded.
+    * Guarded by [[BruteForceCap]]: this is the correctness baseline for
+    * [[knnLsh]]/[[knnIvf]], not the scale path. */
   def knnBruteForce(corpus: DataFrame, queries: DataFrame, k: Int,
-                    dim: Int = 64): DataFrame = {
+                    dim: Int = 64, force: Boolean = false): DataFrame = {
+    guardBruteForce(corpus, "knnBruteForce", "knnLsh or knnIvf", force)
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
       dotNative(col("embedding"), col("embedding")).as("qn2"))
     // Rebalance the candidate side: queries×dim dot products per corpus row
@@ -89,9 +115,11 @@ object Similarity {
     * path is [[knnLsh]]-style bucketing (compare within LSH buckets only).
     * Norms are precomputed per vector; the threshold filters on the ROUNDED
     * value so an external oracle computing the same rounded cosine agrees
-    * at the boundary. */
+    * at the boundary. Guarded by [[BruteForceCap]]: use
+    * [[cosineNearDupPairsLsh]] at corpus scale. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
-                         dim: Int = 64): DataFrame = {
+                         dim: Int = 64, force: Boolean = false): DataFrame = {
+    guardBruteForce(corpus, "cosineNearDupPairs", "cosineNearDupPairsLsh", force)
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val v = corpus.repartition(par).select(col("vec_id"), col("embedding"),
       dotNative(col("embedding"), col("embedding")).as("n2"))

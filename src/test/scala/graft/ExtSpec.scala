@@ -221,6 +221,27 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq === Seq(3L, 1L, 2L)) // identical first, then near, then orthogonal
   }
 
+  test("brute-force paths refuse corpora above BruteForceCap unless forced") {
+    // 100001 synthetic rows: count() is metadata-cheap, and the guard must
+    // fire BEFORE any N² plan executes.
+    val big = spark.range(Similarity.BruteForceCap + 1)
+      .select(col("id").as("vec_id"),
+        array(lit(1.0f), lit(0.0f)).as("embedding"))
+    val probes = big.where(col("vec_id") === 0)
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.knnBruteForce(big, probes, k = 3, dim = 2)
+    }
+    assert(e1.getMessage.contains("knnLsh"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(big, threshold = 0.9, dim = 2)
+    }
+    assert(e2.getMessage.contains("cosineNearDupPairsLsh"))
+    // force=true opts in: plan construction succeeds (lazy — not executed).
+    val forced = Similarity.knnBruteForce(big, probes, k = 3, dim = 2,
+      force = true)
+    assert(forced.columns.contains("cos_sim"))
+  }
+
   test("LSH: identical vectors always share a bucket and find each other") {
     val vecs = (0L until 20L).map { i =>
       val v = Array.tabulate(64)(d => math.sin(i * 64.0 + d).toFloat)
