@@ -573,6 +573,18 @@ object SparkEntry {
           "doc_a", "doc_b")
         .orderBy(col("doc_id"))),
 
+    // The detect→group→drop loop end to end: winnowing pairs → components
+    // → keep the min-doc_id survivor per cluster → anti-join rewrite of
+    // the corpus. What a training pipeline actually ships: the deduped
+    // corpus itself, not the pair/label diagnostics.
+    "dedup_survivors" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ext.Components.dedupSurvivors(docs,
+          Dedup.winnowingPairs(docs, k = 5, w = 4, minShared = 10))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact cosine top-5 for 10 probe vectors (brute-force ANN baseline).
     "knn_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -609,6 +621,13 @@ object SparkEntry {
     // Multimodal plumbing: binary payload + partition-local feature extract.
     "media_feature_stats" -> ((s, dir) =>
       Multimodal.mediaFeatureStats(t(s, dir, "documents"))),
+
+    // REAL image-header decode (PNG IHDR / JPEG SOF / GIF LSD byte
+    // layouts) over synthesized spec-valid payloads; the oracle recomputes
+    // dimensions from doc_id arithmetic, so the byte parser itself is what
+    // is being checked.
+    "media_dims_stats" -> ((s, dir) =>
+      Multimodal.mediaDimsStats(t(s, dir, "documents"))),
 
     // Custom TypedImperativeAggregate: per-label centroid via vec_sum
     // (single mutable double[dim] buffer per group — no posexplode
@@ -1578,6 +1597,26 @@ object SparkEntry {
            SELECT a AS doc_id, least(a, min(b)) AS component
            FROM reach GROUP BY a ORDER BY doc_id""",
 
+      "dedup_survivors" ->
+        // same component CTEs; non-survivors (doc_id <> component = min
+        // member) are dropped from the corpus by anti-join
+        s"""WITH RECURSIVE $winnowCtes,
+           edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                     WHERE n_shared_fp >= 10
+                     UNION SELECT doc_b, doc_a FROM pairs
+                     WHERE n_shared_fp >= 10),
+           reach AS (
+             SELECT a, b FROM edges
+             UNION
+             SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+           labels AS (SELECT a AS doc_id, least(a, min(b)) AS component
+                      FROM reach GROUP BY a)
+           SELECT d.doc_id, d.lang, d.source, d.n_chars
+           FROM documents d
+           WHERE d.doc_id NOT IN
+             (SELECT doc_id FROM labels WHERE doc_id <> component)
+           ORDER BY d.doc_id""",
+
       "neardup_simhash" -> {
         // 32-bit word of md5(t) at hex offset `off` (mirrors Spark's
         // conv(substring(md5(tok), off+1, 8), 16, 10)).
@@ -1899,6 +1938,22 @@ object SparkEntry {
              CAST(sum(checksum) AS BIGINT) AS total_checksum,
              round(avg(feat_mean), 4) AS avg_feat_mean
            FROM g GROUP BY kind ORDER BY kind""",
+
+      "media_dims_stats" ->
+        // ground truth is the doc_id arithmetic the payload generator
+        // encodes into the headers; Spark's side decodes the actual bytes
+        """WITH m AS (SELECT
+             CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                  WHEN 2 THEN 'gif' ELSE 'unknown' END AS media_format,
+             CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 16 + doc_id % 317 END AS w,
+             CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 16 + doc_id % 211 END AS h
+           FROM documents)
+           SELECT media_format, count(*) AS n_items,
+             CAST(sum(w) AS BIGINT) AS sum_width,
+             CAST(sum(h) AS BIGINT) AS sum_height,
+             CAST(min(w) AS BIGINT) AS min_width,
+             CAST(max(h) AS BIGINT) AS max_height
+           FROM m GROUP BY media_format ORDER BY media_format""",
 
       "bloom_pruned_revenue" ->
         // the bloom prune is a no-false-negative pre-filter: the oracle is

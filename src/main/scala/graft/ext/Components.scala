@@ -98,4 +98,24 @@ object Components {
     }
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }
+
+  /** The detect → group → drop loop closed end to end: group the near-dup
+    * `pairs` into components, keep one survivor per component (the
+    * smallest id — which IS the component label, by min-propagation
+    * construction), and rewrite `corpus` with every non-survivor removed.
+    * Docs in no pair are untouched.
+    *
+    * Scale posture: the non-survivor set is duplicate-count-sized (never
+    * corpus-sized), so the final `left_anti` join is the only corpus-wide
+    * op and AQE broadcasts the loser side when the dup rate is low; the
+    * rewrite streams the corpus through one scan. */
+  def dedupSurvivors(corpus: DataFrame, pairs: DataFrame,
+                     aCol: String = "doc_a", bCol: String = "doc_b",
+                     idCol: String = "doc_id",
+                     maxIter: Int = 25): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol, maxIter)
+      .where(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as(idCol))
+    corpus.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -127,6 +127,69 @@ object Multimodal {
     }
   }
 
+  /** Synthesize a REAL image-header payload per document: doc_id mod 4
+    * picks PNG / JPEG / GIF / raw-text, and the header bytes are assembled
+    * with codegen'd built-ins (hex-string concat → one `unhex`) so the
+    * encoded dimensions are pure doc_id arithmetic an external oracle can
+    * reproduce without parsing bytes:
+    * `width = 16 + doc_id % 317`, `height = 16 + doc_id % 211`.
+    * The headers are spec-valid PNG signature+IHDR, JPEG SOI+APP0+SOF0,
+    * and GIF89a logical-screen-descriptor layouts — what
+    * [[graft.functions.MediaDecode]] then decodes is the real byte format,
+    * not an echo of the arithmetic. Raw payloads get a 0x00 prefix so no
+    * text can ever alias an image signature. */
+  def syntheticMediaPayloads(docs: DataFrame): DataFrame = {
+    val w = (lit(16) + pmod(col("doc_id"), lit(317))).cast("int")
+    val h = (lit(16) + pmod(col("doc_id"), lit(211))).cast("int")
+    def hexBE(c: org.apache.spark.sql.Column, digits: Int) =
+      lpad(hex(c), digits, "0")
+    // GIF stores u16 little-endian: low byte first.
+    def hexLE16(c: org.apache.spark.sql.Column) =
+      concat(hexBE(pmod(c, lit(256)), 2), hexBE((c.cast("double") / 256.0).cast("int"), 2))
+    val pngHex = concat(
+      lit("89504E470D0A1A0A0000000D49484452"), // signature + len 13 + "IHDR"
+      hexBE(w, 8), hexBE(h, 8),
+      lit("080600000000000000")) // bit depth 8, RGBA, + placeholder CRC
+    val jpegHex = concat(
+      // SOI + APP0/JFIF (16-byte segment) + SOF0 marker/len/precision
+      lit("FFD8FFE000104A46494600010100000100010000FFC0001108"),
+      hexBE(h, 4), hexBE(w, 4), // SOF order is height THEN width
+      lit("03012200021101031101FFD9")) // 3 components + EOI
+    val gifHex = concat(
+      lit("474946383961"), // "GIF89a"
+      hexLE16(w), hexLE16(h),
+      lit("F7000000")) // packed fields, bg color, aspect, padding
+    docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(4)) === 0, unhex(pngHex))
+        .when(pmod(col("doc_id"), lit(4)) === 1, unhex(jpegHex))
+        .when(pmod(col("doc_id"), lit(4)) === 2, unhex(gifHex))
+        .otherwise(concat(unhex(lit("00")),
+          substring(col("text"), 1, 64).cast("binary")))
+        .as("payload"))
+  }
+
+  /** Per-format dimension rollup over [[syntheticMediaPayloads]] decoded
+    * by the REAL header parser ([[graft.functions.MediaDecode]]): the
+    * oracle recomputes widths/heights from doc_id arithmetic, so any
+    * offset/endianness mistake in the parser breaks the match. Unparsable
+    * payloads roll up under 'unknown' with zero dims (decode errors are
+    * data, never job failures). */
+  def mediaDimsStats(docs: DataFrame): DataFrame = {
+    val d = graft.functions.MediaFunctions.mediaDims(col("payload"))
+    syntheticMediaPayloads(docs)
+      .select(d.as("d"))
+      .select(coalesce(col("d.media_format"), lit("unknown")).as("media_format"),
+        coalesce(col("d.width"), lit(0)).as("w"),
+        coalesce(col("d.height"), lit(0)).as("h"))
+      .groupBy(col("media_format"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("w")).as("sum_width"),
+        sum(col("h")).as("sum_height"),
+        min(col("w")).cast("long").as("min_width"),
+        max(col("h")).cast("long").as("max_height"))
+      .orderBy(col("media_format"))
+  }
+
   /** Rollup of extracted features per kind — the query surface the driver
     * oracles (byte-sum/byte-len are engine-portable functions of the
     * payload). */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductExpr, FrequentItemsSketch, TopKByDouble, VectorSum}
+import graft.functions.{DotProductExpr, FrequentItemsSketch, MediaDimsExpr, TopKByDouble, VectorSum}
 
 /** Session extension registering graft's native expressions as SQL
   * functions (`SELECT graft_dot(a, b)`), so pure-SQL users get the codegen
@@ -42,6 +42,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FrequentItemsSketch(children.head,
           children(1).eval().asInstanceOf[Number].intValue())
           .toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("media_dims"),
+      new ExpressionInfo(classOf[MediaDimsExpr].getName, "media_dims"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "media_dims expects exactly 1 argument")
+        MediaDimsExpr(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("top_k_by"),

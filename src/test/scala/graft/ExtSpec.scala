@@ -508,6 +508,15 @@ class ComponentsSpec extends SparkSpec {
     assert(survivors === Set(5L, 2L))
   }
 
+  test("dedupSurvivors: min-id survivor per chain, singletons untouched") {
+    val corpus = (0L until 10L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = Components.dedupSurvivors(corpus, pairs, "doc_a", "doc_b")
+      .as[Long].collect().toSet
+    // chain 1-2-3 keeps 1; pair 5-6 keeps 5; everything unpaired stays
+    assert(out === Set(0L, 1L, 4L, 5L, 7L, 8L, 9L))
+  }
+
   test("non-convergence at maxIter throws when failOnNonConvergence is set") {
     // diameter 11 cannot converge in 2 rounds
     val edges = (0L until 11L).map(i => (i, i + 1)).toDF("a", "b")
@@ -529,5 +538,84 @@ class ComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(cc.length === 9)
     assert(cc.forall(_._2 === 0L))
+  }
+}
+
+class MediaDecodeSpec extends SparkSpec {
+  import graft.functions.{MediaDecode, MediaFunctions}
+  import org.apache.spark.sql.functions._
+
+  /** Real encoder ground truth: JDK ImageIO writes actual PNG/JPEG/GIF
+    * files; the decoder must recover the dimensions from those bytes. */
+  private def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+    // JPEG writer rejects alpha; use RGB for all formats.
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+    out.toByteArray
+  }
+
+  private def dims(b: Array[Byte]): Option[(String, Int, Int)] =
+    Option(MediaDecode.dimsRow(b)).map(r =>
+      (r.getUTF8String(0).toString, r.getInt(1), r.getInt(2)))
+
+  test("decodes real ImageIO-encoded PNG / JPEG / GIF dimensions") {
+    assert(dims(imageBytes("png", 37, 21)) === Some(("png", 37, 21)))
+    // ImageIO JPEGs carry APP0/DQT/DHT segments before SOF — the segment
+    // walk (including the C4=DHT exclusion from the SOF range) is
+    // exercised by real encoder output, not a synthetic layout.
+    assert(dims(imageBytes("jpg", 640, 480)) === Some(("jpeg", 640, 480)))
+    assert(dims(imageBytes("gif", 300, 2))   === Some(("gif", 300, 2)))
+  }
+
+  test("corrupt, truncated and non-image payloads decode to null") {
+    assert(dims(Array.empty[Byte]).isEmpty)
+    assert(dims("plain text payload, definitely not an image".getBytes).isEmpty)
+    assert(dims(imageBytes("png", 10, 10).take(20)).isEmpty)   // truncated IHDR
+    assert(dims(imageBytes("jpg", 10, 10).take(4)).isEmpty)    // SOI only
+    assert(dims(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte,
+      0xd9.toByte)).isEmpty)                                   // EOI before SOF
+    val desync = imageBytes("jpg", 10, 10)
+    desync(2) = 0x00 // break the marker chain right after SOI
+    assert(dims(desync).isEmpty)
+  }
+
+  test("media_dims runs in codegen via Column API and SQL registration") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, imageBytes("png", 123, 45)),
+      (2L, imageBytes("jpg", 20, 30)),
+      (3L, "not an image".getBytes))
+      .toDF("id", "payload")
+    val out = df.select(col("id"), MediaFunctions.mediaDims(col("payload")).as("d"))
+      .select(col("id"), col("d.media_format"), col("d.width"), col("d.height"))
+      .orderBy("id")
+      .as[(Long, Option[String], Option[Int], Option[Int])].collect()
+    assert(out(0) === ((1L, Some("png"), Some(123), Some(45))))
+    assert(out(1) === ((2L, Some("jpeg"), Some(20), Some(30))))
+    assert(out(2) === ((3L, None, None, None)))
+    df.createOrReplaceTempView("media_payloads")
+    val sqlOut = spark.sql(
+      "SELECT media_dims(payload).width AS w FROM media_payloads WHERE id = 1")
+      .as[Int].collect()
+    assert(sqlOut.toSeq === Seq(123))
+  }
+
+  test("mediaDimsStats: real decode agrees with the doc_id arithmetic oracle") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = graft.ext.Multimodal.mediaDimsStats(docs).collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("gif", "jpeg", "png", "unknown"))
+    // cross-check one format end-to-end against locally computed arithmetic
+    val ids = docs.select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect()
+    val png = ids.filter(_ % 4 == 0)
+    val pngRow = rows.find(_.getString(0) == "png").get
+    assert(pngRow.getLong(1) === png.length.toLong)
+    assert(pngRow.getLong(2) === png.map(i => 16 + i % 317).sum)
+    assert(pngRow.getLong(3) === png.map(i => 16 + i % 211).sum)
+    val unk = rows.find(_.getString(0) == "unknown").get
+    assert(unk.getLong(2) === 0L && unk.getLong(4) === 0L) // zero dims
   }
 }
