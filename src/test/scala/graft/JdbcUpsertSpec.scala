@@ -98,6 +98,73 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(sink.countWhere("seen_keys", "1=1") === 2)
   }
 
+  test("copyLoad bulk-ingests staged CSV part files (Derby IMPORT_TABLE)") {
+    // the COPY-shaped S9 path end to end: partition-parallel CSV staging
+    // + the warehouse's own bulk-ingest statement, not row INSERTs
+    val ddlC =
+      """CREATE TABLE genre_kpis_copy (
+         "genre" VARCHAR(64) NOT NULL,
+         "listen_count" BIGINT,
+         "load_date" DATE NOT NULL)"""
+    sink.ensureTable(ddlC, "genre_kpis_copy")
+    val copySink = graft.sources.CopyBulkSink(url)
+    val staging = java.nio.file.Files.createTempDirectory("graft_copy")
+      .resolve("batch").toString
+    val d1 = java.sql.Date.valueOf("2024-06-25")
+    val batch = (1 to 100).map(i => (s"genre_$i", i.toLong, d1))
+      .toDF("genre", "listen_count", "load_date")
+    val stmts = copySink.copyLoad(batch, "genre_kpis_copy", staging,
+      numPartitions = 3)
+    // 3 part files -> 3 IMPORT_TABLE calls, all in one transaction
+    assert(stmts.length === 3)
+    assert(stmts.forall(_.startsWith("CALL SYSCS_UTIL.SYSCS_IMPORT_TABLE")))
+    assert(sink.countWhere("genre_kpis_copy", "1=1") === 100)
+    assert(sink.countWhere("genre_kpis_copy",
+      "\"genre\" = 'genre_7' AND \"listen_count\" = 7") === 1)
+    // append semantics (COPY adds; dedup is the upsert layer's job)
+    copySink.copyLoad(batch, "genre_kpis_copy", staging, numPartitions = 3)
+    assert(sink.countWhere("genre_kpis_copy", "1=1") === 200)
+  }
+
+  test("copyLoad rolls back the whole load when one file fails") {
+    val ddlR =
+      """CREATE TABLE copy_rollback (
+         "genre" VARCHAR(64) NOT NULL,
+         "listen_count" BIGINT NOT NULL)"""
+    sink.ensureTable(ddlR, "copy_rollback")
+    val copySink = graft.sources.CopyBulkSink(url)
+    val staging = java.nio.file.Files.createTempDirectory("graft_copy_rb")
+      .resolve("batch").toString
+    val good = Seq(("rock", 1L)).toDF("genre", "listen_count")
+    // Plain-SQL dialect: statement 1 inserts, statement 2 fails — the
+    // sink's one-transaction contract must roll statement 1 back. (Derby's
+    // IMPORT_TABLE can't be used here: it commits internally, a documented
+    // Derby quirk; Redshift's COPY is one atomic statement per load.)
+    val failing: graft.sources.CopyBulkSink.Dialect = (_, _, _) => Seq(
+      "INSERT INTO copy_rollback VALUES ('rock', 1)",
+      "INSERT INTO copy_rollback_no_such_table VALUES ('x', 2)")
+    assertThrows[java.sql.SQLException] {
+      copySink.copyLoad(good, "copy_rollback", staging, failing,
+        numPartitions = 1)
+    }
+    assert(sink.countWhere("copy_rollback", "1=1") === 0)
+  }
+
+  test("redshiftCopy emits the reference COPY statement shape") {
+    val stmts = graft.sources.CopyBulkSink.redshiftCopy(
+      credentialsSql = "IAM_ROLE 'arn:aws:iam::0:role/loader'",
+      ignoreHeader = 1)("genre_kpis", "s3://bucket/staging/run1",
+      Seq("part-0.csv", "part-1.csv"))
+    // one statement over the PREFIX — the warehouse fans in the files
+    assert(stmts.length === 1)
+    val s = stmts.head
+    assert(s.contains("COPY genre_kpis FROM 's3://bucket/staging/run1'"))
+    assert(s.contains("IAM_ROLE 'arn:aws:iam::0:role/loader'"))
+    assert(s.contains("CSV"))
+    assert(s.contains("IGNOREHEADER 1"))
+    assert(s.contains("DATEFORMAT 'auto'"))
+  }
+
   test("spark.read.jdbc round-trips the warehouse table (partitioned read)") {
     // the read half of the warehouse path: predicate-partitioned parallel
     // scan of what upsert wrote, types preserved
