@@ -1034,7 +1034,43 @@ object SparkEntry {
       graft.ext.Drift.categoricalDrift(
         split.where(col("split") === "corpus"),
         split.where(col("split") === "batch"), col("lang"))
-    })
+    }),
+
+    // CDC-style snapshot diff (operators/SnapshotDiff): two synthetic
+    // versions of the customer dimension (disjoint key drops + an acctbal
+    // bump on every 5th key) classified added/removed/changed row-wise.
+    // One full-outer key join; output is delta-sized.
+    "snapshot_diff" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val prev = cust.where(pmod(col("c_custkey"), lit(10)) =!= 3)
+      val next = cust.where(pmod(col("c_custkey"), lit(7)) =!= 2)
+        .withColumn("c_acctbal",
+          when(pmod(col("c_custkey"), lit(5)) === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")))
+      graft.operators.SnapshotDiff
+        .diff(prev, next, Seq("c_custkey"), Seq("c_acctbal", "c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Distribution window functions (percent_rank / cume_dist / ntile)
+    // per priority partition — row-level, deterministic tie-break.
+    "order_price_ranks" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        ntile(10).over(w).cast("long").as("decile"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Skew census (operators/Skew.keySkewReport): the 10 heaviest event
+    // keys with share + cumulative share — the diagnostic that decides
+    // whether the salted twins above are needed. Global window bounded
+    // to the top-k rows by construction.
+    "key_skew_report" -> ((s, dir) =>
+      graft.operators.Skew.keySkewReport(t(s, dir, "events"), "user_id", 10))
   )
 
   /** DuckDB twins for the driver's differential check. Keys must mirror
@@ -2238,7 +2274,52 @@ object SparkEntry {
              round(abs(p_a - p_b), 6) AS abs_delta,
              round(p_a * ln(p_a / p_b), 6) AS kl_term
            FROM p ORDER BY category"""
-      }
+      },
+
+      "snapshot_diff" ->
+        // same synthetic versions; null-safe IS DISTINCT FROM on both
+        // compared columns, unchanged rows dropped
+        """WITH o AS (SELECT c_custkey, c_acctbal, c_mktsegment
+                      FROM customer WHERE c_custkey % 10 <> 3),
+           n AS (SELECT c_custkey,
+                   CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+                        ELSE c_acctbal END AS c_acctbal,
+                   c_mktsegment
+                 FROM customer WHERE c_custkey % 7 <> 2),
+           j AS (SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+               CASE WHEN o.c_custkey IS NULL THEN 'added'
+                    WHEN n.c_custkey IS NULL THEN 'removed'
+                    WHEN (o.c_acctbal IS DISTINCT FROM n.c_acctbal)
+                      OR (o.c_mktsegment IS DISTINCT FROM n.c_mktsegment)
+                    THEN 'changed' ELSE 'unchanged' END AS diff_status,
+               o.c_acctbal AS old_c_acctbal, n.c_acctbal AS new_c_acctbal,
+               o.c_mktsegment AS old_c_mktsegment,
+               n.c_mktsegment AS new_c_mktsegment
+             FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey)
+           SELECT * FROM j WHERE diff_status <> 'unchanged'
+           ORDER BY c_custkey""",
+
+      "order_price_ranks" ->
+        """SELECT o_orderkey, o_orderpriority,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             round(cume_dist() OVER w, 6) AS cume,
+             ntile(10) OVER w AS decile
+           FROM orders
+           WINDOW w AS (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice, o_orderkey)
+           ORDER BY o_orderkey""",
+
+      "key_skew_report" ->
+        """WITH c AS (SELECT user_id, count(*) AS n_rows
+                      FROM events GROUP BY user_id),
+           t AS (SELECT sum(n_rows) AS total FROM c),
+           top AS (SELECT * FROM c ORDER BY n_rows DESC, user_id LIMIT 10)
+           SELECT user_id, n_rows,
+             round(n_rows / total, 6) AS share,
+             round(sum(n_rows) OVER (ORDER BY n_rows DESC, user_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / total,
+               6) AS cum_share
+           FROM top, t ORDER BY n_rows DESC, user_id"""
     )
   }
 }

@@ -71,4 +71,29 @@ object Skew {
         explode(sequence(lit(0), lit(salts - 1))))
     bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** The diagnostic that decides whether salting is needed at all: the k
+    * heaviest keys with their share and cumulative share of all rows.
+    *
+    * Shape: one key-partial-aggregated shuffle for the counts, a
+    * distributed TakeOrdered for the top k, and the grand total as a
+    * 1-row broadcast. The only unpartitioned window runs over the k
+    * surviving rows — bounded by construction, never by the data (a
+    * global `Window.orderBy` over the counts table would serialize the
+    * whole key space onto one reducer). */
+  def keySkewReport(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    require(k > 0, s"need positive k: $k")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum(col("n_rows")).as("__total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_rows").desc, col(keyCol))
+      .rowsBetween(Long.MinValue, 0)
+    counts.orderBy(col("n_rows").desc, col(keyCol)).limit(k)
+      .crossJoin(broadcast(total))
+      .withColumn("share", round(col("n_rows") / col("__total"), 6))
+      .withColumn("cum_share",
+        round(sum(col("n_rows")).over(w) / col("__total"), 6))
+      .drop("__total")
+      .orderBy(col("n_rows").desc, col(keyCol))
+  }
 }
