@@ -1070,7 +1070,22 @@ object SparkEntry {
     // whether the salted twins above are needed. Global window bounded
     // to the top-k rows by construction.
     "key_skew_report" -> ((s, dir) =>
-      graft.operators.Skew.keySkewReport(t(s, dir, "events"), "user_id", 10))
+      graft.operators.Skew.keySkewReport(t(s, dir, "events"), "user_id", 10)),
+
+    // Last-touch conversion attribution (operators/Attribution): each
+    // purchase credited to the user's most recent prior non-purchase
+    // event — carry-forward window, no join, one user-keyed exchange.
+    "attribution_last_touch" -> ((s, dir) =>
+      graft.operators.Attribution.report(t(s, dir, "events"),
+        "user_id", "ts", "event_type", convType = "purchase",
+        valueCol = "value", tieCol = "event_id")),
+
+    // Median/MAD robust outlier census (operators/Robust) — the
+    // heavy-tail-safe twin of zscore_outliers above; exact order-stat
+    // medians vs the DuckDB oracle.
+    "mad_outliers" -> ((s, dir) =>
+      graft.operators.Robust.madOutlierCensus(t(s, dir, "orders"),
+        "o_orderpriority", "o_totalprice"))
   )
 
   /** DuckDB twins for the driver's differential check. Keys must mirror
@@ -2319,7 +2334,43 @@ object SparkEntry {
              round(sum(n_rows) OVER (ORDER BY n_rows DESC, user_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / total,
                6) AS cum_share
-           FROM top, t ORDER BY n_rows DESC, user_id"""
+           FROM top, t ORDER BY n_rows DESC, user_id""",
+
+      "attribution_last_touch" ->
+        // strictly-preceding frame: a touch at the conversion's own
+        // timestamp counts only when the tie-break orders it earlier
+        """WITH a AS (SELECT event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_type
+           FROM events)
+           SELECT coalesce(touch_type, 'organic') AS channel,
+             count(*) AS n_conversions,
+             round(sum(value), 2) AS attributed_value
+           FROM a WHERE event_type = 'purchase'
+           GROUP BY 1 ORDER BY 1""",
+
+      "mad_outliers" ->
+        // count(CASE...) not sum(CASE...): DuckDB sum(int) widens to
+        // HUGEINT, which would break the BIGINT dtype match
+        """WITH med AS (SELECT o_orderpriority,
+                          median(o_totalprice) AS med
+                        FROM orders GROUP BY 1),
+           d AS (SELECT o.o_orderpriority,
+                   abs(o.o_totalprice - med.med) AS dev, med.med
+                 FROM orders o JOIN med USING (o_orderpriority)),
+           m2 AS (SELECT o_orderpriority, median(dev) AS mad
+                  FROM d GROUP BY 1)
+           SELECT d.o_orderpriority, count(*) AS n_rows,
+             round(any_value(d.med), 4) AS median_value,
+             round(any_value(m2.mad), 4) AS mad_value,
+             count(CASE WHEN m2.mad > 0
+                        AND d.dev > 3.0 * 1.4826 * m2.mad
+                        THEN 1 END) AS n_outliers
+           FROM d JOIN m2 USING (o_orderpriority)
+           GROUP BY 1 ORDER BY 1"""
     )
   }
 }

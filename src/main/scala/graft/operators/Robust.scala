@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Robust (median/MAD-based) outlier detection — the heavy-tail-safe twin
+  * of the z-score census: a single pathological value shifts a mean and
+  * explodes a stddev, but moves a median by at most one order statistic,
+  * so MAD flags outliers without the outliers polluting the yardstick.
+  *
+  * robust z = |x - median| / (1.4826 · MAD), MAD = median(|x - median|);
+  * 1.4826 rescales MAD to estimate σ under normality, making the
+  * threshold comparable to a classic z-score cut.
+  *
+  * Scale posture: two group-keyed aggregation passes (medians are exact
+  * order statistics — they cannot be computed in one pass with the
+  * deviations that depend on them) + two broadcast join-backs on group
+  * cardinality. Exact `percentile` buffers each group's values on one
+  * reducer; at 100 TB per-group, swap in `approx_percentile` (t-digest,
+  * mergeable) — same plan shape, bounded memory.
+  */
+object Robust {
+
+  /** Per-group census: n, median, MAD, and how many rows exceed
+    * `threshold` robust z-scores. Groups where MAD = 0 (over half the
+    * values identical) report zero outliers rather than dividing by
+    * zero. */
+  def madOutlierCensus(df: DataFrame, groupCol: String, valueCol: String,
+                       threshold: Double = 3.0): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(percentile(col(valueCol), lit(0.5)).as("__med"))
+    val withDev = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("__dev", abs(col(valueCol) - col("__med")))
+    val mad = withDev.groupBy(col(groupCol))
+      .agg(percentile(col("__dev"), lit(0.5)).as("__mad"))
+    withDev.join(broadcast(mad), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        round(first(col("__med")), 4).as("median_value"),
+        round(first(col("__mad")), 4).as("mad_value"),
+        sum(when(col("__mad") > 0 &&
+            col("__dev") > lit(threshold * 1.4826) * col("__mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col(groupCol))
+  }
+}
