@@ -71,6 +71,9 @@ object Bench {
     // disagree. With it, cold and warm driver runs converge on the
     // steady-state number (the quantity the 2x gate is defined over).
     // Disable with SPARK_GRAFT_WARMUP_FULL=0 to measure cold-compile.
+    // Published numbers from round 4 onward are steady-state (warm_full=1,
+    // recorded in the output meta); compare like with like — the pre-r4
+    // cold-run numbers are not the same quantity.
     val warmFull = sys.env.getOrElse("SPARK_GRAFT_WARMUP_FULL", "1") != "0"
     if (warmFull) {
       SparkEntry.queries.foreach { case (_, fn) =>

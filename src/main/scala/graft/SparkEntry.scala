@@ -29,7 +29,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2 + extensions. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    core ++ ext ++ ext3
+    core ++ ext ++ ext3 ++ skewFixture
 
   // ---------------------------------------------------------------- core ---
 
@@ -1085,7 +1085,109 @@ object SparkEntry {
     // medians vs the DuckDB oracle.
     "mad_outliers" -> ((s, dir) =>
       graft.operators.Robust.madOutlierCensus(t(s, dir, "orders"),
-        "o_orderpriority", "o_totalprice"))
+        "o_orderpriority", "o_totalprice")),
+
+    // The 100 TB path of the same census: approx_percentile (t-digest,
+    // mergeable partial aggregation — bounded memory per group) instead
+    // of exact order statistics. Rows-only in the driver; RobustSpec
+    // bounds its divergence from the exact twin.
+    "mad_outliers_approx" -> ((s, dir) =>
+      graft.operators.Robust.madOutlierCensus(t(s, dir, "orders"),
+        "o_orderpriority", "o_totalprice", exact = false)),
+
+    // Multi-touch attribution (operators/Attribution.multiTouchReport):
+    // each purchase's credit split across its journey's touches — linear
+    // (1/n each) and U-shaped position (40/20/40) models. One user-keyed
+    // exchange carries both window passes (the journey window keys on a
+    // superset of the partitioning); fractions/values are summed in exact
+    // integer micros/cents.
+    "attribution_linear" -> ((s, dir) =>
+      graft.operators.Attribution.multiTouchReport(t(s, dir, "events"),
+        "user_id", "ts", "event_type", convType = "purchase",
+        valueCol = "value", tieCol = "event_id", model = "linear")),
+
+    "attribution_position" -> ((s, dir) =>
+      graft.operators.Attribution.multiTouchReport(t(s, dir, "events"),
+        "user_id", "ts", "event_type", convType = "purchase",
+        valueCol = "value", tieCol = "event_id", model = "position"))
+  )
+
+  // ------------------------------------------------- skewed-key fixture ---
+
+  /** Deterministic Zipf-ish skew fixture (VERDICT r4 item 1): fold the
+    * ~30% of event rows whose user_id ends in 0/1/2 onto hot key 7, and
+    * inflate ×[[SkewRep]] in-plan so the straggler cost is measurable at
+    * bench SF. Every query on it is registered plain/salted as a twin
+    * pair with the SAME oracle — the bench then MEASURES what the salting
+    * docs argue. The join twins hint SHUFFLE_MERGE to model the dimension
+    * that outgrew the broadcast threshold (when it fits, broadcast and
+    * skew is moot — Skew.saltedJoin's own scaladoc says so). */
+  private val SkewRep = 64
+
+  private def skewedEvents(s: SparkSession, dir: String,
+                           rep: Int = SkewRep): DataFrame =
+    t(s, dir, "events")
+      .withColumn("skey",
+        when(pmod(col("user_id"), lit(10)) < 3, lit(7L))
+          .otherwise(col("user_id")))
+      .withColumn("__rep", explode(sequence(lit(1), lit(rep))))
+      .withColumn("value_cents", round(col("value") * 100).cast("long"))
+
+  private def custDim(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey").as("skey"), col("c_mktsegment"))
+
+  private lazy val skewFixture: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Census first: the diagnostic that justifies the salted twins below —
+    // flags key 7 at ~30% share (inflation-invariant, so rep=1).
+    "skewed_key_report" -> ((s, dir) =>
+      graft.operators.Skew.keySkewReport(
+        skewedEvents(s, dir, rep = 1), "skey", 5)),
+
+    // Plain groupBy on the hot key. EXPECTED to stay healthy: partial
+    // (map-side) aggregation collapses each partition's hot key to one
+    // row before the shuffle, so decomposable aggs are skew-immune in
+    // Spark — the honest finding the salted twin quantifies against.
+    "skew_agg_plain" -> ((s, dir) =>
+      skewedEvents(s, dir)
+        .groupBy(col("skey"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value_cents")).as("value_cents"))
+        .orderBy(col("skey"))),
+
+    // Salted two-phase twin of the same aggregation (result-identical).
+    "skew_agg_salted" -> ((s, dir) =>
+      graft.operators.Skew.saltedAgg(skewedEvents(s, dir),
+          keys = Seq("skey"), saltFrom = Seq("event_id", "__rep"),
+          salts = 32,
+          partials = Seq(count(lit(1)).as("__c"),
+            sum(col("value_cents")).as("__s")),
+          finals = Seq(sum(col("__c")).as("n_events"),
+            sum(col("__s")).as("value_cents")))
+        .orderBy(col("skey"))),
+
+    // Plain sort-merge join on the hot key: the hot key's ~30% of rows
+    // sort-merge in ONE task (AQE's skew split declines here — the
+    // downstream agg needs hash(skey) partitioning, and splitting would
+    // force an extra shuffle).
+    "skew_join_plain" -> ((s, dir) =>
+      skewedEvents(s, dir)
+        .join(custDim(s, dir).hint("SHUFFLE_MERGE"), Seq("skey"))
+        .groupBy(col("skey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value_cents")).as("value_cents"))
+        .orderBy(col("skey"))),
+
+    // Salted (key, salt) join twin: big side salts deterministically,
+    // small side replicates ×16 — the hot key spreads over 16 tasks.
+    // Result-identical to skew_join_plain (same oracle).
+    "skew_join_salted" -> ((s, dir) =>
+      graft.operators.Skew.saltedJoin(skewedEvents(s, dir),
+          custDim(s, dir).hint("SHUFFLE_MERGE"), "skey", salts = 16)
+        .groupBy(col("skey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value_cents")).as("value_cents"))
+        .orderBy(col("skey")))
   )
 
   /** DuckDB twins for the driver's differential check. Keys must mirror
@@ -2370,7 +2472,95 @@ object SparkEntry {
                         AND d.dev > 3.0 * 1.4826 * m2.mad
                         THEN 1 END) AS n_outliers
            FROM d JOIN m2 USING (o_orderpriority)
-           GROUP BY 1 ORDER BY 1"""
+           GROUP BY 1 ORDER BY 1""",
+
+      "attribution_linear" -> multiTouchOracle(
+        "CASE WHEN channel = 'organic' THEN 1.0 ELSE 1.0 / n END"),
+
+      "attribution_position" -> multiTouchOracle(
+        """CASE WHEN channel = 'organic' OR n = 1 THEN 1.0
+                WHEN n = 2 THEN 0.5
+                WHEN pos = 1 OR pos = n THEN 0.4
+                ELSE 0.2 / (n - 2) END"""),
+
+      "skewed_key_report" ->
+        """WITH f AS (SELECT CASE WHEN user_id % 10 < 3 THEN 7
+                                  ELSE user_id END AS skey
+                      FROM events),
+           c AS (SELECT skey, count(*) AS n_rows FROM f GROUP BY skey),
+           t AS (SELECT sum(n_rows) AS total FROM c),
+           top AS (SELECT * FROM c ORDER BY n_rows DESC, skey LIMIT 5)
+           SELECT skey, n_rows,
+             round(n_rows / total, 6) AS share,
+             round(sum(n_rows) OVER (ORDER BY n_rows DESC, skey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / total,
+               6) AS cum_share
+           FROM top, t ORDER BY n_rows DESC, skey""",
+
+      "skew_agg_plain" -> skewAggOracle,
+      "skew_agg_salted" -> skewAggOracle,
+      "skew_join_plain" -> skewJoinOracle,
+      "skew_join_salted" -> skewJoinOracle
     )
   }
+
+  /** Shared multi-touch attribution oracle: journey numbering by an
+    * inclusive conversion count, per-journey touch stats, then the
+    * model's credit fraction (`fracSql` over columns channel/n/pos) —
+    * micros/cents integer sums exactly as the Spark side emits them. */
+  private def multiTouchOracle(fracSql: String): String =
+    s"""WITH e AS (
+         SELECT user_id, ts, event_id, event_type, value,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+         FROM events),
+       s AS (SELECT *, CASE WHEN event_type = 'purchase' THEN g
+                            ELSE g + 1 END AS journey FROM e),
+       j AS (SELECT *,
+           max(CASE WHEN event_type = 'purchase' THEN value END)
+             OVER (PARTITION BY user_id, journey) AS conv_value,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id, journey) AS has_conv,
+           sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+             OVER (PARTITION BY user_id, journey) AS n,
+           row_number() OVER (PARTITION BY user_id, journey
+                              ORDER BY ts, event_id) AS pos
+         FROM s),
+       c AS (SELECT
+           CASE WHEN event_type <> 'purchase' AND has_conv = 1
+                  THEN event_type
+                WHEN event_type = 'purchase' AND n = 0 THEN 'organic'
+           END AS channel, n, pos, conv_value
+         FROM j),
+       f AS (SELECT channel, conv_value, $fracSql AS frac
+             FROM c WHERE channel IS NOT NULL)
+       SELECT channel,
+         round(sum(CAST(round(frac * 1000000.0) AS BIGINT)) / 1000000.0, 6)
+           AS credited_conversions,
+         round(sum(CAST(round(conv_value * frac * 100.0) AS BIGINT)) / 100.0, 2)
+           AS attributed_value
+       FROM f GROUP BY channel ORDER BY channel"""
+
+  /** The skewed fixture in SQL (shared by the plain/salted twins — they
+    * are result-identical by construction). A def, not a val: extOracle
+    * initializes earlier in the object, and a forward val reference would
+    * interpolate as null. */
+  private def skewFixtureSql: String =
+    """SELECT CASE WHEN user_id % 10 < 3 THEN 7 ELSE user_id END AS skey,
+         CAST(round(value * 100) AS BIGINT) AS value_cents
+       FROM events, generate_series(1, 64)"""
+
+  private def skewAggOracle: String =
+    s"""WITH f AS ($skewFixtureSql)
+       SELECT skey, count(*) AS n_events,
+         CAST(sum(value_cents) AS BIGINT) AS value_cents
+       FROM f GROUP BY skey ORDER BY skey"""
+
+  private def skewJoinOracle: String =
+    s"""WITH f AS ($skewFixtureSql)
+       SELECT skey, c_mktsegment, count(*) AS n_events,
+         CAST(sum(value_cents) AS BIGINT) AS value_cents
+       FROM f JOIN customer ON skey = c_custkey
+       GROUP BY skey, c_mktsegment ORDER BY skey"""
 }

@@ -69,8 +69,12 @@ object Similarity {
 
   /** Fail fast when an all-pairs control path is invoked on a corpus above
     * [[BruteForceCap]] rows, unless the caller explicitly opts in with
-    * `force=true`. The count is one metadata-cheap job (parquet row-group
-    * counts; no column decode) — noise next to the N² work it guards. */
+    * `force=true`. The count runs EAGERLY at DataFrame-construction time:
+    * on a scan-rooted corpus it is metadata-cheap (parquet row-group
+    * counts, no column decode), but on a DERIVED corpus (filter/join/agg
+    * upstream) it executes that upstream plan once before — and even
+    * without — the real run. Pass `force=true` to skip the guard when the
+    * corpus is derived-and-known-small. */
   private def guardBruteForce(corpus: DataFrame, what: String,
                               scalePath: String, force: Boolean): Unit =
     if (!force) {

@@ -59,4 +59,99 @@ object Attribution {
         round(sum(col(valueCol)), 2).as("attributed_value"))
       .orderBy(col("channel"))
   }
+
+  /** Row-level MULTI-touch credit: one row per (conversion, touch) with
+    * the touch's credit fraction under the linear and position-based
+    * (U-shaped) models, plus one `organic` row per conversion that had no
+    * prior touch in its journey.
+    *
+    * Journey scoping: a conversion's journey is the run of touches since
+    * the user's PREVIOUS conversion (strictly before it in (ts, tie)
+    * order) — the standard multi-touch window, so a touch credits exactly
+    * one conversion. Touches after the user's last conversion credit
+    * nothing and are dropped.
+    *
+    * Models (fractions sum to exactly 1 per conversion):
+    *  - linear: 1/n to each of the journey's n touches.
+    *  - position (U-shaped): 40% first touch, 40% last touch, 20% split
+    *    evenly over the middles; degenerate journeys get 100% (n=1) or
+    *    50/50 (n=2).
+    *
+    * Scale posture: ONE user-keyed exchange. Journey numbering is an
+    * inclusive running count of conversions over the (user)-partitioned
+    * sort; the per-journey window keys on (user, journey) — a SUPERSET of
+    * the partitioning keys, so Catalyst satisfies it with the existing
+    * hash partitioning and only a local re-sort (no second shuffle; the
+    * AttributionSpec plan assertion pins this).
+    *
+    * Fraction arithmetic is emitted in integer micros (`frac_micros`) and
+    * the credited value in integer cents (`value_cents`) — per-row
+    * rounding is engine-deterministic, and integer sums are exact in any
+    * aggregation order (same trick as rolling_7d_revenue). */
+  def multiTouchCredits(events: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, convType: String, valueCol: String,
+                        tieCol: String): DataFrame = {
+    val isConv = col(typeCol) === convType
+    val wUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // Inclusive conversion count g: the j-th conversion sees g = j; a
+    // touch between conversions j and j+1 sees g = j, so journey = g for
+    // conversions, g+1 for touches — touches attach to the NEXT conversion.
+    val g = sum(when(isConv, 1L).otherwise(0L)).over(wUser)
+    val seqd = events.withColumn("__journey",
+      when(isConv, g).otherwise(g + 1L))
+    val wJ = Window.partitionBy(col(userCol), col("__journey"))
+      .orderBy(col(tsCol), col(tieCol))
+    val wJAll = wJ.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val enriched = seqd
+      .withColumn("__conv_value", max(when(isConv, col(valueCol))).over(wJAll))
+      .withColumn("__has_conv",
+        max(when(isConv, 1).otherwise(0)).over(wJAll) === 1)
+      .withColumn("__n",
+        sum(when(isConv, 0L).otherwise(1L)).over(wJAll))
+      // within a journey the conversion sorts last, so touch pos ∈ 1..n
+      .withColumn("__pos", row_number().over(wJ).cast("long"))
+    val n = col("__n")
+    val organic = col("channel") === "organic"
+    val linFrac = when(organic, lit(1.0)).otherwise(lit(1.0) / n)
+    val posFrac = when(organic || n === 1L, lit(1.0))
+      .when(n === 2L, lit(0.5))
+      .when(col("__pos") === 1L || col("__pos") === n, lit(0.4))
+      .otherwise(lit(0.2) / (n - 2L))
+    enriched
+      .withColumn("channel",
+        when(!isConv && col("__has_conv"), col(typeCol))
+          .when(isConv && n === 0L, lit("organic")))
+      .where(col("channel").isNotNull)
+      .select(col(userCol), col("__journey").as("journey"), col("channel"),
+        col("__pos").as("touch_pos"), n.as("n_touches"),
+        round(linFrac * 1000000.0).cast("long").as("linear_frac_micros"),
+        round(posFrac * 1000000.0).cast("long").as("position_frac_micros"),
+        round(col("__conv_value") * linFrac * 100.0).cast("long")
+          .as("linear_value_cents"),
+        round(col("__conv_value") * posFrac * 100.0).cast("long")
+          .as("position_value_cents"))
+  }
+
+  /** Per-channel rollup of [[multiTouchCredits]] under one model
+    * ("linear" | "position"): credited conversions (fraction sum) and
+    * attributed value. Exact integer sums, answer-sized output. */
+  def multiTouchReport(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, convType: String, valueCol: String,
+                       tieCol: String, model: String): DataFrame = {
+    val (fracCol, centsCol) = model match {
+      case "linear" => ("linear_frac_micros", "linear_value_cents")
+      case "position" => ("position_frac_micros", "position_value_cents")
+      case other => throw new IllegalArgumentException(
+        s"unknown multi-touch model: $other (want linear|position)")
+    }
+    multiTouchCredits(events, userCol, tsCol, typeCol, convType, valueCol,
+        tieCol)
+      .groupBy(col("channel"))
+      .agg(round(sum(col(fracCol)) / 1000000.0, 6).as("credited_conversions"),
+        round(sum(col(centsCol)) / 100.0, 2).as("attributed_value"))
+      .orderBy(col("channel"))
+  }
 }

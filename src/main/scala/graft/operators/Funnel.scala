@@ -61,6 +61,9 @@ object Funnel {
     }: _*)
     val long = counts.select(explode(stageStructs).as("r"))
       .select(col("r.stage_idx"), col("r.stage"), col("r.n_users"))
+    // Unpartitioned window is safe HERE ONLY: its input is the exploded
+    // single counts row — exactly `stages.length` rows by construction,
+    // never data-sized (source of the benign WindowExec warning in logs).
     val wOrd = Window.orderBy(col("stage_idx"))
     val prev = coalesce(lag(col("n_users"), 1).over(wOrd), col("n_users"))
     long

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Robust (median/MAD-based) outlier detection — the heavy-tail-safe twin
@@ -24,15 +24,28 @@ object Robust {
   /** Per-group census: n, median, MAD, and how many rows exceed
     * `threshold` robust z-scores. Groups where MAD = 0 (over half the
     * values identical) report zero outliers rather than dividing by
-    * zero. */
+    * zero.
+    *
+    * @param exact true (default) computes exact order-statistic medians
+    *              (`percentile` — buffers each group's values on one
+    *              reducer; fine when per-group cardinality is bounded);
+    *              false swaps in `approx_percentile` (t-digest at
+    *              `accuracy`) — mergeable partial aggregation, bounded
+    *              memory per group: the 100 TB path. Same plan shape.
+    * @param accuracy t-digest accuracy for the approx path (1/accuracy
+    *                 relative rank error). */
   def madOutlierCensus(df: DataFrame, groupCol: String, valueCol: String,
-                       threshold: Double = 3.0): DataFrame = {
+                       threshold: Double = 3.0, exact: Boolean = true,
+                       accuracy: Int = 10000): DataFrame = {
+    def median(c: Column): Column =
+      if (exact) percentile(c, lit(0.5))
+      else approx_percentile(c, lit(0.5), lit(accuracy))
     val med = df.groupBy(col(groupCol))
-      .agg(percentile(col(valueCol), lit(0.5)).as("__med"))
+      .agg(median(col(valueCol)).as("__med"))
     val withDev = df.join(broadcast(med), Seq(groupCol))
       .withColumn("__dev", abs(col(valueCol) - col("__med")))
     val mad = withDev.groupBy(col(groupCol))
-      .agg(percentile(col("__dev"), lit(0.5)).as("__mad"))
+      .agg(median(col("__dev")).as("__mad"))
     withDev.join(broadcast(mad), Seq(groupCol))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_rows"),

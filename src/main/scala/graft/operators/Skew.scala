@@ -85,6 +85,9 @@ object Skew {
     require(k > 0, s"need positive k: $k")
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
     val total = counts.agg(sum(col("n_rows")).as("__total"))
+    // Unpartitioned window is safe HERE ONLY: it runs after `.limit(k)`,
+    // over exactly k rows by construction, never over the key space
+    // (source of the benign WindowExec warning in logs).
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n_rows").desc, col(keyCol))
       .rowsBetween(Long.MinValue, 0)

@@ -18,7 +18,13 @@ import org.apache.spark.sql.functions._
   * stream; no hashing trick can avoid reading both snapshots, but emitting
   * `changed`/`added`/`removed` only (the default) keeps the output
   * delta-sized. At 100 TB the snapshots would be bucketed on the key so
-  * this join is co-located and shuffle-free.
+  * this join is co-located and shuffle-free — WITH ONE CAVEAT: the
+  * null-safe (`<=>`) key equality the default uses is planned as joins on
+  * `(coalesce(key, 0), isnull(key))`, expressions the bucket columns can
+  * never satisfy, so bucketing is ignored. Real CDC keys are primary keys
+  * and non-nullable: pass `nullSafeKeys = false` to join on plain
+  * equality and let the bucketed layout carry the join (CdcSpec witnesses
+  * the zero-Exchange plan).
   */
 object SnapshotDiff {
 
@@ -32,10 +38,18 @@ object SnapshotDiff {
     *                    shared non-key column. Columns present in only
     *                    one snapshot are ignored (schema evolution must
     *                    not flag every row as changed).
+    * @param nullSafeKeys true (default) matches null keys to null keys
+    *                     (`<=>`); false joins on plain equality — rows
+    *                     with a null key never match (they classify as
+    *                     one removed + one added) but the join keys stay
+    *                     bare columns, so a bucketed-on-key layout runs
+    *                     it SHUFFLE-FREE. Use false when keys are
+    *                     primary-key-like (non-null).
     */
   def diff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
            compareCols: Seq[String] = Nil,
-           keepUnchanged: Boolean = false): DataFrame = {
+           keepUnchanged: Boolean = false,
+           nullSafeKeys: Boolean = true): DataFrame = {
     val shared = oldDf.columns.toSet.intersect(newDf.columns.toSet)
     val cmp =
       if (compareCols.nonEmpty) compareCols
@@ -48,8 +62,10 @@ object SnapshotDiff {
     // merge fixed with __d_present).
     val oM = o.withColumn("__o_present", lit(true))
     val nM = n.withColumn("__n_present", lit(true))
+    val keyEq: (Column, Column) => Column =
+      if (nullSafeKeys) _ <=> _ else _ === _
     val joined = oM.join(nM,
-      keyCols.map(k => oM(k) <=> nM(k)).reduce(_ && _), "full_outer")
+      keyCols.map(k => keyEq(oM(k), nM(k))).reduce(_ && _), "full_outer")
     val anyChanged: Column = cmp
       .map(c => !(col(s"o.$c") <=> col(s"n.$c")))
       .reduce(_ || _)

@@ -29,9 +29,18 @@ import org.apache.spark.sql.DataFrame
   *    so the spec exercises an actual file-to-table bulk ingest
   *    end to end, not a mocked statement.
   *
-  * All statements run in ONE transaction: a failing file rolls back the
-  * whole load (the reference commits/rolls back around its COPY the same
-  * way, load_to_redshift.py:150-156).
+  * The dialect's statements run inside one JDBC transaction: a failure
+  * rolls back whatever the transaction covers (the reference
+  * commits/rolls back around its COPY the same way,
+  * load_to_redshift.py:150-156). Atomicity of the WHOLE load therefore
+  * depends on the dialect honoring the surrounding transaction: Redshift's
+  * single COPY statement is all-or-nothing, but Derby's import procedure
+  * commits internally per file, so on Derby a multi-file load is atomic
+  * per file only (see [[CopyBulkSink.derbyImport]]).
+  *
+  * `table` and `stagingDir` are interpolated into SQL (quotes escaped in
+  * path literals) — they are developer-controlled configuration, not
+  * untrusted user input.
   */
 final case class CopyBulkSink(url: String, props: Properties = new Properties) {
 
@@ -75,6 +84,12 @@ object CopyBulkSink {
   /** `(table, stagedDir, partFiles) => ingest statements`. */
   type Dialect = (String, String, Seq[String]) => Seq[String]
 
+  /** SQL string-literal escaping for interpolated paths: double any
+    * single quote. Paths are developer-controlled, but a legitimate
+    * quote in a directory name must not break (or inject into) the
+    * statement. */
+  private def q(s: String): String = s.replace("'", "''")
+
   /** The reference's COPY statement shape (load_to_redshift.py:136-146):
     * one statement over the staging prefix — the warehouse parallelizes
     * across the part files itself. `credentialsSql` is the caller's
@@ -84,7 +99,7 @@ object CopyBulkSink {
   def redshiftCopy(credentialsSql: String, ignoreHeader: Int = 0,
                    options: String = "DATEFORMAT 'auto' TIMEFORMAT 'auto'")
       : Dialect = (table, dir, _) => Seq(
-    s"""COPY $table FROM '$dir'
+    s"""COPY $table FROM '${q(dir)}'
         $credentialsSql
         CSV
         IGNOREHEADER $ignoreHeader
@@ -99,5 +114,5 @@ object CopyBulkSink {
     * multi-file load is atomic per FILE, not per load — unlike Redshift,
     * whose COPY ingests the whole prefix in one atomic statement. */
   val derbyImport: Dialect = (table, _, files) => files.map(f =>
-    s"CALL SYSCS_UTIL.SYSCS_IMPORT_TABLE(NULL, '${table.toUpperCase}', '$f', NULL, NULL, NULL, 0)")
+    s"CALL SYSCS_UTIL.SYSCS_IMPORT_TABLE(NULL, '${q(table.toUpperCase)}', '${q(f)}', NULL, NULL, NULL, 0)")
 }

@@ -61,6 +61,96 @@ class AttributionSpec extends SparkSpec {
         "user_id", "ts", "event_type", "purchase", "value", "event_id",
         model = "linear")
     }
+    assertThrows[IllegalArgumentException] {
+      Attribution.multiTouchReport(
+        ev((1L, "2024-01-01 10:00:00", "view", 0.0, 1L)),
+        "user_id", "ts", "event_type", "purchase", "value", "event_id",
+        model = "last")
+    }
+  }
+
+  // -------------------------------------------------------- multi-touch ---
+
+  private val journeyEvents = ev(
+    // user 1, journey 1: three touches then a 60.0 purchase
+    (1L, "2024-01-01 10:00:00", "view", 0.0, 1L),
+    (1L, "2024-01-01 10:01:00", "click", 0.0, 2L),
+    (1L, "2024-01-01 10:02:00", "view", 0.0, 3L),
+    (1L, "2024-01-01 10:03:00", "purchase", 60.0, 4L),
+    // user 1, journey 2: one touch then a 10.0 purchase, then a trailing
+    // touch that must credit NOTHING (no following conversion)
+    (1L, "2024-01-01 11:00:00", "click", 0.0, 5L),
+    (1L, "2024-01-01 11:01:00", "purchase", 10.0, 6L),
+    (1L, "2024-01-01 11:02:00", "view", 0.0, 7L),
+    // user 2: organic purchase (no touches at all)
+    (2L, "2024-01-01 12:00:00", "purchase", 5.0, 8L),
+    // user 3: two touches then a 20.0 purchase (the n=2 position split)
+    (3L, "2024-01-01 13:00:00", "view", 0.0, 9L),
+    (3L, "2024-01-01 13:01:00", "click", 0.0, 10L),
+    (3L, "2024-01-01 13:02:00", "purchase", 20.0, 11L))
+
+  test("multi-touch credits: journey scoping, fractions, organic") {
+    val rows = Attribution.multiTouchCredits(journeyEvents, "user_id", "ts",
+        "event_type", "purchase", "value", "event_id")
+      .orderBy($"user_id", $"journey", $"touch_pos")
+      .as[(Long, Long, String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // rows: user, journey, channel, pos, n, lin_micros, pos_micros,
+    //       lin_cents, pos_cents
+    // 3-touch journey: linear thirds, position 40/20/40
+    val j1 = rows.filter(r => r._1 == 1L && r._2 == 1L)
+    assert(j1.map(_._3) === Seq("view", "click", "view"))
+    assert(j1.map(_._6) === Seq(333333L, 333333L, 333333L))
+    assert(j1.map(_._7) === Seq(400000L, 200000L, 400000L))
+    assert(j1.map(_._8) === Seq(2000L, 2000L, 2000L))    // 60 / 3 in cents
+    assert(j1.map(_._9) === Seq(2400L, 1200L, 2400L))    // 40/20/40 of 60
+    // fractions sum to 1 per conversion (within per-row rounding)
+    rows.groupBy(r => (r._1, r._2)).foreach { case (_, g) =>
+      assert(math.abs(g.map(_._6).sum - 1000000L) <= g.size)
+      assert(math.abs(g.map(_._7).sum - 1000000L) <= g.size)
+    }
+    // single-touch journey: full credit; trailing view dropped
+    val j2 = rows.filter(r => r._1 == 1L && r._2 == 2L)
+    assert(j2 === Seq((1L, 2L, "click", 1L, 1L, 1000000L, 1000000L,
+      1000L, 1000L)))
+    // organic purchase keeps its own value
+    val org = rows.filter(_._1 == 2L)
+    assert(org.map(_._3) === Seq("organic"))
+    assert(org.head._6 === 1000000L && org.head._8 === 500L)
+    // n=2 position model: 50/50, not 40/40
+    val u3 = rows.filter(_._1 == 3L)
+    assert(u3.map(_._7) === Seq(500000L, 500000L))
+  }
+
+  test("multi-touch report rolls credits up per channel (exact sums)") {
+    val lin = Attribution.multiTouchReport(journeyEvents, "user_id", "ts",
+        "event_type", "purchase", "value", "event_id", model = "linear")
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // click: 1/3 of 60 + 1 of 10 + 1/2 of 20 = 20 + 10 + 10 = 40
+    assert(lin("click") === ((1.833333, 40.0)))
+    // view: 2/3 of 60 + 1/2 of 20 = 40 + 10 = 50
+    assert(lin("view")._2 === 50.0)
+    assert(lin("organic") === ((1.0, 5.0)))
+    val pos = Attribution.multiTouchReport(journeyEvents, "user_id", "ts",
+        "event_type", "purchase", "value", "event_id", model = "position")
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // click: 0.2 of 60 + 1 of 10 + 0.5 of 20 = 12 + 10 + 10 = 32
+    assert(pos("click") === ((1.7, 32.0)))
+    // view: 0.8 of 60 + 0.5 of 20 = 48 + 10 = 58
+    assert(pos("view")._2 === 58.0)
+  }
+
+  test("multi-touch credits plan: ONE user-keyed exchange for both windows") {
+    val p = Attribution.multiTouchCredits(journeyEvents, "user_id", "ts",
+        "event_type", "purchase", "value", "event_id")
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    // the journey window keys on (user, journey) — a superset of the
+    // user partitioning — so it must reuse the first window's exchange
+    val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(userExchanges === 1, s"journey window re-shuffled:\n$p")
   }
 }
 
@@ -90,5 +180,28 @@ class RobustSpec extends SparkSpec {
       .select("n_outliers").as[Long].head()
     assert(loose <= tight)
     assert(tight >= 1L)
+  }
+
+  test("approx (t-digest) census stays close to the exact one at sf0.01") {
+    // the 100 TB path: approx_percentile medians must not drift the
+    // census materially — bound median/MAD relative error at 1% and the
+    // outlier counts at 5% of group size on real driver data
+    val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    val exact = Robust.madOutlierCensus(orders, "o_orderpriority",
+        "o_totalprice")
+      .as[(String, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val approx = Robust.madOutlierCensus(orders, "o_orderpriority",
+        "o_totalprice", exact = false)
+      .as[(String, Long, Double, Double, Long)].collect()
+    assert(approx.length === exact.size)
+    approx.foreach { case (g, n, med, mad, out) =>
+      val (_, nE, medE, madE, outE) = exact(g)
+      assert(n === nE)
+      assert(math.abs(med - medE) / medE <= 0.01, s"$g median $med vs $medE")
+      assert(math.abs(mad - madE) / madE <= 0.01, s"$g MAD $mad vs $madE")
+      assert(math.abs(out - outE).toDouble / n <= 0.05,
+        s"$g outliers $out vs $outE of $n")
+    }
   }
 }
