@@ -44,6 +44,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c: subset filter for local iteration on
+    // specific queries (the driver never sets it = full run).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val benchQueries = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     // Warm-up: JVM/codegen/parquet-reader init should not be billed to
     // whichever query happens to run first.
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -58,7 +63,7 @@ object Bench {
       "/root/testdata/sf0.001")
     if (warmDir != "none" && warmDir != sfDir
         && new java.io.File(warmDir).isDirectory) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      benchQueries.foreach { case (_, fn) =>
         try materialize(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
     }
@@ -76,7 +81,7 @@ object Bench {
     // cold-run numbers are not the same quantity.
     val warmFull = sys.env.getOrElse("SPARK_GRAFT_WARMUP_FULL", "1") != "0"
     if (warmFull) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      benchQueries.foreach { case (_, fn) =>
         try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
       }
     }
@@ -89,7 +94,7 @@ object Bench {
     // order plus per-query telemetry below localizes any burst.
     val seed = sys.env.get("SPARK_GRAFT_BENCH_SEED").map(_.toLong)
       .getOrElse(System.nanoTime())
-    val order = new scala.util.Random(seed).shuffle(SparkEntry.queries.toSeq)
+    val order = new scala.util.Random(seed).shuffle(benchQueries.toSeq)
     val load0 = loadAvg()
     val (steal0, jiffies0) = cpuJiffies()
     var steal = steal0

@@ -1127,6 +1127,11 @@ object SparkEntry {
   private def skewedEvents(s: SparkSession, dir: String,
                            rep: Int = SkewRep): DataFrame =
     t(s, dir, "events")
+      // parallelize the generator: the base table is one small file (≤2
+      // scan tasks), so without this the ×rep explode runs serially and
+      // that SHARED cost would dilute the plain-vs-salted comparison.
+      // Deterministic hash repartition (not round-robin) — retry-safe.
+      .repartition(col("event_id"))
       .withColumn("skey",
         when(pmod(col("user_id"), lit(10)) < 3, lit(7L))
           .otherwise(col("user_id")))

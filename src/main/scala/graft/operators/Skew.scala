@@ -15,6 +15,15 @@ import org.apache.spark.sql.functions._
   * The salt must be deterministic (repartition-safe, retry-safe): derived
   * by hashing salt-source columns, NOT rand() — a rand() salt changes on
   * task retry and can double-count under speculative execution.
+  *
+  * MEASURED, not argued (skew fixture twins, BENCH_FULL at sf0.1): on a
+  * hot-key-30% input, [[saltedJoin]] beats the plain sort-merge join
+  * 2.2× (AQE's skew split declines when a downstream agg pins the join's
+  * partitioning), while [[saltedAgg]] sits at PARITY with a plain
+  * groupBy — map-side partial aggregation already neutralizes hot keys
+  * for decomposable aggs, so reach for the salted agg only when partial
+  * aggregation is ineffective (high-cardinality composite keys,
+  * collect-style buffers).
   */
 object Skew {
 
