@@ -1109,7 +1109,15 @@ object SparkEntry {
     "attribution_position" -> ((s, dir) =>
       graft.operators.Attribution.multiTouchReport(t(s, dir, "events"),
         "user_id", "ts", "event_type", convType = "purchase",
-        valueCol = "value", tieCol = "event_id", model = "position"))
+        valueCol = "value", tieCol = "event_id", model = "position")),
+
+    // Time-decay multi-touch model: stepped half-life (1 h) weights as
+    // exact integers (1e6 >> whole-half-lives) — recency-weighted credit
+    // that still hash-matches a DuckDB oracle bit-for-bit.
+    "attribution_decay" -> ((s, dir) =>
+      graft.operators.Attribution.timeDecayReport(t(s, dir, "events"),
+        "user_id", "ts", "event_type", convType = "purchase",
+        valueCol = "value", tieCol = "event_id", halfLifeSec = 3600L))
   )
 
   // ------------------------------------------------- skewed-key fixture ---
@@ -1122,7 +1130,7 @@ object SparkEntry {
     * docs argue. The join twins hint SHUFFLE_MERGE to model the dimension
     * that outgrew the broadcast threshold (when it fits, broadcast and
     * skew is moot — Skew.saltedJoin's own scaladoc says so). */
-  private val SkewRep = 64
+  private val SkewRep = 32
 
   private def skewedEvents(s: SparkSession, dir: String,
                            rep: Int = SkewRep): DataFrame =
@@ -2488,6 +2496,8 @@ object SparkEntry {
                 WHEN pos = 1 OR pos = n THEN 0.4
                 ELSE 0.2 / (n - 2) END"""),
 
+      "attribution_decay" -> timeDecayOracle(halfLifeSec = 3600L),
+
       "skewed_key_report" ->
         """WITH f AS (SELECT CASE WHEN user_id % 10 < 3 THEN 7
                                   ELSE user_id END AS skey
@@ -2547,6 +2557,55 @@ object SparkEntry {
            AS attributed_value
        FROM f GROUP BY channel ORDER BY channel"""
 
+  /** Time-decay attribution oracle: journey machinery as in
+    * [[multiTouchOracle]], weights as exact integer bit-shifts
+    * (1000000 >> whole-half-lives) mirroring the Spark side — Δt in
+    * exact integer microseconds (epoch_us ↔ unix_micros), double ops in
+    * the same order on both sides. */
+  private def timeDecayOracle(halfLifeSec: Long): String = {
+    val stepUs = halfLifeSec * 1000000L
+    s"""WITH e AS (
+         SELECT user_id, ts, event_id, event_type, value,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+         FROM events),
+       s AS (SELECT *, CASE WHEN event_type = 'purchase' THEN g
+                            ELSE g + 1 END AS journey FROM e),
+       j AS (SELECT *,
+           max(CASE WHEN event_type = 'purchase' THEN value END)
+             OVER (PARTITION BY user_id, journey) AS conv_value,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id, journey) AS has_conv,
+           sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+             OVER (PARTITION BY user_id, journey) AS n,
+           max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+             OVER (PARTITION BY user_id, journey) AS conv_us
+         FROM s),
+       t AS (SELECT *,
+           CASE WHEN event_type <> 'purchase' THEN
+             greatest(1000000 >> CAST(least(floor(
+               (conv_us - epoch_us(ts)) / $stepUs.0), 30) AS INT), 1)
+           END AS w
+         FROM j),
+       t2 AS (SELECT *,
+           sum(w) OVER (PARTITION BY user_id, journey) AS sum_w FROM t),
+       c AS (SELECT
+           CASE WHEN event_type <> 'purchase' AND has_conv = 1
+                  THEN event_type
+                WHEN event_type = 'purchase' AND n = 0 THEN 'organic'
+           END AS channel, w, sum_w, conv_value
+         FROM t2)
+       SELECT channel,
+         round(sum(CAST(round(CASE WHEN channel = 'organic' THEN 1000000.0
+             ELSE w * 1000000.0 / sum_w END) AS BIGINT)) / 1000000.0, 6)
+           AS credited_conversions,
+         round(sum(CAST(round(conv_value *
+             (CASE WHEN channel = 'organic' THEN 1.0 ELSE w / sum_w END)
+             * 100.0) AS BIGINT)) / 100.0, 2) AS attributed_value
+       FROM c WHERE channel IS NOT NULL GROUP BY channel ORDER BY channel"""
+  }
+
   /** The skewed fixture in SQL (shared by the plain/salted twins — they
     * are result-identical by construction). A def, not a val: extOracle
     * initializes earlier in the object, and a forward val reference would
@@ -2554,7 +2613,7 @@ object SparkEntry {
   private def skewFixtureSql: String =
     """SELECT CASE WHEN user_id % 10 < 3 THEN 7 ELSE user_id END AS skey,
          CAST(round(value * 100) AS BIGINT) AS value_cents
-       FROM events, generate_series(1, 64)"""
+       FROM events, generate_series(1, 32)"""
 
   private def skewAggOracle: String =
     s"""WITH f AS ($skewFixtureSql)

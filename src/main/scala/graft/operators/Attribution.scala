@@ -88,9 +88,15 @@ object Attribution {
     * the credited value in integer cents (`value_cents`) — per-row
     * rounding is engine-deterministic, and integer sums are exact in any
     * aggregation order (same trick as rolling_7d_revenue). */
-  def multiTouchCredits(events: DataFrame, userCol: String, tsCol: String,
-                        typeCol: String, convType: String, valueCol: String,
-                        tieCol: String): DataFrame = {
+  /** Shared journey machinery for the multi-touch models: journey
+    * numbering (inclusive conversion count over the user-keyed sort),
+    * then per-journey stats over (user, journey) — a SUPERSET of the
+    * partitioning keys, so both window passes ride ONE exchange. Output
+    * adds __journey, __conv_value, __conv_ts, __has_conv, __n (touches
+    * in journey), __pos (1..n for touches; the conversion sorts last). */
+  private def journeyFrame(events: DataFrame, userCol: String,
+                           tsCol: String, typeCol: String, convType: String,
+                           valueCol: String, tieCol: String): DataFrame = {
     val isConv = col(typeCol) === convType
     val wUser = Window.partitionBy(col(userCol))
       .orderBy(col(tsCol), col(tieCol))
@@ -105,14 +111,31 @@ object Attribution {
       .orderBy(col(tsCol), col(tieCol))
     val wJAll = wJ.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
-    val enriched = seqd
+    seqd
       .withColumn("__conv_value", max(when(isConv, col(valueCol))).over(wJAll))
+      .withColumn("__conv_ts", max(when(isConv, col(tsCol))).over(wJAll))
       .withColumn("__has_conv",
         max(when(isConv, 1).otherwise(0)).over(wJAll) === 1)
       .withColumn("__n",
         sum(when(isConv, 0L).otherwise(1L)).over(wJAll))
       // within a journey the conversion sorts last, so touch pos ∈ 1..n
       .withColumn("__pos", row_number().over(wJ).cast("long"))
+  }
+
+  /** channel column shared by the models: the touch's type for credited
+    * touches, `organic` for zero-touch conversions, null (→ drop) for
+    * everything else. */
+  private def channelCol(typeCol: String, convType: String): Column = {
+    val isConv = col(typeCol) === convType
+    when(!isConv && col("__has_conv"), col(typeCol))
+      .when(isConv && col("__n") === 0L, lit("organic"))
+  }
+
+  def multiTouchCredits(events: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, convType: String, valueCol: String,
+                        tieCol: String): DataFrame = {
+    val enriched = journeyFrame(events, userCol, tsCol, typeCol, convType,
+      valueCol, tieCol)
     val n = col("__n")
     val organic = col("channel") === "organic"
     val linFrac = when(organic, lit(1.0)).otherwise(lit(1.0) / n)
@@ -121,9 +144,7 @@ object Attribution {
       .when(col("__pos") === 1L || col("__pos") === n, lit(0.4))
       .otherwise(lit(0.2) / (n - 2L))
     enriched
-      .withColumn("channel",
-        when(!isConv && col("__has_conv"), col(typeCol))
-          .when(isConv && n === 0L, lit("organic")))
+      .withColumn("channel", channelCol(typeCol, convType))
       .where(col("channel").isNotNull)
       .select(col(userCol), col("__journey").as("journey"), col("channel"),
         col("__pos").as("touch_pos"), n.as("n_touches"),
@@ -134,6 +155,78 @@ object Attribution {
         round(col("__conv_value") * posFrac * 100.0).cast("long")
           .as("position_value_cents"))
   }
+
+  /** Time-decay multi-touch credit: each touch in a journey weighs
+    * `2^-floor(Δt / halfLife)` relative to the others — recent touches
+    * dominate, with a STEPPED half-life (whole half-lives elapsed), not a
+    * smooth exponential. The step is deliberate: weights become exact
+    * integers (`1000000 >> k`), so credit arithmetic is bit-identical on
+    * any engine — a smooth `pow(0.5, Δt/h)` differs in final ulps across
+    * libm implementations and would poison a hash-level differential
+    * check. Fractions are each touch's weight over the journey's weight
+    * sum (sum to 1 per conversion); zero-touch conversions are `organic`
+    * with full credit.
+    *
+    * Same ONE-user-keyed-exchange plan as [[multiTouchCredits]]: the
+    * weight and its journey sum are two more expressions over the same
+    * (user, journey) window. */
+  def timeDecayCredits(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, convType: String, valueCol: String,
+                       tieCol: String, halfLifeSec: Long): DataFrame = {
+    require(halfLifeSec > 0, s"need positive half-life: $halfLifeSec")
+    val isConv = col(typeCol) === convType
+    val enriched = journeyFrame(events, userCol, tsCol, typeCol, convType,
+      valueCol, tieCol)
+    // Δt in exact integer microseconds (unix_micros ↔ DuckDB epoch_us);
+    // k = whole half-lives elapsed, capped at 30 to bound the shift
+    // argument (the weight itself floors at 1 µ-credit — see below).
+    // Δt < 2^53 µs (≈285 years), so the double floor-division is exact.
+    val stepUs = halfLifeSec * 1000000L
+    val k = least(
+      floor((unix_micros(col("__conv_ts")) - unix_micros(col(tsCol)))
+        / lit(stepUs.toDouble)),
+      lit(30L)).cast("int")
+    val wJAll = Window.partitionBy(col(userCol), col("__journey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val weighted = enriched
+      .withColumn("__k", k)
+      // functions.shiftright only takes a literal shift; the SQL form
+      // accepts a per-row column. Weight floors at 1 µ-credit: past 20
+      // half-lives the shift underflows to 0, and an all-stale journey
+      // would otherwise sum to 0 weight → 0/0 under ANSI mode.
+      .withColumn("__w",
+        when(!isConv,
+          greatest(expr("shiftright(CAST(1000000 AS BIGINT), __k)"), lit(1L))))
+      .withColumn("__sumw", sum(col("__w")).over(wJAll))
+      .withColumn("channel", channelCol(typeCol, convType))
+      .where(col("channel").isNotNull)
+    val organic = col("channel") === "organic"
+    val fracMicros =
+      when(organic, lit(1000000.0))
+        .otherwise(col("__w") * 1000000.0 / col("__sumw"))
+    val frac = when(organic, lit(1.0))
+      .otherwise(col("__w") / col("__sumw"))
+    weighted.select(col(userCol), col("__journey").as("journey"),
+      col("channel"), col("__pos").as("touch_pos"), col("__n").as("n_touches"),
+      col("__w").as("weight_micros"),
+      round(fracMicros).cast("long").as("decay_frac_micros"),
+      round(col("__conv_value") * frac * 100.0).cast("long")
+        .as("decay_value_cents"))
+  }
+
+  /** Per-channel rollup of [[timeDecayCredits]] — same exact-integer-sum
+    * contract as [[multiTouchReport]]. */
+  def timeDecayReport(events: DataFrame, userCol: String, tsCol: String,
+                      typeCol: String, convType: String, valueCol: String,
+                      tieCol: String, halfLifeSec: Long): DataFrame =
+    timeDecayCredits(events, userCol, tsCol, typeCol, convType, valueCol,
+        tieCol, halfLifeSec)
+      .groupBy(col("channel"))
+      .agg(round(sum(col("decay_frac_micros")) / 1000000.0, 6)
+          .as("credited_conversions"),
+        round(sum(col("decay_value_cents")) / 100.0, 2)
+          .as("attributed_value"))
+      .orderBy(col("channel"))
 
   /** Per-channel rollup of [[multiTouchCredits]] under one model
     * ("linear" | "position"): credited conversions (fraction sum) and

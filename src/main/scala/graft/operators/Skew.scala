@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   *
   * MEASURED, not argued (skew fixture twins, BENCH_FULL at sf0.1): on a
   * hot-key-30% input, [[saltedJoin]] beats the plain sort-merge join
-  * 2.2× (AQE's skew split declines when a downstream agg pins the join's
+  * 2.5× (AQE's skew split declines when a downstream agg pins the join's
   * partitioning), while [[saltedAgg]] sits at PARITY with a plain
   * groupBy — map-side partial aggregation already neutralizes hot keys
   * for decomposable aggs, so reach for the salted agg only when partial

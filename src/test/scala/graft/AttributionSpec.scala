@@ -142,6 +142,39 @@ class AttributionSpec extends SparkSpec {
     assert(pos("view")._2 === 58.0)
   }
 
+  test("time-decay credits: halving per whole half-life, floor, organic") {
+    val events = ev(
+      // touches at 2h, 1h, 0s before the purchase; half-life 1h →
+      // weights 250000 : 500000 : 1000000 (1:2:4)
+      (1L, "2024-01-01 08:00:00", "view", 0.0, 1L),
+      (1L, "2024-01-01 09:00:00", "click", 0.0, 2L),
+      (1L, "2024-01-01 10:00:00", "view", 0.0, 3L),
+      (1L, "2024-01-01 10:00:00", "purchase", 70.0, 4L),
+      // user 2: all touches ≥ 30 half-lives stale → every weight floors
+      // at 1 → equal split, no 0/0
+      (2L, "2024-01-01 00:00:00", "view", 0.0, 5L),
+      (2L, "2024-01-01 00:30:00", "click", 0.0, 6L),
+      (2L, "2024-01-03 00:00:00", "purchase", 10.0, 7L),
+      // user 3: organic
+      (3L, "2024-01-01 12:00:00", "purchase", 5.0, 8L))
+    val rows = Attribution.timeDecayCredits(events, "user_id", "ts",
+        "event_type", "purchase", "value", "event_id", halfLifeSec = 3600L)
+      .orderBy($"user_id", $"touch_pos")
+      .select("user_id", "channel", "weight_micros", "decay_frac_micros",
+        "decay_value_cents")
+      .as[(Long, String, Option[Long], Long, Long)].collect().toSeq
+    val u1 = rows.filter(_._1 == 1L)
+    assert(u1.map(_._3) === Seq(Some(250000L), Some(500000L), Some(1000000L)))
+    // fractions 1/7, 2/7, 4/7 of the 70.0 purchase → 10, 20, 40
+    assert(u1.map(_._5) === Seq(1000L, 2000L, 4000L))
+    assert(u1.map(_._4).sum === 1000000L) // 142857+285714+571429
+    val u2 = rows.filter(_._1 == 2L)
+    assert(u2.map(_._3) === Seq(Some(1L), Some(1L))) // floored, not 0/0
+    assert(u2.map(_._4) === Seq(500000L, 500000L))
+    val u3 = rows.filter(_._1 == 3L)
+    assert(u3 === Seq((3L, "organic", None, 1000000L, 500L)))
+  }
+
   test("multi-touch credits plan: ONE user-keyed exchange for both windows") {
     val p = Attribution.multiTouchCredits(journeyEvents, "user_id", "ts",
         "event_type", "purchase", "value", "event_id")
