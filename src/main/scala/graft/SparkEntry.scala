@@ -1117,7 +1117,17 @@ object SparkEntry {
     "attribution_decay" -> ((s, dir) =>
       graft.operators.Attribution.timeDecayReport(t(s, dir, "events"),
         "user_id", "ts", "event_type", convType = "purchase",
-        valueCol = "value", tieCol = "event_id", halfLifeSec = 3600L))
+        valueCol = "value", tieCol = "event_id", halfLifeSec = 3600L)),
+
+    // Temperature (α=1/2) mixture sampling (ext/Sampling.temperatureSample):
+    // per-language kept counts + ppm thresholds — the training-mix
+    // flattening pass; T=2 rates are sqrt (IEEE-exact on any engine).
+    "temperature_mixture" -> ((s, dir) =>
+      graft.ext.Sampling.temperatureSample(t(s, dir, "documents"),
+          col("doc_id"), col("lang"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), max(col("keep_ppm")).as("keep_ppm"))
+        .orderBy(col("lang")))
   )
 
   // ------------------------------------------------- skewed-key fixture ---
@@ -2497,6 +2507,32 @@ object SparkEntry {
                 ELSE 0.2 / (n - 2) END"""),
 
       "attribution_decay" -> timeDecayOracle(halfLifeSec = 3600L),
+
+      "temperature_mixture" -> {
+        // same hex32 md5-bucket fold as mixture_counts, mod 1e6 ppm space
+        val hex32 = foldSum(
+          "list_transform(generate_series(1, 8), i -> " +
+            "CAST(CASE WHEN ascii(substr(mh, i, 1)) <= 57 " +
+            "THEN ascii(substr(mh, i, 1)) - 48 " +
+            "ELSE ascii(substr(mh, i, 1)) - 87 END AS BIGINT) " +
+            "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+          "CAST(0 AS BIGINT)")
+        s"""WITH c AS (SELECT lang, count(*) AS n FROM documents
+                       GROUP BY lang),
+           m AS (SELECT min(n) AS nmin FROM c),
+           t AS (SELECT lang,
+                   CAST(floor(sqrt(CAST(nmin AS DOUBLE) / n) * 1000000.0)
+                     AS BIGINT) AS keep_ppm
+                 FROM c, m),
+           h AS (SELECT d.lang, t.keep_ppm,
+                   md5(CAST(d.doc_id AS VARCHAR)) AS mh
+                 FROM documents d JOIN t USING (lang)),
+           b AS (SELECT lang, keep_ppm, $hex32 % 1000000 AS bucket FROM h)
+           SELECT lang, count(CASE WHEN bucket < keep_ppm THEN 1 END)
+               AS n_kept,
+             any_value(keep_ppm) AS keep_ppm
+           FROM b GROUP BY lang ORDER BY lang"""
+      },
 
       "skewed_key_report" ->
         """WITH f AS (SELECT CASE WHEN user_id % 10 < 3 THEN 7

@@ -69,6 +69,41 @@ object Sampling {
     df.where(hashBucket(key, 100) < rateExpr)
   }
 
+  /** Temperature-scaled mixture sampling — the α-sampling pass that
+    * flattens a source/language mixture toward its tail for training:
+    * target proportions p_i ∝ n_i^(1/T), realized as the LARGEST
+    * downsample achieving them (no upsampling): keep rate
+    * r_i = (n_min/n_i)^(1-1/T), so the smallest stratum keeps everything
+    * and a stratum 100× larger keeps √(1/100) = 10% at T=2.
+    *
+    * Keep decisions are [[hashBucket]]-deterministic (parts-per-million
+    * thresholds), so re-runs never migrate rows. At the default T=2 the
+    * rate is a `sqrt` — correctly rounded by IEEE 754 on every engine, so
+    * thresholds are BIT-IDENTICAL to the DuckDB oracle; other T values
+    * go through `pow`, which may differ in final ulps across libm
+    * implementations (keep-count oracle checks then need a ±1 tolerance
+    * or rows-only verification).
+    *
+    * Shape: one stratum-cardinality aggregate + a broadcast join-back +
+    * a pure filter — no data-sized shuffle. */
+  def temperatureSample(df: DataFrame, key: Column, stratum: Column,
+                        temperature: Double = 2.0): DataFrame = {
+    require(temperature >= 1.0, s"temperature must be >= 1: $temperature")
+    val counts = df.groupBy(stratum.as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+    val minN = counts.agg(min(col("__n")).as("__nmin"))
+    val ratio = col("__nmin").cast("double") / col("__n")
+    val rate =
+      if (temperature == 2.0) sqrt(ratio)
+      else pow(ratio, lit(1.0 - 1.0 / temperature))
+    val thresholds = counts.crossJoin(broadcast(minN))
+      .select(col("__stratum"),
+        floor(rate * 1000000.0).cast("long").as("keep_ppm"))
+    df.join(broadcast(thresholds), stratum === col("__stratum"))
+      .where(hashBucket(key, 1000000) < col("keep_ppm"))
+      .drop("__stratum")
+  }
+
   /** Deterministic k-per-stratum sample — the distributed stand-in for
     * "reservoir sample k per group": rank rows inside each stratum by the
     * md5 of their key (uniform, engine-portable) with the key itself as

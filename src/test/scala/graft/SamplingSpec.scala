@@ -75,6 +75,30 @@ class SamplingSpec extends SparkSpec {
     assert(first === again)
   }
 
+  test("temperatureSample flattens the mixture toward the smallest stratum") {
+    // strata 1600 : 400 : 100 — at T=2 the keep rates are sqrt(100/n):
+    // 25% : 50% : 100%, so kept counts target 400 : 200 : 100 (a flatter
+    // mix than 16:4:1), subject to hash-bucket binomial noise
+    val df = ((0L until 1600L).map((_, "big")) ++
+      (2000L until 2400L).map((_, "mid")) ++
+      (3000L until 3100L).map((_, "tiny"))).toDF("id", "src")
+    val kept = Sampling.temperatureSample(df, col("id"), col("src"))
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(kept("tiny") === 100L) // smallest stratum keeps everything
+    assert(kept("mid") > 150L && kept("mid") < 250L)
+    assert(kept("big") > 320L && kept("big") < 480L)
+    // stable under repartitioning (identity hash, not position/RNG)
+    val a = Sampling.temperatureSample(df, col("id"), col("src"))
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.temperatureSample(df.repartition(7), col("id"),
+      col("src")).select("id").as[Long].collect().toSet
+    assert(a === b)
+    // T=1 is a no-op mixture (every rate 1.0)
+    val all = Sampling.temperatureSample(df, col("id"), col("src"),
+      temperature = 1.0)
+    assert(all.count() === df.count())
+  }
+
   test("samplePerStratum takes exactly min(k, |group|), stable under layout") {
     val df = (1L to 97L).map(i => (i, s"g${i % 4}")).toDF("id", "g")
       .union(Seq((1000L, "tiny")).toDF("id", "g")) // group smaller than k
