@@ -629,6 +629,12 @@ object SparkEntry {
     "media_dims_stats" -> ((s, dir) =>
       Multimodal.mediaDimsStats(t(s, dir, "documents"))),
 
+    // Real AUDIO-header decode (functions/AudioDecode): WAV RIFF chunk
+    // walk + FLAC STREAMINFO bit fields over synthesized spec-valid
+    // headers; oracle recomputes every field from doc_id arithmetic.
+    "media_audio_stats" -> ((s, dir) =>
+      Multimodal.audioInfoStats(t(s, dir, "documents"))),
+
     // Custom TypedImperativeAggregate: per-label centroid via vec_sum
     // (single mutable double[dim] buffer per group — no posexplode
     // shuffle). First 8 dims in long format for the oracle.
@@ -2130,6 +2136,32 @@ object SparkEntry {
              CAST(min(w) AS BIGINT) AS min_width,
              CAST(max(h) AS BIGINT) AS max_height
            FROM m GROUP BY media_format ORDER BY media_format""",
+
+      "media_audio_stats" ->
+        // ground truth is the doc_id arithmetic the payload generator
+        // encodes into the headers; Spark's side decodes the actual bytes.
+        // duration: the parser computes declared_bytes*1000/byte_rate in
+        // integer math; the shared block-align factor cancels, so
+        // floor(frames*1000/rate) is the same value.
+        """WITH m AS (SELECT
+             CASE doc_id % 3 WHEN 0 THEN 'wav' WHEN 1 THEN 'flac'
+                  ELSE 'unknown' END AS audio_format,
+             CASE WHEN doc_id % 3 = 2 THEN 0
+                  ELSE 8000 + (doc_id % 353) * 100 END AS rate,
+             CASE WHEN doc_id % 3 = 2 THEN 0
+                  ELSE 1 + doc_id % 2 END AS ch,
+             CASE WHEN doc_id % 3 = 2 THEN 0
+                  ELSE 8 * (1 + doc_id % 4) END AS bits,
+             CASE WHEN doc_id % 3 = 2 THEN 0
+                  ELSE CAST(floor((100 + doc_id % 1000) * 1000.0 /
+                    (8000 + (doc_id % 353) * 100)) AS BIGINT) END AS dur
+           FROM documents)
+           SELECT audio_format, count(*) AS n_items,
+             CAST(sum(rate) AS BIGINT) AS sum_sample_rate,
+             CAST(sum(ch) AS BIGINT) AS sum_channels,
+             CAST(sum(bits) AS BIGINT) AS sum_bits,
+             CAST(sum(dur) AS BIGINT) AS sum_duration_ms
+           FROM m GROUP BY audio_format ORDER BY audio_format""",
 
       "bloom_pruned_revenue" ->
         // the bloom prune is a no-false-negative pre-filter: the oracle is

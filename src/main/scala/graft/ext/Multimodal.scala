@@ -190,6 +190,85 @@ object Multimodal {
       .orderBy(col("media_format"))
   }
 
+  /** Synthesize a REAL audio-header payload per document, mirroring
+    * [[syntheticMediaPayloads]]: doc_id mod 3 picks WAV / FLAC / raw, and
+    * every header field is pure doc_id arithmetic an external oracle can
+    * recompute without parsing bytes:
+    * `rate = 8000 + (doc_id % 353) * 100`, `channels = 1 + doc_id % 2`,
+    * `bits = 8 * (1 + doc_id % 4)`, `frames = 100 + doc_id % 1000`.
+    * The WAV payload is a spec-valid RIFF/WAVE fmt+data chunk sequence
+    * (little-endian, word-aligned walk) and the FLAC payload a spec-valid
+    * STREAMINFO block (big-endian sub-byte bit fields) — so what
+    * [[graft.functions.AudioDecode]] exercises is the real byte format in
+    * both endiannesses, not an echo of the arithmetic. */
+  def syntheticAudioPayloads(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    val rate = (lit(8000) + pmod(col("doc_id"), lit(353)) * 100).cast("int")
+    val ch = (lit(1) + pmod(col("doc_id"), lit(2))).cast("int")
+    val bits = (lit(8) * (lit(1) + pmod(col("doc_id"), lit(4)))).cast("int")
+    val frames = (lit(100) + pmod(col("doc_id"), lit(1000))).cast("int")
+    // Column./ is double division; the product is a multiple of 8, so the
+    // quotient is integral and the int cast is exact.
+    val blockAlign = ((ch * bits) / lit(8)).cast("int")
+    val byteRate = rate * blockAlign
+    val dataLen = frames * blockAlign
+    def hexBE(c: Column, digits: Int) = lpad(hex(c), digits, "0")
+    def byteAt(c: Column, shift: Int) =
+      hexBE(pmod(shiftright(c, shift), lit(256)), 2)
+    def hexLE16(c: Column) = concat(byteAt(c, 0), byteAt(c, 8))
+    def hexLE32(c: Column) =
+      concat(byteAt(c, 0), byteAt(c, 8), byteAt(c, 16), byteAt(c, 24))
+    val wavHex = concat(
+      lit("52494646"), hexLE32(lit(36) + dataLen), lit("57415645"), // RIFF/WAVE
+      lit("666D7420"), lit("10000000"), lit("0100"), // "fmt ", len 16, PCM
+      hexLE16(ch), hexLE32(rate), hexLE32(byteRate),
+      hexLE16(blockAlign), hexLE16(bits),
+      lit("64617461"), hexLE32(dataLen)) // "data" + declared size, no body
+    // FLAC STREAMINFO packed tail: rate(20) | ch-1(3) | bits-1(5) |
+    // samples(36), big-endian across byte boundaries.
+    val b18 = hexBE(shiftright(rate, 12), 2)
+    val b19 = hexBE(pmod(shiftright(rate, 4), lit(256)), 2)
+    val b20 = hexBE(
+      pmod(rate, lit(16)) * 16 + (ch - 1) * 2 + shiftright(bits - 1, 4), 2)
+    val b21 = hexBE(pmod(bits - 1, lit(16)) * 16, 2) // samples < 2^32: high nibble 0
+    val flacHex = concat(
+      lit("664C6143"), // "fLaC"
+      lit("80000022"), // last-block | STREAMINFO, length 34
+      lit("10001000"), // min/max block size 4096
+      lit("000000000000"), // min/max frame size unknown
+      b18, b19, b20, b21, hexBE(frames, 8),
+      lit("0" * 32)) // md5 placeholder
+    docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0, unhex(wavHex))
+        .when(pmod(col("doc_id"), lit(3)) === 1, unhex(flacHex))
+        .otherwise(concat(unhex(lit("00")),
+          substring(col("text"), 1, 64).cast("binary")))
+        .as("payload"))
+  }
+
+  /** Per-format audio rollup over [[syntheticAudioPayloads]] decoded by
+    * the REAL header parser ([[graft.functions.AudioDecode]]) — same
+    * contract as [[mediaDimsStats]]: the oracle recomputes every field
+    * from doc_id arithmetic, so any offset/endianness/bit-shift mistake
+    * in the parser breaks the hash match. */
+  def audioInfoStats(docs: DataFrame): DataFrame = {
+    val a = graft.functions.AudioFunctions.audioInfo(col("payload"))
+    syntheticAudioPayloads(docs)
+      .select(a.as("a"))
+      .select(coalesce(col("a.audio_format"), lit("unknown")).as("audio_format"),
+        coalesce(col("a.sample_rate"), lit(0)).as("rate"),
+        coalesce(col("a.channels"), lit(0)).as("ch"),
+        coalesce(col("a.bits_per_sample"), lit(0)).as("bits"),
+        coalesce(col("a.duration_ms"), lit(0L)).as("dur"))
+      .groupBy(col("audio_format"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("rate")).as("sum_sample_rate"),
+        sum(col("ch")).as("sum_channels"),
+        sum(col("bits")).as("sum_bits"),
+        sum(col("dur")).as("sum_duration_ms"))
+      .orderBy(col("audio_format"))
+  }
+
   /** Rollup of extracted features per kind — the query surface the driver
     * oracles (byte-sum/byte-len are engine-portable functions of the
     * payload). */
