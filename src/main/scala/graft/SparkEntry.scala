@@ -1125,6 +1125,19 @@ object SparkEntry {
         "user_id", "ts", "event_type", convType = "purchase",
         valueCol = "value", tieCol = "event_id", halfLifeSec = 3600L)),
 
+    // Weighted sample without replacement (A-ES, ext/Sampling): 50 docs
+    // drawn ∝ document length. Rows-only: the -ln(u)/w score is exactly
+    // reproducible within Spark but ln is not bit-standardized across
+    // engines (SamplingSpec proves the weight-proportional property).
+    "weighted_doc_sample" -> ((s, dir) =>
+      graft.ext.Sampling.weightedSample(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"),
+              length(col("text")).cast("double").as("w")),
+          col("doc_id"), col("w"), k = 50)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
     // Temperature (α=1/2) mixture sampling (ext/Sampling.temperatureSample):
     // per-language kept counts + ppm thresholds — the training-mix
     // flattening pass; T=2 rates are sqrt (IEEE-exact on any engine).

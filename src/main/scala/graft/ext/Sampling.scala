@@ -140,6 +140,37 @@ object Sampling {
       .where(col("sample_rank") <= k)
   }
 
+  /** Deterministic weighted sample WITHOUT replacement — Efraimidis &
+    * Spirakis A-ES: each row draws a uniform u from the md5 of its key
+    * and scores `-ln(u) / w`; the k smallest scores are the sample, and
+    * inclusion probability is proportional to weight (exactly the
+    * sequential weighted draw, proven in the A-ES paper). Use for
+    * quality-weighted corpus subsampling: w = quality score → good
+    * documents oversampled, long tail still represented.
+    *
+    * Determinism contract as everywhere in this module: u is a pure
+    * function of the key (48 md5 bits → (0,1), never exactly 0), so
+    * re-runs/engines/layouts select the same rows. NOTE `ln` is not
+    * bit-standardized across libm implementations, so unlike the
+    * sqrt/bit-shift operators this one verifies rows-only against an
+    * external engine; within Spark it is exactly reproducible.
+    *
+    * Shape: one scan + a distributed TakeOrdered(k) — no full sort, no
+    * shuffle of the data (same shape as top_orders). Rows with w <= 0 are
+    * excluded (zero weight = never sampled; negative is a data error). */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+                     k: Int): DataFrame = {
+    require(k > 0, s"need positive k: $k")
+    // (x+1)/(2^48+1) ∈ (0,1) exclusive at both ends
+    val u = (conv(substring(md5(key.cast("string")), 1, 12), 16, 10)
+      .cast("double") + 1.0) / 281474976710657.0
+    df.where(weight > 0)
+      .withColumn("__es_score", -log(u) / weight)
+      .orderBy(col("__es_score"), key)
+      .limit(k)
+      .drop("__es_score")
+  }
+
   /** Context-window packing: assign documents, in the deterministic
     * per-stream order `orderCol`, to consecutive fixed-token-budget bins —
     * the sequence-packing pass that turns a shuffled corpus into training

@@ -99,6 +99,30 @@ class SamplingSpec extends SparkSpec {
     assert(all.count() === df.count())
   }
 
+  test("weightedSample: inclusion tracks weight, deterministic, exact k") {
+    // group a: 9000 rows at weight 1; group b: 1000 rows at weight 9 —
+    // equal TOTAL weight, so a k=500 sample should split roughly evenly
+    // between the groups even though b has 9x fewer rows
+    val df = ((0L until 9000L).map((_, "a", 1.0)) ++
+      (10000L until 11000L).map((_, "b", 9.0))).toDF("id", "grp", "w")
+    val sample = Sampling.weightedSample(df, col("id"), col("w"), k = 500)
+    val byGrp = sample.groupBy("grp").count()
+      .as[(String, Long)].collect().toMap
+    assert(byGrp.values.sum === 500L)
+    assert(byGrp("b") > 150L && byGrp("b") < 350L,
+      s"weight-9 group got ${byGrp("b")} of 500")
+    // deterministic under repartitioning
+    val a = sample.select("id").as[Long].collect().toSet
+    val b = Sampling.weightedSample(df.repartition(13), col("id"),
+      col("w"), k = 500).select("id").as[Long].collect().toSet
+    assert(a === b)
+    // zero/negative weights are never sampled
+    val z = Sampling.weightedSample(
+      ((0L to 10L).map((_, 0.0)) ++ Seq((99L, 1.0))).toDF("id", "w"),
+      col("id"), col("w"), k = 5)
+    assert(z.select("id").as[Long].collect().toSeq === Seq(99L))
+  }
+
   test("samplePerStratum takes exactly min(k, |group|), stable under layout") {
     val df = (1L to 97L).map(i => (i, s"g${i % 4}")).toDF("id", "g")
       .union(Seq((1000L, "tiny")).toDF("id", "g")) // group smaller than k
