@@ -1125,6 +1125,35 @@ object SparkEntry {
         "user_id", "ts", "event_type", convType = "purchase",
         valueCol = "value", tieCol = "event_id", halfLifeSec = 3600L)),
 
+    // One-pass column profiler (operators/Profile): every numeric
+    // lineitem column's min/max/null_count/mean from ONE aggregation
+    // scan, unpivoted to long form — never a job per column.
+    "numeric_profile" -> ((s, dir) =>
+      graft.operators.Profile.numericProfile(t(s, dir, "lineitem"))),
+
+    // Trailing-window spike census: each event's value vs its user's
+    // trailing-20-event average, flagged when it jumps 4× (|v·n − s| >
+    // 3s ⇔ v > 4·mean or v < −2·mean) — the comparison is multiplied out
+    // so it is ALL-integer (cents), immune to sliding-frame float
+    // accumulation order differing between engines. Requires ≥10 prior
+    // events so cold-start rows never score.
+    "value_spike_census" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-20, -1)
+      t(s, dir, "events")
+        .withColumn("vc", round(col("value") * 100).cast("long"))
+        .withColumn("s", sum(col("vc")).over(w))
+        .withColumn("n", count(col("vc")).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(when(col("n") >= 10, 1)).as("n_scored"),
+          count(when(col("n") >= 10 &&
+            abs(col("vc") * col("n") - col("s")) > col("s") * 3, 1))
+            .as("n_spikes"))
+        .orderBy(col("user_id"))
+    }),
+
     // Weighted sample without replacement (A-ES, ext/Sampling): 50 docs
     // drawn ∝ document length. Rows-only: the -ln(u)/w score is exactly
     // reproducible within Spark but ln is not bit-standardized across
@@ -2552,6 +2581,43 @@ object SparkEntry {
                 ELSE 0.2 / (n - 2) END"""),
 
       "attribution_decay" -> timeDecayOracle(halfLifeSec = 3600L),
+
+      "numeric_profile" -> {
+        // one-row aggregate CTE + generated UNION ALL unpivot, mirroring
+        // the Spark side's single-pass + explode
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+          "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+          "l_tax")
+        val aggs = cols.flatMap(c => Seq(
+          s"CAST(min($c) AS DOUBLE) AS min_$c",
+          s"CAST(max($c) AS DOUBLE) AS max_$c",
+          s"CAST(count(CASE WHEN $c IS NULL THEN 1 END) AS DOUBLE) AS nulls_$c",
+          s"avg($c) AS mean_$c")).mkString(", ")
+        val branches = cols.flatMap(c => Seq(
+          s"""SELECT '$c' AS "column", 'min' AS metric, round(min_$c, 4) AS value FROM a""",
+          s"""SELECT '$c', 'max', round(max_$c, 4) FROM a""",
+          s"""SELECT '$c', 'null_count', nulls_$c FROM a""",
+          s"""SELECT '$c', 'mean', round(mean_$c, 4) FROM a"""))
+          .mkString("\n UNION ALL ")
+        s"""WITH a AS (SELECT $aggs FROM lineitem)
+           $branches
+           ORDER BY "column", metric"""
+      },
+
+      "value_spike_census" ->
+        """WITH e AS (SELECT user_id, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+           w AS (SELECT user_id, vc,
+               sum(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS s,
+               count(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS n
+             FROM e)
+           SELECT user_id,
+             count(CASE WHEN n >= 10 THEN 1 END) AS n_scored,
+             count(CASE WHEN n >= 10 AND abs(vc * n - s) > s * 3 THEN 1 END)
+               AS n_spikes
+           FROM w GROUP BY user_id ORDER BY user_id""",
 
       "temperature_mixture" -> {
         // same hex32 md5-bucket fold as mixture_counts, mod 1e6 ppm space

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Profile
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("numericProfile: exact stats, null handling, long form") {
+    val df = Seq(
+      (Some(1.0), 10L, "x"),
+      (Some(3.0), 20L, "y"),
+      (None, 30L, "z")).toDF("a", "b", "s")
+    val out = Profile.numericProfile(df)
+      .as[(String, String, Double)].collect().toSeq
+    // string column excluded; 2 numeric cols × 4 metrics, sorted
+    assert(out.map(t => (t._1, t._2)) === Seq(
+      ("a", "max"), ("a", "mean"), ("a", "min"), ("a", "null_count"),
+      ("b", "max"), ("b", "mean"), ("b", "min"), ("b", "null_count")))
+    val m = out.map(t => (t._1, t._2) -> t._3).toMap
+    assert(m(("a", "min")) === 1.0 && m(("a", "max")) === 3.0)
+    assert(m(("a", "null_count")) === 1.0)
+    assert(m(("a", "mean")) === 2.0) // avg ignores the null
+    assert(m(("b", "null_count")) === 0.0 && m(("b", "mean")) === 20.0)
+  }
+
+  test("numericProfile is one aggregation pass (single scan, no shuffle of data)") {
+    val df = (1L to 100L).map(i => (i, i * 2.0)).toDF("x", "y")
+    val plan = Profile.numericProfile(df)
+      .queryExecution.executedPlan.toString
+    // 8 aggregates, ONE scan: the naive per-column loop would show one
+    // aggregate subtree per column
+    assert("LocalTableScan|Scan ".r.findAllIn(plan).size <= 2,
+      s"profile must not scan per column:\n$plan")
+  }
+
+  test("rejects frames with no numeric columns") {
+    assertThrows[IllegalArgumentException] {
+      Profile.numericProfile(Seq(("a", "b")).toDF("s1", "s2"))
+    }
+  }
+}
