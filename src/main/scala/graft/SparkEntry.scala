@@ -1125,6 +1125,61 @@ object SparkEntry {
         "user_id", "ts", "event_type", convType = "purchase",
         valueCol = "value", tieCol = "event_id", halfLifeSec = 3600L)),
 
+    // Markov transition matrix over user journeys: adjacent event-type
+    // pairs per user (lag window on the same one user-keyed exchange) →
+    // transition counts + per-source probabilities (exact long counts,
+    // one deterministic double division).
+    "event_transitions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = t(s, dir, "events")
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .where(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("prev_type"))
+      pairs
+        .withColumn("p", round(col("n") / sum(col("n")).over(totals), 6))
+        .orderBy(col("prev_type"), col("next_type"))
+    }),
+
+    // Bigram counts — the n-gram LM base layer over the token stream:
+    // adjacent token pairs within each document, global top 25.
+    "top_bigrams" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      t(s, dir, "documents")
+        .select(explode_outer(zip_with(
+          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+        .where(col("bigram").isNotNull)
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram")).limit(25)
+    }),
+
+    // Equi-depth histogram (feature binning): 10 equal-population buckets
+    // over order totals with exact bounds and counts — ntile over a
+    // totally-ordered sort (tie-break on key), so bucket membership is
+    // deterministic in any engine. The global ntile is the EXACT,
+    // oracle-able form and serializes the sort onto one reducer; at
+    // corpus scale swap the bounds to approx_percentile (t-digest) and
+    // assign buckets by range — same output schema, rows-only verified,
+    // like the other sketch twins.
+    "equi_depth_hist" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_totalprice"), col("o_orderkey"))
+        .withColumn("bucket", ntile(10).over(w).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"))
+        .orderBy(col("bucket"))
+    }),
+
     // One-pass column profiler (operators/Profile): every numeric
     // lineitem column's min/max/null_count/mean from ONE aggregation
     // scan, unpivoted to long form — never a job per column.
@@ -2581,6 +2636,37 @@ object SparkEntry {
                 ELSE 0.2 / (n - 2) END"""),
 
       "attribution_decay" -> timeDecayOracle(halfLifeSec = 3600L),
+
+      "event_transitions" ->
+        """WITH p AS (SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_type
+           FROM events),
+           c AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+                 FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+           SELECT prev_type, next_type, n,
+             round(n / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+           FROM c ORDER BY prev_type, next_type""",
+
+      "top_bigrams" ->
+        // same tokenizer as top_tokens; adjacent pairs via index zip
+        """WITH w AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+')
+                        AS t FROM documents),
+           b AS (SELECT unnest(list_transform(
+                   generate_series(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i + 1])) AS bigram
+                 FROM w)
+           SELECT bigram, count(*) AS n FROM b
+           GROUP BY bigram ORDER BY n DESC, bigram LIMIT 25""",
+
+      "equi_depth_hist" ->
+        """WITH t AS (SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+           FROM orders)
+           SELECT bucket, count(*) AS n_orders,
+             round(min(o_totalprice), 2) AS lo,
+             round(max(o_totalprice), 2) AS hi
+           FROM t GROUP BY bucket ORDER BY bucket""",
 
       "numeric_profile" -> {
         // one-row aggregate CTE + generated UNION ALL unpivot, mirroring
