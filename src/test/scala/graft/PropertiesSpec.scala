@@ -147,4 +147,41 @@ class PropertiesSpec extends SparkSpec {
       }
     })
   }
+
+  test("attribution credit is conserved under every model") {
+    // invariant: per-channel credited conversions sum to the TOTAL number
+    // of conversions (each conversion hands out exactly 1.0 of credit,
+    // organic included) and attributed value sums to the total converted
+    // value — within per-row integer rounding (≤1 µ / ≤1 ¢ per credit row)
+    val evGen = Gen.listOfN(40, Gen.zip(
+      Gen.choose(1L, 4L),                       // user
+      Gen.choose(0, 5000),                      // seconds offset
+      Gen.oneOf("view", "click", "view", "purchase"),
+      Gen.choose(1, 200)))                      // value in whole units
+    check(Prop.forAll(evGen) { rows =>
+      rows.isEmpty || {
+        val df = rows.zipWithIndex.map { case ((u, s, t, v), i) =>
+          (u, new java.sql.Timestamp(1704067200000L + s * 1000L), t,
+            v.toDouble, i.toLong)
+        }.toDF("user_id", "ts", "event_type", "value", "event_id")
+        val nConv = rows.count(_._3 == "purchase")
+        val convValue = rows.filter(_._3 == "purchase").map(_._4).sum
+        val models = Seq(
+          graft.operators.Attribution.multiTouchReport(df, "user_id", "ts",
+            "event_type", "purchase", "value", "event_id", "linear"),
+          graft.operators.Attribution.multiTouchReport(df, "user_id", "ts",
+            "event_type", "purchase", "value", "event_id", "position"),
+          graft.operators.Attribution.timeDecayReport(df, "user_id", "ts",
+            "event_type", "purchase", "value", "event_id",
+            halfLifeSec = 600L))
+        models.forall { rep =>
+          val rows2 = rep.as[(String, Double, Double)].collect()
+          val credits = rows2.map(_._2).sum
+          val value = rows2.map(_._3).sum
+          math.abs(credits - nConv) < 0.001 &&
+            math.abs(value - convValue) < 0.01 * math.max(1, nConv * 20)
+        }
+      }
+    })
+  }
 }
