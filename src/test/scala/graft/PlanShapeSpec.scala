@@ -100,4 +100,24 @@ class PlanShapeSpec extends SparkSpec {
     val lsh = plan(Similarity.knnLsh(emb, probes, k = 3))
     assert(!lsh.contains("NestedLoop"), s"LSH kNN has a nested loop:\n$lsh")
   }
+
+  test("round-5 queries keep their audited shapes") {
+    // temperature mixture: the only data-side join is a broadcast of the
+    // stratum thresholds — a regression to a shuffle join would move the
+    // whole corpus
+    val tm = plan(SparkEntry.queries("temperature_mixture")(spark, sf))
+    assert(tm.contains("BroadcastHashJoin"),
+      s"temperature_mixture lost its broadcast join-back:\n$tm")
+    assert(!tm.contains("SortMergeJoin"),
+      s"temperature_mixture shuffles the corpus for its thresholds:\n$tm")
+    // weighted A-ES sample: top-k must stay a distributed TakeOrdered,
+    // never a global sort
+    val ws = plan(SparkEntry.queries("weighted_doc_sample")(spark, sf))
+    assert(ws.contains("TakeOrderedAndProject"),
+      s"weighted sample degraded from TakeOrdered:\n$ws")
+    // profiler: one aggregation pass — a per-column loop would show
+    // multiple scans
+    val np = plan(SparkEntry.queries("numeric_profile")(spark, sf))
+    assert(scanCount(np) === 1, s"profiler must scan once:\n$np")
+  }
 }

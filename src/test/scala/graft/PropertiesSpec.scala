@@ -148,6 +148,23 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("snapshot diff statuses obey set algebra for arbitrary versions") {
+    val verGen = Gen.mapOf(Gen.zip(Gen.choose(0L, 20L), Gen.choose(0, 3)))
+    check(Prop.forAll(verGen, verGen) { (oldM, newM) =>
+      val got = graft.operators.SnapshotDiff
+        .diff(oldM.toSeq.toDF("k", "v"), newM.toSeq.toDF("k", "v"), Seq("k"))
+        .select("k", "diff_status").as[(Long, String)].collect()
+        .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+      got.getOrElse("added", Set.empty) ==
+        newM.keySet.diff(oldM.keySet) &&
+      got.getOrElse("removed", Set.empty) ==
+        oldM.keySet.diff(newM.keySet) &&
+      got.getOrElse("changed", Set.empty) ==
+        oldM.keySet.intersect(newM.keySet)
+          .filter(k => oldM(k) != newM(k))
+    })
+  }
+
   test("attribution credit is conserved under every model") {
     // invariant: per-channel credited conversions sum to the TOTAL number
     // of conversions (each conversion hands out exactly 1.0 of credit,
