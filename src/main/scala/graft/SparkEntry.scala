@@ -996,6 +996,24 @@ object SparkEntry {
           col("e.id").as("o_orderkey"), col("e.v").as("o_totalprice"))
         .orderBy(col("o_custkey"), col("rank"))),
 
+    // Built-in control twin of top3_orders_per_cust (same oracle): the
+    // window form shuffles + sorts EVERY order row to rank it, where the
+    // aggregate above ships only O(groups × k) structs through the
+    // exchange — the measured pair for the custom-aggregate claim
+    // (like the skew twins, the comparison lives in BENCH_FULL).
+    "top3_orders_per_cust_window" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .select(col("o_custkey"), col("rank"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rank"))
+    }),
+
     // Per-group feature standardization + outlier census: z-scores of
     // order totals within each priority. Shape: partial-aggregated group
     // stats (5 rows) broadcast-joined back — NOT a window partitioned by
@@ -2452,6 +2470,15 @@ object SparkEntry {
 
       "top3_orders_per_cust" ->
         // the aggregate's (v desc, id asc) order == this window's order
+        """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
+           FROM orders)
+           SELECT o_custkey, rank, o_orderkey, o_totalprice FROM r
+           WHERE rank <= 3 ORDER BY o_custkey, rank""",
+
+      "top3_orders_per_cust_window" ->
+        // result-identical control twin: same SQL as the aggregate form
         """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
              CAST(row_number() OVER (PARTITION BY o_custkey
                ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank

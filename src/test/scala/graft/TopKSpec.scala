@@ -106,4 +106,44 @@ class TopKSpec extends SparkSpec {
            FROM topk_in GROUP BY g) ORDER BY g""").as[(Int, Long)].collect()
     assert(sql.toSeq === Seq((0, 1L), (1, 3L)))
   }
+
+  test("both top-k forms ship answer-sized shuffles (WindowGroupLimit pin)") {
+    // MEASURED finding, pinned so it stays true: the aggregate's partial
+    // phase collapses each map partition to ≤ groups buffers before the
+    // exchange — and since Spark 3.5, WindowGroupLimit pushes a
+    // rank-filter group limit below the WINDOW form's exchange too
+    // (partitions × groups × k rows), so BOTH forms shuffle
+    // answer-sized, never data-sized. The aggregate's remaining edge is
+    // composition: it runs inside any groupBy/streaming aggregation
+    // (tested above), where a window+filter cannot.
+    val df = (0L until 20000L)
+      .map(i => (i % 20, i, (i * 7 % 9973).toDouble))
+      .toDF("g", "id", "v")
+    def shuffledRecords(q: org.apache.spark.sql.DataFrame): Long = {
+      q.queryExecution.toRdd.count() // materialize so metrics populate
+      q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
+      }.sum
+    }
+    val aggQ = df.groupBy($"g")
+      .agg(graft.functions.TopKAggregate.topKBy($"v", $"id", 3).as("top"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"v".desc, $"id")
+    val winQ = df.withColumn("rank", row_number().over(w))
+      .where($"rank" <= 3)
+    // plain (non-adaptive) plans so the exchanges sit directly in the
+    // executed plan with their metrics readable
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val agg = shuffledRecords(aggQ)
+      val win = shuffledRecords(winQ)
+      assert(agg > 0 && win > 0, s"metrics missing: agg=$agg win=$win")
+      // answer-sized: a few hundred records, never the 20k input rows
+      assert(agg < 200, s"aggregate exchange should be ≤ parts×groups: $agg")
+      assert(win < 1000,
+        s"WindowGroupLimit should keep the window exchange answer-sized " +
+          s"(a regression here means rank-filter pushdown stopped): $win")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
