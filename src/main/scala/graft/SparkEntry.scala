@@ -1143,6 +1143,25 @@ object SparkEntry {
         "user_id", "ts", "event_type", convType = "purchase",
         valueCol = "value", tieCol = "event_id", halfLifeSec = 3600L)),
 
+    // k-anonymity census (privacy ops, the structural complement of
+    // ext/Redaction's PII scrubbing): how re-identifiable is the table
+    // under a quasi-identifier set? One group pass on the QI columns,
+    // then a bounded histogram of group sizes below k plus the count of
+    // at-risk rows — the release/suppress decision input.
+    "k_anonymity_report" -> ((s, dir) => {
+      val k = 5
+      val groups = t(s, dir, "customer")
+        .groupBy(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n"))
+      groups.agg(
+          count(lit(1)).as("n_groups"),
+          count(when(col("n") < k, 1)).as("n_small_groups"),
+          coalesce(sum(when(col("n") < k, col("n"))), lit(0L))
+            .as("n_rows_at_risk"),
+          min(col("n")).as("min_group_size"))
+        .withColumn("k", lit(k.toLong))
+    }),
+
     // Markov transition matrix over user journeys: adjacent event-type
     // pairs per user (lag window on the same one user-keyed exchange) →
     // transition counts + per-source probabilities (exact long counts,
@@ -2663,6 +2682,17 @@ object SparkEntry {
                 ELSE 0.2 / (n - 2) END"""),
 
       "attribution_decay" -> timeDecayOracle(halfLifeSec = 3600L),
+
+      "k_anonymity_report" ->
+        """WITH g AS (SELECT c_mktsegment, c_nationkey, count(*) AS n
+                      FROM customer GROUP BY 1, 2)
+           SELECT count(*) AS n_groups,
+             count(CASE WHEN n < 5 THEN 1 END) AS n_small_groups,
+             coalesce(CAST(sum(CASE WHEN n < 5 THEN n END) AS BIGINT), 0)
+               AS n_rows_at_risk,
+             CAST(min(n) AS BIGINT) AS min_group_size,
+             CAST(5 AS BIGINT) AS k
+           FROM g""",
 
       "event_transitions" ->
         """WITH p AS (SELECT user_id, event_type,

@@ -40,4 +40,18 @@ class ProfileSpec extends SparkSpec {
       Profile.numericProfile(Seq(("a", "b")).toDF("s1", "s2"))
     }
   }
+
+  test("k-anonymity census flags at-risk rows when groups are small") {
+    // sf0.001: 150 customers over ~125 quasi-identifier combos → most
+    // groups are below k=5 (the sf0.01 oracle run exercises the clean
+    // path where n_rows_at_risk = 0)
+    val out = SparkEntry.queries("k_anonymity_report")(
+        spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    val (nGroups, nSmall, atRisk, minSize, k) = out
+    assert(k === 5L && nGroups > 0L)
+    assert(nSmall > 0L, "tiny SF must have sub-k groups")
+    assert(atRisk > 0L && atRisk < 150L)
+    assert(minSize >= 1L && minSize < 5L)
+  }
 }
