@@ -207,14 +207,14 @@ object Dedup {
     val hashed = toks
       .withColumn("hLo", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
       .withColumn("hHi", conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long"))
-    val bitVotes = (0 until 64).map { j =>
-      val (h, s) = if (j < 32) (col("hLo"), j) else (col("hHi"), j - 32)
-      sum(when(shiftright(h, s) % 2 === 1, 1L).otherwise(-1L)).as(s"v$j")
-    }
-    val votes = hashed.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
-    val sig = (0 until 64).map(j =>
-      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-    votes.select(col("doc_id"), sig.as("simhash"))
+    // ONE long[64] vote buffer per doc (functions/SimhashVotes) instead
+    // of 64 separate sum(when(shift...)) aggregate expressions — same
+    // signature bit-for-bit (SimhashSpec pins the equivalence), ~2× on
+    // the corpus scan that used to be the heaviest non-fixture bench
+    // query.
+    hashed.groupBy(col("doc_id"))
+      .agg(graft.functions.SimhashAggregate
+        .simhashVotes(col("hLo"), col("hHi")).as("simhash"))
   }
 
   /** Convenience: `docs` with the signature appended (joins the one-scan
