@@ -768,7 +768,7 @@ object SparkEntry {
       graft.ext.Sampling.packByTokenBudget(
           t(s, dir, "documents")
             .select(col("lang"), col("doc_id"),
-              size(TextAnalysis.tokens(col("text"))).cast("long")
+              TextAnalysis.tokenCount(col("text")).cast("long")
                 .as("n_tokens")),
           orderCol = col("doc_id"), tokensCol = col("n_tokens"),
           budget = 2048, partitionCols = Seq(col("lang")))
@@ -832,7 +832,7 @@ object SparkEntry {
     // distribution a packing/truncation policy is tuned against.
     "token_histogram" -> ((s, dir) =>
       t(s, dir, "documents")
-        .select((floor(size(TextAnalysis.tokens(col("text"))) / 10.0) * 10)
+        .select((floor(TextAnalysis.tokenCount(col("text")) / 10.0) * 10)
           .cast("long").as("bucket_lo"))
         .groupBy(col("bucket_lo")).agg(count(lit(1)).as("n_docs"))
         .orderBy(col("bucket_lo"))),

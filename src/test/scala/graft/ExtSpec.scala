@@ -16,6 +16,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2) === Seq.empty)
   }
 
+  test("tokenCount equals size(tokens) on edge cases and real docs") {
+    // the allocation-free count must never drift from the array form
+    val edge = Seq("  Hello,   WORLD-99!x ", "", "...", "a", "A.a.A")
+      .toDF("text")
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").select("text")
+    Seq(edge, docs).foreach { df =>
+      val drift = df.select(
+          TextAnalysis.tokenCount(col("text")).as("fast"),
+          size(TextAnalysis.tokens(col("text"))).as("ref"))
+        .where(col("fast") =!= col("ref")).count()
+      assert(drift === 0L)
+    }
+  }
+
   test("fingerprint is whitespace/case-insensitive content identity") {
     val df = Seq(
       (1L, "the  quick   fox"),
