@@ -269,10 +269,12 @@ object TextAnalysis {
     * `size`, never the token rows). */
   def tokenEstimates(docs: DataFrame): DataFrame =
     docs.select(col("lang"),
-        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+        // counts only — regexp_count never materializes the match arrays
+        // (same swap as [[tokenCount]]; TokenEstimates needs no tokens)
+        regexp_count(col("text"), lit("\\S+"))
           .cast("long").as("ws"),
-        size(regexp_extract_all(col("text"),
-            lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"), lit(0)))
+        regexp_count(col("text"),
+            lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"))
           .cast("long").as("bpe"),
         ceil(length(col("text")) / 4.0).cast("long").as("est4"))
       .groupBy(col("lang"))
