@@ -1217,6 +1217,60 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // CAPSTONE composition — the end-to-end training-data pipeline as
+    // ONE lazy plan: Gopher-style quality gate → deterministic 90/10
+    // train/eval split → exact-dedup within train (min-doc_id survivor
+    // per fingerprint) → decontamination (drop train docs whose
+    // fingerprint appears in eval) → temperature-T=2 mixture flattening
+    // → per-language doc/token counts. Every stage is an
+    // already-oracled operator; this verifies they COMPOSE (the run a
+    // real corpus actually takes), hash-checked end to end.
+    "training_pipeline_counts" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__fp")).orderBy(col("doc_id"))
+      val kept = TextAnalysis.qualityFlags(t(s, dir, "documents"))
+        .where(col("keep"))
+        .select(col("doc_id"), col("lang"), col("text"))
+      val split = graft.ext.Sampling.deterministicSplit(kept,
+        col("doc_id"), Seq("train" -> 90, "eval" -> 10))
+      val withFp = split.withColumn("__fp",
+        md5(concat_ws(" ", TextAnalysis.tokens(col("text")))))
+      val evalFps = withFp.where(col("split") === "eval")
+        .select(col("__fp")).distinct()
+      val survivors = withFp.where(col("split") === "train")
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+      val clean = survivors.join(evalFps, Seq("__fp"), "left_anti")
+      graft.ext.Sampling.temperatureSample(clean, col("doc_id"), col("lang"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+            .as("total_tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    // The corpus-scale twin the equi_depth_hist comment promises:
+    // t-digest decile bounds (one mergeable aggregate, no global sort)
+    // + range bucket assignment. Rows-only (sketch bounds are not
+    // engine-comparable); ProfileSpec bounds its divergence from the
+    // exact form.
+    "equi_depth_hist_approx" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val bounds = orders.agg(approx_percentile(col("o_totalprice"),
+        array((1 to 9).map(i => lit(i / 10.0)): _*), lit(10000))
+        .as("bs"))
+      orders.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          (aggregate(col("bs"),
+            lit(1L), (acc, b) =>
+              acc + when(col("o_totalprice") > b, 1L).otherwise(0L))))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"))
+        .orderBy(col("bucket"))
+    }),
+
     // One-pass column profiler (operators/Profile): every numeric
     // lineitem column's min/max/null_count/mean from ONE aggregation
     // scan, unpivoted to long form — never a job per column.
@@ -2682,6 +2736,57 @@ object SparkEntry {
                 ELSE 0.2 / (n - 2) END"""),
 
       "attribution_decay" -> timeDecayOracle(halfLifeSec = 3600L),
+
+      "training_pipeline_counts" -> {
+        // fragments reused verbatim from the stage oracles:
+        // quality_funnel (gate), doc_splits (hash bucket), doc_fingerprints
+        // (md5 of token stream), temperature_mixture (sqrt rates)
+        val lenSum = foldSum(
+          "list_transform(w, x -> CAST(length(x) AS BIGINT))",
+          "CAST(0 AS BIGINT)")
+        val hex32 = foldSum(
+          "list_transform(generate_series(1, 8), i -> " +
+            "CAST(CASE WHEN ascii(substr(mh, i, 1)) <= 57 " +
+            "THEN ascii(substr(mh, i, 1)) - 48 " +
+            "ELSE ascii(substr(mh, i, 1)) - 87 END AS BIGINT) " +
+            "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+          "CAST(0 AS BIGINT)")
+        s"""WITH q AS (SELECT doc_id, lang,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+           FROM documents),
+           k AS (SELECT doc_id, lang, w FROM q
+             WHERE len(w) >= 20
+               AND len(list_filter(w, x -> x = 'the' OR x = 'a'
+                 OR x = 'of' OR x = 'and' OR x = 'is' OR x = 'in')) >= 2
+               AND (CASE WHEN len(w) = 0 THEN 0.0
+                    ELSE CAST($lenSum AS DOUBLE) / len(w) END)
+                 BETWEEN 3.0 AND 10.0),
+           h AS (SELECT doc_id, lang, w,
+                   md5(CAST(doc_id AS VARCHAR)) AS mh,
+                   md5(array_to_string(w, ' ')) AS fp
+                 FROM k),
+           b AS (SELECT doc_id, lang, w, fp,
+                   $hex32 % 100 AS b100, $hex32 % 1000000 AS bppm
+                 FROM h),
+           ev AS (SELECT DISTINCT fp FROM b WHERE b100 >= 90),
+           d AS (SELECT doc_id, lang, w, fp, bppm,
+                   row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+                     AS rn
+                 FROM b WHERE b100 < 90),
+           cl AS (SELECT doc_id, lang, w, bppm FROM d
+                  WHERE rn = 1 AND fp NOT IN (SELECT fp FROM ev)),
+           c AS (SELECT lang, count(*) AS n FROM cl GROUP BY lang),
+           m AS (SELECT min(n) AS nmin FROM c),
+           t AS (SELECT lang,
+                   CAST(floor(sqrt(CAST(nmin AS DOUBLE) / n) * 1000000.0)
+                     AS BIGINT) AS keep_ppm
+                 FROM c, m),
+           fin AS (SELECT cl.lang, cl.w FROM cl JOIN t USING (lang)
+                   WHERE cl.bppm < t.keep_ppm)
+           SELECT lang, count(*) AS n_docs,
+             CAST(sum(len(w)) AS BIGINT) AS total_tokens
+           FROM fin GROUP BY lang ORDER BY lang"""
+      },
 
       "k_anonymity_report" ->
         """WITH g AS (SELECT c_mktsegment, c_nationkey, count(*) AS n

@@ -41,6 +41,25 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("approx equi-depth buckets stay close to the exact deciles at sf0.01") {
+    // the t-digest twin must put ~10% of rows in each bucket — bound the
+    // worst bucket's deviation at 2% of the table (t-digest accuracy
+    // 10000 is far tighter; the bound just catches gross regressions)
+    val exact = SparkEntry.queries("equi_depth_hist")(
+        spark, "/root/testdata/sf0.01")
+      .select("bucket", "n_orders").as[(Long, Long)].collect().toMap
+    val approx = SparkEntry.queries("equi_depth_hist_approx")(
+        spark, "/root/testdata/sf0.01")
+      .select("bucket", "n_orders").as[(Long, Long)].collect().toMap
+    assert(approx.keySet === exact.keySet)
+    val total = exact.values.sum
+    approx.foreach { case (b, n) =>
+      assert(math.abs(n - exact(b)).toDouble / total <= 0.02,
+        s"bucket $b: approx $n vs exact ${exact(b)}")
+    }
+    assert(approx.values.sum === total) // buckets partition the table
+  }
+
   test("k-anonymity census flags at-risk rows when groups are small") {
     // sf0.001: 150 customers over ~125 quasi-identifier combos → most
     // groups are below k=5 (the sf0.01 oracle run exercises the clean
