@@ -1217,6 +1217,31 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // AGMS join-size estimation (functions/JoinSizeSketch): the events ⋈
+    // customer output size estimated from one cheap sketch per side —
+    // the broadcast-vs-shuffle planning decision WITHOUT running the
+    // join. Median-of-means computed fully in-plan (zip_with product,
+    // sliced group means, array_sort median); rows-only (the ±1 hash
+    // family is Spark-side; JoinEstimateSpec carries the accuracy bound).
+    "join_size_estimate" -> ((s, dir) => {
+      import graft.functions.JoinSizeSketch.agmsSketch
+      val sa = t(s, dir, "events")
+        .agg(agmsSketch(col("user_id"), 256).as("sa"),
+          count(lit(1)).as("rows_a"))
+      val sb = t(s, dir, "customer")
+        .agg(agmsSketch(col("c_custkey"), 256).as("sb"),
+          count(lit(1)).as("rows_b"))
+      val products = zip_with(col("sa"), col("sb"), (x, y) => x * y)
+      val means = transform(sequence(lit(0), lit(7)), g =>
+        aggregate(slice(products, g * 32 + 1, lit(32)), lit(0L), _ + _)
+          .cast("double") / 32.0)
+      val sorted = array_sort(means)
+      val median = (element_at(sorted, 4) + element_at(sorted, 5)) / 2.0
+      sa.crossJoin(sb).select(col("rows_a"), col("rows_b"),
+        greatest(round(median).cast("long"), lit(0L))
+          .as("est_join_rows"))
+    }),
+
     // CAPSTONE composition — the end-to-end training-data pipeline as
     // ONE lazy plan: Gopher-style quality gate → deterministic 90/10
     // train/eval split → exact-dedup within train (min-doc_id survivor
