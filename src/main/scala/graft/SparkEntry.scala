@@ -333,6 +333,15 @@ object SparkEntry {
       graft.operators.Sessionize.sessionStats(
         t(s, dir, "events"), "user_id", "ts", "value", gapSeconds = 1800)),
 
+    // Peak concurrent sessions per hour (Sessionize.hourlyConcurrency):
+    // sweep line over the sessionized intervals' endpoints — occupancy,
+    // the capacity-planning twin of the per-user session stats.
+    "hourly_concurrency" -> ((s, dir) =>
+      graft.operators.Sessionize.hourlyConcurrency(
+        graft.operators.Sessionize.sessionStats(
+          t(s, dir, "events"), "user_id", "ts", "value", gapSeconds = 1800),
+        "session_start", "session_end")),
+
     // Hierarchical aggregation (ROLLUP): subtotals + grand total in one
     // pass — free Catalyst capability beyond the reference's flat groupBy.
     "returns_rollup" -> ((s, dir) =>
@@ -1691,6 +1700,27 @@ object SparkEntry {
          SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
            count(*) AS n_events, round(sum(value), 6) AS sum_value
          FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
+
+    "hourly_concurrency" ->
+      // session CTE shared verbatim with user_sessions; then the sweep:
+      // ends before starts on ties, running sum, per-hour max
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events),
+         f AS (SELECT user_id, ts,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS is_new
+               FROM e),
+         s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+         sess AS (SELECT user_id, min(ts) AS st, max(ts) AS en
+                  FROM s GROUP BY user_id, sid),
+         d AS (SELECT st AS t, 1 AS dd FROM sess
+               UNION ALL SELECT en, -1 FROM sess),
+         r AS (SELECT t, sum(dd) OVER (ORDER BY t, dd
+                 ROWS UNBOUNDED PRECEDING) AS live FROM d)
+         SELECT date_trunc('hour', t) AS hour_start,
+           CAST(max(live) AS BIGINT) AS max_concurrent
+         FROM r GROUP BY 1 ORDER BY 1""",
 
     "returns_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

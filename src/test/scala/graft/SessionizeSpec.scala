@@ -61,4 +61,22 @@ class SessionizeSpec extends SparkSpec {
     q.stop()
     assert(closed.toSeq === Seq((1L, 2L), (1L, 1L)))
   }
+
+  test("hourlyConcurrency: overlap counts, touching intervals do not") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val sessions = Seq(
+      // 10:00-10:30 and 10:15-10:45 overlap → peak 2 in hour 10
+      (ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")),
+      (ts("2024-01-01 10:15:00"), ts("2024-01-01 10:45:00")),
+      // 11:00-11:10 then 11:10-11:20 TOUCH → peak stays 1 in hour 11
+      (ts("2024-01-01 11:00:00"), ts("2024-01-01 11:10:00")),
+      (ts("2024-01-01 11:10:00"), ts("2024-01-01 11:20:00")))
+      .toDF("session_start", "session_end")
+    val out = graft.operators.Sessionize
+      .hourlyConcurrency(sessions, "session_start", "session_end")
+      .as[(java.sql.Timestamp, Long)].collect().toSeq
+    assert(out === Seq(
+      (ts("2024-01-01 10:00:00"), 2L),
+      (ts("2024-01-01 11:00:00"), 1L)))
+  }
 }
