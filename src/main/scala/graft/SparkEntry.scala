@@ -1226,6 +1226,25 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // Count-Min point-frequency estimates (functions/CountMin): token
+    // frequencies for a probe set chosen AFTER the scan, answered from
+    // one mergeable fixed-size sketch — the any-key complement of the
+    // Misra-Gries top-k sketch. Rows-only (seeded Spark-side hashes);
+    // CountMinSpec carries the one-sided-error and εN bounds.
+    "token_freq_cms" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.CountMinFunctions._
+      val sketch = t(s, dir, "documents")
+        .select(explode_outer(TextAnalysis.tokens(col("text"))).as("token"))
+        .where(col("token").isNotNull)
+        .agg(cmsSketch(col("token")).as("sk"))
+      val probes = Seq("the", "of", "and", "la", "el", "und").toDF("token")
+      probes.crossJoin(broadcast(sketch))
+        .select(col("token"),
+          cmsEstimate(col("sk"), col("token")).as("est_count"))
+        .orderBy(col("token"))
+    }),
+
     // AGMS join-size estimation (functions/JoinSizeSketch): the events ⋈
     // customer output size estimated from one cheap sketch per side —
     // the broadcast-vs-shuffle planning decision WITHOUT running the

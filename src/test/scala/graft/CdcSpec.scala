@@ -56,6 +56,39 @@ class CdcSpec extends SparkSpec {
     assert(readBack() === want)
   }
 
+  test("cdcApply converges for ARBITRARY version pairs (property)") {
+    // randomized convergence: whatever the old/new versions are, diff +
+    // apply must leave the target exactly equal to the new snapshot, and
+    // a second apply must change nothing
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val verGen = Gen.mapOf(Gen.zip(Gen.choose(0L, 15L), Gen.choose(0, 3)))
+      .suchThat(_.nonEmpty)
+    var case_i = 0
+    val prop = Prop.forAll(verGen, verGen) { (oldM, newM) =>
+      case_i += 1
+      val table = s"dim_prop_$case_i" // fresh target per case
+      sink.ensureTable(
+        s"""CREATE TABLE $table ("id" BIGINT NOT NULL, "v" INTEGER)""",
+        table)
+      val oldDf = oldM.toSeq.toDF("id", "v")
+      val newDf = newM.toSeq.toDF("id", "v")
+      sink.mergeUpsertKeys(oldDf, table, Seq("id"), numPartitions = 1)
+      val diff = SnapshotDiff.diff(oldDf, newDf, Seq("id"))
+      Cdc.cdcApply(diff, sink, table, Seq("id"), numPartitions = 1)
+      def state() = spark.read
+        .jdbc(url, table, new java.util.Properties)
+        .as[(Long, Int)].collect().sortBy(_._1).toSeq
+      val converged = state() == newM.toSeq.sortBy(_._1)
+      val res2 = Cdc.cdcApply(diff, sink, table, Seq("id"),
+        numPartitions = 1)
+      converged && res2.deleted == 0 &&
+        state() == newM.toSeq.sortBy(_._1)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("snapshot diff over bucketed snapshots runs shuffle-free") {
     // SnapshotDiff's scaladoc claims bucketing makes the full-outer join
     // co-located at 100 TB; this is the witness. Both snapshot versions
