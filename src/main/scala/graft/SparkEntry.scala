@@ -814,6 +814,41 @@ object SparkEntry {
         .orderBy(col("order_year"))
     }),
 
+    // Measured bloom-on/off twin pair (same oracle as
+    // bloom_pruned_revenue): both sides SHUFFLE_MERGE — the regime the
+    // bloom prune exists for (a dimension too big to broadcast; under
+    // broadcast the join is already a hash filter and the prune is
+    // redundant). BENCH_FULL carries the comparison like the skew and
+    // top-k pairs.
+    "revenue_urgent_plain" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      t(s, dir, "lineitem")
+        .join(urgent.hint("SHUFFLE_MERGE"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy(col("order_year"))
+    }),
+
+    "revenue_urgent_bloom_merge" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      graft.operators.BloomJoin.prunedInnerJoin(
+          t(s, dir, "lineitem"), "l_orderkey",
+          urgent.hint("SHUFFLE_MERGE"), "o_orderkey",
+          expectedItems = 400000L)
+        .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy(col("order_year"))
+    }),
+
     // Pattern redaction (PII-scrub machinery, ext/Redaction): per-language
     // attrition report. The corpus is clean by construction, so the pii
     // counts double as a leak canary; the 'engine_term' pattern exercises
@@ -2425,15 +2460,11 @@ object SparkEntry {
              CAST(sum(dur) AS BIGINT) AS sum_duration_ms
            FROM m GROUP BY audio_format ORDER BY audio_format""",
 
-      "bloom_pruned_revenue" ->
-        // the bloom prune is a no-false-negative pre-filter: the oracle is
-        // the PLAIN join — any divergence means the bloom dropped a match
-        """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
-           count(*) AS n_items,
-           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
-           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-           WHERE o.o_orderpriority = '1-URGENT'
-           GROUP BY 1 ORDER BY 1""",
+      "bloom_pruned_revenue" -> urgentRevenueOracle,
+      // the twin pair shares it: the bloom prune is a no-false-negative
+      // pre-filter, so all three forms must equal the plain join
+      "revenue_urgent_plain" -> urgentRevenueOracle,
+      "revenue_urgent_bloom_merge" -> urgentRevenueOracle,
 
       "redaction_stats" ->
         """WITH r AS (SELECT lang, text,
@@ -3074,6 +3105,17 @@ object SparkEntry {
              * 100.0) AS BIGINT)) / 100.0, 2) AS attributed_value
        FROM c WHERE channel IS NOT NULL GROUP BY channel ORDER BY channel"""
   }
+
+  /** Urgent-order revenue as the PLAIN join (shared by the bloom on/off
+    * twins — any divergence means the bloom dropped a match). A def for
+    * the same init-order reason as [[skewFixtureSql]]. */
+  private def urgentRevenueOracle: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       WHERE o.o_orderpriority = '1-URGENT'
+       GROUP BY 1 ORDER BY 1"""
 
   /** The skewed fixture in SQL (shared by the plain/salted twins — they
     * are result-identical by construction). A def, not a val: extOracle

@@ -54,4 +54,30 @@ class BloomJoinSpec extends SparkSpec {
     intercept[IllegalArgumentException](BloomJoin.optimalNumBits(10L, 0.0))
     intercept[IllegalArgumentException](BloomJoin.optimalNumBits(10L, 1.0))
   }
+
+  test("bloom prune ships materially fewer shuffle records than plain") {
+    // Wall-time is parity at local SF (in-memory shuffle is free — the
+    // revenue_urgent twins in BENCH_FULL show all three forms ~equal);
+    // the bloom's claim is exchange VOLUME at network scale, so measure
+    // THAT: with a merge join, the pruned fact side must ship roughly
+    // the urgent fraction (~1/5) of the plain form's records.
+    val sf = "/root/testdata/sf0.001"
+    def records(q: org.apache.spark.sql.DataFrame): Long = {
+      q.queryExecution.toRdd.count()
+      q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
+      }.sum
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plain = records(SparkEntry.queries("revenue_urgent_plain")(
+        spark, sf))
+      val bloom = records(SparkEntry.queries("revenue_urgent_bloom_merge")(
+        spark, sf))
+      assert(plain > 0 && bloom > 0, s"metrics missing: $plain / $bloom")
+      assert(bloom * 2 < plain,
+        s"bloom should ship well under half the records: $bloom vs $plain")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
