@@ -165,6 +165,41 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("temperature sampling invariants for arbitrary strata") {
+    // (a) the smallest stratum always keeps everything; (b) keep RATES
+    // are monotone non-increasing in stratum size (bigger → flattened
+    // harder); (c) k >= population in weightedSample returns every
+    // positive-weight row
+    val strataGen = Gen.chooseNum(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(20, 300)))
+    check(Prop.forAll(strataGen) { sizes =>
+      val rows = sizes.zipWithIndex.flatMap { case (n, s) =>
+        (0 until n).map(i => (s.toLong * 100000 + i, s"src$s"))
+      }
+      val df = rows.toDF("id", "src")
+      val kept = graft.ext.Sampling
+        .temperatureSample(df, col("id"), col("src"))
+        .groupBy("src").count().as[(String, Long)].collect().toMap
+      val bySize = sizes.zipWithIndex.map { case (n, s) =>
+        n -> kept.getOrElse(s"src$s", 0L) }
+      val minSize = sizes.min
+      val minKeepsAll = bySize.filter(_._1 == minSize)
+        .forall { case (n, k) => k == n }
+      // rates monotone in expectation — allow hash-noise slack of 15%
+      val rates = bySize.sortBy(_._1)
+        .map { case (n, k) => k.toDouble / n }
+      val monotone = rates.sliding(2).forall {
+        case Seq(a, b) => b <= a + 0.15
+        case _ => true
+      }
+      minKeepsAll && monotone
+    })
+    val all = graft.ext.Sampling.weightedSample(
+      (1L to 20L).map((_, 1.0)).toDF("id", "w"), col("id"), col("w"),
+      k = 100)
+    assert(all.count() === 20L)
+  }
+
   test("attribution credit is conserved under every model") {
     // invariant: per-channel credited conversions sum to the TOTAL number
     // of conversions (each conversion hands out exactly 1.0 of credit,
