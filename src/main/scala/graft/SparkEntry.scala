@@ -736,6 +736,19 @@ object SparkEntry {
           round(avg(col("edit_dist")), 6).as("avg_dist"))
         .orderBy(col("block"))),
 
+    // Jaro-Winkler-scored twin of fuzzy_part_pairs (ext/Fuzzy +
+    // functions/StringSimilarity): transposition-tolerant prefix-boosted
+    // similarity, bit-exact with DuckDB's jaro_winkler_similarity so the
+    // oracle verifies pair sets AND scores.
+    "fuzzy_part_pairs_jw" -> ((s, dir) =>
+      graft.ext.Fuzzy.blockedNamePairsJw(t(s, dir, "part"),
+          "p_partkey", "p_name",
+          block = split(col("p_name"), " ").getItem(0), minSim = 0.9)
+        .groupBy(col("block"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("jw_sim")), 6).as("avg_sim"))
+        .orderBy(col("block"))),
+
     // Heavy hitters WITHOUT a vocabulary-wide shuffle: Misra-Gries sketch
     // (capacity 64) -> top 20. The sketch family (like approx_count_
     // distinct / approx_percentile) is engine-specific -> rows-only check;
@@ -2343,6 +2356,18 @@ object SparkEntry {
              WHERE levenshtein(a.p_name, c.p_name) <= 1)
            SELECT block, count(*) AS n_pairs,
              round(avg(edit_dist), 6) AS avg_dist
+           FROM pairs GROUP BY block ORDER BY block""",
+
+      "fuzzy_part_pairs_jw" ->
+        """WITH b AS (SELECT p_partkey, p_name,
+             split_part(p_name, ' ', 1) AS block FROM part),
+           pairs AS (SELECT a.block,
+               jaro_winkler_similarity(a.p_name, c.p_name) AS jw
+             FROM b a JOIN b c
+               ON a.block = c.block AND a.p_partkey < c.p_partkey
+             WHERE jaro_winkler_similarity(a.p_name, c.p_name) >= 0.9)
+           SELECT block, count(*) AS n_pairs,
+             round(avg(jw), 6) AS avg_sim
            FROM pairs GROUP BY block ORDER BY block""",
 
       "mixture_counts" -> {
