@@ -1135,6 +1135,10 @@ object SparkEntry {
 
     // Distribution window functions (percent_rank / cume_dist / ntile)
     // per priority partition — row-level, deterministic tie-break.
+    // Scale note: 5 priority values = 5 window partitions, a straggler
+    // shape at corpus scale — these EXACT distribution stats are the
+    // oracle-able form; at 100 TB rank approximately against t-digest
+    // quantiles (the equi_depth_hist_approx pattern).
     "order_price_ranks" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("o_orderpriority"))
