@@ -749,6 +749,21 @@ object SparkEntry {
           round(avg(col("jw_sim")), 6).as("avg_sim"))
         .orderBy(col("block"))),
 
+    // Phonetic blocking (the third blocking strategy the Fuzzy scaladoc
+    // names): Soundex of the first name token groups sound-alike
+    // candidates that first-token equality misses, then Jaro-Winkler
+    // scores inside the block. Rows-only — DuckDB has no soundex;
+    // FuzzySpec pins the homophone behavior.
+    "fuzzy_soundex_pairs" -> ((s, dir) =>
+      graft.ext.Fuzzy.blockedNamePairsJw(t(s, dir, "part"),
+          "p_partkey", "p_name",
+          block = soundex(split(col("p_name"), " ").getItem(0)),
+          minSim = 0.9)
+        .groupBy(col("block"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("jw_sim")), 6).as("avg_sim"))
+        .orderBy(col("block"))),
+
     // Heavy hitters WITHOUT a vocabulary-wide shuffle: Misra-Gries sketch
     // (capacity 64) -> top 20. The sketch family (like approx_count_
     // distinct / approx_percentile) is engine-specific -> rows-only check;

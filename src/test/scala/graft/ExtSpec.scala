@@ -207,6 +207,25 @@ class FuzzySpec extends SparkSpec {
       maxDist = 10, maxBucket = 10)
     assert(capped.count() === 0L)
   }
+
+  test("soundex blocking pairs sound-alikes that token blocking misses") {
+    val df = Seq(
+      (1L, "smith forge"),   // soundex(smith) = S530
+      (2L, "smyth forge"),   // sound-alike, DIFFERENT first token
+      (3L, "robert ltd"),
+      (4L, "rupert ltd"))    // robert/rupert share R163
+      .toDF("id", "name")
+    // token blocking finds nothing: all first tokens differ
+    assert(Fuzzy.blockedNamePairsJw(df, "id", "name",
+      block = split(col("name"), " ").getItem(0), minSim = 0.8)
+      .count() === 0L)
+    // phonetic blocking pairs the homophones
+    val pairs = Fuzzy.blockedNamePairsJw(df, "id", "name",
+        block = soundex(split(col("name"), " ").getItem(0)), minSim = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 4L)))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
