@@ -100,4 +100,33 @@ object VersionedTable {
     require(vs.contains(v), s"version $v not committed (have $vs)")
     spark.read.parquet(manifestFiles(spark, root, v): _*)
   }
+
+  /** Retention: keep the newest `keepVersions` manifests, delete older
+    * manifests and every data file no kept manifest references —
+    * including orphans from crashed writers. Returns the number of data
+    * files deleted. Readers of kept versions are unaffected (their file
+    * sets are untouched); time travel past the horizon is given up
+    * explicitly, never silently. */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int): Long = {
+    require(keepVersions >= 1, s"must keep at least one version: $keepVersions")
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions under $root")
+    val keep = vs.takeRight(keepVersions)
+    val referenced = keep.flatMap(manifestFiles(spark, root, _)).toSet
+    val dataRoot = new Path(root, "data")
+    val f = fs(spark, dataRoot)
+    val all = f.listStatus(dataRoot).flatMap { d =>
+      if (d.isDirectory) f.listStatus(d.getPath).toSeq else Seq(d)
+    }.map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    var deleted = 0L
+    all.foreach { p =>
+      if (!referenced.contains(p.toUri.toString)) {
+        f.delete(p, false); deleted += 1
+      }
+    }
+    vs.dropRight(keepVersions).foreach { v =>
+      f.delete(new Path(manifestDir(root), s"v$v.json"), false)
+    }
+    deleted
+  }
 }

@@ -58,6 +58,25 @@ class VersionedTableSpec extends SparkSpec {
     assert(d === Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
   }
 
+  test("vacuum deletes unreferenced files + old manifests, keeps live reads") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "x"), root)
+    VersionedTable.commit(Seq((2L, "b")).toDF("id", "x"), root,
+      append = true)
+    VersionedTable.commit(Seq((9L, "z")).toDF("id", "x"), root) // overwrite
+    // a crashed writer's orphan must also be swept
+    Seq((666L, "orphan")).toDF("id", "x")
+      .write.parquet(s"$root/data/v99-attempt")
+    val deleted = VersionedTable.vacuum(spark, root, keepVersions = 1)
+    assert(deleted >= 3L) // v1 + v2 data files + the orphan
+    assert(VersionedTable.versions(spark, root) === Seq(3L))
+    assert(VersionedTable.read(spark, root)
+      .as[(Long, String)].collect().toSeq === Seq((9L, "z")))
+    assertThrows[IllegalArgumentException] {
+      VersionedTable.read(spark, root, Some(1L)) // horizon given up loudly
+    }
+  }
+
   test("reading an uncommitted version or empty table fails fast") {
     val root = freshRoot()
     assertThrows[IllegalArgumentException] {
