@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductExpr, FrequentItemsSketch, MediaDimsExpr, TopKByDouble, VectorSum}
+import graft.functions.{AgmsSketch, AudioInfoExpr, CmsEstimateExpr, CmsSketch, DotProductExpr, FrequentItemsSketch, JaroWinklerExpr, MediaDimsExpr, SimhashVotes, TopKByDouble, VectorSum}
 
 /** Session extension registering graft's native expressions as SQL
   * functions (`SELECT graft_dot(a, b)`), so pure-SQL users get the codegen
@@ -59,6 +59,61 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TopKByDouble(children.head, children(1),
           children(2).eval().asInstanceOf[Number].intValue())
           .toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("audio_info"),
+      new ExpressionInfo(classOf[AudioInfoExpr].getName, "audio_info"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "audio_info expects exactly 1 argument")
+        AudioInfoExpr(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerExpr].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "jaro_winkler expects (a, b)")
+        JaroWinklerExpr(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_votes"),
+      new ExpressionInfo(classOf[SimhashVotes].getName, "simhash_votes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "simhash_votes expects (lo, hi)")
+        SimhashVotes(children.head, children(1)).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("agms_sketch"),
+      new ExpressionInfo(classOf[AgmsSketch].getName, "agms_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "agms_sketch expects (key, counters)")
+        require(children(1).foldable, "agms_sketch counters must be a literal")
+        AgmsSketch(children.head,
+          children(1).eval().asInstanceOf[Number].intValue())
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[CmsSketch].getName, "cms_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "cms_sketch expects (key, depth, width)")
+        require(children(1).foldable && children(2).foldable,
+          "cms_sketch depth/width must be literals")
+        CmsSketch(children.head,
+          children(1).eval().asInstanceOf[Number].intValue(),
+          children(2).eval().asInstanceOf[Number].intValue())
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimateExpr].getName, "cms_estimate"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "cms_estimate expects (sketch, key, depth, width)")
+        require(children(2).foldable && children(3).foldable,
+          "cms_estimate depth/width must be literals")
+        CmsEstimateExpr(children.head, children(1),
+          children(2).eval().asInstanceOf[Number].intValue(),
+          children(3).eval().asInstanceOf[Number].intValue())
       }))
   }
 }
