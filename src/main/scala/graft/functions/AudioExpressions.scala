@@ -65,23 +65,28 @@ object AudioDecode {
     if (b.length >= 12 && ascii4(b, 0, "RIFF") && ascii4(b, 8, "WAVE")) {
       var rate = 0; var ch = 0; var bits = 0; var byteRate = 0L
       var dataLen = -1L
-      var i = 12
       // walk chunks: [id(4) len(4 LE) body(len, word-aligned)]. The body
       // may be truncated in a header-only payload — only "fmt " requires
-      // its bytes to be present; "data" just declares its size.
+      // its bytes to be present; "data" just declares its size. The cursor
+      // and step stay in Long arithmetic: len is an UNTRUSTED u32, and a
+      // truncating .toInt makes len=0xFFFFFFF8 step by 0 (executor spin)
+      // or drive the cursor negative (AIOOBE) — with Long math the step is
+      // always >= 8, so a corrupt length just walks past the end and the
+      // loop exits (decode-to-NULL contract holds for any byte soup).
+      var i = 12L
       while (i + 8 <= b.length) {
-        val len = le32(b, i + 4)
-        if (ascii4(b, i, "fmt ")) {
+        val o = i.toInt // i + 8 <= length, so i fits in Int
+        val len = le32(b, o + 4)
+        if (ascii4(b, o, "fmt ")) {
           if (len < 16 || i + 8 + 16 > b.length) return null
-          val o = i + 8
-          ch = le16(b, o + 2)
-          rate = le32(b, o + 4).toInt
-          byteRate = le32(b, o + 8)
-          bits = le16(b, o + 14)
-        } else if (ascii4(b, i, "data")) {
+          ch = le16(b, o + 10)
+          rate = le32(b, o + 12).toInt
+          byteRate = le32(b, o + 16)
+          bits = le16(b, o + 22)
+        } else if (ascii4(b, o, "data")) {
           dataLen = len
         }
-        i += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+        i += 8L + len + (len & 1L) // chunks are word-aligned
       }
       if (rate <= 0 || ch <= 0 || bits <= 0 || dataLen < 0) return null
       // consistency: byteRate must be rate*ch*bits/8 (catches bit rot in

@@ -43,9 +43,16 @@ object CountMin {
     h ^ (h >>> 31)
   }
 
-  /** Min-over-rows estimate from a flattened depth×width sketch. */
+  /** Min-over-rows estimate from a flattened depth×width sketch.
+    * Probe-side depth/width are caller-supplied (easy to mismatch via the
+    * SQL surface against a sketch built with different parameters), so a
+    * size check guards against reading wrong cells / AIOOBE: a mismatched
+    * sketch estimates as -1, a value the true non-negative counter
+    * estimate can never take. */
   def estimate(sketch: ArrayData, key: UTF8String, depth: Int,
                width: Int): Long = {
+    if (depth <= 0 || width <= 0 ||
+      sketch.numElements() != depth * width) return -1L
     var best = Long.MaxValue
     var d = 0
     while (d < depth) {
@@ -141,15 +148,20 @@ case class CmsEstimateExpr(left: Expression, right: Expression,
   override def nullable: Boolean = true
   override def prettyName: String = "cms_estimate"
 
-  override def nullSafeEval(sketch: Any, key: Any): Any =
-    CountMin.estimate(sketch.asInstanceOf[ArrayData],
+  override def nullSafeEval(sketch: Any, key: Any): Any = {
+    val est = CountMin.estimate(sketch.asInstanceOf[ArrayData],
       key.asInstanceOf[UTF8String], depth, width)
+    if (est < 0L) null else est // -1 = sketch/param size mismatch → NULL
+  }
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (sketch, key) => {
-      s"${ev.value} = graft.functions.CountMin.estimate(" +
-        s"$sketch, $key, $depth, $width);"
+      s"""
+         |${ev.value} = graft.functions.CountMin.estimate(
+         |  $sketch, $key, $depth, $width);
+         |${ev.isNull} = ${ev.value} < 0L;
+       """.stripMargin
     })
 
   override protected def withNewChildrenInternal(

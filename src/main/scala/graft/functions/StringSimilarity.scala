@@ -15,9 +15,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Standard definition (Winkler 1990): Jaro similarity from the match
   * count m inside a ⌊max(|a|,|b|)/2⌋−1 window and half-transposition
   * count t, `(m/|a| + m/|b| + (m−t)/m) / 3`; then the Winkler boost
-  * `jw = j + ℓ·0.1·(1−j)` for a common prefix of ℓ ≤ 4 chars. No boost
-  * threshold (matching DuckDB's `jaro_winkler_similarity`, which this
-  * implementation is differentially tested against).
+  * `jw = j + ℓ·0.1·(1−j)` for a common prefix of ℓ ≤ 4 chars, applied
+  * ONLY when j > 0.7 (Winkler's boost threshold — and DuckDB's
+  * `jaro_winkler_similarity` behavior, which this implementation is
+  * differentially tested against: e.g. jw("abcccccc","abdddddd") must
+  * stay at its jaro value 0.5, not boost to 0.6).
   */
 object StringSimilarity {
 
@@ -65,6 +67,9 @@ object StringSimilarity {
     }
     val md = m.toDouble
     val jaro = (md / a.length + md / b.length + (md - t / 2.0) / md) / 3.0
+    // boost threshold: below 0.7 the prefix carries no signal (Winkler
+    // 1990; DuckDB gates identically — verified on low-similarity pairs)
+    if (jaro <= 0.7) return jaro
     var l = 0
     while (l < math.min(4, math.min(a.length, b.length)) &&
       a.charAt(l) == b.charAt(l)) l += 1

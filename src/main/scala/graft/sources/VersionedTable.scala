@@ -17,12 +17,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - two versions diff with [[graft.operators.SnapshotDiff]] — the CDC
   *    loop over table HISTORY instead of externally-kept snapshots.
   *
-  * The manifest write is the commit point: a single file creation,
-  * atomic on local/HDFS semantics. On S3-style stores a deployment
-  * would use a conditional put / rename for the same effect; the
-  * reader-side contract (manifest = source of truth) is unchanged.
-  * Concurrent writers are out of scope (single-writer contract, like
-  * the reference's one-DAG-at-a-time loads).
+  * The manifest write is the commit point: a single file creation with
+  * overwrite=false, atomic on local/HDFS semantics — two racing commits
+  * of the same version resolve to exactly ONE winner (the loser's
+  * create throws; its staged files remain invisible orphans). On
+  * S3-style stores a deployment would use a conditional put / rename
+  * for the same effect; the reader-side contract (manifest = source of
+  * truth) is unchanged. Sustained multi-writer throughput (retry loops,
+  * log compaction) is out of scope — the contract here is the weaker
+  * "a lost race is a CLEAN failure, never a torn table".
+  *
+  * Vacuum-vs-writer: [[vacuum]] cannot distinguish a crashed writer's
+  * orphans from an IN-FLIGHT commit's staged-but-not-yet-manifested
+  * files by inspection, so it only sweeps staging directories at or
+  * below the latest manifested version — an in-flight commit always
+  * stages ABOVE it (see [[commit]]'s version choice), so the sweep
+  * never races an active writer. A crashed writer's stage becomes
+  * sweepable as soon as any later commit lands.
   */
 object VersionedTable {
 
@@ -50,7 +61,14 @@ object VersionedTable {
   def commit(df: DataFrame, root: String, append: Boolean = false): Long = {
     val spark = df.sparkSession
     val prior = versions(spark, root)
-    val v = prior.lastOption.getOrElse(0L) + 1
+    // next version = past BOTH the manifested versions and any staged
+    // data/vN directory: a crashed writer's leftover stage (data without
+    // a manifest) must not collide with — and so permanently block — the
+    // next commit; skipping over it leaves the orphans below the manifest
+    // horizon where vacuum may sweep them
+    val staged = stagedVersions(spark, root)
+    val v = math.max(prior.lastOption.getOrElse(0L),
+      staged.lastOption.getOrElse(0L)) + 1
     // stage this commit's data under a version-unique directory: never
     // overwrites another version's files, and a crash before the
     // manifest write below leaves only invisible orphans
@@ -72,6 +90,18 @@ object VersionedTable {
       all.mkString("{\"files\": [\"", "\", \"", "\"]}").getBytes("UTF-8"))
     finally out.close()
     v
+  }
+
+  /** Version numbers with a staged `data/vN` directory, ascending —
+    * committed, in-flight, and crashed-writer stages alike. */
+  private def stagedVersions(spark: SparkSession, root: String): Seq[Long] = {
+    val dataRoot = new Path(root, "data")
+    val f = fs(spark, dataRoot)
+    if (!f.exists(dataRoot)) return Seq.empty
+    f.listStatus(dataRoot).map(_.getPath.getName)
+      .collect { case s if s.startsWith("v") && s.drop(1).forall(_.isDigit) =>
+        s.drop(1).toLong }
+      .sorted.toSeq
   }
 
   private def manifestFiles(spark: SparkSession, root: String,
@@ -106,17 +136,29 @@ object VersionedTable {
     * including orphans from crashed writers. Returns the number of data
     * files deleted. Readers of kept versions are unaffected (their file
     * sets are untouched); time travel past the horizon is given up
-    * explicitly, never silently. */
+    * explicitly, never silently.
+    *
+    * Staging directories ABOVE the latest manifested version are never
+    * touched: files there belong to an in-flight commit (which always
+    * stages above the manifest horizon), and sweeping them would tear a
+    * commit in progress. Orphans from a CRASHED writer sit above the
+    * horizon only until the next successful commit, after which they are
+    * ordinary unreferenced files and this sweep reclaims them. */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int): Long = {
     require(keepVersions >= 1, s"must keep at least one version: $keepVersions")
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed versions under $root")
+    val latest = vs.last
     val keep = vs.takeRight(keepVersions)
     val referenced = keep.flatMap(manifestFiles(spark, root, _)).toSet
     val dataRoot = new Path(root, "data")
     val f = fs(spark, dataRoot)
     val all = f.listStatus(dataRoot).flatMap { d =>
-      if (d.isDirectory) f.listStatus(d.getPath).toSeq else Seq(d)
+      val name = d.getPath.getName
+      val aboveHorizon = d.isDirectory && name.startsWith("v") &&
+        name.drop(1).forall(_.isDigit) && name.drop(1).toLong > latest
+      if (aboveHorizon) Seq.empty // possible in-flight commit — never sweep
+      else if (d.isDirectory) f.listStatus(d.getPath).toSeq else Seq(d)
     }.map(_.getPath).filter(_.getName.endsWith(".parquet"))
     var deleted = 0L
     all.foreach { p =>

@@ -35,6 +35,18 @@ class StringSimilaritySpec extends SparkSpec {
     assert(jw("a", "") === 0.0)
   }
 
+  test("Winkler boost gates on jaro > 0.7 (DuckDB-verified)") {
+    // common 2-char prefix but jaro = 0.5: DuckDB's
+    // jaro_winkler_similarity('abcccccc','abdddddd') = 0.5 — an
+    // ungated boost would wrongly report 0.6
+    assert(jw("abcccccc", "abdddddd") === 0.5)
+    // at jaro = 2/3 (≤ 0.7) the 1-char prefix must also not boost:
+    // DuckDB jaro_winkler_similarity('ab','ac') = 0.6666...
+    assert(math.abs(jw("ab", "ac") - 0.6666666666666666) < 1e-12)
+    // just above the gate the boost applies: dixon/dicksonx jaro 0.7666
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333332) < 1e-12)
+  }
+
   test("column expression runs with codegen and null-safety") {
     val out = Seq(("crate", Some("trace")), ("solo", None))
       .toDF("a", "b")

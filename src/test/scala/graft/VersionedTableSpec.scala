@@ -77,6 +77,93 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("racing commits: versions stay distinct, losers fail clean, never torn") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq((0L, "base")).toDF("id", "x"), root)
+    // two writers released simultaneously, several rounds: each attempt
+    // either commits a DISTINCT version or fails cleanly (typically at
+    // the version-unique staging dir / the create-no-overwrite manifest
+    // point). Whatever interleaving happens, the table is never torn.
+    val results = scala.collection.mutable.ArrayBuffer.empty[Either[Throwable, Long]]
+    for (round <- 1 to 4) {
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val attempts = (1 to 2).map { w =>
+        val t = new Thread(null, () => {
+          gate.await()
+          val r = try Right(VersionedTable.commit(
+            Seq((round * 10L + w, s"w$w")).toDF("id", "x"), root))
+          catch { case e: Exception => Left(e) }
+          results.synchronized { results += r }
+        }, s"writer-$round-$w", 4 * 1024 * 1024)
+        t.start(); t
+      }
+      gate.countDown()
+      attempts.foreach(_.join())
+    }
+    val won = results.collect { case Right(v) => v }
+    assert(won.distinct.size === won.size, s"duplicate version won: $won")
+    assert(won.nonEmpty)
+    // every committed version parses and reads; latest read succeeds
+    val vs = VersionedTable.versions(spark, root)
+    assert(vs === vs.sorted && vs.distinct.size === vs.size)
+    vs.foreach(v => VersionedTable.read(spark, root, Some(v)).count())
+    assert(VersionedTable.read(spark, root).count() === 1)
+  }
+
+  test("a crashed writer's staged version never blocks the next commit") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "x"), root)
+    // crashed writer: staged data/v2 exists, no manifest was written
+    Seq((666L, "crashed")).toDF("id", "x").write.parquet(s"$root/data/v2")
+    // next commit must skip over the dead stage, not collide with it
+    val v = VersionedTable.commit(Seq((3L, "c")).toDF("id", "x"), root)
+    assert(v === 3L)
+    assert(VersionedTable.versions(spark, root) === Seq(1L, 3L))
+    assert(VersionedTable.read(spark, root)
+      .as[(Long, String)].collect().toSeq === Seq((3L, "c")))
+  }
+
+  test("vacuum never sweeps an in-flight stage above the manifest horizon") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "x"), root)
+    // in-flight commit: data staged at v2, manifest not yet written
+    Seq((2L, "inflight")).toDF("id", "x").write.parquet(s"$root/data/v2")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def stagedFiles() = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/data/v2"))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    val before = stagedFiles()
+    assert(before > 0)
+    VersionedTable.vacuum(spark, root, keepVersions = 1)
+    assert(stagedFiles() === before) // untouched: could be mid-commit
+    // once a LATER version commits, the dead stage is below the horizon
+    // and becomes an ordinary orphan the sweep reclaims
+    VersionedTable.commit(Seq((9L, "z")).toDF("id", "x"), root) // v3
+    val deleted = VersionedTable.vacuum(spark, root, keepVersions = 1)
+    assert(deleted >= before)
+    assert(stagedFiles() === 0)
+    assert(VersionedTable.read(spark, root)
+      .as[(Long, String)].collect().toSeq === Seq((9L, "z")))
+  }
+
+  test("a reader pinned to a retained version survives vacuum") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "x"), root)
+    VersionedTable.commit(Seq((2L, "b")).toDF("id", "x"), root)
+    VersionedTable.commit(Seq((3L, "c")).toDF("id", "x"), root)
+    // pin a lazy reader to v2 BEFORE the vacuum
+    val pinned = VersionedTable.read(spark, root, Some(2L))
+    VersionedTable.vacuum(spark, root, keepVersions = 2) // keeps v2, v3
+    // the pinned reader's file set was retained — collect still works
+    assert(pinned.as[(Long, String)].collect().toSeq === Seq((2L, "b")))
+    // the vacuumed-away version fails loudly, with the horizon explicit
+    val err = intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, root, Some(1L))
+    }
+    assert(err.getMessage.contains("not committed"))
+  }
+
   test("reading an uncommitted version or empty table fails fast") {
     val root = freshRoot()
     assertThrows[IllegalArgumentException] {
