@@ -42,6 +42,57 @@ object SparkEntry {
       Kpis.genreKpis(t(s, dir, "lineitem"), t(s, dir, "part"),
         "l_partkey", "p_partkey", "p_type", "l_extendedprice")),
 
+    // Incremental KPI maintenance (reference: dags/etl/load_to_redshift.py
+    // :186-203 — the daily idempotent upsert, generalized from per-day
+    // slice to per-group slice and delta-sized refresh): a fact delta
+    // (simulated: late-arriving orders %13, retracted orders %17, stale
+    // prices on suppkey %11) is diffed, only delta-affected p_type groups
+    // recompute from the new snapshot (broadcast-semi-pruned), untouched
+    // groups carry forward from the previous KPI state without recompute.
+    // The oracle is the FULL recompute over the new snapshot — the
+    // incremental path must be indistinguishable from it.
+    "incremental_kpis" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val part = t(s, dir, "part")
+      // previous run's snapshot: %13 orders not yet arrived, and rows
+      // with l_suppkey % 11 == 0 carried a stale price (+5.00)
+      val oldFacts = li.where(col("l_orderkey") % 13 =!= 0)
+        .withColumn("l_extendedprice",
+          when(col("l_suppkey") % 11 === 0, col("l_extendedprice") + 5.0)
+            .otherwise(col("l_extendedprice")))
+      // current snapshot: %17 orders were retracted
+      val newFacts = li.where(col("l_orderkey") % 17 =!= 0)
+      // the KPI shape (exact integer cents; avg derived from them so the
+      // carried and recomputed legs agree bit-for-bit with any engine)
+      def kpi(f: DataFrame): DataFrame =
+        f.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_type").as("genre"))
+          .agg(count(lit(1)).as("listen_count"),
+            sum(round(col("l_extendedprice") * 100).cast("long"))
+              .as("sum_cents"))
+          .withColumn("avg_price",
+            round(col("sum_cents") / 100.0 / col("listen_count"), 6))
+      val prev = kpi(oldFacts) // = the latest committed KPI version
+      val rowDiff = graft.operators.SnapshotDiff.diff(
+        oldFacts, newFacts, Seq("l_orderkey", "l_linenumber"),
+        compareCols = Seq("l_partkey", "l_extendedprice"),
+        nullSafeKeys = false) // PK join: bucketed layouts stay shuffle-free
+      val affected = graft.operators.IncrementalKpis
+        .affectedGroups(rowDiff, Seq("l_partkey"))
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .select(col("p_type").as("genre")).distinct()
+      // group-pruned recompute: only parts of affected types reach the
+      // join, so untouched groups never aggregate
+      val prunedPart = part.join(broadcast(affected),
+        part("p_type") === affected("genre"), "left_semi")
+      val recomputed = kpi(newFacts.join(
+        broadcast(prunedPart.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi"))
+      graft.operators.IncrementalKpis
+        .refresh(prev, recomputed, affected, Seq("genre"))
+        .orderBy(col("genre"))
+    }),
+
     // A3+A4+A5 (reference: dags/etl/kpi_processor.py:88-92): hour-of-day fold,
     // exact distinct, deterministic mode, diversity ratio.
     "hourly_kpis_hod" -> ((s, dir) =>
@@ -1537,6 +1588,18 @@ object SparkEntry {
          round(avg(l_extendedprice), 6) AS avg_duration
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_type ORDER BY p_type""",
+
+    // full recompute over the new snapshot — the incremental refresh on
+    // the Spark side must hash-match it exactly
+    "incremental_kpis" ->
+      """SELECT p_type AS genre, count(*) AS listen_count,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+         round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+           AS BIGINT) / 100.0 / count(*), 6) AS avg_price
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_orderkey % 17 <> 0
+         GROUP BY 1 ORDER BY 1""",
 
     "hourly_kpis_hod" ->
       """WITH e AS (SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
