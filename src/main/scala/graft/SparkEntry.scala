@@ -976,6 +976,29 @@ object SparkEntry {
         groupCols = Seq("lang"))
     }),
 
+    // The PERSISTED-INDEX twin of incremental_new_docs (same oracle):
+    // the corpus's fingerprint set lives as a VersionedTable asset —
+    // built on first touch (the only corpus-text scan, ever), READ on
+    // every later ingest. The report path consumes only the 32-byte-key
+    // index + the batch; at 100 TB this is the difference between
+    // rescanning the corpus daily and a signature-table join
+    // (IncrementalIndexSpec pins that corpus text is absent from the
+    // report plan).
+    "incremental_new_docs_indexed" -> ((s, dir) => {
+      val split = graft.ext.Sampling.deterministicSplit(
+        t(s, dir, "documents"), col("doc_id"),
+        Seq("corpus" -> 80, "batch" -> 20))
+      val corpus = split.where(col("split") === "corpus")
+      val batch = split.where(col("split") === "batch")
+        .unionByName(corpus.where(col("doc_id") % 20 === 0))
+      val root = "/tmp/graft_dedup_index/" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "/fp"
+      val index = graft.ext.DedupIndex.readOrBuild(s, root,
+        graft.ext.DedupIndex.fingerprintIndex(corpus))
+      graft.ext.DedupIndex.incrementalNewDocs(index, batch,
+        groupCols = Seq("lang"))
+    }),
+
     // Ordered conversion funnel: users clearing view -> click -> purchase
     // strictly in order (operators/Funnel; one shuffle + one sort, k
     // chained window-mins, no per-user history buffer).
@@ -1580,7 +1603,10 @@ object SparkEntry {
 
   /** DuckDB twins for the driver's differential check. Keys must mirror
     * [[queries]]; result column names and ORDER BY match exactly. */
-  def oracleSql: Map[String, String] = coreOracle ++ extOracle
+  def oracleSql: Map[String, String] = coreOracle ++ extOracle ++ Map(
+    // the indexed twin must reproduce the recompute-the-corpus report
+    // EXACTLY — one oracle serves both paths
+    "incremental_new_docs_indexed" -> extOracle("incremental_new_docs"))
 
   private val coreOracle: Map[String, String] = Map(
     "genre_kpis" ->
