@@ -1392,6 +1392,11 @@ object SparkEntry {
     // join. Median-of-means computed fully in-plan (zip_with product,
     // sliced group means, array_sort median); rows-only (the ±1 hash
     // family is Spark-side; JoinEstimateSpec carries the accuracy bound).
+    // The estimate is CONSULTED, not just printed: the same decision
+    // rule operators/EstimatedJoin applies as a physical-plan hint
+    // (broadcast small+clean, sort-merge otherwise) is emitted as the
+    // `strategy` column, and EstimatedJoinSpec pins the chosen join
+    // operator per fixture.
     "join_size_estimate" -> ((s, dir) => {
       import graft.functions.JoinSizeSketch.agmsSketch
       val sa = t(s, dir, "events")
@@ -1406,9 +1411,18 @@ object SparkEntry {
           .cast("double") / 32.0)
       val sorted = array_sort(means)
       val median = (element_at(sorted, 4) + element_at(sorted, 5)) / 2.0
+      val est = greatest(round(median).cast("long"), lit(0L))
+      // EstimatedJoin.estimateFromSketches's rule, in-plan: broadcast
+      // the smaller side iff it fits AND the output does not explode
+      val canBroadcast =
+        least(col("rows_a"), col("rows_b")) <= lit(10000000L) &&
+          est <= lit(4.0) * greatest(col("rows_a"), col("rows_b"), lit(1L))
       sa.crossJoin(sb).select(col("rows_a"), col("rows_b"),
-        greatest(round(median).cast("long"), lit(0L))
-          .as("est_join_rows"))
+        est.as("est_join_rows"),
+        when(canBroadcast && col("rows_b") <= col("rows_a"),
+            lit("broadcast_right"))
+          .when(canBroadcast, lit("broadcast_left"))
+          .otherwise(lit("shuffle_merge")).as("strategy"))
     }),
 
     // CAPSTONE composition — the end-to-end training-data pipeline as

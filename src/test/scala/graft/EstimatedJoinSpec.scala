@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.EstimatedJoin
+
+/** The AGMS estimate as a PLANNER INPUT: the sketch-chosen strategy
+  * must land in the physical plan, and the explosion guard must
+  * overrule a row-count-only decision. */
+class EstimatedJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("small clean dim → broadcast, and the plan shows it") {
+    val fact = (0 until 20000).map(i => (i % 500 + 1L, i.toLong))
+      .toDF("fk", "v")
+    val dim = (1L to 500L).map(k => (k, s"d$k")).toDF("dk", "name")
+    val (joined, e) = EstimatedJoin.estimatedJoin(fact, dim, "fk", "dk")
+    assert(e.strategy === "broadcast_right")
+    assert(e.rowsLeft === 20000L && e.rowsRight === 500L)
+    // 1-to-1 dim: join size ≈ fact size — well inside the fanout cap
+    assert(e.estJoinRows < 4 * 20000L)
+    val p = plan(joined)
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected merge join:\n$p")
+    assert(joined.count() === 20000L)
+  }
+
+  test("both sides above the broadcast bound → sort-merge") {
+    val a = (0L until 5000L).map(i => (i % 1000, i)).toDF("ak", "av")
+    val b = (0L until 5000L).map(i => (i % 1000, i)).toDF("bk", "bv")
+    val (joined, e) = EstimatedJoin.estimatedJoin(a, b, "ak", "bk",
+      broadcastMaxRows = 1000L) // neither 5000-row side may broadcast
+    assert(e.strategy === "shuffle_merge")
+    val p = plan(joined)
+    assert(p.contains("SortMergeJoin"), s"expected merge join:\n$p")
+    assert(joined.count() === 5000L * 5) // 1000 keys × 5 × 5
+  }
+
+  test("explosion guard: tiny dim with hot keys is NOT broadcast") {
+    // the case a rows/bytes threshold gets wrong: dim is only 200 rows
+    // (trivially broadcastable by count) but every key collides with a
+    // hot fact key → estimated output 10000×200 = 2M, fanout 200 ≫ 4.
+    // Only the JOIN-SIZE estimate can see this coming.
+    val fact = (0L until 10000L).map(_ => (1L, "x")).toDF("fk", "v")
+    val dim = (0L until 200L).map(_ => (1L, "y")).toDF("dk", "w")
+    val (joined, e) = EstimatedJoin.estimatedJoin(fact, dim, "fk", "dk")
+    assert(e.rowsRight === 200L) // would pass any small-side threshold
+    assert(e.estJoinRows > 4 * 10000L, s"estimate too low: $e")
+    assert(e.strategy === "shuffle_merge")
+    val p = plan(joined)
+    assert(p.contains("SortMergeJoin"), s"explosion case must merge:\n$p")
+  }
+
+  test("decision is pure over stored sketches (mergeable table stats)") {
+    // the 100 TB entry point: sketches maintained at write time, the
+    // decision made without touching either table
+    val e = EstimatedJoin.estimateFromSketches(
+      Seq.fill(256)(0L), rowsLeft = 1000000L,
+      Seq.fill(256)(0L), rowsRight = 10L,
+      broadcastMaxRows = 1000L, fanoutCap = 4.0)
+    assert(e.strategy === "broadcast_right" && e.estJoinRows === 0L)
+  }
+}
