@@ -803,7 +803,9 @@ object SparkEntry {
     // Phonetic blocking (the third blocking strategy the Fuzzy scaladoc
     // names): Soundex of the first name token groups sound-alike
     // candidates that first-token equality misses, then Jaro-Winkler
-    // scores inside the block. Rows-only — DuckDB has no soundex;
+    // scores inside the block. Oracled: DuckDB has no soundex builtin,
+    // so the oracle SQL reproduces the algorithm with a list_reduce
+    // character fold (Spark's exact mapping table incl. the h/w rule);
     // FuzzySpec pins the homophone behavior.
     "fuzzy_soundex_pairs" -> ((s, dir) =>
       graft.ext.Fuzzy.blockedNamePairsJw(t(s, dir, "part"),
@@ -2491,6 +2493,57 @@ object SparkEntry {
            SELECT block, count(*) AS n_pairs,
              round(avg(jw), 6) AS avg_sim
            FROM pairs GROUP BY block ORDER BY block""",
+
+      // American Soundex reproduced in DuckDB SQL (it has no builtin):
+      // a list_reduce fold over the word's characters carrying
+      // "code-so-far|last-code" state, with Spark's exact mapping table
+      // ('7' = h/w, skipped without resetting the last code; '0' =
+      // vowels, skipped but resetting it) — so the phonetic blocks
+      // match Spark's builtin soundex byte-for-byte and the pairing
+      // below is the same blocked-JW shape as fuzzy_part_pairs_jw.
+      "fuzzy_soundex_pairs" -> {
+        val sx =
+          """CASE WHEN NOT regexp_matches(w, '^[a-zA-Z]') THEN w ELSE
+             rpad(split_part(list_reduce(
+               list_prepend(
+                 upper(w[1]) || '|' ||
+                   substr('01230127022455012623017202',
+                          ascii(upper(w[1])) - 64, 1),
+                 regexp_extract_all(substr(w, 2), '.')),
+               (acc, ch) -> CASE
+                 WHEN ascii(upper(ch)) < 65 OR ascii(upper(ch)) > 90
+                   THEN split_part(acc, '|', 1) || '|0'
+                 WHEN substr('01230127022455012623017202',
+                        ascii(upper(ch)) - 64, 1) = '7'
+                   THEN acc
+                 WHEN substr('01230127022455012623017202',
+                        ascii(upper(ch)) - 64, 1) = '0'
+                   THEN split_part(acc, '|', 1) || '|0'
+                 WHEN substr('01230127022455012623017202',
+                        ascii(upper(ch)) - 64, 1) <> split_part(acc, '|', 2)
+                      AND length(split_part(acc, '|', 1)) < 4
+                   THEN split_part(acc, '|', 1) ||
+                        substr('01230127022455012623017202',
+                               ascii(upper(ch)) - 64, 1) ||
+                        '|' || substr('01230127022455012623017202',
+                                      ascii(upper(ch)) - 64, 1)
+                 ELSE split_part(acc, '|', 1) || '|' ||
+                      substr('01230127022455012623017202',
+                             ascii(upper(ch)) - 64, 1)
+                 END), '|', 1), 4, '0')
+             END"""
+        s"""WITH t AS (SELECT p_partkey, p_name,
+               split_part(p_name, ' ', 1) AS w FROM part),
+           b AS (SELECT p_partkey, p_name, $sx AS block FROM t),
+           pairs AS (SELECT a.block,
+               jaro_winkler_similarity(a.p_name, c.p_name) AS jw
+             FROM b a JOIN b c
+               ON a.block = c.block AND a.p_partkey < c.p_partkey
+             WHERE jaro_winkler_similarity(a.p_name, c.p_name) >= 0.9)
+           SELECT block, count(*) AS n_pairs,
+             round(avg(jw), 6) AS avg_sim
+           FROM pairs GROUP BY block ORDER BY block"""
+      },
 
       "mixture_counts" -> {
         val hex32 = foldSum(
