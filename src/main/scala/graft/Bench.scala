@@ -31,6 +31,39 @@ object Bench {
   private def materialize(df: DataFrame): Long =
     df.queryExecution.toRdd.count()
 
+  /** The previous run's per-query map, for the deviation guard: prefer
+    * the last COMMITTED BENCH_FULL.json (the repo's defensible number),
+    * fall back to the on-disk file (read BEFORE this run overwrites
+    * it). Minimal parse: the "queries" object is flat name→seconds. */
+  private def previousBench(path: String,
+                            sfDir: String): (String, Map[String, Double]) = {
+    def parseQueries(json: String): Map[String, Double] = {
+      // only a same-SF reference is comparable
+      val sfOk = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(json)
+        .exists(_.group(1) == sfDir)
+      if (!sfOk) return Map.empty
+      val tag = "\"queries\":{"
+      val i = json.indexOf(tag)
+      if (i < 0) return Map.empty
+      val start = i + tag.length
+      val end = json.indexOf('}', start)
+      if (end < 0) return Map.empty
+      "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(json.substring(start, end))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+    try {
+      val committed = scala.sys.process.Process(
+        Seq("git", "show", s"HEAD:$path")).!!
+      val q = parseQueries(committed)
+      if (q.nonEmpty) return ("HEAD", q)
+    } catch { case _: Throwable => () }
+    try {
+      val src = scala.io.Source.fromFile(path)
+      val q = try parseQueries(src.mkString) finally src.close()
+      if (q.nonEmpty) ("disk", q) else ("none", Map.empty)
+    } catch { case _: Throwable => ("none", Map.empty) }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -136,12 +169,34 @@ object Bench {
     }.mkString("[", ",", "]")
     val meta = s""""sf":"$sfDir","seed":$seed,"warm_full":$warmFull,"load_avg_start":${f2(load0)},"load_avg_end":${f2(load1)},"steal_pct":${f2(stealPct)}"""
     val fullPath = "BENCH_FULL.json"
+    // Deviation guard (VERDICT r05 hygiene item 2): flag every query
+    // that ran >3x slower than the last committed full map, so a noisy
+    // run reads as a one-line artifact instead of a forensic pass.
+    // Sub-0.2 s queries are skipped (pure jitter at that size); the
+    // run's load/steal meta stays alongside for the "comparable load"
+    // judgment. Only meaningful on same-SF full runs — a subset run
+    // (BENCH_ONLY) compares apples to oranges, and previousBench
+    // rejects a reference whose recorded SF differs from this run's.
+    val (prevSource, prevQ) =
+      if (only.isEmpty) previousBench(fullPath, sfDir)
+      else ("skipped", Map.empty[String, Double])
+    val deviations = results.toSeq.flatMap { case (n, s) =>
+      prevQ.get(n) match {
+        case Some(p) if p > 0 && s > 0.2 && s / p > 3.0 =>
+          Some((n, s, p, s / p))
+        case _ => None
+      }
+    }.sortBy(-_._4)
+    val devJson = deviations.map { case (n, s, p, r) =>
+      s"""{"q":"$n","sec":${f3(s)},"prev_sec":${f3(p)},"ratio":${f2(r)}}"""
+    }.mkString("[", ",", "]")
+    val devMeta = s""""deviations":$devJson,"deviation_ref":"$prevSource""""
     try {
       val w = new java.io.PrintWriter(fullPath, "UTF-8")
-      try w.println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${qjson(byTime)},"telemetry":$teleJson,$meta}""")
+      try w.println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${qjson(byTime)},"telemetry":$teleJson,$devMeta,$meta}""")
       finally w.close()
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${qjson(byTime.take(40))},"n_queries":${results.size},"all_queries_file":"$fullPath",$meta}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${qjson(byTime.take(40))},"n_queries":${results.size},"all_queries_file":"$fullPath",$devMeta,$meta}""")
     spark.stop()
   }
 }
