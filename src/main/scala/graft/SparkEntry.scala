@@ -93,6 +93,40 @@ object SparkEntry {
         .orderBy(col("genre"))
     }),
 
+    // The hourly twin of incremental_kpis — the reference's per-day
+    // delete+insert slice done literally, at hour granularity: the KPI
+    // group IS the time bucket, so a fact delta touches only the hours
+    // it lands in and every other hour carries forward untouched. The
+    // KPI deliberately includes countDistinct(user_id): group recompute
+    // refreshes NON-DECOMPOSABLE aggregates exactly (an arithmetic
+    // kpi⊕delta maintenance scheme cannot — distinct doesn't subtract).
+    "incremental_kpis_hourly" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val oldFacts = ev.where(col("event_id") % 19 =!= 0) // %19 late
+        .withColumn("value",
+          when(col("user_id") % 13 === 0, col("value") + 1.0)
+            .otherwise(col("value"))) // stale values pre-correction
+      val newFacts = ev.where(col("event_id") % 23 =!= 0) // %23 retracted
+      def kpi(f: DataFrame): DataFrame =
+        f.groupBy(date_trunc("hour", col("ts")).as("hour_start"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("unique_users"),
+            sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      val prev = kpi(oldFacts)
+      val rowDiff = graft.operators.SnapshotDiff.diff(
+        oldFacts, newFacts, Seq("event_id"),
+        compareCols = Seq("ts", "user_id", "value"), nullSafeKeys = false)
+      val affected = graft.operators.IncrementalKpis
+        .affectedGroups(rowDiff, Seq("ts"))
+        .select(date_trunc("hour", col("ts")).as("hour_start")).distinct()
+      val recomputed = kpi(newFacts.join(broadcast(affected),
+        date_trunc("hour", newFacts("ts")) === affected("hour_start"),
+        "left_semi"))
+      graft.operators.IncrementalKpis
+        .refresh(prev, recomputed, affected, Seq("hour_start"))
+        .orderBy(col("hour_start"))
+    }),
+
     // A3+A4+A5 (reference: dags/etl/kpi_processor.py:88-92): hour-of-day fold,
     // exact distinct, deterministic mode, diversity ratio.
     "hourly_kpis_hod" -> ((s, dir) =>
@@ -1641,6 +1675,15 @@ object SparkEntry {
            AS BIGINT) / 100.0 / count(*), 6) AS avg_price
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE l_orderkey % 17 <> 0
+         GROUP BY 1 ORDER BY 1""",
+
+    // full recompute over the new snapshot (see incremental_kpis)
+    "incremental_kpis_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+         count(*) AS n_events, count(DISTINCT user_id) AS unique_users,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+         FROM events WHERE event_id % 23 <> 0
          GROUP BY 1 ORDER BY 1""",
 
     "hourly_kpis_hod" ->
