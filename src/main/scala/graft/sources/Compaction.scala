@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Small-files compaction — rewrite a table into right-sized,
   * range-clustered parquet files.
@@ -40,5 +40,37 @@ object Compaction {
       .option("maxRecordsPerFile", targetRowsPerFile)
       .parquet(path)
     parts
+  }
+
+  /** Lakehouse OPTIMIZE: rewrite a versioned table's latest snapshot
+    * into right-sized range-clustered files and commit the rewrite as
+    * the NEXT version — content-identical (a pure layout change), fully
+    * transactional (readers see either the fragmented or the compacted
+    * version, never a mix), and reversible via time travel until
+    * [[VersionedTable.vacuum]] reclaims the small files. This is how
+    * compaction must work under concurrent readers: never rewrite files
+    * in place — a reader holding the old manifest keeps its exact file
+    * set.
+    *
+    * Many-small-files versions arise naturally here from streaming CDC
+    * commits (per-trigger versions) and append commits; running this
+    * periodically bounds file-count growth the same way the reference's
+    * archive step would need at scale.
+    *
+    * Returns the committed version. */
+  def compactVersioned(spark: SparkSession, root: String,
+                       clusterCols: Seq[Column],
+                       targetRowsPerFile: Long): Long = {
+    require(targetRowsPerFile > 0, s"need positive target: $targetRowsPerFile")
+    val latest = VersionedTable.read(spark, root)
+    val n = latest.count()
+    val parts = math.max(1, math.ceil(n.toDouble / targetRowsPerFile)).toInt
+    val clustered = latest
+      .repartitionByRange(parts, clusterCols: _*)
+      .sortWithinPartitions(clusterCols: _*)
+    // one file per range partition — the partition count already sizes
+    // files to the target; commit() stages them under a fresh
+    // data/v{N+1} directory and manifests atomically
+    VersionedTable.commit(clustered, root)
   }
 }

@@ -7,6 +7,43 @@ import graft.sources.Compaction
 class CompactionSpec extends SparkSpec {
   import spark.implicits._
 
+  test("compactVersioned: OPTIMIZE as a transactional version commit") {
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_cvt")
+      .resolve("tbl").toString
+    // 10 append commits of 2-partition writes → a fragmented table
+    (0 until 10).foreach { i =>
+      VersionedTable.commit(
+        (i * 100 until (i + 1) * 100).map(j => (j.toLong, s"v$j"))
+          .toDF("k", "v").repartition(2),
+        root, append = i > 0)
+    }
+    def fileCount(v: Long): Int =
+      VersionedTable.read(spark, root, Some(v)).inputFiles.length
+    assert(VersionedTable.versions(spark, root).size === 10)
+    assert(fileCount(10L) >= 20) // ~2 files per append
+    val before = VersionedTable.read(spark, root)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+
+    val v11 = Compaction.compactVersioned(spark, root, Seq(col("k")),
+      targetRowsPerFile = 250L)
+    assert(v11 === 11L)
+    // content-identical, far fewer files, clustered ranges
+    val after = VersionedTable.read(spark, root)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(after === before)
+    assert(fileCount(11L) === 4) // ceil(1000/250)
+    // a pre-compaction reader is untouched (its file set still exists)
+    assert(fileCount(10L) >= 20)
+    assert(VersionedTable.read(spark, root, Some(10L)).count() === 1000L)
+    // vacuum reclaims the fragmented history; the compacted layout stays
+    val deleted = VersionedTable.vacuum(spark, root, keepVersions = 1)
+    assert(deleted >= 20L)
+    assert(VersionedTable.read(spark, root)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq === before)
+    assert(fileCount(11L) === 4)
+  }
+
   test("compactedWrite sizes files to the target and clusters by key range") {
     val n = 10000L
     val df = spark.range(n).select(col("id"),
