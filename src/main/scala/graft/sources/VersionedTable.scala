@@ -121,14 +121,24 @@ object VersionedTable {
   }
 
   /** Read a committed snapshot: the latest version, or `version`. Only
-    * manifested files load — orphans from failed writes are invisible. */
+    * manifested files load — orphans from failed writes are invisible.
+    *
+    * `mergeSchema = true` reconciles SCHEMA EVOLUTION across the
+    * snapshot's files: an append commit may carry new columns, so a
+    * version can legitimately mix file schemas — the merged read
+    * resolves the union schema and nulls the missing columns of older
+    * files (parquet's standard evolution semantics). The default stays
+    * false: uniform-schema tables skip the footer-reconciliation cost. */
   def read(spark: SparkSession, root: String,
-           version: Option[Long] = None): DataFrame = {
+           version: Option[Long] = None,
+           mergeSchema: Boolean = false): DataFrame = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed versions under $root")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not committed (have $vs)")
-    spark.read.parquet(manifestFiles(spark, root, v): _*)
+    spark.read
+      .option("mergeSchema", mergeSchema.toString)
+      .parquet(manifestFiles(spark, root, v): _*)
   }
 
   /** Retention: keep the newest `keepVersions` manifests, delete older

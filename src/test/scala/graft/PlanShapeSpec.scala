@@ -124,4 +124,23 @@ class PlanShapeSpec extends SparkSpec {
     val np = plan(SparkEntry.queries("numeric_profile")(spark, sf))
     assert(scanCount(np) === 1, s"profiler must scan once:\n$np")
   }
+
+  test("round-6 queries keep their audited shapes") {
+    // incremental KPI refresh: every dim/affected-group join must stay
+    // broadcast — a SortMergeJoin anywhere means either the part dim or
+    // the (small by definition) affected-group set started shuffling
+    // the fact side; the diff's full-outer join is the only intended
+    // fact-sized exchange
+    val ik = plan(SparkEntry.queries("incremental_kpis")(spark, sf))
+    assert(ik.contains("BroadcastHashJoin"),
+      s"incremental_kpis lost its broadcast joins:\n$ik")
+    assert(!ik.contains("SortMergeJoin"),
+      s"incremental_kpis shuffles a join that must broadcast:\n$ik")
+    assert(!ik.contains("BroadcastNestedLoopJoin"),
+      s"incremental_kpis degraded to a nested loop:\n$ik")
+    val ih = plan(SparkEntry.queries("incremental_kpis_hourly")(spark, sf))
+    assert(!ih.contains("SortMergeJoin") &&
+      !ih.contains("BroadcastNestedLoopJoin"),
+      s"incremental_kpis_hourly join shape regressed:\n$ih")
+  }
 }

@@ -164,6 +164,23 @@ class VersionedTableSpec extends SparkSpec {
     assert(err.getMessage.contains("not committed"))
   }
 
+  test("schema evolution: an append with a new column reads merged") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "x"), root)
+    // the schema evolves: the appended batch carries a new column
+    VersionedTable.commit(Seq((3L, "c", 30.0)).toDF("id", "x", "score"),
+      root, append = true)
+    val merged = VersionedTable.read(spark, root, mergeSchema = true)
+    assert(merged.columns.sorted.toSeq === Seq("id", "score", "x"))
+    val rows = merged.select("id", "x", "score")
+      .as[(Long, String, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(rows === Seq((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(30.0)))) // old files null the new column
+    // time travel to the pre-evolution version keeps the old schema
+    assert(VersionedTable.read(spark, root, Some(1L)).columns.toSeq ===
+      Seq("id", "x"))
+  }
+
   test("reading an uncommitted version or empty table fails fast") {
     val root = freshRoot()
     assertThrows[IllegalArgumentException] {
