@@ -1458,6 +1458,8 @@ object SparkEntry {
         when(canBroadcast && col("rows_b") <= col("rows_a"),
             lit("broadcast_right"))
           .when(canBroadcast, lit("broadcast_left"))
+          .when(est <= lit(0.1) * greatest(col("rows_a"), col("rows_b")),
+            lit("bloom_merge"))
           .otherwise(lit("shuffle_merge")).as("strategy"))
     }),
 

@@ -34,18 +34,25 @@ object EstimatedJoin {
                                 estJoinRows: Long, strategy: String)
 
   /** Pure decision from already-known statistics (stored table sketches
-    * at scale; [[estimate]] computes them on demand). */
+    * at scale; [[estimate]] computes them on demand). Three-way:
+    * broadcast when a side fits and the output does not explode;
+    * otherwise bloom-pruned merge when the estimate says the join is
+    * SELECTIVE (output ≤ `bloomSelectivity` × the bigger side — few big
+    * rows can match, so a bloom of the smaller side's keys drops the
+    * rest before the shuffle); plain sort-merge for everything else. */
   def estimateFromSketches(sketchLeft: Seq[Long], rowsLeft: Long,
                            sketchRight: Seq[Long], rowsRight: Long,
                            broadcastMaxRows: Long,
-                           fanoutCap: Double): JoinEstimate = {
+                           fanoutCap: Double,
+                           bloomSelectivity: Double = 0.1): JoinEstimate = {
     val est = JoinSizeSketch.estimate(sketchLeft, sketchRight)
     val small = math.min(rowsLeft, rowsRight)
     val big = math.max(rowsLeft, rowsRight)
     val strategy =
       if (small <= broadcastMaxRows && est <= fanoutCap * math.max(1L, big)) {
         if (rowsRight <= rowsLeft) "broadcast_right" else "broadcast_left"
-      } else "shuffle_merge"
+      } else if (est <= bloomSelectivity * big) "bloom_merge"
+      else "shuffle_merge"
     JoinEstimate(rowsLeft, rowsRight, est, strategy)
   }
 
@@ -77,12 +84,35 @@ object EstimatedJoin {
                     counters: Int = 256): (DataFrame, JoinEstimate) = {
     val e = estimate(left, right, leftKey, rightKey,
       broadcastMaxRows, fanoutCap, counters)
+    (applyStrategy(left, right, leftKey, rightKey, joinType, e), e)
+  }
+
+  /** Materialize a [[JoinEstimate]]'s decision as the physical plan —
+    * shared by the on-demand path above and the stored-stats path
+    * ([[graft.sources.VersionedStats.estimatedVersionedJoin]]). */
+  def applyStrategy(left: DataFrame, right: DataFrame,
+                    leftKey: String, rightKey: String,
+                    joinType: String, e: JoinEstimate): DataFrame = {
     val cond = left(leftKey) === right(rightKey)
-    val joined = e.strategy match {
+    e.strategy match {
       case "broadcast_right" => left.join(broadcast(right), cond, joinType)
       case "broadcast_left" => broadcast(left).join(right, cond, joinType)
+      // bloom pruning drops non-matching rows of the BIG side before
+      // its shuffle — sound only for inner joins (an outer join must
+      // keep them); non-inner falls through to plain sort-merge
+      case "bloom_merge" if joinType == "inner" =>
+        val bloomed =
+          if (e.rowsRight <= e.rowsLeft)
+            BloomJoin.prunedInnerJoin(left, leftKey, right, rightKey,
+              expectedItems = math.max(1L, e.rowsRight))
+          else
+            BloomJoin.prunedInnerJoin(right, rightKey, left, leftKey,
+              expectedItems = math.max(1L, e.rowsLeft))
+        // restore left-then-right column order regardless of which side
+        // was pruned (column names are distinct by this API's contract:
+        // the condition references each side's own key name)
+        bloomed.select((left.columns ++ right.columns).map(col).toSeq: _*)
       case _ => left.join(right.hint("SHUFFLE_MERGE"), cond, joinType)
     }
-    (joined, e)
   }
 }

@@ -108,13 +108,8 @@ object VersionedStats {
     } yield {
       val e = EstimatedJoin.estimateFromSketches(sl, nl, sr, nr,
         broadcastMaxRows, fanoutCap)
-      val cond = left(leftKey) === right(rightKey)
-      val joined = e.strategy match {
-        case "broadcast_right" => left.join(broadcast(right), cond, joinType)
-        case "broadcast_left" => broadcast(left).join(right, cond, joinType)
-        case _ => left.join(right.hint("SHUFFLE_MERGE"), cond, joinType)
-      }
-      (joined, e)
+      (EstimatedJoin.applyStrategy(left, right, leftKey, rightKey,
+        joinType, e), e)
     }).getOrElse(EstimatedJoin.estimatedJoin(left, right, leftKey, rightKey,
       joinType, broadcastMaxRows, fanoutCap))
   }

@@ -55,6 +55,28 @@ class EstimatedJoinSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin"), s"explosion case must merge:\n$p")
   }
 
+  test("selective join above the broadcast bound → bloom-pruned merge") {
+    // neither side may broadcast, but only 100 of 8000 left keys exist
+    // on the right → estimated output ≈ 500 ≪ 0.1 × 8000: a bloom of
+    // the right side's keys drops most of the left before the shuffle
+    val a = (0L until 8000L).map(i => (i, s"a$i")).toDF("ak", "av")
+    val b = (0L until 500L).map(i => (i % 100, s"b$i")).toDF("bk", "bv")
+    val (joined, e) = EstimatedJoin.estimatedJoin(a, b, "ak", "bk",
+      broadcastMaxRows = 100L)
+    assert(e.strategy === "bloom_merge", s"estimate: $e")
+    val p = plan(joined)
+    assert(p.contains("might_contain"), s"bloom missing from plan:\n$p")
+    // exactly the plain join's rows, left-then-right column order
+    assert(joined.columns.toSeq === Seq("ak", "av", "bk", "bv"))
+    assert(joined.count() === 500L)
+    // an OUTER join must not prune: falls through to plain merge
+    val (outer, eo) = EstimatedJoin.estimatedJoin(a, b, "ak", "bk",
+      joinType = "left", broadcastMaxRows = 100L)
+    assert(eo.strategy === "bloom_merge") // the estimate still says so
+    assert(!plan(outer).contains("might_contain"))
+    assert(outer.count() === 8400L) // 7900 unmatched + 500 matches
+  }
+
   test("decision is pure over stored sketches (mergeable table stats)") {
     // the 100 TB entry point: sketches maintained at write time, the
     // decision made without touching either table
