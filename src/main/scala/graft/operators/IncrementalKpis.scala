@@ -52,6 +52,21 @@ object IncrementalKpis {
     oldLeg.unionByName(newLeg).distinct()
   }
 
+  /** An append-only ingest batch lifted to the row-diff shape
+    * [[refresh]] consumes: every row classifies as `added` with its
+    * values on the `new_*` side (no old side exists — nothing was
+    * removed or changed). This is the streaming training-data case:
+    * immutable facts arrive, nothing mutates, and the KPI refresh cost
+    * is bounded by the batch's group spread, not the corpus. */
+  def appendOnlyDiff(batch: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val valueCols = batch.columns.filterNot(keyCols.contains).toSeq
+    batch.select(keyCols.map(col) ++
+      (lit("added").as("diff_status") +:
+        valueCols.flatMap(c => Seq(
+          lit(null).cast(batch.schema(c).dataType).as(s"old_$c"),
+          col(c).as(s"new_$c")))): _*)
+  }
+
   /** Merge one refresh: previous KPI rows for groups NOT in `affected`
     * carry forward untouched (broadcast anti-join — never recomputed,
     * never reordered arithmetically), `recomputed` supplies every
