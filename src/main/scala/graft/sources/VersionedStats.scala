@@ -33,22 +33,42 @@ object VersionedStats {
 
   /** Commit `df` as the next version of `root` AND write its stats
     * sidecar (row count + one AGMS sketch per key column) — computed in
-    * ONE aggregate pass over the frame. Returns the version. */
+    * ONE aggregate pass. The pass runs over the DELTA only whenever it
+    * can: on an append whose previous version has stats for the same
+    * keys, the new sidecar is stored-sketch + delta-sketch (element-wise
+    * add — AGMS counters are exact sums, so the merged sidecar is
+    * BIT-IDENTICAL to a from-scratch recompute) and stored-rows +
+    * delta-rows. That is the 100 TB contract: stats maintenance costs
+    * the batch, never the table. Returns the version. */
   def commitWithStats(df: DataFrame, root: String, keyCols: Seq[String],
                       counters: Int = 256,
                       append: Boolean = false): Long = {
     require(keyCols.nonEmpty, "declare at least one join-key column")
     val spark = df.sparkSession
+    val prior =
+      if (append) statsFor(spark, root).filter { case (_, sk) =>
+        keyCols.forall(k => sk.get(k).exists(_.length == counters))
+      } else None
     val v = VersionedTable.commit(df, root, append)
-    // stats of the COMMITTED snapshot (append carries prior files)
-    val snap = VersionedTable.read(spark, root, Some(v))
+    // delta-only pass when prior stats merge; else the committed
+    // snapshot (which IS the delta for a non-append commit)
+    val scanned =
+      if (prior.isDefined) df
+      else VersionedTable.read(spark, root, Some(v))
     val aggs = keyCols.map(k =>
       JoinSizeSketch.agmsSketch(col(k), counters).as(s"__sk_$k")) :+
       count(lit(1)).as("__rows")
-    val row = snap.agg(aggs.head, aggs.tail: _*).head()
-    val rows = row.getLong(keyCols.length)
+    val row = scanned.agg(aggs.head, aggs.tail: _*).head()
+    val deltaRows = row.getLong(keyCols.length)
+    val (rows, sketchOf) = prior match {
+      case Some((priorRows, priorSk)) =>
+        (priorRows + deltaRows, (k: String, i: Int) =>
+          priorSk(k).zip(row.getSeq[Long](i)).map { case (a, b) => a + b })
+      case None =>
+        (deltaRows, (_: String, i: Int) => row.getSeq[Long](i))
+    }
     val sketches = keyCols.zipWithIndex.map { case (k, i) =>
-      s""""$k": [${row.getSeq[Long](i).mkString(",")}]"""
+      s""""$k": [${sketchOf(k, i).mkString(",")}]"""
     }.mkString(",")
     val json = s"""{"rows": $rows, "sketches": {$sketches}}"""
     val p = statsPath(root, v)

@@ -38,10 +38,17 @@ class VersionedStatsSpec extends SparkSpec {
     VersionedStats.commitWithStats(
       (100L until 300L).map(i => (i, "b")).toDF("k", "v"), root, Seq("k"),
       append = true)
-    val Some((rows, _)) = VersionedStats.statsFor(spark, root)
+    val Some((rows, sk)) = VersionedStats.statsFor(spark, root)
     assert(rows === 300L) // the appended snapshot, not just the delta
     val Some((rowsV1, _)) = VersionedStats.statsFor(spark, root, Some(1L))
     assert(rowsV1 === 100L) // each version keeps its own stats
+    // the append's sidecar was MERGED (prior sketch + delta sketch, the
+    // batch-cost maintenance path) — AGMS counters are exact sums, so
+    // it must be bit-identical to a from-scratch pass over the snapshot
+    val fromScratch = VersionedTable.read(spark, root)
+      .agg(JoinSizeSketch.agmsSketch(col("k"), 256).as("s"))
+      .as[Seq[Long]].head()
+    assert(sk("k") === fromScratch)
   }
 
   test("join plans from stored stats: broadcast small, merge on explosion") {
