@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Similarity, SpanDedup, TextAnalysis}
 import graft.operators.{Cleaning, Kpis, Validation}
 import graft.sources.Tables
 import graft.Pipeline
@@ -655,6 +655,17 @@ object SparkEntry {
     "neardup_winnowing" -> ((s, dir) =>
       Dedup.winnowingPairs(t(s, dir, "documents"), k = 5, w = 4,
         minShared = 10)),
+
+    // Sub-document duplication (Lee et al. substring dedup, k-gram form):
+    // token spans repeated across >= 2 docs, most-shared first.
+    "dup_span_report" -> ((s, dir) =>
+      SpanDedup.dupSpanReport(t(s, dir, "documents"), k = 5)),
+
+    // Per-doc duplicated-span coverage: fraction of each doc's tokens
+    // lying inside a >= 5-token run that also occurs in another doc
+    // (interval-union via gaps-and-islands, not position explode).
+    "doc_span_dup_ratio" -> ((s, dir) =>
+      SpanDedup.spanDupCoverage(t(s, dir, "documents"), k = 5)),
 
     // Near-dup pairs → dedup GROUPS: connected components over the
     // winnowing edge list by iterative min-label propagation (ext/
@@ -2242,6 +2253,47 @@ object SparkEntry {
         s"""WITH $winnowCtes
            SELECT doc_a, doc_b, n_shared_fp FROM pairs
            WHERE n_shared_fp >= 10 ORDER BY doc_a, doc_b""",
+
+      // Positional 5-grams (POSITIONS matter — no list_distinct, unlike
+      // shCte): pos is 1-based to match Spark's posexplode index + 1.
+      "dup_span_report" ->
+        s"""WITH $tokCte,
+           sp AS (SELECT doc_id, i AS pos,
+                    array_to_string(w[i:i+4], ' ') AS span
+                  FROM tok, LATERAL unnest(generate_series(1, len(w)-4)) t(i))
+           SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_occ
+           FROM sp GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+           ORDER BY n_docs DESC, n_occ DESC, span LIMIT 100""",
+
+      // Interval-union coverage by gaps-and-islands, mirroring the Spark
+      // windows exactly (integer positions — deterministic cross-engine).
+      "doc_span_dup_ratio" ->
+        s"""WITH $tokCte,
+           sp AS (SELECT doc_id, len(w) AS n_tokens, i AS pos,
+                    array_to_string(w[i:i+4], ' ') AS span
+                  FROM tok, LATERAL unnest(generate_series(1, len(w)-4)) t(i)),
+           dup AS (SELECT span FROM sp GROUP BY 1
+                   HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= 10000),
+           hits AS (SELECT doc_id, n_tokens, pos FROM sp JOIN dup USING (span)),
+           isl AS (SELECT doc_id, n_tokens, pos,
+                     CASE WHEN pos > coalesce(max(pos + 4) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                     THEN 1 ELSE 0 END AS flag
+                   FROM hits),
+           isl2 AS (SELECT doc_id, n_tokens, pos, sum(flag) OVER (
+                      PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+           per_isl AS (SELECT doc_id, n_tokens, island, min(pos) AS s,
+                         max(pos) AS e, count(*) AS nh
+                       FROM isl2 GROUP BY doc_id, n_tokens, island)
+           SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(sum(nh) AS BIGINT) AS n_dup_spans,
+             CAST(count(*) AS BIGINT) AS n_islands,
+             CAST(sum(e - s + 5) AS BIGINT) AS covered_tokens,
+             round(CAST(sum(e - s + 5) AS DOUBLE)
+               / CAST(n_tokens AS DOUBLE), 6) AS dup_ratio
+           FROM per_isl GROUP BY doc_id, n_tokens ORDER BY doc_id""",
 
       // Components via transitive closure (recursive CTE) — structurally
       // different from Spark's label propagation, same fixpoint.
