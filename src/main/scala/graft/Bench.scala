@@ -191,7 +191,9 @@ object Bench {
       s"""{"q":"$n","sec":${f3(s)},"prev_sec":${f3(p)},"ratio":${f2(r)}}"""
     }.mkString("[", ",", "]")
     val devMeta = s""""deviations":$devJson,"deviation_ref":"$prevSource""""
-    try {
+    // A subset run (BENCH_ONLY) must never replace the committed full
+    // map — it would silently become the next run's deviation reference.
+    if (only.isEmpty) try {
       val w = new java.io.PrintWriter(fullPath, "UTF-8")
       try w.println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${qjson(byTime)},"telemetry":$teleJson,$devMeta,$meta}""")
       finally w.close()

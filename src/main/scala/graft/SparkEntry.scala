@@ -785,6 +785,17 @@ object SparkEntry {
     "token_estimates" -> ((s, dir) =>
       TextAnalysis.tokenEstimates(t(s, dir, "documents"))),
 
+    // TOKEN-balanced shards: equal token budget per shard (± one doc) via
+    // a distributed prefix-sum cut over the md5 order, all integer math —
+    // hash sharding balances rows, this balances what training consumes.
+    "token_balanced_shards" -> ((s, dir) =>
+      graft.sources.TrainingShards.tokenBalancedAssign(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          col("doc_id"), TextAnalysis.tokenCount(col("text")), nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("weight")).as("sum_tokens"))
+        .orderBy(col("shard"))),
+
     // Eval-set decontamination: (test doc, train doc) pairs sharing >= 5
     // 5-gram shingles across the deterministic 80/10/10 split — one scan,
     // one shuffle (the jaccard bucket-collect shape restricted to
@@ -2489,6 +2500,22 @@ object SparkEntry {
              count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
            FROM h GROUP BY 1 ORDER BY split"""
       },
+
+      // The shard formula is the plain global prefix-sum cut; Spark's
+      // bucket-decomposed evaluation reconstructs the same integers.
+      "token_balanced_shards" ->
+        """WITH tokc AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS ord,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+             FROM documents),
+           c AS (SELECT doc_id, w,
+               sum(w) OVER (ORDER BY ord, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(w) OVER () AS total FROM tokc)
+           SELECT least(CAST(7 AS BIGINT),
+               CAST(((cum - w) * 8) // total AS BIGINT)) AS shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(w) AS BIGINT) AS sum_tokens
+           FROM c GROUP BY 1 ORDER BY shard""",
 
       "token_estimates" ->
         """SELECT lang, count(*) AS n_docs,

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ext.Sampling
@@ -45,5 +46,66 @@ object TrainingShards {
       .partitionBy("shard")
       .parquet(path)
     nShards
+  }
+
+  /** TOKEN-balanced deterministic shard assignment: adds `shard` (long in
+    * [0, nShards)) and `weight` (the evaluated weight, long) to `df` so
+    * that every shard carries ~total/nShards weight (± one max-weight
+    * row), not ~equal ROW counts. Docs vary 100× in length; a training
+    * loader that steps shards in lockstep wants equal token budgets per
+    * shard, which `shuffledShardWrite`'s hash sharding only gives in
+    * expectation.
+    *
+    * Construction: rows take the md5(key) order (the same deterministic
+    * shuffle order as `shuffledShardWrite` — balance does NOT cost the
+    * reproducible-random order), and the shard is cut from the running
+    * weight total: shard = floor(prefix_weight * nShards / total). All
+    * integer arithmetic — bit-stable across engines, so the assignment is
+    * oracle-checkable.
+    *
+    * Scale posture: the prefix sum is NOT one global-order window (a
+    * single-partition scan-stopper at corpus scale). Rows bucket by the
+    * first `hexChars` md5 chars — bucket order IS md5 order, so a
+    * per-bucket cumsum (bounded partitions, one exchange) plus each
+    * bucket's starting offset reconstructs the global prefix sum exactly.
+    * Offsets come from a per-bucket total aggregate (map-side partial,
+    * 16^hexChars rows) run through the only unpartitioned window —
+    * bounded by construction at 16^hexChars rows — and broadcast back.
+    * The weight expression is evaluated in both the offsets pass and the
+    * assignment pass (two pruned scans); at corpus scale that is cheaper
+    * than caching or re-joining the corpus, and the optimizer prunes both
+    * scans to (key, weight-input) columns. */
+  def tokenBalancedAssign(df: DataFrame, key: Column, weight: Column,
+                          nShards: Int, hexChars: Int = 3): DataFrame = {
+    require(nShards > 0, s"need positive shard count: $nShards")
+    require(hexChars >= 1 && hexChars <= 8,
+      s"hexChars must be in [1, 8]: $hexChars")
+    val main = df
+      .withColumn("weight", weight.cast("long"))
+      .withColumn("__ord", md5(key.cast("string")))
+      .withColumn("__b",
+        conv(substring(col("__ord"), 1, hexChars), 16, 10).cast("long"))
+    val totals = main.select(col("__b"), col("weight"))
+      .groupBy(col("__b")).agg(sum(col("weight")).as("__bt"))
+    val wAll = Window.orderBy(col("__b"))
+    val offsets = totals
+      .withColumn("__off", coalesce(sum(col("__bt"))
+        .over(wAll.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__total", sum(col("__bt")).over(
+        wAll.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select(col("__b"), col("__off"), col("__total"))
+    val inB = Window.partitionBy(col("__b")).orderBy(col("__ord"), key)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    main
+      .join(broadcast(offsets), Seq("__b"))
+      .withColumn("__cum", col("__off") + sum(col("weight")).over(inB))
+      // start-of-row prefix cut; `least` clamps the degenerate zero-weight
+      // final row (start == total); zero-total corpora all land in shard 0
+      .withColumn("shard", least(lit(nShards - 1L),
+        when(col("__total") > 0L,
+          expr(s"((__cum - weight) * $nShards) div __total"))
+          .otherwise(lit(0L))))
+      .drop("__ord", "__b", "__off", "__total", "__cum")
   }
 }
