@@ -132,4 +132,45 @@ class IncrementalKpisSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
     assert(got === collectKpis(kpiOf(newFacts)))
   }
+
+  test("PROPERTY: refresh == full recompute for ARBITRARY snapshot pairs") {
+    // The fixture above exercises one hand-picked delta; this drives the
+    // same contract over arbitrary add/remove/change/migrate mixes,
+    // including the no-op (old == new) and everything-replaced extremes.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    val snapGen: Gen[Map[Long, (String, Long)]] = for {
+      n <- Gen.choose(0, 25)
+      keys <- Gen.listOfN(n, Gen.choose(0L, 30L))
+      vals <- Gen.listOfN(n,
+        Gen.zip(Gen.oneOf("g0", "g1", "g2", "g3"), Gen.choose(-5L, 100L)))
+    } yield keys.zip(vals).toMap // last write per key wins: keyed snapshot
+    def df(m: Map[Long, (String, Long)]): DataFrame =
+      if (m.isEmpty) Seq.empty[(Long, String, Long)].toDF("fid", "cat", "cents")
+      else m.toSeq.map { case (k, (g, v)) => (k, g, v) }
+        .toDF("fid", "cat", "cents")
+    val prop = Prop.forAll(snapGen, snapGen) { (oldM, newM) =>
+      val (o, nw) = (df(oldM), df(newM))
+      val d = SnapshotDiff.diff(o, nw, Seq("fid"),
+        compareCols = Seq("cat", "cents"), nullSafeKeys = false)
+      val affected = IncrementalKpis.affectedGroups(d, Seq("cat"))
+      val refreshed = IncrementalKpis.refresh(kpiOf(o),
+        kpiOf(nw.join(broadcast(affected), Seq("cat"), "left_semi")),
+        affected, Seq("cat"))
+      val incr = collectKpis(refreshed)
+      val full = collectKpis(kpiOf(nw))
+      // and idempotence: a second refresh from the same diff is a no-op
+      val d2 = SnapshotDiff.diff(nw, nw, Seq("fid"),
+        compareCols = Seq("cat", "cents"), nullSafeKeys = false)
+      val affected2 = IncrementalKpis.affectedGroups(d2, Seq("cat"))
+      val again = collectKpis(IncrementalKpis.refresh(refreshed,
+        kpiOf(nw.join(broadcast(affected2), Seq("cat"), "left_semi")),
+        affected2, Seq("cat")))
+      (incr == full) :| s"incremental $incr != full $full" &&
+        (again == full) :| s"re-apply drifted: $again != $full"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
