@@ -167,6 +167,28 @@ object SparkEntry {
         .orderBy(col("n_name"))
     }),
 
+    // Stats-driven star-join ORDERING in a live query: the part dim is
+    // filtered selective (p_size = 1 keeps ~2% of parts) while supplier
+    // keeps every fact row, so the greedy planner joins part first and
+    // the supplier join probes a ~2%-sized intermediate — the ordering
+    // decision comes from AGMS sketches, not hand-placed hints
+    // (operators/EstimatedJoin.estimatedMultiJoin; order + strategy
+    // assertions live in EstimatedJoinSpec).
+    "multi_join_revenue" -> ((s, dir) => {
+      import graft.operators.EstimatedJoin
+      val (joined, _) = EstimatedJoin.estimatedMultiJoin(
+        t(s, dir, "lineitem"), Seq(
+          EstimatedJoin.DimSpec("supplier", t(s, dir, "supplier"),
+            "l_suppkey", "s_suppkey"),
+          EstimatedJoin.DimSpec("part",
+            t(s, dir, "part").where(col("p_size") === 1),
+            "l_partkey", "p_partkey")))
+      joined.groupBy(col("s_nationkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // ISO-week calendar rollup (date_trunc breadth beyond hour/day).
     "weekly_order_revenue" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -1739,6 +1761,16 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          WHERE l_quantity > 10
          GROUP BY n_name ORDER BY n_name""",
+
+    "multi_join_revenue" ->
+      """SELECT s_nationkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_size = 1
+         GROUP BY s_nationkey ORDER BY s_nationkey""",
 
     "revenue_by_nation_merge" ->
       """SELECT n_name,

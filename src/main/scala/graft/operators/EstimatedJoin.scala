@@ -46,14 +46,24 @@ object EstimatedJoin {
                            fanoutCap: Double,
                            bloomSelectivity: Double = 0.1): JoinEstimate = {
     val est = JoinSizeSketch.estimate(sketchLeft, sketchRight)
+    JoinEstimate(rowsLeft, rowsRight, est,
+      decide(est, rowsLeft, rowsRight, broadcastMaxRows, fanoutCap,
+        bloomSelectivity))
+  }
+
+  /** The strategy rule alone, for callers that already hold an output
+    * estimate (the multi-join planner scales raw sketch estimates by
+    * upstream selectivity before deciding). */
+  def decide(estJoinRows: Long, rowsLeft: Long, rowsRight: Long,
+             broadcastMaxRows: Long, fanoutCap: Double,
+             bloomSelectivity: Double = 0.1): String = {
     val small = math.min(rowsLeft, rowsRight)
     val big = math.max(rowsLeft, rowsRight)
-    val strategy =
-      if (small <= broadcastMaxRows && est <= fanoutCap * math.max(1L, big)) {
-        if (rowsRight <= rowsLeft) "broadcast_right" else "broadcast_left"
-      } else if (est <= bloomSelectivity * big) "bloom_merge"
-      else "shuffle_merge"
-    JoinEstimate(rowsLeft, rowsRight, est, strategy)
+    if (small <= broadcastMaxRows &&
+      estJoinRows <= fanoutCap * math.max(1L, big)) {
+      if (rowsRight <= rowsLeft) "broadcast_right" else "broadcast_left"
+    } else if (estJoinRows <= bloomSelectivity * big) "bloom_merge"
+    else "shuffle_merge"
   }
 
   /** Sketch both sides and decide. One aggregate job per side. */
@@ -85,6 +95,81 @@ object EstimatedJoin {
     val e = estimate(left, right, leftKey, rightKey,
       broadcastMaxRows, fanoutCap, counters)
     (applyStrategy(left, right, leftKey, rightKey, joinType, e), e)
+  }
+
+  /** One dimension join of a star query: `fact.factKey = dim.dimKey`.
+    * `name` labels the step in the returned plan trace. */
+  final case class DimSpec(name: String, dim: DataFrame,
+                           factKey: String, dimKey: String)
+
+  /** One planned step of [[estimatedMultiJoin]]: which dim was joined
+    * at this position and the (scaled) estimate that placed it there. */
+  final case class MultiJoinStep(name: String, estimate: JoinEstimate)
+
+  /** Stats-driven STAR-JOIN ordering: joins `dims` onto `fact` most
+    * selective first, each step's physical strategy chosen by the same
+    * three-way rule as [[estimatedJoin]]. Join ordering is the textbook
+    * cost-based-optimizer move — a selective dim joined first shrinks
+    * every later join's probe side — done here from AGMS sketches:
+    *
+    *  - ONE aggregate over the fact computes a sketch per distinct fact
+    *    key plus the row count (all map-side partial; the fact is
+    *    scanned once for planning regardless of dim count);
+    *  - one answer-sized aggregate per dim;
+    *  - greedy placement: at each position take the dim whose SCALED
+    *    output estimate is smallest, where scaling multiplies the raw
+    *    (full-fact) sketch estimate by the fraction of fact rows the
+    *    joins placed so far are estimated to keep — the standard
+    *    attribute-independence assumption; correlated keys degrade the
+    *    ordering, never the result (every strategy is semantics-
+    *    preserving, inner-join commutativity is what reordering uses).
+    *
+    * Inner joins only: reordering outer joins changes results. Dim
+    * column names must be distinct from fact columns (same contract as
+    * [[estimatedJoin]]). Returns the joined frame and the ordered step
+    * trace for plan audits. */
+  def estimatedMultiJoin(fact: DataFrame, dims: Seq[DimSpec],
+                         broadcastMaxRows: Long = 10000000L,
+                         fanoutCap: Double = 4.0,
+                         counters: Int = 256): (DataFrame, Seq[MultiJoinStep]) = {
+    require(dims.nonEmpty, "need at least one dim")
+    require(dims.map(_.name).distinct.size == dims.size,
+      "dim names must be unique")
+    val factKeys = dims.map(_.factKey).distinct
+    val aggCols = count(lit(1)).as("__n") +: factKeys.map(k =>
+      JoinSizeSketch.agmsSketch(col(k), counters).as(s"__s_$k"))
+    val fr: Row = fact.agg(aggCols.head, aggCols.tail: _*).head()
+    val factRows = fr.getLong(0)
+    val factSketch = factKeys.zipWithIndex.map { case (k, i) =>
+      k -> fr.getSeq[Long](i + 1)
+    }.toMap
+    val dimStats = dims.map { d =>
+      val dr: Row = d.dim.agg(
+        JoinSizeSketch.agmsSketch(col(d.dimKey), counters).as("s"),
+        count(lit(1)).as("n")).head()
+      (d, dr.getSeq[Long](0), dr.getLong(1))
+    }
+    var current = fact
+    var curRows = factRows
+    var remaining = dimStats
+    val steps = Seq.newBuilder[MultiJoinStep]
+    while (remaining.nonEmpty) {
+      val scored = remaining.map { case (d, sk, nd) =>
+        val raw = JoinSizeSketch.estimate(factSketch(d.factKey), sk)
+        val scaled = if (factRows == 0L) 0L
+        else math.round(raw.toDouble * curRows / factRows)
+        (d, sk, nd, scaled)
+      }
+      val (d, _, nd, scaled) =
+        scored.minBy { case (dd, _, _, s) => (s, dd.name) } // det. tiebreak
+      val e = JoinEstimate(curRows, nd, scaled,
+        decide(scaled, curRows, nd, broadcastMaxRows, fanoutCap))
+      current = applyStrategy(current, d.dim, d.factKey, d.dimKey, "inner", e)
+      steps += MultiJoinStep(d.name, e)
+      curRows = scaled
+      remaining = remaining.filterNot(_._1.name == d.name)
+    }
+    (current, steps.result())
   }
 
   /** Materialize a [[JoinEstimate]]'s decision as the physical plan —

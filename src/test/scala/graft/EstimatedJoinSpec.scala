@@ -86,4 +86,50 @@ class EstimatedJoinSpec extends SparkSpec {
       broadcastMaxRows = 1000L, fanoutCap = 4.0)
     assert(e.strategy === "broadcast_right" && e.estJoinRows === 0L)
   }
+
+  test("multi-join: selective dim moves FIRST regardless of given order") {
+    import EstimatedJoin.DimSpec
+    // dimWide keeps every fact row (fk1 1..200 all present); dimNarrow
+    // keeps ~1% (only fk2 values 1..5 of 1..500). Given wide-then-narrow,
+    // the planner must flip: narrow first shrinks the probe side 100×
+    // before the wide join runs.
+    val fact = (0 until 20000)
+      .map(i => (i % 200 + 1L, i % 500 + 1L, i.toLong))
+      .toDF("fk1", "fk2", "v")
+    val dimWide = (1L to 200L).map(k => (k, s"w$k")).toDF("wk", "wname")
+    val dimNarrow = (1L to 5L).map(k => (k, s"n$k")).toDF("nk", "nname")
+    val (joined, steps) = EstimatedJoin.estimatedMultiJoin(fact, Seq(
+      DimSpec("wide", dimWide, "fk1", "wk"),
+      DimSpec("narrow", dimNarrow, "fk2", "nk")))
+    assert(steps.map(_.name) === Seq("narrow", "wide"),
+      s"selective dim must be joined first: $steps")
+    // the second step plans against the SHRUNK intermediate, not the fact
+    assert(steps(1).estimate.rowsLeft < 20000L / 10,
+      s"wide join must see the post-narrow row estimate: ${steps(1)}")
+    assert(steps.forall(_.estimate.strategy.startsWith("broadcast")))
+    // and the result is just the inner join, order-independent
+    val expect = fact.join(dimWide, col("fk1") === col("wk"))
+      .join(dimNarrow, col("fk2") === col("nk")).count()
+    assert(joined.count() === expect)
+    assert(joined.count() === 20000L / 500 * 5) // 40 rows per fk2 key × 5
+  }
+
+  test("multi-join: per-step strategies can differ (broadcast + merge)") {
+    import EstimatedJoin.DimSpec
+    val fact = (0 until 10000).map(i => (i % 50 + 1L, i % 2000 + 1L, i.toLong))
+      .toDF("fk1", "fk2", "v")
+    val small = (1L to 50L).map(k => (k, s"s$k")).toDF("sk", "sname")
+    val big = (1L to 2000L).map(k => (k, s"b$k")).toDF("bk", "bname")
+    val (joined, steps) = EstimatedJoin.estimatedMultiJoin(fact, Seq(
+      DimSpec("small", small, "fk1", "sk"),
+      DimSpec("big", big, "fk2", "bk")),
+      broadcastMaxRows = 100L) // big's 2000 rows exceed the bound
+    val byName = steps.map(s => s.name -> s.estimate.strategy).toMap
+    assert(byName("small") === "broadcast_right")
+    assert(byName("big") === "shuffle_merge")
+    val p = plan(joined)
+    assert(p.contains("BroadcastHashJoin") && p.contains("SortMergeJoin"),
+      s"expected one broadcast and one merge join:\n$p")
+    assert(joined.count() === 10000L)
+  }
 }
