@@ -689,6 +689,13 @@ object SparkEntry {
     "doc_span_dup_ratio" -> ((s, dir) =>
       SpanDedup.spanDupCoverage(t(s, dir, "documents"), k = 5)),
 
+    // The corpus REWRITE the reports inform: every cross-doc duplicated
+    // span keeps only its first (min doc_id) occurrence; other docs get
+    // the covered token ranges cut. md5 of each rebuilt token stream is
+    // compared, so the oracle checks every byte of every rewritten doc.
+    "span_cut_docs" -> ((s, dir) =>
+      SpanDedup.cutDuplicatedSpans(t(s, dir, "documents"), k = 5)),
+
     // Near-dup pairs → dedup GROUPS: connected components over the
     // winnowing edge list by iterative min-label propagation (ext/
     // Components); component = smallest doc_id in the cluster, i.e. the
@@ -2308,6 +2315,41 @@ object SparkEntry {
              CAST(count(*) AS BIGINT) AS n_occ
            FROM sp GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
            ORDER BY n_docs DESC, n_occ DESC, span LIMIT 100""",
+
+      // Non-owner occurrences cut, text rebuilt from surviving token
+      // positions; md5 compares the full rebuilt stream per doc.
+      "span_cut_docs" ->
+        s"""WITH $tokCte,
+           sp AS (SELECT doc_id, i AS pos,
+                    array_to_string(w[i:i+4], ' ') AS span
+                  FROM tok, LATERAL unnest(generate_series(1, len(w)-4)) t(i)),
+           dup AS (SELECT span, min(doc_id) AS own FROM sp GROUP BY 1
+                   HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= 10000),
+           cuts AS (SELECT s.doc_id, s.pos FROM sp s JOIN dup USING (span)
+                    WHERE s.doc_id <> dup.own),
+           isl AS (SELECT doc_id, pos,
+                     CASE WHEN pos > coalesce(max(pos + 4) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                     THEN 1 ELSE 0 END AS flag
+                   FROM cuts),
+           isl2 AS (SELECT doc_id, pos, sum(flag) OVER (
+                      PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+           ivs AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 4 AS e
+                   FROM isl2 GROUP BY doc_id, island),
+           toks AS (SELECT t.doc_id, i, w[i] AS tk FROM tok t,
+                      LATERAL unnest(generate_series(1, len(w))) u(i)),
+           kept AS (SELECT k.doc_id, k.i, k.tk FROM toks k
+                    WHERE NOT EXISTS (SELECT 1 FROM ivs v
+                      WHERE v.doc_id = k.doc_id AND k.i BETWEEN v.s AND v.e))
+           SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_before,
+             CAST(coalesce(g.n_after, 0) AS BIGINT) AS n_after,
+             md5(coalesce(g.clean, '')) AS clean_md5
+           FROM tok t LEFT JOIN (
+             SELECT doc_id, count(*) AS n_after,
+                    string_agg(tk, ' ' ORDER BY i) AS clean
+             FROM kept GROUP BY doc_id) g USING (doc_id)
+           ORDER BY t.doc_id""",
 
       // Interval-union coverage by gaps-and-islands, mirroring the Spark
       // windows exactly (integer positions — deterministic cross-engine).

@@ -102,6 +102,67 @@ object SpanDedup {
     * Both windows share one (doc_id, pos) sort — one exchange — and the
     * two following groupBys key on supersets of doc_id, so the window's
     * hash partitioning satisfies them with no further shuffle. */
+  /** The ACTION the two reports inform (and Lee et al.'s actual
+    * transform): rewrite the corpus with duplicated spans CUT. Ownership
+    * is per span: the doc with the smallest doc_id keeps its occurrences,
+    * every other doc's occurrences are removed (intra-doc repeats inside
+    * the owner are deliberately untouched — that is [[TextAnalysis]]'s
+    * `doc_repetition` signal, a different treatment). Overlapping cut
+    * spans merge into islands exactly as in [[spanDupCoverage]], and the
+    * rebuild drops the islands' token ranges.
+    *
+    * Output: (doc_id, n_before, n_after, clean_md5) for EVERY doc —
+    * untouched docs flow through with n_before == n_after and the md5 of
+    * their unchanged normalized token stream (the rebuild works on the
+    * tokenized representation, same normalization as
+    * [[TextAnalysis.fingerprintDedup]]; original casing/punctuation is
+    * not this pipeline's concern).
+    *
+    * Shape: detection pass (one scan + one span shuffle, as above) emits
+    * cut-doc-sized interval lists; the rebuild pass re-scans the corpus
+    * and left-joins the intervals on doc_id — the per-row cut is then a
+    * codegen'd indexed `filter` over the token array against the doc's
+    * own (few) intervals, no position explode, no second span pass. */
+  def cutDuplicatedSpans(docs: DataFrame, k: Int, minDocs: Int = 2,
+                         maxOcc: Int = 10000): DataFrame = {
+    val sp = spanRows(docs, k)
+    val cutHits = sp
+      .groupBy(col("span"))
+      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("d"),
+        count(lit(1)).as("c"))
+      .where(size(array_distinct(transform(col("d"),
+        x => x.getField("doc_id")))) >= minDocs && col("c") <= maxOcc)
+      .withColumn("own",
+        array_min(transform(col("d"), x => x.getField("doc_id"))))
+      .select(explode_outer(filter(col("d"),
+        x => x.getField("doc_id") =!= col("own"))).as("h"))
+      .where(col("h").isNotNull)
+      .select(col("h.doc_id").as("doc_id"), col("h.pos").as("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + (k - 1))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val ivs = cutHits
+      .withColumn("flag",
+        when(col("pos") > coalesce(prevEnd, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("island", sum(col("flag")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (k - 1)).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("ivs"))
+    docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+      .join(ivs, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_before"),
+        when(col("ivs").isNull, col("w")).otherwise(
+          filter(col("w"), (_, i) => !exists(col("ivs"),
+            iv => (i + 1) >= iv.getField("s") &&
+              (i + 1) <= iv.getField("e")))).as("kept"))
+      .select(col("doc_id"), col("n_before"),
+        size(col("kept")).cast("long").as("n_after"),
+        md5(array_join(col("kept"), " ")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   def spanDupCoverage(docs: DataFrame, k: Int, minDocs: Int = 2,
                       maxOcc: Int = 10000): DataFrame = {
     val sp = spanRows(docs, k)

@@ -69,6 +69,32 @@ class SpanDedupSpec extends SparkSpec {
     assert(SpanDedup.spanDupCoverage(docs, k = 3, maxOcc = 3).count() === 3L)
   }
 
+  test("cutDuplicatedSpans keeps the owner, cuts everyone else") {
+    val docs = corpus(1L -> "a b c d e f", 2L -> "x y a b c d q",
+      3L -> "p q r s t u", 4L -> "a b c d e f")
+    val out = SpanDedup.cutDuplicatedSpans(docs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    def h(s: String) =
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    // doc 1 owns every shared span (min doc_id): untouched.
+    // doc 2 loses "a b c d" (pos 3..6): "x y q" remains.
+    // doc 3 shares nothing: untouched. doc 4 loses EVERYTHING.
+    assert(out.toSeq === Seq(
+      (1L, 6L, 6L, h("a b c d e f")),
+      (2L, 7L, 3L, h("x y q")),
+      (3L, 6L, 6L, h("p q r s t u")),
+      (4L, 6L, 0L, h(""))))
+  }
+
+  test("cut islands merge across overlapping spans of different owners") {
+    // doc 3 shares "a b c" with doc 1 and "b c z" with doc 2; its hits at
+    // pos 1 and 2 overlap -> ONE island [1, 4], leaving only "t"
+    val docs = corpus(1L -> "a b c m", 2L -> "b c z w", 3L -> "a b c z t")
+    val out = SpanDedup.cutDuplicatedSpans(docs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out === Map(1L -> 4L, 2L -> 4L, 3L -> 1L))
+  }
+
   test("plan: one corpus scan, no nested loop, one doc_id exchange") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     for ((name, df) <- Seq(
