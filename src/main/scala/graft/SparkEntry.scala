@@ -167,6 +167,29 @@ object SparkEntry {
         .orderBy(col("n_name"))
     }),
 
+    // Graph centrality as a curation signal: PageRank over the
+    // symmetrized customer↔supplier trade graph (5 fixed iterations,
+    // integer micro-units — bit-exact vs the oracle's unrolled CTEs).
+    // All rounds compose into ONE job; ReuseExchange collapses the
+    // per-round edge/degree subtrees (ext/PageRank scaladoc).
+    "supplier_pagerank" -> ((s, dir) => {
+      val e0 = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      // no distinct after the union: forward edges are (even→odd) and
+      // swapped ones (odd→even) — disjoint by the key encoding, and each
+      // side is already distinct, so a second dedup is a wasted shuffle
+      val edges = e0.union(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ext.PageRank.pageRank(edges, iterations = 5)
+        .where(col("node") % 2 === 1)
+        .select(expr("(node - 1) div 2").as("s_suppkey"), col("rank_micro"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // Stats-driven star-join ORDERING in a live query: the part dim is
     // filtered selective (p_size = 1 keeps ~2% of parts) while supplier
     // keeps every fact row, so the greedy planner joins part first and
@@ -1768,6 +1791,30 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          WHERE l_quantity > 10
          GROUP BY n_name ORDER BY n_name""",
+
+    "supplier_pagerank" -> {
+      // 5 unrolled iterations (no recursive aggregation needed): each
+      // r{i} applies the same integer update to r{i-1}.
+      val iters = (1 to 5).map { i =>
+        s"""r$i AS (SELECT n.node,
+           CAST(150000 + (85 * coalesce(s.sm, 0)) // 100 AS BIGINT) AS r
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst AS node, sum(p.r // d.od) AS sm
+             FROM r${i - 1} p JOIN edges e ON p.node = e.src
+             JOIN deg d ON d.src = p.node
+             GROUP BY e.dst) s USING (node))"""
+      }.mkString(",\n           ")
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+             l_suppkey * 2 + 1 AS dst
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         deg AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+         nodes AS (SELECT DISTINCT src AS node FROM edges),
+         r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         $iters
+         SELECT (node - 1) // 2 AS s_suppkey, r AS rank_micro
+         FROM r5 WHERE node % 2 = 1 ORDER BY s_suppkey"""
+    },
 
     "multi_join_revenue" ->
       """SELECT s_nationkey,

@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank over an edge list — graph centrality as a
+  * corpus-curation signal (link/interaction authority is a standard
+  * quality weight for web-scale training data, the same role the
+  * original used for search ranking). Second member of the iterative-
+  * dataflow family next to [[Components.connectedComponents]], sharing
+  * its execution posture: the degree-annotated edge working set is
+  * persisted ONCE and re-read every round (re-deriving it per round
+  * re-expands the whole upstream join into every iteration's plan —
+  * measured 5× on the trade graph), each round's ranks are
+  * checkpoint-materialized to truncate lineage, and the loop is one
+  * bounded job per round. Unlike Components there is no convergence
+  * action: the iteration count is FIXED, which is what lets the final
+  * unpersist happen inside the call.
+  *
+  * All arithmetic is INTEGER (ranks in `unit` micro-units, damping as a
+  * percentage, every division a truncating `div`), so the result is
+  * bit-identical across engines and the oracle can replay the exact
+  * iterations as unrolled SQL CTEs — the same trick that makes the
+  * incremental-KPI and sampling families hash-checkable.
+  *
+  * Contract: nodes are the endpoints of `edges`; a node with no OUT
+  * edges sheds its rank mass (standard dangling behavior) — pass a
+  * symmetrized edge list (every edge both ways) for random-walk
+  * centrality with no dangling nodes, which is what the registered
+  * query does.
+  */
+object PageRank {
+
+  /** Returns (node, rank_micro) after exactly `iterations` rounds of
+    * r'(v) = (100-d)%·unit + d%·Σ_{u→v} (r(u) div outdeg(u)),
+    * starting from r = unit everywhere. `edges` needs integral columns
+    * (src, dst); duplicate edges count as parallel edges (dedupe first
+    * for an unweighted graph). */
+  def pageRank(edges: DataFrame, iterations: Int, dampingPct: Int = 85,
+               unit: Long = 1000000L): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0: $iterations")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0, 100]: $dampingPct")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val withDeg = e.join(deg, Seq("src")).persist()
+    val nodes = withDeg.select(col("src").as("node"))
+      .union(withDeg.select(col("dst").as("node"))).distinct().persist()
+    val base = unit * (100 - dampingPct) / 100
+    var ranks = nodes.withColumn("rank_micro", lit(unit))
+    if (iterations == 0) return ranks // working sets stay for the caller
+    for (_ <- 1 to iterations) {
+      val sums = ranks
+        .join(withDeg, col("node") === col("src"))
+        .select(col("dst"), expr("rank_micro div outdeg").as("share"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("s"))
+      ranks = nodes
+        .join(sums, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"($dampingPct * coalesce(s, 0L)) div 100"))
+            .as("rank_micro"))
+        // eager: materializes this round (one bounded job) and cuts the
+        // lineage so round N's plan does not nest rounds 1..N-1
+        .localCheckpoint(eager = true)
+    }
+    // final ranks are materialized blocks — the working sets can go
+    withDeg.unpersist()
+    nodes.unpersist()
+    ranks
+  }
+}
