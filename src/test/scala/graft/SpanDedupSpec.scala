@@ -95,6 +95,59 @@ class SpanDedupSpec extends SparkSpec {
     assert(out === Map(1L -> 4L, 2L -> 4L, 3L -> 1L))
   }
 
+  test("PROPERTY: island algebra == brute-force position-set union") {
+    // Random corpora over a 3-token vocab force dense span collisions.
+    // The reference computation is deliberately different machinery:
+    // explicit per-position sets instead of windows and intervals.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    val k = 3
+    val corpusGen: Gen[List[(Long, String)]] = Gen.listOfN(6,
+      Gen.choose(0, 10).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString(" "))))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    def brute(rows: List[(Long, String)]) = {
+      val toks = rows.map { case (d, t) =>
+        d -> t.split(" ").filter(_.nonEmpty).toSeq }.toMap
+      val occ = (for {
+        (d, w) <- toks.toSeq; i <- 1 to w.length - k + 1
+      } yield (w.slice(i - 1, i - 1 + k).mkString(" "), d, i))
+      val byspan = occ.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2)
+      val cover = byspan.values.flatten.toSeq
+        .flatMap { case (_, d, p) => (p until p + k).map(d -> _) }.distinct
+        .groupBy(_._1).map { case (d, ps) => d -> ps.size.toLong }
+      val cut = byspan.values.toSeq.flatMap { v =>
+        val own = v.map(_._2).min
+        v.filter(_._2 != own)
+      }.flatMap { case (_, d, p) => (p until p + k).map(d -> _) }.distinct
+        .groupBy(_._1).map { case (d, ps) => d -> ps.size.toLong }
+      val clean = toks.map { case (d, w) =>
+        val cutPos = byspan.values.toSeq.flatMap { v =>
+          val own = v.map(_._2).min
+          v.filter(_._2 != own)
+        }.filter(_._2 == d).flatMap { case (_, _, p) => p until p + k }.toSet
+        d -> w.zipWithIndex.collect {
+          case (t, i) if !cutPos(i + 1) => t }.mkString(" ")
+      }
+      (cover, cut, clean)
+    }
+    val prop = Prop.forAll(corpusGen) { rows =>
+      val docs = corpus(rows: _*)
+      val (cover, _, clean) = brute(rows)
+      val gotCover = SpanDedup.spanDupCoverage(docs, k).collect()
+        .map(r => r.getLong(0) -> r.getLong(4)).toMap
+      val gotClean = SpanDedup.cutDuplicatedSpans(docs, k).collect()
+        .map(r => r.getLong(0) -> r.getString(3)).toMap
+      val cleanMd5 = clean.map { case (d, s) =>
+        d -> org.apache.commons.codec.digest.DigestUtils.md5Hex(s) }
+      (gotCover == cover) :| s"coverage $gotCover != brute $cover" &&
+        (gotClean == cleanMd5) :| s"cut $gotClean != brute $cleanMd5"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("plan: one corpus scan, no nested loop, one doc_id exchange") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     for ((name, df) <- Seq(
