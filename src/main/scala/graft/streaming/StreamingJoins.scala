@@ -30,4 +30,25 @@ object StreamingJoins {
         keyEq
           && col(rightTs) >= col(leftTs) - expr(s"INTERVAL $maxDelay")
           && col(rightTs) <= col(leftTs))
+
+  /** Left-outer interval join — the "no match" rows matter: purchases
+    * with NO preceding click are exactly the organic-conversion signal
+    * an attribution pipeline reports on. The semantics are the subtle
+    * part: an unmatched left row cannot be emitted when it ARRIVES
+    * (its match may still be in flight); it is emitted null-padded only
+    * once the watermark passes the end of its interval and Spark can
+    * PROVE no match will come. Downstream consumers therefore see
+    * matches promptly but no-match rows one watermark horizon late —
+    * that is the price of exactly-once no-match semantics on unbounded
+    * input, not a bug (StreamingSpec pins the emission timing). */
+  def intervalJoinLeftOuter(left: DataFrame, leftTs: String,
+                            right: DataFrame, rightTs: String,
+                            keyEq: Column, maxDelay: String,
+                            watermark: String = "1 hour"): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        keyEq
+          && col(rightTs) >= col(leftTs) - expr(s"INTERVAL $maxDelay")
+          && col(rightTs) <= col(leftTs),
+        "leftOuter")
 }

@@ -158,4 +158,48 @@ class StreamingJoinSpec extends SparkSpec {
     assert(rows(0).getTimestamp(1) === ts("2024-01-01 10:00:00"))
     assert(rows(1).getTimestamp(1) === ts("2024-01-01 10:02:00"))
   }
+
+  test("left-outer interval join: no-match rows emit only after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamingJoins.intervalJoinLeftOuter(
+      purchases.toDF().toDF("p_user", "purch_ts"), "purch_ts",
+      clicks.toDF().toDF("c_user", "click_ts"), "click_ts",
+      col("p_user") === col("c_user"), maxDelay = "10 minutes",
+      watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attr_outer")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-ojoin").toString)
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    clicks.addData((1L, ts("2024-01-01 10:00:00")))
+    purchases.addData(
+      (1L, ts("2024-01-01 10:05:00")),  // matched -> emits promptly
+      (3L, ts("2024-01-01 10:06:00")))  // organic: no click ever
+    q.processAllAvailable()
+    val prompt = spark.sql("SELECT p_user FROM attr_outer").collect()
+      .map(_.getLong(0)).toSeq
+    // the match is out; the no-match row MUST NOT be out yet — its
+    // click could still arrive within the interval
+    assert(prompt === Seq(1L))
+    // advance event time far past u3's interval end on BOTH inputs —
+    // the global watermark is the MIN across streams, so a stalled
+    // purchases side would hold every no-match row forever; the extra
+    // cycle lets the new watermark take effect on the next batch
+    clicks.addData((9L, ts("2024-01-01 11:00:00")))
+    purchases.addData((8L, ts("2024-01-01 11:00:00")))
+    q.processAllAvailable()
+    clicks.addData((9L, ts("2024-01-01 11:30:00")))
+    purchases.addData((8L, ts("2024-01-01 11:30:00")))
+    q.processAllAvailable()
+    val all = spark.sql(
+      "SELECT p_user, click_ts FROM attr_outer ORDER BY p_user").collect()
+    q.stop()
+    // u3 and the first u8 purchase (11:00 < the 11:20 watermark) have
+    // provably no match -> null-padded; the 11:30 u8 row stays buffered
+    assert(all.map(_.getLong(0)).toSeq === Seq(1L, 3L, 8L))
+    assert(all(1).isNullAt(1) && all(2).isNullAt(1),
+      "organic purchases must be null-padded")
+  }
 }
