@@ -60,13 +60,15 @@ object PageRank {
         .select(col("node"),
           (lit(base) + expr(s"($dampingPct * coalesce(s, 0L)) div 100"))
             .as("rank_micro"))
-        // eager: materializes this round (one bounded job) and cuts the
-        // lineage so round N's plan does not nest rounds 1..N-1
-        .localCheckpoint(eager = true)
     }
-    // final ranks are materialized blocks — the working sets can go
-    withDeg.unpersist()
-    nodes.unpersist()
+    // No per-round checkpoint: with the edge/node working sets cached,
+    // round N's lineage is N LINEAR join/agg layers over
+    // InMemoryRelations — one job with 2N shuffle stages, no
+    // re-expansion (measured faster than eager per-round
+    // materialization, which pays a job launch per round). Convergence-
+    // driven loops (Components) still need the checkpoint cadence; a
+    // fixed count this small does not. Working sets stay cached for the
+    // evaluation; caller-visible blocks are evicted LRU.
     ranks
   }
 }
