@@ -1109,6 +1109,24 @@ object SparkEntry {
         groupCols = Seq("lang"))
     }),
 
+    // Span-granular contamination vs the PERSISTED span index (third
+    // index family in ext/DedupIndex): each batch doc's k-gram spans
+    // probed against the corpus's distinct span-hash set — the exact
+    // n-gram decontamination index production evals keep; corpus text
+    // is scanned once ever (index build), never per batch.
+    "span_contamination_indexed" -> ((s, dir) => {
+      val split = graft.ext.Sampling.deterministicSplit(
+        t(s, dir, "documents"), col("doc_id"),
+        Seq("corpus" -> 80, "batch" -> 20))
+      val root = "/tmp/graft_dedup_index/" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "/span"
+      val index = graft.ext.DedupIndex.readOrBuild(s, root,
+        graft.ext.DedupIndex.spanIndex(
+          split.where(col("split") === "corpus"), k = 5))
+      graft.ext.DedupIndex.spanContamination(index,
+        split.where(col("split") === "batch"), k = 5)
+    }),
+
     // Ordered conversion funnel: users clearing view -> click -> purchase
     // strictly in order (operators/Funnel; one shuffle + one sort, k
     // chained window-mins, no per-user history buffer).
@@ -2976,6 +2994,37 @@ object SparkEntry {
              '[a-z0-9]+')) / 10.0) * 10 AS BIGINT) AS bucket_lo,
            count(*) AS n_docs
            FROM documents GROUP BY 1 ORDER BY 1""",
+
+      "span_contamination_indexed" -> {
+        // same 80/20 hashBucket split; the oracle joins span TEXT where
+        // Spark joins md5(span) — identical verdicts, md5 is injective
+        // on these keys
+        val hex32 = foldSum(
+          "list_transform(generate_series(1, 8), i -> " +
+            "CAST(CASE WHEN ascii(substr(mh, i, 1)) <= 57 " +
+            "THEN ascii(substr(mh, i, 1)) - 48 " +
+            "ELSE ascii(substr(mh, i, 1)) - 87 END AS BIGINT) " +
+            "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+          "CAST(0 AS BIGINT)")
+        s"""WITH m AS (SELECT doc_id, text,
+               md5(CAST(doc_id AS VARCHAR)) AS mh FROM documents),
+           d AS (SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
+               $hex32 % 100 AS bucket FROM m),
+           csp AS (SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS span
+                   FROM d, LATERAL unnest(generate_series(1, len(w)-4)) t(i)
+                   WHERE bucket < 80),
+           bsp AS (SELECT doc_id, array_to_string(w[i:i+4], ' ') AS span
+                   FROM d, LATERAL unnest(generate_series(1, len(w)-4)) t(i)
+                   WHERE bucket >= 80)
+           SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(CASE WHEN c.span IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_seen,
+             round(CAST(sum(CASE WHEN c.span IS NULL THEN 0 ELSE 1 END)
+                 AS DOUBLE) / count(*), 6) AS seen_ratio
+           FROM bsp b LEFT JOIN csp c USING (span)
+           GROUP BY b.doc_id ORDER BY b.doc_id"""
+      },
 
       "incremental_new_docs" -> {
         // hashBucket mirror (see doc_splits): 80/20 corpus/batch split,

@@ -108,4 +108,51 @@ object DedupIndex {
                     k: Int, bands: Int): Long =
     VersionedTable.commit(Dedup.minhashBands(survivors, k, bands),
       root, append = true)
+
+  /** Span-level (substring) index — third index family, for the
+    * [[SpanDedup]] granularity: the corpus's DISTINCT k-gram hashes
+    * (column `sh`, md5). This is the exact form of the n-gram
+    * decontamination index production pipelines keep for eval-set
+    * leakage checks; it is corpus-token-sized (the honest cost of exact
+    * substring matching — a Bloom filter over the same keys is the
+    * lossy shrink, at the price of false "seen" verdicts, and would
+    * slot in here unchanged). Hashes, not span text: the index never
+    * stores corpus content, only 32-hex-char keys. */
+  def spanIndex(corpus: DataFrame, k: Int): DataFrame =
+    SpanDedup.spanRows(corpus, k).select(md5(col("span")).as("sh"))
+      .distinct()
+
+  /** Per-batch-doc span contamination against the PERSISTED index: how
+    * many of each doc's k-gram spans already exist anywhere in the
+    * corpus. The batch side is batch-sized, the index side is a
+    * hash-key semi-join probe — corpus text is never rescanned
+    * (IncrementalIndexSpec pins the plan). The seen_ratio is the
+    * span-granular analog of [[Dedup.contaminationPairs]]' shingle
+    * overlap, usable directly as an eval-decontamination gate. */
+  def spanContamination(index: DataFrame, batch: DataFrame,
+                        k: Int): DataFrame = {
+    val seen = index.select(col("sh")).distinct()
+      .withColumn("__seen", lit(1))
+    SpanDedup.spanRows(batch, k)
+      .withColumn("sh", md5(col("span")))
+      .join(seen, Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__seen").isNotNull, 1L).otherwise(0L)).as("n_seen"))
+      .withColumn("seen_ratio", round(col("n_seen").cast("double")
+        / col("n_spans").cast("double"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Append a batch's not-yet-indexed span hashes as the next version;
+    * re-ingesting the same batch appends nothing (the index absorbs
+    * each batch exactly once). Returns the committed version. */
+  def ingestSpans(root: String, batch: DataFrame, k: Int): Long = {
+    val spark = batch.sparkSession
+    val index = VersionedTable.read(spark, root)
+    val fresh = SpanDedup.spanRows(batch, k)
+      .select(md5(col("span")).as("sh")).distinct()
+      .join(index.select(col("sh")), Seq("sh"), "left_anti")
+    VersionedTable.commit(fresh, root, append = true)
+  }
 }

@@ -134,4 +134,39 @@ class IncrementalIndexSpec extends SparkSpec {
       index, probe, k, bands, minBands = 1, maxBucket = 100)
     assert(uncapped.count() === 4)
   }
+
+  test("span index: contamination vs index == recompute; corpus text unread") {
+    val corpusDir = tmp("graft_span_corpus")
+    corpusDf.write.mode("overwrite").parquet(corpusDir)
+    val root = tmp("graft_spanidx") + "/span"
+    DedupIndex.readOrBuild(spark, root,
+      DedupIndex.spanIndex(spark.read.parquet(corpusDir), k = 3))
+    val report = DedupIndex.spanContamination(
+      VersionedTable.read(spark, root), batchDf, k = 3)
+    val got = report.select("doc_id", "n_spans", "n_seen")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // docs 10/12 are exact dups of corpus docs: every span seen;
+    // 11 and 13 share no 3-gram with the corpus: nothing seen
+    assert(got === Seq((10L, 7L, 7L), (11L, 5L, 0L), (12L, 7L, 7L),
+      (13L, 2L, 0L)))
+    assert(!report.queryExecution.executedPlan.toString.contains(corpusDir),
+      "corpus text rescanned by the span report")
+  }
+
+  test("span index ingest is idempotent: re-ingest appends nothing") {
+    val root = tmp("graft_spanidx2") + "/span"
+    DedupIndex.readOrBuild(spark, root,
+      DedupIndex.spanIndex(corpusDf, k = 3))
+    val before = VersionedTable.read(spark, root).count()
+    DedupIndex.ingestSpans(root, batchDf, k = 3)
+    val afterFirst = VersionedTable.read(spark, root).count()
+    // only the genuinely new docs' spans land (11: 5 spans, 13: 2)
+    assert(afterFirst === before + 7)
+    DedupIndex.ingestSpans(root, batchDf, k = 3)
+    assert(VersionedTable.read(spark, root).count() === afterFirst)
+    // and the absorbed batch now reads as fully seen
+    val post = DedupIndex.spanContamination(
+      VersionedTable.read(spark, root), batchDf, k = 3)
+    assert(post.where(col("n_seen") =!= col("n_spans")).count() === 0L)
+  }
 }
