@@ -123,6 +123,10 @@ object EstimatedJoin {
     *    attribute-independence assumption; correlated keys degrade the
     *    ordering, never the result (every strategy is semantics-
     *    preserving, inner-join commutativity is what reordering uses).
+    *    One stats risk is inherited from every CBO: an UNDERestimated
+    *    intermediate can get broadcast (`broadcast_left`); the fanout
+    *    cap bounds the sketch's own error but not correlation error —
+    *    size `broadcastMaxRows` with that in mind.
     *
     * Inner joins only: reordering outer joins changes results. Dim
     * column names must be distinct from fact columns (same contract as

@@ -74,7 +74,9 @@ object TrainingShards {
     * The weight expression is evaluated in both the offsets pass and the
     * assignment pass (two pruned scans); at corpus scale that is cheaper
     * than caching or re-joining the corpus, and the optimizer prunes both
-    * scans to (key, weight-input) columns. */
+    * scans to (key, weight-input) columns. Weights are assumed
+    * non-negative (token/byte counts); a negative weight makes the
+    * prefix sum non-monotonic and the shard cut meaningless. */
   def tokenBalancedAssign(df: DataFrame, key: Column, weight: Column,
                           nShards: Int, hexChars: Int = 3): DataFrame = {
     require(nShards > 0, s"need positive shard count: $nShards")
