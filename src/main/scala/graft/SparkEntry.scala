@@ -1127,6 +1127,22 @@ object SparkEntry {
         split.where(col("split") === "batch"), k = 5)
     }),
 
+    // The production substring-dedup shape: the batch CUT against the
+    // persisted span index (corpus never rescanned, corpus owns all its
+    // spans). Same byte-exact md5 witness as span_cut_docs.
+    "span_cut_indexed" -> ((s, dir) => {
+      val split = graft.ext.Sampling.deterministicSplit(
+        t(s, dir, "documents"), col("doc_id"),
+        Seq("corpus" -> 80, "batch" -> 20))
+      val root = "/tmp/graft_dedup_index/" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "/span"
+      val index = graft.ext.DedupIndex.readOrBuild(s, root,
+        graft.ext.DedupIndex.spanIndex(
+          split.where(col("split") === "corpus"), k = 5))
+      graft.ext.DedupIndex.cutSeenSpans(index,
+        split.where(col("split") === "batch"), k = 5)
+    }),
+
     // Ordered conversion funnel: users clearing view -> click -> purchase
     // strictly in order (operators/Funnel; one shuffle + one sort, k
     // chained window-mins, no per-user history buffer).
@@ -3024,6 +3040,56 @@ object SparkEntry {
                  AS DOUBLE) / count(*), 6) AS seen_ratio
            FROM bsp b LEFT JOIN csp c USING (span)
            GROUP BY b.doc_id ORDER BY b.doc_id"""
+      },
+
+      "span_cut_indexed" -> {
+        // corpus spans own everything; batch hits -> islands -> rebuild
+        // (same algebra as span_cut_docs, corpus side from the split)
+        val hex32 = foldSum(
+          "list_transform(generate_series(1, 8), i -> " +
+            "CAST(CASE WHEN ascii(substr(mh, i, 1)) <= 57 " +
+            "THEN ascii(substr(mh, i, 1)) - 48 " +
+            "ELSE ascii(substr(mh, i, 1)) - 87 END AS BIGINT) " +
+            "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+          "CAST(0 AS BIGINT)")
+        s"""WITH m AS (SELECT doc_id, text,
+               md5(CAST(doc_id AS VARCHAR)) AS mh FROM documents),
+           d AS (SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
+               $hex32 % 100 AS bucket FROM m),
+           csp AS (SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS span
+                   FROM d, LATERAL unnest(generate_series(1, len(w)-4)) t(i)
+                   WHERE bucket < 80),
+           bsp AS (SELECT doc_id, i AS pos,
+                     array_to_string(w[i:i+4], ' ') AS span
+                   FROM d, LATERAL unnest(generate_series(1, len(w)-4)) t(i)
+                   WHERE bucket >= 80),
+           cuts AS (SELECT b.doc_id, b.pos FROM bsp b
+                    JOIN csp c USING (span)),
+           isl AS (SELECT doc_id, pos,
+                     CASE WHEN pos > coalesce(max(pos + 4) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                     THEN 1 ELSE 0 END AS flag
+                   FROM cuts),
+           isl2 AS (SELECT doc_id, pos, sum(flag) OVER (
+                      PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+           ivs AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 4 AS e
+                   FROM isl2 GROUP BY doc_id, island),
+           btoks AS (SELECT b.doc_id, i, w[i] AS tk
+                     FROM d b, LATERAL unnest(generate_series(1, len(w))) u(i)
+                     WHERE bucket >= 80),
+           kept AS (SELECT k.doc_id, k.i, k.tk FROM btoks k
+                    WHERE NOT EXISTS (SELECT 1 FROM ivs v
+                      WHERE v.doc_id = k.doc_id AND k.i BETWEEN v.s AND v.e))
+           SELECT b.doc_id, CAST(len(b.w) AS BIGINT) AS n_before,
+             CAST(coalesce(g.n_after, 0) AS BIGINT) AS n_after,
+             md5(coalesce(g.clean, '')) AS clean_md5
+           FROM d b LEFT JOIN (
+             SELECT doc_id, count(*) AS n_after,
+                    string_agg(tk, ' ' ORDER BY i) AS clean
+             FROM kept GROUP BY doc_id) g USING (doc_id)
+           WHERE b.bucket >= 80 ORDER BY b.doc_id"""
       },
 
       "incremental_new_docs" -> {

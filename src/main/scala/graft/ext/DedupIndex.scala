@@ -155,4 +155,49 @@ object DedupIndex {
       .join(index.select(col("sh")), Seq("sh"), "left_anti")
     VersionedTable.commit(fresh, root, append = true)
   }
+
+  /** The production shape of substring dedup at 100 TB: cut an incoming
+    * batch against the PERSISTED span index — every batch token run
+    * already present anywhere in the corpus is removed, the corpus is
+    * never rescanned, and ownership needs no arbitration (the corpus,
+    * being first, owns everything it contains). This is
+    * [[SpanDedup.cutDuplicatedSpans]] with "seen in index" replacing
+    * "non-owner occurrence": batch spans hash-probe the index, hits
+    * merge into gaps-and-islands intervals per doc, and the rebuild is
+    * the same indexed-filter token drop. Output mirrors
+    * `cutDuplicatedSpans`: (doc_id, n_before, n_after, clean_md5) for
+    * every batch doc. Run [[ingestSpans]] AFTER cutting so the next
+    * batch also dedups against what this one contributed. */
+  def cutSeenSpans(index: DataFrame, batch: DataFrame,
+                   k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seen = index.select(col("sh")).distinct()
+    val hits = SpanDedup.spanRows(batch, k)
+      .withColumn("sh", md5(col("span")))
+      .join(seen, Seq("sh"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + (k - 1))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val ivs = hits
+      .withColumn("flag",
+        when(col("pos") > coalesce(prevEnd, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("island", sum(col("flag")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (k - 1)).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("ivs"))
+    batch
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+      .join(ivs, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_before"),
+        when(col("ivs").isNull, col("w")).otherwise(
+          filter(col("w"), (_, i) => !exists(col("ivs"),
+            iv => (i + 1) >= iv.getField("s") &&
+              (i + 1) <= iv.getField("e")))).as("kept"))
+      .select(col("doc_id"), col("n_before"),
+        size(col("kept")).cast("long").as("n_after"),
+        md5(array_join(col("kept"), " ")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
 }

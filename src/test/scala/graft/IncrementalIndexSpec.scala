@@ -153,6 +153,25 @@ class IncrementalIndexSpec extends SparkSpec {
       "corpus text rescanned by the span report")
   }
 
+  test("cutSeenSpans: batch cut against the index, corpus owns its text") {
+    val root = tmp("graft_spanidx3") + "/span"
+    DedupIndex.readOrBuild(spark, root,
+      DedupIndex.spanIndex(corpusDf, k = 3))
+    val cut = DedupIndex.cutSeenSpans(
+      VersionedTable.read(spark, root), batchDf, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    def h(s: String) =
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    // exact dups of corpus docs (10, 12) are cut to nothing; genuinely
+    // new docs (11, 13) pass through byte-identical
+    assert(cut === Seq(
+      (10L, 9L, 0L, h("")),
+      (11L, 7L, 7L, h("a genuinely new english document about spark")),
+      (12L, 9L, 0L, h("")),
+      (13L, 4L, 4L, h("ein neues deutsches dokument"))))
+  }
+
   test("span index ingest is idempotent: re-ingest appends nothing") {
     val root = tmp("graft_spanidx2") + "/span"
     DedupIndex.readOrBuild(spark, root,
