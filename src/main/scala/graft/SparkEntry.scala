@@ -1338,6 +1338,23 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Adaptive twin of salted_join_segments (operators/AdaptiveJoin):
+    // on this UNIFORM key distribution with a broadcastable dimension,
+    // the four-way rule must land on the broadcast arm — the measured
+    // counter-witness that the planner does NOT salt when a cheaper
+    // strategy exists (salting's dim replication is pure cost here).
+    // Same oracle as the salted twin: strategy never changes the answer.
+    "adaptive_join_segments" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.operators.AdaptiveJoin.adaptiveJoin(t(s, dir, "events"), cust,
+          "user_id")._1
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Categorical drift report (ext/Drift): language mix of the
     // deterministic corpus split vs the batch split, with per-category
     // smoothed KL terms — the crawl-to-crawl dataset-shift alarm.
@@ -1755,6 +1772,21 @@ object SparkEntry {
     "skew_join_salted" -> ((s, dir) =>
       graft.operators.Skew.saltedJoin(skewedEvents(s, dir),
           custDim(s, dir).hint("SHUFFLE_MERGE"), "skey", salts = 16)
+        .groupBy(col("skey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value_cents")).as("value_cents"))
+        .orderBy(col("skey"))),
+
+    // The PLANNED twin (operators/AdaptiveJoin): nobody told this query
+    // the key is hot — one stats pass measures the heavy hitters, the
+    // four-way rule picks the salted arm and sizes the salts from the
+    // measured ~30% share (ceil(share × shuffle.partitions)).
+    // broadcastMaxRows=0 models the dimension that outgrew the broadcast
+    // threshold, same posture as the twins' SHUFFLE_MERGE hint. Same
+    // oracle as skew_join_plain — planning can only change speed.
+    "skew_join_adaptive" -> ((s, dir) =>
+      graft.operators.AdaptiveJoin.adaptiveJoin(skewedEvents(s, dir),
+          custDim(s, dir), "skey", broadcastMaxRows = 0L)._1
         .groupBy(col("skey"), col("c_mktsegment"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value_cents")).as("value_cents"))
@@ -3244,6 +3276,13 @@ object SparkEntry {
            FROM events e JOIN customer c ON e.user_id = c.c_custkey
            GROUP BY 1 ORDER BY 1""",
 
+      "adaptive_join_segments" ->
+        // strategy choice is internal plumbing: same plain-join oracle
+        """SELECT c_mktsegment, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+           FROM events e JOIN customer c ON e.user_id = c.c_custkey
+           GROUP BY 1 ORDER BY 1""",
+
       "scd2_pit_join" ->
         // same SCD2 construction as scd2_customer_dim, then each order
         // left-joins the version whose [eff_from, eff_to) covers its date
@@ -3575,7 +3614,8 @@ object SparkEntry {
       "skew_agg_plain" -> skewAggOracle,
       "skew_agg_salted" -> skewAggOracle,
       "skew_join_plain" -> skewJoinOracle,
-      "skew_join_salted" -> skewJoinOracle
+      "skew_join_salted" -> skewJoinOracle,
+      "skew_join_adaptive" -> skewJoinOracle
     )
   }
 

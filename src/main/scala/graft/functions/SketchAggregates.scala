@@ -150,4 +150,27 @@ object SketchAggregates {
   def freqItems(c: Column, capacity: Int): Column =
     Bridge.column(
       FrequentItemsSketch(Bridge.expression(c), capacity).toAggregateExpression())
+
+  /** Merge two already-evaluated Misra-Gries summaries — the same
+    * Agarwal-et-al. rule as [[FrequentItemsSketch.merge]], exposed for
+    * DRIVER-side summary maintenance (the stats sidecar merges a stored
+    * summary with a delta batch's summary on append; error bounds add:
+    * capacity c over N₁+N₂ total rows still under-counts by ≤ (N₁+N₂)/c).
+    * Result sorted by estimate desc then item asc, ≤ capacity entries. */
+  def mgMerge(a: Seq[(String, Long)], b: Seq[(String, Long)],
+              capacity: Int): Seq[(String, Long)] = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    val m = mutable.HashMap.empty[String, Long]
+    (a.iterator ++ b.iterator).foreach { case (k, c) =>
+      m.update(k, m.getOrElse(k, 0L) + c)
+    }
+    if (m.size > capacity) {
+      val counts = m.values.toArray
+      java.util.Arrays.sort(counts)
+      val cut = counts(counts.length - capacity - 1)
+      m.filterInPlace((_, c) => c - cut > 0)
+      m.mapValuesInPlace((_, c) => c - cut)
+    }
+    m.toSeq.sortBy { case (item, est) => (-est, item) }
+  }
 }

@@ -1,11 +1,11 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.JoinSizeSketch
-import graft.operators.EstimatedJoin
+import graft.functions.{JoinSizeSketch, SketchAggregates}
+import graft.operators.{AdaptiveJoin, EstimatedJoin}
 
 /** Table statistics MAINTAINED AT WRITE TIME — the missing half of
   * sketch-driven join planning: [[graft.operators.EstimatedJoin]] can
@@ -42,13 +42,25 @@ object VersionedStats {
     * the batch, never the table. Returns the version. */
   def commitWithStats(df: DataFrame, root: String, keyCols: Seq[String],
                       counters: Int = 256,
-                      append: Boolean = false): Long = {
+                      append: Boolean = false,
+                      hhCols: Seq[String] = Nil,
+                      hhCapacity: Int = 64): Long = {
     require(keyCols.nonEmpty, "declare at least one join-key column")
+    require(hhCols.forall(keyCols.contains),
+      "heavy-hitter columns must be declared join-key columns")
     val spark = df.sparkSession
+    // delta-merge needs EVERY maintained stat mergeable from the stored
+    // sidecar: same-width sketches for all keys AND (when heavy hitters
+    // are maintained) a same-capacity summary for each hh column.
     val prior =
       if (append) statsFor(spark, root).filter { case (_, sk) =>
-        keyCols.forall(k => sk.get(k).exists(_.length == counters))
+        keyCols.forall(k => sk.get(k).exists(_.length == counters)) &&
+          (hhCols.isEmpty || heavyHittersFor(spark, root).exists(h =>
+            hhCols.forall(k => h.get(k).exists(_._1 == hhCapacity))))
       } else None
+    val priorHh =
+      if (prior.isDefined && hhCols.nonEmpty) heavyHittersFor(spark, root)
+      else None
     val v = VersionedTable.commit(df, root, append)
     // delta-only pass when prior stats merge; else the committed
     // snapshot (which IS the delta for a non-append commit)
@@ -56,10 +68,16 @@ object VersionedStats {
       if (prior.isDefined) df
       else VersionedTable.read(spark, root, Some(v))
     val aggs = keyCols.map(k =>
-      JoinSizeSketch.agmsSketch(col(k), counters).as(s"__sk_$k")) :+
+      JoinSizeSketch.agmsSketch(col(k), counters).as(s"__sk_$k")) ++
+      hhCols.map(k => SketchAggregates.freqItems(col(k).cast("string"),
+        hhCapacity).as(s"__hh_$k")) :+
       count(lit(1)).as("__rows")
     val row = scanned.agg(aggs.head, aggs.tail: _*).head()
-    val deltaRows = row.getLong(keyCols.length)
+    val deltaRows = row.getLong(keyCols.length + hhCols.length)
+    val deltaHh = hhCols.zipWithIndex.map { case (k, i) =>
+      k -> row.getSeq[Row](keyCols.length + i)
+        .map(x => (x.getString(0), x.getLong(1)))
+    }.toMap
     val (rows, sketchOf) = prior match {
       case Some((priorRows, priorSk)) =>
         (priorRows + deltaRows, (k: String, i: Int) =>
@@ -67,16 +85,69 @@ object VersionedStats {
       case None =>
         (deltaRows, (_: String, i: Int) => row.getSeq[Long](i))
     }
+    val hhOf = (k: String) => priorHh.flatMap(_.get(k)) match {
+      case Some((_, stored)) =>
+        SketchAggregates.mgMerge(stored, deltaHh(k), hhCapacity)
+      case None => deltaHh(k)
+    }
     val sketches = keyCols.zipWithIndex.map { case (k, i) =>
       s""""$k": [${sketchOf(k, i).mkString(",")}]"""
     }.mkString(",")
-    val json = s"""{"rows": $rows, "sketches": {$sketches}}"""
+    // heavy-hitter items are hex-encoded (UTF-8 bytes): the sidecar is
+    // hand-rolled JSON parsed by regex, and hex sidesteps string
+    // escaping entirely. Empty summaries are skipped (an empty `[]`
+    // would be ambiguous with an empty sketch array to the parser).
+    val hhJson = hhCols.map { k =>
+      val items = hhOf(k).map { case (item, est) =>
+        s"""["${toHex(item)}",$est]"""
+      }.mkString(",")
+      if (items.isEmpty) "" else s""""$k": {"cap": $hhCapacity, "items": [$items]}"""
+    }.filter(_.nonEmpty).mkString(",")
+    val json =
+      if (hhJson.isEmpty) s"""{"rows": $rows, "sketches": {$sketches}}"""
+      else s"""{"rows": $rows, "sketches": {$sketches}, "hh": {$hhJson}}"""
     val p = statsPath(root, v)
     val f = fs(spark, p)
     f.mkdirs(p.getParent)
     val out = f.create(p, false)
     try out.write(json.getBytes("UTF-8")) finally out.close()
     v
+  }
+
+  private def toHex(s: String): String =
+    s.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+
+  private def fromHex(h: String): String =
+    new String(h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
+      "UTF-8")
+
+  /** Stored heavy-hitter summaries for a version (latest by default):
+    * per maintained column, (capacity, items sorted by estimate desc).
+    * None when the sidecar (or its hh block) is missing — callers fall
+    * back to on-demand measurement. */
+  def heavyHittersFor(spark: SparkSession, root: String,
+                      version: Option[Long] = None)
+      : Option[Map[String, (Int, Seq[(String, Long)])]] = {
+    val vs = VersionedTable.versions(spark, root)
+    if (vs.isEmpty) return None
+    val v = version.getOrElse(vs.last)
+    val p = statsPath(root, v)
+    val f = fs(spark, p)
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val json = try {
+      val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+      in.readFully(bytes)
+      new String(bytes, "UTF-8")
+    } finally in.close()
+    val block = "\"([^\"]+)\":\\s*\\{\"cap\":\\s*(\\d+),\\s*\"items\":\\s*\\[(.*?)\\]\\}".r
+    val item = "\\[\"([0-9a-f]*)\",(\\d+)\\]".r
+    val hh = block.findAllMatchIn(json).map { m =>
+      m.group(1) -> (m.group(2).toInt,
+        item.findAllMatchIn(m.group(3)).map(i =>
+          (fromHex(i.group(1)), i.group(2).toLong)).toSeq)
+    }.toMap
+    if (hh.isEmpty) None else Some(hh)
   }
 
   /** Stored stats for a version (latest by default): (row count, sketch
@@ -132,5 +203,45 @@ object VersionedStats {
         joinType, e), e)
     }).getOrElse(EstimatedJoin.estimatedJoin(left, right, leftKey, rightKey,
       joinType, broadcastMaxRows, fanoutCap))
+  }
+
+  /** Skew-aware join of two versioned tables planned ENTIRELY from
+    * stored stats: row counts + AGMS sketches for the size/selectivity
+    * arms, the big side's stored heavy-hitter summary for the salted
+    * arm ([[graft.operators.AdaptiveJoin]]'s four-way rule). Zero scans
+    * happen before the physical strategy is chosen — this is the 100 TB
+    * posture where the catalog, not a pre-query, knows the key
+    * distribution. Falls back to [[AdaptiveJoin.adaptiveJoin]]'s
+    * on-demand measurement when either sidecar lacks the needed stats
+    * (advisory-stats contract: degraded planning, never degraded
+    * answers). Inner equi-join on a shared key name, big ⋈ small. */
+  def adaptiveVersionedJoin(spark: SparkSession,
+                            bigRoot: String, smallRoot: String,
+                            key: String,
+                            broadcastMaxRows: Long = 10000000L,
+                            fanoutCap: Double = 4.0,
+                            bloomSelectivity: Double = 0.1,
+                            hotShareThreshold: Double = 0.10,
+                            shufflePartitions: Int = 32,
+                            maxSalts: Int = 64)
+      : (DataFrame, AdaptiveJoin.AdaptiveDecision) = {
+    val big = VersionedTable.read(spark, bigRoot)
+    val small = VersionedTable.read(spark, smallRoot)
+    (for {
+      (nb, skb) <- statsFor(spark, bigRoot)
+      sb <- skb.get(key)
+      hhb <- heavyHittersFor(spark, bigRoot).flatMap(_.get(key))
+      (ns, sks) <- statsFor(spark, smallRoot)
+      ss <- sks.get(key)
+    } yield {
+      val d = AdaptiveJoin.plan(
+        AdaptiveJoin.SideStats(nb, sb, hhb._2),
+        AdaptiveJoin.SideStats(ns, ss, Seq.empty),
+        broadcastMaxRows, fanoutCap, bloomSelectivity, hotShareThreshold,
+        shufflePartitions, maxSalts)
+      (AdaptiveJoin.applyDecision(big, small, key, d), d)
+    }).getOrElse(AdaptiveJoin.adaptiveJoin(big, small, key,
+      broadcastMaxRows, fanoutCap, bloomSelectivity, hotShareThreshold,
+      shufflePartitions, maxSalts))
   }
 }
