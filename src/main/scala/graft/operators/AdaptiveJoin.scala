@@ -95,6 +95,36 @@ object AdaptiveJoin {
     SideStats(r.getLong(0), r.getSeq[Long](1), hh)
   }
 
+  /** The four-way rule alone, from an already-known output estimate and
+    * hot share — [[EstimatedJoin.estimatedMultiJoin]] calls this with
+    * selectivity-SCALED estimates. Returns (strategy, salts). */
+  def decide(estJoinRows: Long, rowsBig: Long, rowsSmall: Long,
+             hotShare: Double,
+             broadcastMaxRows: Long = 10000000L,
+             fanoutCap: Double = 4.0,
+             bloomSelectivity: Double = 0.1,
+             hotShareThreshold: Double = 0.10,
+             shufflePartitions: Int = 32,
+             maxSalts: Int = 64): (String, Int) = {
+    require(hotShareThreshold > 0 && hotShareThreshold <= 1,
+      s"hot-share threshold must be in (0,1]: $hotShareThreshold")
+    require(shufflePartitions > 0 && maxSalts >= 2,
+      s"need positive partitions and maxSalts >= 2: $shufflePartitions, $maxSalts")
+    val strategy =
+      if (rowsSmall <= broadcastMaxRows &&
+        estJoinRows <= fanoutCap * math.max(1L, rowsBig)) "broadcast_small"
+      else if (hotShare >= hotShareThreshold) "salted"
+      else if (estJoinRows <= bloomSelectivity * math.max(1L, rowsBig))
+        "bloom_merge"
+      else "shuffle_merge"
+    val salts =
+      if (strategy == "salted")
+        math.min(maxSalts,
+          math.max(2, math.ceil(hotShare * shufflePartitions).toInt))
+      else 0
+    (strategy, salts)
+  }
+
   /** Pure decision from already-known statistics — the stored-stats path
     * calls this directly. */
   def plan(big: SideStats, small: SideStats,
@@ -104,27 +134,15 @@ object AdaptiveJoin {
            hotShareThreshold: Double = 0.10,
            shufflePartitions: Int = 32,
            maxSalts: Int = 64): AdaptiveDecision = {
-    require(hotShareThreshold > 0 && hotShareThreshold <= 1,
-      s"hot-share threshold must be in (0,1]: $hotShareThreshold")
-    require(shufflePartitions > 0 && maxSalts >= 2,
-      s"need positive partitions and maxSalts >= 2: $shufflePartitions, $maxSalts")
     val est = JoinSizeSketch.estimate(big.sketch, small.sketch)
     val hot = big.hh.headOption
     val hotShare = hot match {
       case Some((_, c)) if big.rows > 0 => c.toDouble / big.rows
       case _ => 0.0
     }
-    val strategy =
-      if (small.rows <= broadcastMaxRows &&
-        est <= fanoutCap * math.max(1L, big.rows)) "broadcast_small"
-      else if (hotShare >= hotShareThreshold) "salted"
-      else if (est <= bloomSelectivity * math.max(1L, big.rows)) "bloom_merge"
-      else "shuffle_merge"
-    val salts =
-      if (strategy == "salted")
-        math.min(maxSalts,
-          math.max(2, math.ceil(hotShare * shufflePartitions).toInt))
-      else 0
+    val (strategy, salts) = decide(est, big.rows, small.rows, hotShare,
+      broadcastMaxRows, fanoutCap, bloomSelectivity, hotShareThreshold,
+      shufflePartitions, maxSalts)
     AdaptiveDecision(big.rows, small.rows, est, hot.map(_._1), hotShare,
       salts, strategy)
   }

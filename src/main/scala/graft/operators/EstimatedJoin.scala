@@ -31,7 +31,8 @@ import graft.functions.JoinSizeSketch
 object EstimatedJoin {
 
   final case class JoinEstimate(rowsLeft: Long, rowsRight: Long,
-                                estJoinRows: Long, strategy: String)
+                                estJoinRows: Long, strategy: String,
+                                salts: Int = 0)
 
   /** Pure decision from already-known statistics (stored table sketches
     * at scale; [[estimate]] computes them on demand). Three-way:
@@ -107,8 +108,11 @@ object EstimatedJoin {
   final case class MultiJoinStep(name: String, estimate: JoinEstimate)
 
   /** Stats-driven STAR-JOIN ordering: joins `dims` onto `fact` most
-    * selective first, each step's physical strategy chosen by the same
-    * three-way rule as [[estimatedJoin]]. Join ordering is the textbook
+    * selective first, each step's physical strategy chosen by
+    * [[estimatedJoin]]'s three-way rule extended with [[AdaptiveJoin]]'s
+    * skew arm (a hot fact key above `hotShareThreshold` share salts the
+    * step instead of bloom/merge — measured by the Misra-Gries summary
+    * the planning pass already carries). Join ordering is the textbook
     * cost-based-optimizer move — a selective dim joined first shrinks
     * every later join's probe side — done here from AGMS sketches:
     *
@@ -135,17 +139,40 @@ object EstimatedJoin {
   def estimatedMultiJoin(fact: DataFrame, dims: Seq[DimSpec],
                          broadcastMaxRows: Long = 10000000L,
                          fanoutCap: Double = 4.0,
-                         counters: Int = 256): (DataFrame, Seq[MultiJoinStep]) = {
+                         counters: Int = 256,
+                         hotShareThreshold: Double = 0.10,
+                         hhCapacity: Int = 64,
+                         shufflePartitions: Int = 0,
+                         maxSalts: Int = 64): (DataFrame, Seq[MultiJoinStep]) = {
     require(dims.nonEmpty, "need at least one dim")
     require(dims.map(_.name).distinct.size == dims.size,
       "dim names must be unique")
+    val parts =
+      if (shufflePartitions > 0) shufflePartitions
+      else fact.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val factKeys = dims.map(_.factKey).distinct
-    val aggCols = count(lit(1)).as("__n") +: factKeys.map(k =>
-      JoinSizeSketch.agmsSketch(col(k), counters).as(s"__s_$k"))
+    // the SAME single planning pass also carries a Misra-Gries summary
+    // per fact key ([[AdaptiveJoin]]'s skew signal — still one fact scan
+    // regardless of dim count)
+    val aggCols = count(lit(1)).as("__n") +:
+      (factKeys.map(k =>
+        JoinSizeSketch.agmsSketch(col(k), counters).as(s"__s_$k")) ++
+        factKeys.map(k =>
+          graft.functions.SketchAggregates.freqItems(
+            col(k).cast("string"), hhCapacity).as(s"__h_$k")))
     val fr: Row = fact.agg(aggCols.head, aggCols.tail: _*).head()
     val factRows = fr.getLong(0)
     val factSketch = factKeys.zipWithIndex.map { case (k, i) =>
       k -> fr.getSeq[Long](i + 1)
+    }.toMap
+    // hot share per key on the ORIGINAL fact; later steps reuse it under
+    // the same attribute-independence assumption as the size scaling (a
+    // selective earlier join is assumed to thin hot and cold keys alike,
+    // leaving the SHARE unchanged)
+    val factHotShare = factKeys.zipWithIndex.map { case (k, i) =>
+      val hh = fr.getSeq[Row](1 + factKeys.length + i)
+      k -> (if (factRows > 0 && hh.nonEmpty)
+        hh.head.getLong(1).toDouble / factRows else 0.0)
     }.toMap
     val dimStats = dims.map { d =>
       val dr: Row = d.dim.agg(
@@ -166,8 +193,18 @@ object EstimatedJoin {
       }
       val (d, _, nd, scaled) =
         scored.minBy { case (dd, _, _, s) => (s, dd.name) } // det. tiebreak
-      val e = JoinEstimate(curRows, nd, scaled,
-        decide(scaled, curRows, nd, broadcastMaxRows, fanoutCap))
+      // AdaptiveJoin's priority order, preserving this planner's
+      // either-side broadcast: broadcast beats salting (no shuffle at
+      // all), a hot fact key beats bloom (a straggler cannot be pruned
+      // away, only split)
+      val base = decide(scaled, curRows, nd, broadcastMaxRows, fanoutCap)
+      val hotShare = factHotShare(d.factKey)
+      val (strategy, salts) =
+        if (base.startsWith("broadcast") || hotShare < hotShareThreshold)
+          (base, 0)
+        else ("salted", math.min(maxSalts,
+          math.max(2, math.ceil(hotShare * parts).toInt)))
+      val e = JoinEstimate(curRows, nd, scaled, strategy, salts)
       current = applyStrategy(current, d.dim, d.factKey, d.dimKey, "inner", e)
       steps += MultiJoinStep(d.name, e)
       curRows = scaled
@@ -186,6 +223,10 @@ object EstimatedJoin {
     e.strategy match {
       case "broadcast_right" => left.join(broadcast(right), cond, joinType)
       case "broadcast_left" => broadcast(left).join(right, cond, joinType)
+      // the skew arm (chosen by estimatedMultiJoin's heavy-hitter pass;
+      // inner-only, like bloom): LEFT is the measured hot side
+      case "salted" if joinType == "inner" =>
+        Skew.saltedJoinCond(left, leftKey, right, rightKey, e.salts)
       // bloom pruning drops non-matching rows of the BIG side before
       // its shuffle — sound only for inner joins (an outer join must
       // keep them); non-inner falls through to plain sort-merge

@@ -81,6 +81,28 @@ object Skew {
     bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** [[saltedJoin]] for sides whose key columns have DIFFERENT names,
+    * keeping BOTH key columns — the column shape of a plain
+    * `big.join(small, big(bigKey) === small(smallKey))`, which is what
+    * the stats-driven planners emit for their other arms
+    * ([[EstimatedJoin.applyStrategy]]): the salted arm must be a
+    * drop-in, so it must not collapse the keys the way the
+    * shared-name form does. Same salting scheme and row-identity
+    * argument as [[saltedJoin]]. */
+  def saltedJoinCond(big: DataFrame, bigKey: String,
+                     small: DataFrame, smallKey: String,
+                     salts: Int = 16): DataFrame = {
+    require(salts > 0, s"need positive salts: $salts")
+    val bigS = big.withColumn("__salt_b",
+      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(salts)))
+    val smallS = small
+      .withColumn("__salt_s", explode(sequence(lit(0), lit(salts - 1))))
+    bigS.join(smallS,
+        bigS(bigKey) === smallS(smallKey) &&
+          bigS("__salt_b") === smallS("__salt_s"))
+      .drop("__salt_b", "__salt_s")
+  }
+
   /** The diagnostic that decides whether salting is needed at all: the k
     * heaviest keys with their share and cumulative share of all rows.
     *

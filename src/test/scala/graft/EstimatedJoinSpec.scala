@@ -132,4 +132,29 @@ class EstimatedJoinSpec extends SparkSpec {
       s"expected one broadcast and one merge join:\n$p")
     assert(joined.count() === 10000L)
   }
+
+  test("multi-join: a hot fact key salts its step (AdaptiveJoin's arm)") {
+    import EstimatedJoin.DimSpec
+    // fk1 is 30% key 7 (the skew signal the planning pass must surface);
+    // fk2 is uniform. Neither dim fits broadcastMaxRows=0, so without
+    // the skew arm both steps would bloom or merge — the hot step must
+    // salt instead, and ONLY that step.
+    val fact = ((0 until 3000).map(i => (7L, i % 2000 + 1L, i.toLong)) ++
+      (0 until 7000).map(i => (i % 600 + 100L, i % 2000 + 1L, i.toLong)))
+      .toDF("fk1", "fk2", "v")
+    val hotDim = (1L to 800L).map(k => (k + 6L, s"h$k")).toDF("hk", "hname")
+    val uniDim = (1L to 2000L).map(k => (k, s"u$k")).toDF("uk", "uname")
+    val (joined, steps) = EstimatedJoin.estimatedMultiJoin(fact, Seq(
+      DimSpec("hot", hotDim, "fk1", "hk"),
+      DimSpec("uni", uniDim, "fk2", "uk")),
+      broadcastMaxRows = 0L, shufflePartitions = 32)
+    val byName = steps.map(s => s.name -> s.estimate).toMap
+    assert(byName("hot").strategy === "salted", s"steps: $steps")
+    // ceil(share × 32) with the MG under-count: ~0.29..0.30 × 32 → 10
+    assert(byName("hot").salts === 10, byName("hot"))
+    assert(byName("uni").strategy !== "salted", s"uniform step salted: $steps")
+    val expect = fact.join(hotDim, col("fk1") === col("hk"))
+      .join(uniDim, col("fk2") === col("uk")).count()
+    assert(joined.count() === expect)
+  }
 }
