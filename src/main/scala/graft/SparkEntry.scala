@@ -1127,6 +1127,26 @@ object SparkEntry {
         split.where(col("split") === "batch"), k = 5)
     }),
 
+    // The bloom-compressed probe of the same index (rows-only by
+    // design: verdicts depend on Spark's bloom hash family, which no
+    // SQL oracle reproduces; IncrementalIndexSpec bounds it against the
+    // exact twin — superset verdicts, FP rate within the configured
+    // fpp). expectedItems comes from the index's own row count, the
+    // stored stat a catalog would hold.
+    "span_contamination_bloom" -> ((s, dir) => {
+      val split = graft.ext.Sampling.deterministicSplit(
+        t(s, dir, "documents"), col("doc_id"),
+        Seq("corpus" -> 80, "batch" -> 20))
+      val root = "/tmp/graft_dedup_index/" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "/span"
+      val index = graft.ext.DedupIndex.readOrBuild(s, root,
+        graft.ext.DedupIndex.spanIndex(
+          split.where(col("split") === "corpus"), k = 5))
+      graft.ext.DedupIndex.spanContaminationBloom(index,
+        split.where(col("split") === "batch"), k = 5,
+        expectedItems = math.max(1L, index.count()))
+    }),
+
     // The production substring-dedup shape: the batch CUT against the
     // persisted span index (corpus never rescanned, corpus owns all its
     // spans). Same byte-exact md5 witness as span_cut_docs.

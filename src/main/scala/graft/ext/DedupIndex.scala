@@ -144,6 +144,35 @@ object DedupIndex {
       .orderBy(col("doc_id"))
   }
 
+  /** [[spanContamination]] probed through a BLOOM FILTER of the index
+    * keys instead of the key set itself — the lossy shrink the span
+    * index's own doc points at: the corpus-token-sized hash table
+    * compresses to `-n·ln(fpp)/ln²2` bits (a few GB per trillion spans
+    * at 3 %), broadcast once, at the price of false "seen" verdicts.
+    * The asymmetry is exactly right for a decontamination GATE: no
+    * false negatives ever (a contaminated span can never slip through),
+    * so per doc `n_seen` is an over-count within fpp of the clean-span
+    * count and `seen_ratio` is a sound UPPER bound — a doc passing the
+    * bloom gate passes the exact gate. Same report shape as the exact
+    * twin; `expectedItems` is the indexed-key cardinality (a stored
+    * stat at scale — the index's row count). */
+  def spanContaminationBloom(index: DataFrame, batch: DataFrame, k: Int,
+                             expectedItems: Long,
+                             fpp: Double = 0.03): DataFrame = {
+    val bloom = graft.operators.BloomJoin.bloomBuild(
+      index.select(col("sh")), col("sh"), expectedItems, fpp)
+    SpanDedup.spanRows(batch, k)
+      .withColumn("sh", md5(col("span")))
+      .withColumn("__seen",
+        graft.operators.BloomJoin.mightContain(col("sh"), bloom))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__seen"), 1L).otherwise(0L)).as("n_seen"))
+      .withColumn("seen_ratio", round(col("n_seen").cast("double")
+        / col("n_spans").cast("double"), 6))
+      .orderBy(col("doc_id"))
+  }
+
   /** Append a batch's not-yet-indexed span hashes as the next version;
     * re-ingesting the same batch appends nothing (the index absorbs
     * each batch exactly once). Returns the committed version. */

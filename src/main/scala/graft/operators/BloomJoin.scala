@@ -54,14 +54,23 @@ object BloomJoin {
         Literal(optimalNumBits(expectedItems, fpp))).toAggregateExpression())
       .as("bloom"))
 
+  /** The membership probe itself, as a boolean column — for callers
+    * that need the verdict rather than the filter (e.g. per-row "seen"
+    * flags feeding an aggregate). Same subquery attachment as
+    * [[prune]]: the bloom is computed once, broadcast, and the probe
+    * stays inside whole-stage codegen. No false negatives; false
+    * positives within the build's `fpp`. */
+  def mightContain(key: Column, bloom: DataFrame): Column =
+    Bridge.column(BloomFilterMightContain(
+      ScalarSubquery(Bridge.analyzedPlan(bloom)),
+      Bridge.expression(xxhash64(key))))
+
   /** Filter `big` to rows whose `key` *might* be in the bloom built by
     * [[bloomBuild]] — attached as a scalar subquery, so the bloom is
     * computed once, broadcast, and the predicate stays inside whole-stage
     * codegen on the big side. Guaranteed superset of the true matches. */
   def prune(big: DataFrame, key: Column, bloom: DataFrame): DataFrame =
-    big.where(Bridge.column(BloomFilterMightContain(
-      ScalarSubquery(Bridge.analyzedPlan(bloom)),
-      Bridge.expression(xxhash64(key)))))
+    big.where(mightContain(key, bloom))
 
   /** Inner equi-join with bloom pre-reduction of the big side: exactly
     * `big.join(small, big(bigKey) === small(smallKey))`, but rows of `big`

@@ -172,6 +172,43 @@ class IncrementalIndexSpec extends SparkSpec {
       (13L, 4L, 4L, h("ein neues deutsches dokument"))))
   }
 
+  test("bloom probe: no false negatives, FP rate within the configured bound") {
+    val root = tmp("graft_spanidx5") + "/span"
+    DedupIndex.readOrBuild(spark, root,
+      DedupIndex.spanIndex(corpusDf, k = 3))
+    val index = VersionedTable.read(spark, root)
+    val n = math.max(1L, index.count())
+    val bloomed = DedupIndex.spanContaminationBloom(index, batchDf, k = 3,
+        expectedItems = n)
+      .select("doc_id", "n_spans", "n_seen")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val exact = Map(10L -> 7L, 11L -> 0L, 12L -> 7L, 13L -> 0L)
+    bloomed.foreach { case (d, spans, seen) =>
+      // superset verdicts only: a truly-seen span can never read unseen
+      assert(seen >= exact(d) && seen <= spans, s"doc $d: $seen")
+    }
+    // the contaminated docs read fully seen through the bloom too
+    assert(bloomed.collect { case (d, s, n2) if exact(d) > 0 => n2 == s }
+      .forall(identity))
+    // FP rate, measured on a large DISJOINT probe set (every span brand
+    // new): flagged share must stay within 3× the configured 3% fpp
+    val fresh = (1 to 2000).map(i =>
+      (i.toLong, "en", s"u${i}aa u${i}bb u${i}cc u${i}dd"))
+      .toDF("doc_id", "lang", "text")
+    val fp = DedupIndex.spanContaminationBloom(index, fresh, k = 3,
+        expectedItems = n)
+      .agg(sum(col("n_seen")).cast("long"), sum(col("n_spans")).cast("long"))
+      .as[(Long, Long)].head()
+    assert(fp._2 === 4000L)
+    assert(fp._1 <= (fp._2 * 0.09).toLong, s"FP rate ${fp._1}/${fp._2}")
+    // deterministic probe: the same build flags the same spans
+    val again = DedupIndex.spanContaminationBloom(index, batchDf, k = 3,
+        expectedItems = n)
+      .select("doc_id", "n_spans", "n_seen")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(again === bloomed)
+  }
+
   test("span index ingest is idempotent: re-ingest appends nothing") {
     val root = tmp("graft_spanidx2") + "/span"
     DedupIndex.readOrBuild(spark, root,
