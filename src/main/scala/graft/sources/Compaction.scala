@@ -65,12 +65,18 @@ object Compaction {
     val latest = VersionedTable.read(spark, root)
     val n = latest.count()
     val parts = math.max(1, math.ceil(n.toDouble / targetRowsPerFile)).toInt
+    val prior = VersionedTable.versions(spark, root).last
     val clustered = latest
       .repartitionByRange(parts, clusterCols: _*)
       .sortWithinPartitions(clusterCols: _*)
     // one file per range partition — the partition count already sizes
     // files to the target; commit() stages them under a fresh
     // data/v{N+1} directory and manifests atomically
-    VersionedTable.commit(clustered, root)
+    val v = VersionedTable.commit(clustered, root)
+    // a layout rewrite is content-identical, so the stats sidecar (when
+    // maintained) carries forward EXACTLY — OPTIMIZE must not demote
+    // the catalog to on-demand estimation
+    VersionedStats.carryForward(spark, root, prior, v)
+    v
   }
 }

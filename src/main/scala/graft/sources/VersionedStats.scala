@@ -150,6 +150,31 @@ object VersionedStats {
     if (hh.isEmpty) None else Some(hh)
   }
 
+  /** Carry a version's sidecar forward to a CONTENT-IDENTICAL later
+    * version — the OPTIMIZE composition: a layout rewrite
+    * ([[Compaction.compactVersioned]]) changes files, not rows, and
+    * stats are a function of rows, so the copy is exact (not an
+    * estimate or a merge). Without this every compaction would silently
+    * drop the catalog back to on-demand estimation. No-op (false) when
+    * the source version has no sidecar. */
+  def carryForward(spark: SparkSession, root: String,
+                   from: Long, to: Long): Boolean = {
+    val src = statsPath(root, from)
+    val dst = statsPath(root, to)
+    val f = fs(spark, src)
+    if (!f.exists(src)) return false
+    val in = f.open(src)
+    val bytes = try {
+      val b = new Array[Byte](f.getFileStatus(src).getLen.toInt)
+      in.readFully(b)
+      b
+    } finally in.close()
+    f.mkdirs(dst.getParent)
+    val out = f.create(dst, false)
+    try out.write(bytes) finally out.close()
+    true
+  }
+
   /** Stored stats for a version (latest by default): (row count, sketch
     * per key column). None when the sidecar is missing — callers fall
     * back to on-demand estimation. */

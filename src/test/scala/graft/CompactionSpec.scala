@@ -44,6 +44,33 @@ class CompactionSpec extends SparkSpec {
     assert(fileCount(11L) === 4)
   }
 
+  test("OPTIMIZE carries the stats sidecar forward — catalog stays warm") {
+    import graft.sources.{VersionedStats, VersionedTable}
+    val root = java.nio.file.Files.createTempDirectory("graft_cvs")
+      .resolve("tbl").toString
+    val df = ((0 until 3000).map(i => (7L, i.toLong)) ++
+      (0 until 7000).map(i => (i % 700 + 100L, i.toLong))).toDF("k", "v")
+    VersionedStats.commitWithStats(df.repartition(8), root, Seq("k"),
+      hhCols = Seq("k"))
+    val Some(statsBefore) = VersionedStats.statsFor(spark, root)
+    val Some(hhBefore) = VersionedStats.heavyHittersFor(spark, root)
+    val v2 = Compaction.compactVersioned(spark, root, Seq(col("k")),
+      targetRowsPerFile = 5000L)
+    assert(v2 === 2L)
+    // the rewrite changed files, not rows: the sidecar is byte-equal,
+    // and skew-aware planning still runs from the catalog
+    assert(VersionedStats.statsFor(spark, root) === Some(statsBefore))
+    assert(VersionedStats.heavyHittersFor(spark, root) === Some(hhBefore))
+    val dimRoot = java.nio.file.Files.createTempDirectory("graft_cvd")
+      .resolve("tbl").toString
+    VersionedStats.commitWithStats(
+      (0L until 800L).map(k => (k + 7L, s"d$k")).toDF("k", "name"),
+      dimRoot, Seq("k"))
+    val (_, d) = VersionedStats.adaptiveVersionedJoin(spark, root, dimRoot,
+      "k", broadcastMaxRows = 0L, shufflePartitions = 32)
+    assert(d.strategy === "salted", d)
+  }
+
   test("compactedWrite sizes files to the target and clusters by key range") {
     val n = 10000L
     val df = spark.range(n).select(col("id"),
