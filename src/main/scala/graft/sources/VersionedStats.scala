@@ -114,6 +114,24 @@ object VersionedStats {
     v
   }
 
+  /** Read a sidecar file fully, degrading to None on ANY failure —
+    * including torn writes that fail the filesystem's checksum at read
+    * time, which surface as exceptions from `open`/`readFully`, not
+    * from parsing. Advisory stats must never fail a job. */
+  private def readSidecar(spark: SparkSession, p: Path): Option[String] =
+    try {
+      val f = fs(spark, p)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try {
+          val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+          in.readFully(bytes)
+          Some(new String(bytes, "UTF-8"))
+        } finally in.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   private def toHex(s: String): String =
     s.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
 
@@ -131,23 +149,19 @@ object VersionedStats {
     val vs = VersionedTable.versions(spark, root)
     if (vs.isEmpty) return None
     val v = version.getOrElse(vs.last)
-    val p = statsPath(root, v)
-    val f = fs(spark, p)
-    if (!f.exists(p)) return None
-    val in = f.open(p)
-    val json = try {
-      val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
-      in.readFully(bytes)
-      new String(bytes, "UTF-8")
-    } finally in.close()
-    val block = "\"([^\"]+)\":\\s*\\{\"cap\":\\s*(\\d+),\\s*\"items\":\\s*\\[(.*?)\\]\\}".r
-    val item = "\\[\"([0-9a-f]*)\",(\\d+)\\]".r
-    val hh = block.findAllMatchIn(json).map { m =>
-      m.group(1) -> (m.group(2).toInt,
-        item.findAllMatchIn(m.group(3)).map(i =>
-          (fromHex(i.group(1)), i.group(2).toLong)).toSeq)
-    }.toMap
-    if (hh.isEmpty) None else Some(hh)
+    val json = readSidecar(spark, statsPath(root, v))
+      .getOrElse(return None)
+    // same advisory degradation as [[statsFor]]: parse garbage → None
+    try {
+      val block = "\"([^\"]+)\":\\s*\\{\"cap\":\\s*(\\d+),\\s*\"items\":\\s*\\[(.*?)\\]\\}".r
+      val item = "\\[\"([0-9a-f]*)\",(\\d+)\\]".r
+      val hh = block.findAllMatchIn(json).map { m =>
+        m.group(1) -> (m.group(2).toInt,
+          item.findAllMatchIn(m.group(3)).map(i =>
+            (fromHex(i.group(1)), i.group(2).toLong)).toSeq)
+      }.toMap
+      if (hh.isEmpty) None else Some(hh)
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Carry a version's sidecar forward to a CONTENT-IDENTICAL later
@@ -184,22 +198,19 @@ object VersionedStats {
     val vs = VersionedTable.versions(spark, root)
     if (vs.isEmpty) return None
     val v = version.getOrElse(vs.last)
-    val p = statsPath(root, v)
-    val f = fs(spark, p)
-    if (!f.exists(p)) return None
-    val in = f.open(p)
-    val json = try {
-      val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
-      in.readFully(bytes)
-      new String(bytes, "UTF-8")
-    } finally in.close()
-    val rows = "\"rows\":\\s*(\\d+)".r.findFirstMatchIn(json)
-      .map(_.group(1).toLong).getOrElse(return None)
-    val sketches = "\"([^\"]+)\":\\s*\\[([-0-9,\\s]*)\\]".r
-      .findAllMatchIn(json).map { m =>
-        m.group(1) -> m.group(2).split(",").map(_.trim.toLong).toSeq
-      }.toMap
-    Some((rows, sketches))
+    val json = readSidecar(spark, statsPath(root, v))
+      .getOrElse(return None)
+    // advisory-stats contract: a corrupt/truncated sidecar degrades to
+    // None (on-demand estimation), never a job failure
+    try {
+      val rows = "\"rows\":\\s*(\\d+)".r.findFirstMatchIn(json)
+        .map(_.group(1).toLong).getOrElse(return None)
+      val sketches = "\"([^\"]+)\":\\s*\\[([-0-9,\\s]*)\\]".r
+        .findAllMatchIn(json).map { m =>
+          m.group(1) -> m.group(2).split(",").map(_.trim.toLong).toSeq
+        }.toMap
+      Some((rows, sketches))
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Join two versioned tables planning from their STORED stats — no

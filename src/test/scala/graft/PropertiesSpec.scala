@@ -236,4 +236,64 @@ class PropertiesSpec extends SparkSpec {
       }
     })
   }
+
+  test("mgMerge: Misra-Gries merge bounds hold for arbitrary streams") {
+    // pure driver-side property — no Spark jobs, so many cases are cheap
+    val streamGen = Gen.listOf(Gen.oneOf(
+      ('a' to 'j').map(_.toString)))
+    val prop = Prop.forAll(streamGen, streamGen) { (s1, s2) =>
+      val cap = 4
+      def exact(s: List[String]) =
+        s.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      // an exact count map IS a valid MG summary of its stream when it
+      // fits the capacity; trim to a valid one otherwise via mgMerge
+      // with the empty summary (exercises the trim rule itself)
+      def summarize(s: List[String]) =
+        graft.functions.SketchAggregates.mgMerge(
+          exact(s).toSeq, Seq.empty, cap)
+      val merged = graft.functions.SketchAggregates
+        .mgMerge(summarize(s1), summarize(s2), cap).toMap
+      val ex = (s1 ++ s2).groupBy(identity)
+        .map { case (k, v) => k -> v.size.toLong }
+      val n = (s1.size + s2.size).toLong
+      val slack = n / (cap + 1) * 2 // one trim per summarize + one per merge
+      merged.size <= cap &&
+        merged.values.forall(_ > 0) &&
+        merged.forall { case (k, c) => c <= ex(k) } &&           // under-count only
+        ex.forall { case (k, c) =>
+          c - merged.getOrElse(k, 0L) <= slack } &&              // bounded error
+        ex.forall { case (k, c) => c <= slack || merged.contains(k) } // heavy survives
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("adaptive decide: rule invariants for arbitrary statistics") {
+    import graft.operators.AdaptiveJoin
+    val prop = Prop.forAll(
+      Gen.choose(0L, 1000000L), Gen.choose(1L, 1000000L),
+      Gen.choose(1L, 100000L), Gen.choose(0.0, 1.0)) {
+      (est, big, small, share) =>
+        val (s1, k1) = AdaptiveJoin.decide(est, big, small, share,
+          broadcastMaxRows = 10000L, shufflePartitions = 32, maxSalts = 64)
+        val arms = Set("broadcast_small", "salted", "bloom_merge",
+          "shuffle_merge")
+        val fits = small <= 10000L && est <= 4.0 * math.max(1L, big)
+        arms.contains(s1) &&
+          (if (s1 == "salted") k1 >= 2 && k1 <= 64 else k1 == 0) &&
+          (!fits || s1 == "broadcast_small") &&                 // arm 1 total
+          (fits || share < 0.10 || s1 == "salted") &&           // arm 2 next
+          // salts monotone in the measured share
+          (s1 != "salted" || {
+            val (s2, k2) = AdaptiveJoin.decide(est, big, small,
+              math.min(1.0, share * 1.5), broadcastMaxRows = 10000L,
+              shufflePartitions = 32, maxSalts = 64)
+            s2 == "salted" && k2 >= k1
+          })
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

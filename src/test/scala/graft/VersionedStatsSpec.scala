@@ -94,4 +94,31 @@ class VersionedStatsSpec extends SparkSpec {
     assert(e.strategy === "broadcast_right")
     assert(joined.count() === 5000L)
   }
+
+  test("corrupt sidecar degrades to None, never a failure") {
+    val root = tmp()
+    VersionedStats.commitWithStats(
+      (0 until 1000).map(i => (i % 50 + 1L, i)).toDF("k", "v"), root,
+      Seq("k"), hhCols = Seq("k"))
+    assert(VersionedStats.statsFor(spark, root).isDefined)
+    assert(VersionedStats.heavyHittersFor(spark, root).isDefined)
+    // stomp the sidecar with garbage that still matches the outer shape
+    val p = java.nio.file.Paths.get(root, "_stats", "v1.json")
+    java.nio.file.Files.write(p,
+      """{"rows": 99999999999999999999999, "sketches": {"k": [1,,2]},
+         "hh": {"k": {"cap": 4, "items": [["zz",1]]}}}"""
+        .getBytes("UTF-8"))
+    assert(VersionedStats.statsFor(spark, root) === None)
+    // hh items parse to empty ("zz" is not hex) → advisory None
+    assert(VersionedStats.heavyHittersFor(spark, root).isEmpty
+      || VersionedStats.heavyHittersFor(spark, root).get("k")._2.isEmpty)
+    // and the planner path still answers correctly via on-demand stats
+    val dimRoot = tmp()
+    VersionedStats.commitWithStats(
+      (1L to 50L).map(k => (k, k)).toDF("k", "w"), dimRoot, Seq("k"))
+    val (joined, d) = VersionedStats.adaptiveVersionedJoin(
+      spark, root, dimRoot, "k")
+    assert(d.strategy === "broadcast_small")
+    assert(joined.count() === 1000L)
+  }
 }
