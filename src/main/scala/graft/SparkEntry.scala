@@ -1798,19 +1798,29 @@ object SparkEntry {
         .orderBy(col("skey"))),
 
     // The PLANNED twin (operators/AdaptiveJoin): nobody told this query
-    // the key is hot — one stats pass measures the heavy hitters, the
+    // the key is hot — a stats pass measures the heavy hitters, the
     // four-way rule picks the salted arm and sizes the salts from the
-    // measured ~30% share (ceil(share × shuffle.partitions)).
-    // broadcastMaxRows=0 models the dimension that outgrew the broadcast
-    // threshold, same posture as the twins' SHUFFLE_MERGE hint. Same
-    // oracle as skew_join_plain — planning can only change speed.
-    "skew_join_adaptive" -> ((s, dir) =>
-      graft.operators.AdaptiveJoin.adaptiveJoin(skewedEvents(s, dir),
-          custDim(s, dir), "skey", broadcastMaxRows = 0L)._1
+    // measured ~30% share (ceil(share × shuffle.partitions)). The pass
+    // runs on the UNINFLATED fixture (rep=1): key SHARES are
+    // inflation-invariant (same reason skewed_key_report censuses at
+    // rep=1), and at scale this is the stored-stats posture —
+    // adaptiveVersionedJoin plans from the catalog without touching the
+    // fact at all. broadcastMaxRows=0 models the dimension that outgrew
+    // the broadcast threshold, same posture as the twins' SHUFFLE_MERGE
+    // hint. Same oracle as skew_join_plain — planning only changes speed.
+    "skew_join_adaptive" -> ((s, dir) => {
+      val aj = graft.operators.AdaptiveJoin
+      val stats = aj.measure(skewedEvents(s, dir, rep = 1), "skey")
+      val dimStats = aj.measure(custDim(s, dir), "skey", hhCapacity = 0)
+      val d = aj.plan(stats, dimStats, broadcastMaxRows = 0L,
+        shufflePartitions =
+          s.conf.get("spark.sql.shuffle.partitions").toInt)
+      aj.applyDecision(skewedEvents(s, dir), custDim(s, dir), "skey", d)
         .groupBy(col("skey"), col("c_mktsegment"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value_cents")).as("value_cents"))
-        .orderBy(col("skey")))
+        .orderBy(col("skey"))
+    })
   )
 
   /** DuckDB twins for the driver's differential check. Keys must mirror
