@@ -143,4 +143,21 @@ class PlanShapeSpec extends SparkSpec {
       !ih.contains("BroadcastNestedLoopJoin"),
       s"incremental_kpis_hourly join shape regressed:\n$ih")
   }
+
+  test("adaptive joins land the decision their fixtures were built for") {
+    // the skewed fixture must drive the SALTED arm: the physical join
+    // keys carry the salt column next to skey (a plain skey-only join
+    // means the planner stopped seeing the hot key)
+    val sj = plan(SparkEntry.queries("skew_join_adaptive")(spark, sf))
+    assert(sj.contains("__salt"),
+      s"skew_join_adaptive lost its salted arm:\n${sj.take(800)}")
+    assert(!sj.contains("BroadcastNestedLoopJoin"))
+    // the uniform events x customer join must broadcast the dim — the
+    // counter-witness that the planner does not salt without a hot key
+    val aj = plan(SparkEntry.queries("adaptive_join_segments")(spark, sf))
+    assert(aj.contains("BroadcastHashJoin"),
+      s"adaptive_join_segments lost its broadcast arm:\n${aj.take(800)}")
+    assert(!aj.contains("__salt"),
+      s"adaptive_join_segments salted a uniform join:\n${aj.take(800)}")
+  }
 }
