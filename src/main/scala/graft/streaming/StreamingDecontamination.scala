@@ -41,6 +41,13 @@ import graft.sources.VersionedTable
   * already serial). A doc re-sent AFTER being fully cut reports
   * identically (n_after = 0) and appends nothing — re-delivering
   * already-decontaminated content is a no-op by design.
+  *
+  * Vacuum composes with one retention rule: only the LAST batch can
+  * ever replay (the stream checkpoint), and its marker points at the
+  * previous index version — so `vacuum(keepVersions >= 2)` between
+  * triggers is always safe, while keep-1 could reclaim the version an
+  * in-flight replay needs. (VersionedTable already forbids vacuum
+  * concurrent with a writer; this is the cross-trigger rule.)
   */
 object StreamingDecontamination {
 

@@ -113,6 +113,29 @@ class StreamingDecontaminationSpec extends SparkSpec {
     assert(VersionedTable.versions(spark, indexRoot) === Seq(1L, 2L))
   }
 
+  test("vacuum(keep 2) between triggers: loop continues, last batch replays") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val indexRoot = tmp("graft_sdx5"); val reportRoot = tmp("graft_sdr5")
+    StreamingDecontamination.decontaminateBatch(
+      batch1.toDF("doc_id", "text"), 0L, indexRoot, reportRoot, K)
+    val b2 = batch2.toDF("doc_id", "text")
+    val before = reportMap(StreamingDecontamination.decontaminateBatch(
+      b2, 1L, indexRoot, reportRoot, K))
+    // retention sweep with the loop's rule: keep >= 2 versions so the
+    // last batch's pre-version (v1) stays readable for replay
+    VersionedTable.vacuum(spark, indexRoot, keepVersions = 2)
+    val replayed = reportMap(StreamingDecontamination.decontaminateBatch(
+      b2, 1L, indexRoot, reportRoot, K))
+    assert(replayed === before)
+    // and the next batch proceeds against the surviving latest version
+    val b3 = Seq((20L, "m n o p q r")).toDF("doc_id", "text") // overlaps 12
+    val r3 = reportMap(StreamingDecontamination.decontaminateBatch(
+      b3, 2L, indexRoot, reportRoot, K))
+    assert(r3(20L)._1 === 6L)
+    assert(r3(20L)._2 < 6L, s"batch-2 contribution not seen: $r3")
+    assert(VersionedTable.versions(spark, indexRoot).size >= 3)
+  }
+
   test("re-sending an already-cut doc is a no-op report (idempotent content)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val indexRoot = tmp("graft_sdx4"); val reportRoot = tmp("graft_sdr4")
