@@ -61,6 +61,32 @@ object StreamingKpis {
       .select(col("hour_window.start").as("hour_start"),
         col("n_events"), col("approx_unique_users"))
 
+  /** Per-window heavy hitters — the Misra-Gries aggregate
+    * ([[graft.functions.FrequentItemsSketch]]) run INSIDE a watermarked
+    * streaming aggregation: per event-time window, the frequent items
+    * of `itemCol` with bounded-error under-count estimates. Streaming
+    * state per window is the sketch's fixed capacity-entry buffer (the
+    * TypedImperativeAggregate serialize/merge contract is exactly what
+    * the state store persists across triggers), never the vocabulary —
+    * the streaming form of the batch `top_tokens_sketch` escalation:
+    * exact streaming top-k would grow state with every distinct item
+    * inside the horizon. Same guarantees as batch (any item above
+    * share 1/capacity surfaces; estimates under-count by ≤ N/capacity
+    * per window); take the top-k (k << capacity) downstream. */
+  def windowedHeavyHitters(events: DataFrame, tsCol: String,
+                           itemCol: String,
+                           windowLen: String = "1 hour",
+                           capacity: Int = 64,
+                           watermark: Option[String] = Some("2 hours"))
+      : DataFrame =
+    watermark.fold(events)(events.withWatermark(tsCol, _))
+      .groupBy(window(col(tsCol), windowLen).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.SketchAggregates.freqItems(col(itemCol), capacity)
+          .as("top_items"))
+      .select(col("w.start").as("window_start"), col("n_events"),
+        col("top_items"))
+
   /** The composed streaming pipeline: watermark once → dedup → windowed
     * KPIs. This is the supported way to chain the two stateful operators. */
   def dedupedHourlyKpis(events: DataFrame, tsCol: String, userCol: String,

@@ -79,6 +79,38 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1).getLong(1) === 1)
   }
 
+  test("windowed heavy hitters: sketch state merges across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val events = input.toDF().toDF("ts", "event_type")
+    val hh = StreamingKpis.windowedHeavyHitters(events, "ts", "event_type",
+      capacity = 8)
+    val q = hh.writeStream.format("memory").queryName("hh_out")
+      .option("checkpointLocation", tmp("ckpt-hh")).outputMode("update")
+      .start()
+    def at(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    try {
+      // trigger 1: 6 views, 2 clicks in the 10:00 window
+      input.addData((1 to 6).map(i => (at(i), "view")) ++
+        Seq((at(7), "click"), (at(8), "click")): _*)
+      q.processAllAvailable()
+      // trigger 2: SAME window gets 4 more views — the stored sketch
+      // buffer must merge with the new partial, not restart
+      input.addData((9 to 12).map(i => (at(i), "view")): _*)
+      q.processAllAvailable()
+      val row = spark.sql(
+        "SELECT n_events, top_items FROM hh_out ORDER BY window_start")
+        .collect().last
+      assert(row.getLong(0) === 12L)
+      val items = row.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getString(0), r.getLong(1)))
+      // capacity 8 > 2 distinct items → estimates are EXACT here, and
+      // exactness across triggers proves merge (not restart) semantics
+      assert(items.head === (("view", 10L)), s"items: $items")
+      assert(items.contains(("click", 2L)), s"items: $items")
+    } finally q.stop()
+  }
+
   test("chained dedup -> windowed KPIs shares one watermark (no redefinition)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long, String)]
