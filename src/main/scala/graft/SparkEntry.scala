@@ -1662,6 +1662,15 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // Deterministic negative sampling (ext/Sampling): contrastive
+    // training pairs with hash-picked negatives — bucket reps broadcast,
+    // anchors explode ×k and map-side join; no randomness, so the oracle
+    // reproduces every pair through the shared md5-bucket family.
+    "contrastive_negatives" -> ((s, dir) =>
+      graft.ext.Sampling.contrastiveNegatives(
+          t(s, dir, "documents"), col("doc_id"), k = 3, buckets = 16)
+        .orderBy(col("anchor_doc_id"), col("neg_rank"))),
+
     // One-pass column profiler (operators/Profile): every numeric
     // lineitem column's min/max/null_count/mean from ONE aggregation
     // scan, unpivoted to long form — never a job per column.
@@ -2697,6 +2706,31 @@ object SparkEntry {
         """SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
            count(*) AS n
            FROM events GROUP BY 1 ORDER BY 1""",
+
+      "contrastive_negatives" -> {
+        // same md5-bucket family as doc_splits, applied twice: once to
+        // the doc key (anchor bucket) and once to "key#rank" (the draw)
+        def hex32(c: String) = foldSum(
+          "list_transform(generate_series(1, 8), i -> " +
+            s"CAST(CASE WHEN ascii(substr($c, i, 1)) <= 57 " +
+            s"THEN ascii(substr($c, i, 1)) - 48 " +
+            s"ELSE ascii(substr($c, i, 1)) - 87 END AS BIGINT) " +
+            "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+          "CAST(0 AS BIGINT)")
+        s"""WITH d AS (SELECT doc_id,
+               ${hex32("md5(CAST(doc_id AS VARCHAR))")} % 16 AS bucket
+             FROM documents),
+           reps AS (SELECT bucket AS nb, min(doc_id) AS neg_doc_id
+                    FROM d GROUP BY 1),
+           a AS (SELECT d.doc_id AS anchor_doc_id, d.bucket AS ab,
+                   r AS neg_rank,
+                   ${hex32("md5(CAST(d.doc_id AS VARCHAR) || '#' || CAST(r AS VARCHAR))")} % 16 AS nb
+                 FROM d, LATERAL unnest(generate_series(1, 3)) t(r))
+           SELECT anchor_doc_id, neg_rank, neg_doc_id
+           FROM a JOIN reps USING (nb)
+           WHERE nb != ab
+           ORDER BY anchor_doc_id, neg_rank"""
+      },
 
       "doc_splits" -> {
         // 32-bit int from the first 8 hex chars of md5 (mirrors Spark's

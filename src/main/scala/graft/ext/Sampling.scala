@@ -196,4 +196,44 @@ object Sampling {
         floor((col("__cum") - tokensCol).cast("double") / budget).cast("long"))
       .drop("__cum")
   }
+
+  /** Deterministic negative sampling for contrastive training pairs:
+    * each anchor doc gets up to `k` hash-picked negatives from the
+    * corpus — the in-batch/random-negative mining step of embedding
+    * training, done without randomness (same [[hashBucket]] family as
+    * the split/sample ops, so reruns, retries and engines agree on
+    * every pair).
+    *
+    * Construction: docs hash into `buckets` groups; each bucket's
+    * representative is its min key (deterministic survivor); the
+    * anchor's i-th negative is the representative of bucket
+    * `hash(anchor # i)`, skipping draws that land in the anchor's own
+    * bucket (which also makes self-pairs impossible — the anchor can
+    * only represent its own bucket). Draws landing in an empty bucket
+    * produce no pair; with docs >> buckets that is vanishingly rare,
+    * and both skip rules are deterministic so the output is exactly
+    * reproducible.
+    *
+    * Scale shape: one pass builds the `buckets`-row representative
+    * table (broadcast); anchors explode ×k and map-side join it — no
+    * all-pairs, no shuffle beyond the one aggregate. */
+  def contrastiveNegatives(docs: DataFrame, key: Column, k: Int,
+                           buckets: Int = 64): DataFrame = {
+    require(k > 0 && buckets > 1, s"need k > 0, buckets > 1: $k, $buckets")
+    val reps = docs
+      .select(hashBucket(key, buckets).as("__nb"),
+        key.cast("long").as("neg_doc_id"))
+      .groupBy(col("__nb")).agg(min(col("neg_doc_id")).as("neg_doc_id"))
+    docs
+      .select(key.cast("long").as("anchor_doc_id"),
+        hashBucket(key, buckets).as("__ab"))
+      .withColumn("neg_rank",
+        explode(sequence(lit(1L), lit(k.toLong))))
+      .withColumn("__nb",
+        hashBucket(concat(col("anchor_doc_id"), lit("#"),
+          col("neg_rank")), buckets))
+      .where(col("__nb") =!= col("__ab"))
+      .join(broadcast(reps), Seq("__nb"))
+      .select(col("anchor_doc_id"), col("neg_rank"), col("neg_doc_id"))
+  }
 }

@@ -164,4 +164,21 @@ class SamplingSpec extends SparkSpec {
     assert(out(0)._3 < out(0)._2) // mean error under one quantization step
     assert(out(1)._1 === Seq(0, 0, 0, 0) && out(1)._3 === 0.0)
   }
+
+  test("contrastiveNegatives: deterministic, never self, ranks bounded") {
+    val docs = (1L to 300L).map(d => (d, s"doc $d")).toDF("doc_id", "text")
+    def run() = Sampling.contrastiveNegatives(docs, col("doc_id"),
+        k = 4, buckets = 8)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val pairs = run()
+    assert(pairs === run()) // bit-stable across runs
+    assert(pairs.forall { case (a, r, n) => a != n && r >= 1 && r <= 4 })
+    // each anchor draws at most k, and most draws land (300 docs over 8
+    // buckets: no empty buckets, only own-bucket skips)
+    val perAnchor = pairs.groupBy(_._1).view.mapValues(_.size)
+    assert(perAnchor.values.forall(_ <= 4))
+    assert(pairs.size > 300 * 4 * 3 / 4, s"too many skipped: ${pairs.size}")
+    // negatives are bucket representatives: the negative set is small
+    assert(pairs.map(_._3).distinct.size <= 8)
+  }
 }
