@@ -765,6 +765,17 @@ object SparkEntry {
       Similarity.knnLsh(emb, emb.where(col("vec_id") < 10), k = 5)
     }),
 
+    // Hard-negative mining (ext/Similarity): the contrastive-pairs
+    // counterpart to contrastive_negatives — same-LSH-bucket candidates
+    // in the [0.05, 0.4) similarity band (informative but below the
+    // near-dup cap), top-5 hardest per anchor. Same bucketed plan and
+    // seeded-plane determinism as knn_lsh.
+    "hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegativesLsh(emb, emb.where(col("vec_id") < 10),
+        m = 5, lo = 0.05, hi = 0.4)
+    }),
+
     // IVF-bucketed ANN (k-means inverted lists, nprobe search). Centroids
     // are engine-specific (mllib k-means) → rows-only check, no oracle;
     // recall vs brute force is asserted in the spec instead.
@@ -2678,6 +2689,25 @@ object SparkEntry {
            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                    ORDER BY cos_sim DESC, cand_id) AS rn FROM s)
            WHERE rn <= 5 ORDER BY query_id, rank""",
+
+      "hard_negatives" ->
+        s"""WITH v AS (SELECT vec_id, embedding AS emb,
+               ${bucketOf("embedding")} AS bucket FROM embeddings),
+           p AS (SELECT q.vec_id AS anchor_id, c.vec_id AS neg_id,
+               ${dotSql("q.emb", "c.emb")} AS d,
+               ${dotSql("q.emb", "q.emb")} AS qn2,
+               ${dotSql("c.emb", "c.emb")} AS cn2
+             FROM v q JOIN v c ON q.vec_id < 10 AND c.bucket = q.bucket
+               AND c.vec_id <> q.vec_id),
+           s AS (SELECT anchor_id, neg_id,
+               round(CASE WHEN sqrt(qn2) = 0.0 OR sqrt(cn2) = 0.0 THEN 0.0
+                          ELSE d / (sqrt(qn2) * sqrt(cn2)) END, 6) AS cos_sim
+             FROM p)
+           SELECT anchor_id, neg_id, cos_sim, CAST(rn AS BIGINT) AS neg_rank
+           FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                   ORDER BY cos_sim DESC, neg_id) AS rn FROM s
+                 WHERE cos_sim >= 0.05 AND cos_sim < 0.4)
+           WHERE rn <= 5 ORDER BY anchor_id, neg_rank""",
 
       "tfidf_top_tokens" ->
         s"""WITH $tokCte,

@@ -353,4 +353,44 @@ object Similarity {
       .where(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Hard-negative mining for contrastive training — the counterpart
+    * to [[Sampling.contrastiveNegatives]]' random picks: candidates
+    * from the anchor's OWN LSH bucket whose cosine lands in [lo, hi) —
+    * close enough to be informative, below the near-dup cap `hi` so a
+    * disguised positive can never be labeled negative. Top-`m` hardest
+    * (highest similarity, id tiebreak) per anchor.
+    *
+    * Same bucketed plan as [[knnLsh]] (anchors broadcast, each probes
+    * only its bucket) and the same determinism contract: seeded planes
+    * + rounded similarity ranking reproduce bit-identically in an
+    * external oracle. */
+  def hardNegativesLsh(corpus: DataFrame, anchors: DataFrame, m: Int,
+                       lo: Double, hi: Double,
+                       nPlanes: Int = 4, seed: Long = 42L): DataFrame = {
+    require(m > 0 && lo < hi, s"need m > 0 and lo < hi: $m, [$lo, $hi)")
+    val dim = 64
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = corpus.repartition(par)
+      .select(col("vec_id").as("neg_id"), col("embedding").as("cv"),
+        dotNative(col("embedding"), col("embedding")).as("cn2"),
+        bucketId(col("embedding"), planes).as("bucket"))
+    val q = anchors.select(col("vec_id").as("anchor_id"),
+      col("embedding").as("qv"),
+      dotNative(col("embedding"), col("embedding")).as("qn2"),
+      bucketId(col("embedding"), planes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("neg_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("neg_id"),
+        round(pairCosine(dotNative(col("qv"), col("cv")), col("qn2"), col("cn2")), 6)
+          .as("cos_sim"))
+      .where(col("cos_sim") >= lo && col("cos_sim") < hi)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id"))
+      .orderBy(col("cos_sim").desc, col("neg_id").asc)
+    scored.withColumn("neg_rank", row_number().over(w).cast("long"))
+      .where(col("neg_rank") <= m)
+      .orderBy(col("anchor_id"), col("neg_rank"))
+  }
 }

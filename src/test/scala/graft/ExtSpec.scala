@@ -288,6 +288,29 @@ class SimilaritySpec extends SparkSpec {
     val top = out.select("cand_id").as[Long].collect()
     assert(top.toSeq === Seq(5L)) // its exact twin, same bucket by construction
   }
+
+  test("hard negatives: banded, never self, never a near-dup, <= m per anchor") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val anchors = emb.where(col("vec_id") < 10)
+    val hn = Similarity.hardNegativesLsh(emb, anchors, m = 5,
+        lo = 0.05, hi = 0.4)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(hn.nonEmpty)
+    assert(hn.forall { case (a, n, s, r) =>
+      a != n && s >= 0.05 && s < 0.4 && r >= 1 && r <= 5 })
+    // within an anchor, ranks are dense from 1 and similarity descends
+    hn.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4) === (1L to sorted.size).toSeq)
+      assert(sorted.map(_._3) === sorted.map(_._3).sorted.reverse)
+    }
+    // the band cap keeps near-dups (the positives) out of the negatives:
+    // anything the near-dup query pairs can never appear here
+    val nd = Similarity.cosineNearDupPairs(emb, threshold = 0.4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    assert(hn.forall { case (a, n, _, _) => !nd.contains((a, n)) })
+  }
 }
 
 class IvfSpec extends SparkSpec {
