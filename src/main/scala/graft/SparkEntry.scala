@@ -1369,6 +1369,35 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // The stats CATALOG exercised end-to-end in the oracle gate: events
+    // and the customer dim persist once as VersionedTables with stats +
+    // heavy-hitter sidecars (commitWithStats — the write-time-maintained
+    // catalog), and the join plans via adaptiveVersionedJoin entirely
+    // from stored stats: zero scans happen before the physical strategy
+    // is chosen. Same oracle as the salted/adaptive twins — the catalog
+    // can only change speed. First run per SF dir pays the one-time
+    // table build (same persisted-asset pattern as the dedup indexes).
+    "catalog_join_segments" -> ((s, dir) => {
+      val root = "/tmp/graft_catalog/" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val evRoot = root + "/events"; val custRoot = root + "/customer"
+      if (graft.sources.VersionedTable.versions(s, evRoot).isEmpty)
+        graft.sources.VersionedStats.commitWithStats(
+          t(s, dir, "events"), evRoot, Seq("user_id"),
+          hhCols = Seq("user_id"))
+      if (graft.sources.VersionedTable.versions(s, custRoot).isEmpty)
+        graft.sources.VersionedStats.commitWithStats(
+          t(s, dir, "customer")
+            .select(col("c_custkey").as("user_id"), col("c_mktsegment")),
+          custRoot, Seq("user_id"))
+      graft.sources.VersionedStats.adaptiveVersionedJoin(
+          s, evRoot, custRoot, "user_id")._1
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Adaptive twin of salted_join_segments (operators/AdaptiveJoin):
     // on this UNIFORM key distribution with a broadcastable dimension,
     // the four-way rule must land on the broadcast arm — the measured
@@ -3372,6 +3401,13 @@ object SparkEntry {
 
       "adaptive_join_segments" ->
         // strategy choice is internal plumbing: same plain-join oracle
+        """SELECT c_mktsegment, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+           FROM events e JOIN customer c ON e.user_id = c.c_custkey
+           GROUP BY 1 ORDER BY 1""",
+
+      "catalog_join_segments" ->
+        // the catalog is internal plumbing too: same plain-join oracle
         """SELECT c_mktsegment, count(*) AS n_events,
            round(sum(value), 2) AS total_value
            FROM events e JOIN customer c ON e.user_id = c.c_custkey
