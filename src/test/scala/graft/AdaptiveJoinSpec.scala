@@ -135,6 +135,33 @@ class AdaptiveJoinSpec extends SparkSpec {
         .collect().map(_.toString).sorted.toSeq)
   }
 
+  test("the catalog's decision evolves with appends: merge flips to salted") {
+    val bigRoot = tmp(); val smallRoot = tmp()
+    // v1: uniform — no key above threshold, dim non-broadcastable → the
+    // planner merges (est ≈ rows, above the bloom selectivity cut)
+    VersionedStats.commitWithStats(
+      (0 until 5000).map(i => (i % 700 + 100L, i.toLong)).toDF("k", "v"),
+      bigRoot, Seq("k"), hhCols = Seq("k"))
+    VersionedStats.commitWithStats(dim, smallRoot, Seq("k"))
+    val (_, d1) = VersionedStats.adaptiveVersionedJoin(spark, bigRoot,
+      smallRoot, "k", broadcastMaxRows = 0L, shufflePartitions = 32)
+    assert(d1.strategy === "shuffle_merge", d1)
+    // an append makes key 7 half the table; the sidecar's Misra-Gries
+    // merge (batch cost, no rescan) must surface it and flip the
+    // STORED-stats decision to the salted arm, sized from the new share
+    VersionedStats.commitWithStats(
+      (0 until 5000).map(i => (7L, i.toLong)).toDF("k", "v"),
+      bigRoot, Seq("k"), append = true, hhCols = Seq("k"))
+    val (df2, d2) = VersionedStats.adaptiveVersionedJoin(spark, bigRoot,
+      smallRoot, "k", broadcastMaxRows = 0L, shufflePartitions = 32)
+    assert(d2.strategy === "salted", d2)
+    assert(d2.hotKey === Some("7"))
+    assert(d2.hotShare > 0.45 && d2.hotShare <= 0.5, d2)
+    assert(d2.salts === 16, d2) // ceil(~0.5 × 32)
+    assert(df2.count() === VersionedTable.read(spark, bigRoot)
+      .join(VersionedTable.read(spark, smallRoot), Seq("k")).count())
+  }
+
   test("missing hh sidecar degrades to on-demand measurement, same answer") {
     val bigRoot = tmp(); val smallRoot = tmp()
     VersionedStats.commitWithStats(hotBig, bigRoot, Seq("k")) // no hhCols
