@@ -220,6 +220,15 @@ object Sampling {
   def contrastiveNegatives(docs: DataFrame, key: Column, k: Int,
                            buckets: Int = 64): DataFrame = {
     require(k > 0 && buckets > 1, s"need k > 0, buckets > 1: $k, $buckets")
+    // integral keys only: the output carries them as long ids, and a
+    // silent cast-to-null would fabricate pairs for a string key
+    val keyType = docs.select(key).schema.head.dataType
+    require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(keyType),
+      s"contrastiveNegatives needs an integral doc key, got " +
+        keyType.simpleString)
     val reps = docs
       .select(hashBucket(key, buckets).as("__nb"),
         key.cast("long").as("neg_doc_id"))
