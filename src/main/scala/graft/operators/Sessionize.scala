@@ -52,25 +52,52 @@ object Sessionize {
     * the per-hour max is total-order deterministic. Hours appear iff
     * they contain an endpoint (a transition).
     *
-    * Scale posture: the sweep's global window runs over session
-    * ENDPOINTS — 2 rows per session, orders of magnitude fewer than
-    * events, but still growing with the data: at extreme scale,
-    * range-partition the sweep by time and carry partition prefix sums
-    * in a second bounded pass (the standard distributed scan shape).
-    * For hourly dashboards over bounded session counts the single sort
-    * is the right call — don't pre-shard what fits one reducer. */
+    * Scale posture — distributed two-pass scan, no global sort: endpoints
+    * are bucketed by an equi-width slice of the observed time range (the
+    * bucket function is a deterministic expression, so both passes agree
+    * without caching). Pass 1 aggregates per-bucket delta TOTALS — at most
+    * `buckets` rows — and turns them into exclusive prefix offsets with a
+    * window over that bounded set. Pass 2 computes the running sum WITHIN
+    * each bucket (partitioned window, parallel across buckets), broadcast-
+    * joins the carried offset back, and takes the per-hour max. The only
+    * unpartitioned window in the plan runs over the bucket totals, whose
+    * row count is capped by cluster config, never by data volume. */
   def hourlyConcurrency(sessions: DataFrame, startCol: String,
-                        endCol: String): DataFrame = {
+                        endCol: String, buckets: Int = 0): DataFrame = {
+    val nBuckets = if (buckets > 0) buckets
+      else sessions.sparkSession.sessionState.conf.numShufflePartitions
     val deltas = sessions.select(explode(array(
         struct(col(startCol).as("t"), lit(1).as("d")),
         struct(col(endCol).as("t"), lit(-1).as("d")))).as("e"))
       .select(col("e.t"), col("e.d"))
-    val sweep = Window.orderBy(col("t"), col("d"))
+    // Observed time range: one broadcast row; equi-width bucket of t.
+    // Monotone in t and ties on t share a bucket, so per-bucket (t, d)
+    // order concatenated in bucket order IS the global sweep order.
+    val bounds = deltas.agg(
+      min(unix_micros(col("t"))).as("__lo"),
+      max(unix_micros(col("t"))).as("__hi"))
+    val bucketed = deltas.crossJoin(broadcast(bounds))
+      .withColumn("__bucket", least(lit(nBuckets - 1),
+        floor((unix_micros(col("t")) - col("__lo")) * nBuckets /
+          greatest(col("__hi") - col("__lo") + 1L, lit(1L)))).cast("int"))
+      .drop("__lo", "__hi")
+    // Pass 1: bucket totals -> exclusive prefix offsets (<= nBuckets rows;
+    // the unpartitioned window is bounded by construction).
+    val offsets = bucketed.groupBy(col("__bucket"))
+      .agg(sum(col("d")).as("__bsum"))
+      .withColumn("__offset", coalesce(
+        sum(col("__bsum")).over(Window.orderBy(col("__bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bucket"), col("__offset"))
+    // Pass 2: per-bucket running sum + carried offset = global live count.
+    val local = Window.partitionBy(col("__bucket"))
+      .orderBy(col("t"), col("d"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    deltas
-      .withColumn("__live", sum(col("d")).over(sweep))
+    bucketed
+      .withColumn("__local", sum(col("d")).over(local))
+      .join(broadcast(offsets), Seq("__bucket"))
       .groupBy(date_trunc("hour", col("t")).as("hour_start"))
-      .agg(max(col("__live")).as("max_concurrent"))
+      .agg(max(col("__local") + col("__offset")).as("max_concurrent"))
       .orderBy(col("hour_start"))
   }
 }

@@ -144,6 +144,26 @@ class PlanShapeSpec extends SparkSpec {
       s"incremental_kpis_hourly join shape regressed:\n$ih")
   }
 
+  test("hourly_concurrency has no unpartitioned data-growing window") {
+    // round-7 fix: the sweep is a two-pass scan — any window with an empty
+    // partition spec must sit above the bucket-total aggregate (<= nBuckets
+    // rows), never over the raw endpoint stream
+    val df = SparkEntry.queries("hourly_concurrency")(spark, sf)
+    val wins = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.nonEmpty, "sweep should contain window nodes")
+    val global = wins.filter(_.partitionSpec.isEmpty)
+    global.foreach { w =>
+      val bounded = w.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.nonEmpty
+      assert(bounded,
+        s"unpartitioned window over non-aggregated (data-sized) input:\n$w")
+    }
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      "per-bucket running sum lost its partitioned window")
+  }
+
   test("adaptive joins land the decision their fixtures were built for") {
     // the skewed fixture must drive the SALTED arm: the physical join
     // keys carry the salt column next to skey (a plain skey-only join

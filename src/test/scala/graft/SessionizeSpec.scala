@@ -79,4 +79,33 @@ class SessionizeSpec extends SparkSpec {
       (ts("2024-01-01 10:00:00"), 2L),
       (ts("2024-01-01 11:00:00"), 1L)))
   }
+
+  test("hourlyConcurrency: prefix carry is exact across bucket boundaries") {
+    // Deterministic interval soup spanning several hours, evaluated with
+    // buckets=3 so the two-pass carry MUST cross bucket boundaries; the
+    // oracle is an in-memory sweep over the same (t, d) total order.
+    val base = ts("2024-03-01 00:00:00").getTime
+    val ivs = (0 until 60).map { i =>
+      val st = base + (i * 7919L % 14400L) * 1000L          // within 4 h
+      val en = st + (300L + i * 31L % 5400L) * 1000L        // 5-95 min
+      (new java.sql.Timestamp(st), new java.sql.Timestamp(en))
+    }
+    val hourMs = 3600L * 1000L
+    val deltas = ivs.flatMap { case (s, e) =>
+      Seq((s.getTime, 1), (e.getTime, -1)) }.sortBy(p => (p._1, p._2))
+    var live = 0L
+    val peak = scala.collection.mutable.Map.empty[Long, Long]
+    deltas.foreach { case (t, d) =>
+      live += d
+      val h = t / hourMs * hourMs
+      peak(h) = math.max(peak.getOrElse(h, Long.MinValue), live)
+    }
+    val want = peak.toSeq.sortBy(_._1)
+      .map { case (h, m) => (new java.sql.Timestamp(h), m) }
+    val got = Sessionize.hourlyConcurrency(
+        ivs.toDF("session_start", "session_end"),
+        "session_start", "session_end", buckets = 3)
+      .as[(java.sql.Timestamp, Long)].collect().toSeq
+    assert(got === want)
+  }
 }
