@@ -765,6 +765,15 @@ object SparkEntry {
       Similarity.knnLsh(emb, emb.where(col("vec_id") < 10), k = 5)
     }),
 
+    // OR-amplified LSH ANN (12 seeded plane tables, union of bucket
+    // candidates): the recall fix for knn_lsh — 0.74 recall vs 0.16 at a
+    // candidate budget within knn_ivf's nprobe/nlist coverage. The spec
+    // (ExtSpec "OR-amplified LSH") pins recall >= 0.6 vs brute force.
+    "knn_lsh_or" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnLshOr(emb, emb.where(col("vec_id") < 10), k = 5)
+    }),
+
     // Hard-negative mining (ext/Similarity): the contrastive-pairs
     // counterpart to contrastive_negatives — same-LSH-bucket candidates
     // in the [0.05, 0.4) similarity band (informative but below the
@@ -2362,6 +2371,13 @@ object SparkEntry {
       s"(CASE WHEN ${dotSql(v, planeLiteral(p))} >= 0.0 " +
         s"THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
+    // OR-amplified LSH: table t's plane set is seeded 42 + t, mirroring
+    // Similarity.knnLshOr's defaults (12 tables x 5 planes)
+    val orBucketOf = (v: String, t: Int) =>
+      Similarity.hyperplanes(5, 64, 42L + t).zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN ${dotSql(v, planeLiteral(p))} >= 0.0 " +
+          s"THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
 
     // Winnowing fingerprint pipeline (tok -> positional k-gram md5 ->
     // 32-bit ints -> window mins -> distinct per doc -> shared-fp pairs),
@@ -2715,6 +2731,30 @@ object SparkEntry {
                           ELSE d / (sqrt(qn2) * sqrt(cn2)) END, 6) AS cos_sim
              FROM p)
            SELECT query_id, bucket, cand_id, cos_sim, CAST(rn AS BIGINT) AS rank
+           FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, cand_id) AS rn FROM s)
+           WHERE rn <= 5 ORDER BY query_id, rank""",
+
+      // OR-amplified LSH: a candidate qualifies if it shares the query's
+      // bucket in ANY of the 12 seeded tables; the single OR-join predicate
+      // yields each (query, cand) pair once, mirroring Spark's post-score
+      // dropDuplicates
+      "knn_lsh_or" ->
+        s"""WITH v AS (SELECT vec_id, embedding AS emb,
+               ${(0 until 12).map(t =>
+                  s"${orBucketOf("embedding", t)} AS b$t").mkString(", ")}
+             FROM embeddings),
+           p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               ${dotSql("q.emb", "c.emb")} AS d,
+               ${dotSql("q.emb", "q.emb")} AS qn2,
+               ${dotSql("c.emb", "c.emb")} AS cn2
+             FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+               AND (${(0 until 12).map(t => s"q.b$t = c.b$t").mkString(" OR ")})),
+           s AS (SELECT query_id, cand_id,
+               round(CASE WHEN sqrt(qn2) = 0.0 OR sqrt(cn2) = 0.0 THEN 0.0
+                          ELSE d / (sqrt(qn2) * sqrt(cn2)) END, 6) AS cos_sim
+             FROM p)
+           SELECT query_id, cand_id, cos_sim, CAST(rn AS BIGINT) AS rank
            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                    ORDER BY cos_sim DESC, cand_id) AS rn FROM s)
            WHERE rn <= 5 ORDER BY query_id, rank""",

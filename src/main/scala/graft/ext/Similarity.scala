@@ -354,6 +354,56 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** OR-amplified LSH ANN — the recall fix for [[knnLsh]]: `nTables`
+    * independent seeded plane sets hash every vector `nTables` times, and a
+    * candidate counts if it shares the query's bucket in ANY table (union
+    * of bucket candidates, deduplicated). Collision probability for a
+    * neighbor at angle θ rises from (1−θ/π)^P to 1−(1−(1−θ/π)^P)^L — the
+    * standard OR-construction (Indyk–Motwani; Leskovec/Rajaraman/Ullman
+    * MMDS ch. 3) — while the expected candidate budget is L/2^P of the
+    * corpus per query, so L tables of P planes cost the same as one table
+    * of P − log2(L) planes but recall far more.
+    *
+    * Plan shape: the corpus explodes to (table, bucket) — `nTables` rows
+    * per vector — and shuffles ONCE on that pair; queries (small) broadcast
+    * the same way. Duplicate (query, candidate) pairs found by several
+    * tables are scored cheaply (a 64-mult dot each) and deduplicated
+    * AFTER scoring, so only scalar rows reach the dedup exchange, never
+    * the vectors. Plane set `t` is seeded `seed + t` — fully deterministic,
+    * reproducible by an external oracle. */
+  def knnLshOr(corpus: DataFrame, queries: DataFrame, k: Int,
+               nTables: Int = 12, nPlanes: Int = 5,
+               seed: Long = 42L): DataFrame = {
+    require(nTables >= 1 && nPlanes >= 1, s"need >= 1 table/plane")
+    val dim = 64
+    val tables = Array.tabulate(nTables)(t => hyperplanes(nPlanes, dim, seed + t))
+    def hashed(df: DataFrame, idAs: String, vAs: String, n2As: String) = {
+      val buckets = array(tables.map(p => bucketId(col("embedding"), p))
+        .toIndexedSeq: _*)
+      // posexplode_outer: the plain explode of a COMPUTED array would make
+      // InferFiltersFromGenerate re-evaluate all L×P dot products in a
+      // pushed-down size() filter below the exchange
+      df.select(col("vec_id").as(idAs), col("embedding").as(vAs),
+          dotNative(col("embedding"), col("embedding")).as(n2As),
+          posexplode_outer(buckets).as(Seq("tbl", "bucket")))
+    }
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = hashed(corpus.repartition(par), "cand_id", "cv", "cn2")
+    val q = hashed(queries, "query_id", "qv", "qn2")
+    val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .where(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(pairCosine(dotNative(col("qv"), col("cv")), col("qn2"), col("cn2")), 6)
+          .as("cos_sim"))
+      .dropDuplicates("query_id", "cand_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Hard-negative mining for contrastive training — the counterpart
     * to [[Sampling.contrastiveNegatives]]' random picks: candidates
     * from the anchor's OWN LSH bucket whose cosine lands in [lo, hi) —

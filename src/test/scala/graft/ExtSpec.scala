@@ -334,6 +334,38 @@ class IvfSpec extends SparkSpec {
     val again = Similarity.ivfFit(emb, nlist = 8)
     assert(centroids.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
+
+  test("OR-amplified LSH: recall >= 0.6 at a candidate budget <= IVF's") {
+    // round-7 fix: single-table knnLsh recall is ~0.16 on this corpus —
+    // the OR-construction (12 tables x 5 planes) must reach >= 0.6 while
+    // its expected candidate coverage (L/2^P = 0.375 of the corpus per
+    // query) stays within knn_ivf's registered nprobe/nlist = 3/8 = 0.375.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    val queries = emb.where(col("vec_id") < 10)
+    val bf = Similarity.knnBruteForce(emb, queries, k = 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val or = Similarity.knnLshOr(emb, queries, k = 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = (or & bf).size.toDouble / bf.size
+    assert(recall >= 0.6, s"OR-amplified LSH recall $recall < 0.6")
+
+    // measured candidate budget: distinct (query, cand) pairs sharing any
+    // table bucket, as a per-query fraction of the corpus
+    val tables = Array.tabulate(12)(t => Similarity.hyperplanes(5, 64, 42L + t))
+    def hashed(df: org.apache.spark.sql.DataFrame, idAs: String) =
+      df.select(col("vec_id").as(idAs), posexplode_outer(array(
+        tables.map(p => Similarity.bucketId(col("embedding"), p))
+          .toIndexedSeq: _*)).as(Seq("tbl", "bucket")))
+    val cands = hashed(emb, "cand_id")
+      .join(hashed(queries, "query_id"), Seq("tbl", "bucket"))
+      .where(col("cand_id") =!= col("query_id"))
+      .select("query_id", "cand_id").distinct().count()
+    val perQueryFrac = cands.toDouble / 10 / n
+    assert(perQueryFrac <= 0.375,
+      s"LSH-OR budget $perQueryFrac exceeds IVF's 3/8 coverage")
+    info(f"recall=$recall%.2f budget=$perQueryFrac%.3f of corpus/query")
+  }
 }
 
 class VectorExpressionsSpec extends SparkSpec {
