@@ -14,8 +14,12 @@ import org.apache.spark.sql.functions._
   * measured 5× on the trade graph), each round's ranks are
   * checkpoint-materialized to truncate lineage, and the loop is one
   * bounded job per round. Unlike Components there is no convergence
-  * action: the iteration count is FIXED, which is what lets the final
-  * unpersist happen inside the call.
+  * action: the iteration count is FIXED, so the returned plan is built
+  * without ever executing a job here. The persisted working sets are
+  * therefore INTENTIONALLY left cached — the caller's evaluation of the
+  * returned (lazy) ranks is what reads them, and they age out LRU;
+  * callers running many graphs in one session can reclaim them
+  * deterministically with `spark.catalog.clearCache()`.
   *
   * All arithmetic is INTEGER (ranks in `unit` micro-units, damping as a
   * percentage, every division a truncating `div`), so the result is

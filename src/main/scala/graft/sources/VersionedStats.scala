@@ -48,6 +48,13 @@ object VersionedStats {
     require(keyCols.nonEmpty, "declare at least one join-key column")
     require(hhCols.forall(keyCols.contains),
       "heavy-hitter columns must be declared join-key columns")
+    // the sidecar is hand-rolled JSON parsed by regex: a quote or a
+    // bracket in a column name would corrupt it SILENTLY (readers
+    // degrade to None → on-demand estimation), so reject loudly at
+    // write time instead
+    keyCols.foreach(k => require(k.matches("[A-Za-z0-9_]+"),
+      s"join-key column name '$k' unsupported in the stats sidecar " +
+        "(allowed: [A-Za-z0-9_]+)"))
     val spark = df.sparkSession
     // delta-merge needs EVERY maintained stat mergeable from the stored
     // sidecar: same-width sketches for all keys AND (when heavy hitters
@@ -63,9 +70,14 @@ object VersionedStats {
       else None
     val v = VersionedTable.commit(df, root, append)
     // delta-only pass when prior stats merge; else the committed
-    // snapshot (which IS the delta for a non-append commit)
+    // snapshot (which IS the delta for a non-append commit). Both arms
+    // read the COMMITTED BYTES back, never re-evaluate the caller's df:
+    // a non-deterministic input plan (sampling, current-time columns)
+    // would otherwise produce a sidecar disagreeing with what was
+    // committed. An append's delta is exactly its staged directory.
     val scanned =
-      if (prior.isDefined) df
+      if (prior.isDefined)
+        spark.read.parquet(new Path(root, s"data/v$v").toString)
       else VersionedTable.read(spark, root, Some(v))
     val aggs = keyCols.map(k =>
       JoinSizeSketch.agmsSketch(col(k), counters).as(s"__sk_$k")) ++
@@ -149,6 +161,10 @@ object VersionedStats {
     val vs = VersionedTable.versions(spark, root)
     if (vs.isEmpty) return None
     val v = version.getOrElse(vs.last)
+    // a version must be COMMITTED for its sidecar to mean anything — a
+    // vacuumed or never-committed version with a leftover sidecar would
+    // otherwise return stats for data no reader can load
+    if (!vs.contains(v)) return None
     val json = readSidecar(spark, statsPath(root, v))
       .getOrElse(return None)
     // same advisory degradation as [[statsFor]]: parse garbage → None
@@ -198,6 +214,8 @@ object VersionedStats {
     val vs = VersionedTable.versions(spark, root)
     if (vs.isEmpty) return None
     val v = version.getOrElse(vs.last)
+    // same committed-version gate as [[heavyHittersFor]]
+    if (!vs.contains(v)) return None
     val json = readSidecar(spark, statsPath(root, v))
       .getOrElse(return None)
     // advisory-stats contract: a corrupt/truncated sidecar degrades to

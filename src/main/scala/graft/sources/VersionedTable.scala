@@ -178,6 +178,21 @@ object VersionedTable {
     }
     vs.dropRight(keepVersions).foreach { v =>
       f.delete(new Path(manifestDir(root), s"v$v.json"), false)
+      // stats sidecars ([[VersionedStats]]) are keyed by version: one
+      // sweeps with its manifest, or they accumulate forever
+      f.delete(new Path(new Path(root, "_stats"), s"v$v.json"), false)
+    }
+    // streaming ingest markers ([[graft.streaming.StreamingDecontamination]])
+    // are keyed by batch id; only the LAST batch can ever replay (the
+    // stream checkpoint), so every marker below the highest is dead state
+    val ingestDir = new Path(root, "_ingest")
+    if (f.exists(ingestDir)) {
+      val markers = f.listStatus(ingestDir).map(_.getPath)
+        .filter(p => p.getName.startsWith("b") &&
+          p.getName.drop(1).forall(_.isDigit))
+      if (markers.length > 1)
+        markers.sortBy(_.getName.drop(1).toLong).dropRight(1)
+          .foreach(f.delete(_, false))
     }
     deleted
   }

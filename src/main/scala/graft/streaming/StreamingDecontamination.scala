@@ -23,18 +23,21 @@ import graft.sources.VersionedTable
   * if the crash hit after ingest, the batch's own spans read as "seen"
   * and the recomputed report would cut everything. The index being a
   * [[VersionedTable]] solves this: a marker under `indexRoot/_ingest/`
-  * records each batch's PRE-ingest index version before the ingest
-  * runs, and a replay recomputes the report against that version via
-  * time travel — the same report, every time. Step order per batch
-  * (report commit → marker → ingest) makes every crash window converge:
+  * records each batch's PRE-ingest index version AND pre-commit report
+  * version before any write runs, and a replay recomputes the report
+  * against that index version via time travel — the same report, every
+  * time. Step order per batch (marker → report commit → ingest) makes
+  * every crash window converge:
   *
-  *  - before the report commit: full replay, identical outcome;
-  *  - after the report commit: the recomputed report equals the stored
-  *    one, and the append guard (no rows beyond the stored log) skips
-  *    the duplicate commit;
-  *  - after the marker: the index version still equals the marker's
-  *    pre-version, so the ingest (the only remaining step) runs;
-  *  - after the ingest: version > pre-version, everything skips.
+  *  - before the marker: nothing persisted, full replay is identical;
+  *  - after the marker: the report log still sits at the marker's
+  *    pre-commit version, so the commit (and everything after) runs;
+  *  - after the report commit: the log has moved past the marker's
+  *    pre-commit version, so the duplicate commit skips — a VERSION
+  *    check, not a content diff, so it costs nothing at any log size
+  *    and a genuinely new batch whose rows happen to coincide with
+  *    logged ones (a re-sent fully-cut doc) is still recorded;
+  *  - after the ingest: index version > pre-version, everything skips.
   *
   * Single-writer contract: one stream owns the index and the report
   * table (the [[VersionedTable]] posture; batches within a stream are
@@ -57,30 +60,36 @@ object StreamingDecontamination {
   private def markerPath(indexRoot: String, batchId: Long) =
     new Path(new Path(indexRoot, "_ingest"), s"b$batchId")
 
-  /** The recorded pre-ingest index version for a batch, if its marker
-    * exists (0 = the index was empty). */
-  private def markedPreVersion(spark: SparkSession, indexRoot: String,
-                               batchId: Long): Option[Long] = {
+  /** The recorded (pre-ingest index version, pre-commit report version)
+    * for a batch, if its marker exists (0 = table was empty). Legacy
+    * markers carry only the index version — their report half is None
+    * and the caller falls back to the content-diff guard. */
+  private def markedVersions(spark: SparkSession, indexRoot: String,
+                             batchId: Long): Option[(Long, Option[Long])] = {
     val p = markerPath(indexRoot, batchId)
     val f = fs(spark, p)
     if (!f.exists(p)) None
     else {
       val in = f.open(p)
-      try {
+      val parts = try {
         val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
         in.readFully(bytes)
-        Some(new String(bytes, "UTF-8").trim.toLong)
+        new String(bytes, "UTF-8").trim.split("\\s+")
       } finally in.close()
+      Some((parts(0).toLong,
+        if (parts.length >= 2) Some(parts(1).toLong) else None))
     }
   }
 
   private def writeMarker(spark: SparkSession, indexRoot: String,
-                          batchId: Long, preVersion: Long): Unit = {
+                          batchId: Long, preVersion: Long,
+                          reportPre: Long): Unit = {
     val p = markerPath(indexRoot, batchId)
     val f = fs(spark, p)
     f.mkdirs(p.getParent)
     val out = f.create(p, false)
-    try out.write(preVersion.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(s"$preVersion $reportPre".getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** The index at version `v`, where 0 means "before any commit" — an
@@ -99,21 +108,33 @@ object StreamingDecontamination {
   def decontaminateBatch(batch: DataFrame, batchId: Long, indexRoot: String,
                          reportRoot: String, k: Int): DataFrame = {
     val spark = batch.sparkSession
-    // replay-stable planning point: the index version this batch cuts
-    // against is the one recorded at first delivery, else the current
-    // latest
+    // replay-stable planning point: the index/report versions this batch
+    // runs against are the ones recorded at first delivery, else the
+    // current latest
     val latest = VersionedTable.versions(spark, indexRoot)
       .lastOption.getOrElse(0L)
-    val pre = markedPreVersion(spark, indexRoot, batchId).getOrElse(latest)
+    val reportLatest0 = VersionedTable.versions(spark, reportRoot)
+      .lastOption.getOrElse(0L)
+    val marked = markedVersions(spark, indexRoot, batchId)
+    val pre = marked.map(_._1).getOrElse(latest)
     val report = DedupIndex.cutSeenSpans(indexAt(spark, indexRoot, pre),
       batch, k)
-    // append guard: skip the commit when the stored log already holds
-    // every report row (the crash-after-report-commit replay)
-    val isNew = VersionedTable.versions(spark, reportRoot).isEmpty ||
-      !report.exceptAll(VersionedTable.read(spark, reportRoot)).isEmpty
-    if (isNew) VersionedTable.commit(report, reportRoot, append = true)
-    if (markedPreVersion(spark, indexRoot, batchId).isEmpty)
-      writeMarker(spark, indexRoot, batchId, pre)
+    // the marker is the FIRST write: every later step guards on a stored
+    // version against the marker's recorded pre-version
+    if (marked.isEmpty)
+      writeMarker(spark, indexRoot, batchId, pre, reportLatest0)
+    // append guard, keyed on the marker's pre-commit report version — a
+    // metadata check, never a content diff against the whole log. Legacy
+    // (index-only) markers fall back to the old content guard.
+    val doCommit = marked.map(_._2).getOrElse(Some(reportLatest0)) match {
+      case Some(reportPre) =>
+        VersionedTable.versions(spark, reportRoot)
+          .lastOption.getOrElse(0L) == reportPre
+      case None =>
+        VersionedTable.versions(spark, reportRoot).isEmpty ||
+          !report.exceptAll(VersionedTable.read(spark, reportRoot)).isEmpty
+    }
+    if (doCommit) VersionedTable.commit(report, reportRoot, append = true)
     // ingest exactly once: the marker pins pre, so version == pre means
     // the ingest has not happened yet (batches are serial per stream)
     val nowLatest = VersionedTable.versions(spark, indexRoot)

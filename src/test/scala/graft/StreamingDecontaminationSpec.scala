@@ -90,25 +90,34 @@ class StreamingDecontaminationSpec extends SparkSpec {
     assert(VersionedTable.versions(spark, reportRoot) === reportV)
   }
 
-  test("crash window between report commit and marker converges") {
+  test("crash window between marker and report commit converges") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val indexRoot = tmp("graft_sdx3"); val reportRoot = tmp("graft_sdr3")
     val b1 = batch1.toDF("doc_id", "text")
     val b2 = batch2.toDF("doc_id", "text")
     StreamingDecontamination.decontaminateBatch(b1, 0L, indexRoot,
       reportRoot, K)
-    // simulate: batch 2's report committed, then crash before the
-    // marker write and the ingest (the public API lets us stage exactly
-    // that state)
-    VersionedTable.commit(graft.ext.DedupIndex.cutSeenSpans(
-        VersionedTable.read(spark, indexRoot), b2, K),
-      reportRoot, append = true)
+    // simulate: batch 2's marker landed (index pre = 1, report pre = 1),
+    // then crash before the report commit and the ingest — the marker is
+    // the first write, so this is the earliest persisted crash window
+    val markerDir = new java.io.File(s"$indexRoot/_ingest")
+    markerDir.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$indexRoot/_ingest/b1"),
+      "1 1".getBytes("UTF-8"))
     assert(VersionedTable.versions(spark, indexRoot) === Seq(1L))
-    // redelivery must not re-append the report, and must finish the
-    // remaining steps (marker + ingest)
+    assert(VersionedTable.versions(spark, reportRoot) === Seq(1L))
+    // redelivery must finish the remaining steps exactly once each
+    // (report commit + ingest), planned against the marker's versions
     val r = reportMap(StreamingDecontamination.decontaminateBatch(
       b2, 1L, indexRoot, reportRoot, K))
     assert(r(10L) === ((6L, 0L)))
+    assert(VersionedTable.versions(spark, reportRoot) === Seq(1L, 2L))
+    assert(VersionedTable.versions(spark, indexRoot) === Seq(1L, 2L))
+    // and a second redelivery (crash-after-everything) changes nothing
+    val again = reportMap(StreamingDecontamination.decontaminateBatch(
+      b2, 1L, indexRoot, reportRoot, K))
+    assert(again === r)
     assert(VersionedTable.versions(spark, reportRoot) === Seq(1L, 2L))
     assert(VersionedTable.versions(spark, indexRoot) === Seq(1L, 2L))
   }
@@ -136,7 +145,7 @@ class StreamingDecontaminationSpec extends SparkSpec {
     assert(VersionedTable.versions(spark, indexRoot).size >= 3)
   }
 
-  test("re-sending an already-cut doc is a no-op report (idempotent content)") {
+  test("re-sending an already-cut doc: no-op content, still audited") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val indexRoot = tmp("graft_sdx4"); val reportRoot = tmp("graft_sdr4")
     StreamingDecontamination.decontaminateBatch(
@@ -144,11 +153,20 @@ class StreamingDecontaminationSpec extends SparkSpec {
     StreamingDecontamination.decontaminateBatch(
       batch2.toDF("doc_id", "text"), 1L, indexRoot, reportRoot, K)
     val reportV = VersionedTable.versions(spark, reportRoot)
-    // doc 10 was fully cut in batch 2; re-sending it alone produces a
-    // report row identical to the logged one → nothing new appends
-    StreamingDecontamination.decontaminateBatch(
+    // doc 10 was fully cut in batch 2; re-sending it in a NEW batch cuts
+    // it to nothing again (idempotent content) — and the batch-keyed
+    // guard still records the audit row (the old content-diff guard
+    // silently dropped any batch whose rows coincided with logged ones)
+    val r = reportMap(StreamingDecontamination.decontaminateBatch(
       Seq((10L, "a b c d e f")).toDF("doc_id", "text"), 2L, indexRoot,
-      reportRoot, K)
-    assert(VersionedTable.versions(spark, reportRoot) === reportV)
+      reportRoot, K))
+    assert(r === Map(10L -> ((6L, 0L))))
+    val after = VersionedTable.versions(spark, reportRoot)
+    assert(after.size === reportV.size + 1,
+      s"new batch's audit row must be recorded: $reportV -> $after")
+    val lastVersion = reportMap(
+      VersionedTable.read(spark, reportRoot, Some(after.last))
+        .exceptAll(VersionedTable.read(spark, reportRoot, Some(reportV.last))))
+    assert(lastVersion === Map(10L -> ((6L, 0L))))
   }
 }

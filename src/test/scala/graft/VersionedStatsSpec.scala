@@ -121,4 +121,66 @@ class VersionedStatsSpec extends SparkSpec {
     assert(d.strategy === "broadcast_small")
     assert(joined.count() === 1000L)
   }
+
+  test("sidecar-hostile column names are rejected loudly at write time") {
+    val root = tmp()
+    val df = Seq((1L, "a")).toDF("k\"q", "v")
+    val e = intercept[IllegalArgumentException] {
+      VersionedStats.commitWithStats(df, root, Seq("k\"q"))
+    }
+    assert(e.getMessage.contains("unsupported"))
+  }
+
+  test("statsFor only answers for committed versions") {
+    val root = tmp()
+    VersionedStats.commitWithStats(
+      (0 until 100).map(i => (i.toLong, i)).toDF("k", "v"), root, Seq("k"))
+    // a sidecar for a version that was never committed (leftover from a
+    // crashed writer, or planted) must not be served as stats
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_stats", "v9.json"),
+      """{"rows": 5, "sketches": {"k": [1,2]}}""".getBytes("UTF-8"))
+    assert(VersionedStats.statsFor(spark, root, Some(9L)) === None)
+    assert(VersionedStats.heavyHittersFor(spark, root, Some(9L)) === None)
+    assert(VersionedStats.statsFor(spark, root, Some(1L)).isDefined)
+  }
+
+  test("vacuum sweeps the stats sidecars of reclaimed versions") {
+    val root = tmp()
+    VersionedStats.commitWithStats(
+      (0 until 100).map(i => (i.toLong, i)).toDF("k", "v"), root, Seq("k"))
+    VersionedStats.commitWithStats(
+      (100 until 200).map(i => (i.toLong, i)).toDF("k", "v"), root,
+      Seq("k"), append = true)
+    VersionedStats.commitWithStats(
+      (200 until 300).map(i => (i.toLong, i)).toDF("k", "v"), root,
+      Seq("k"), append = true)
+    assert(VersionedStats.statsFor(spark, root, Some(1L)).isDefined)
+    VersionedTable.vacuum(spark, root, keepVersions = 2)
+    // v1's manifest AND sidecar are gone; kept versions keep their stats
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_stats", "v1.json")))
+    assert(VersionedStats.statsFor(spark, root, Some(1L)) === None)
+    assert(VersionedStats.statsFor(spark, root, Some(3L)).isDefined)
+  }
+
+  test("append-path sidecar reflects committed bytes, not a df re-run") {
+    // a non-deterministic input plan: the key column flips on every
+    // evaluation, so a sidecar computed by RE-RUNNING df would disagree
+    // with the committed file with probability ~1
+    val root = tmp()
+    VersionedStats.commitWithStats(
+      (0 until 50).map(i => (i.toLong, i)).toDF("k", "v"), root, Seq("k"))
+    val nonDet = spark.range(2000)
+      .select((col("id") + (rand() * 1000000).cast("long")).as("k"),
+        col("id").as("v"))
+    VersionedStats.commitWithStats(nonDet, root, Seq("k"), append = true)
+    val Some((rows, sk)) = VersionedStats.statsFor(spark, root)
+    assert(rows === 2050L)
+    val fromCommitted = VersionedTable.read(spark, root)
+      .agg(JoinSizeSketch.agmsSketch(col("k"), 256).as("s"))
+      .as[Seq[Long]].head()
+    assert(sk("k") === fromCommitted,
+      "append sidecar must be computed from the committed files")
+  }
 }
