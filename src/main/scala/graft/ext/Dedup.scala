@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.BoundedCollect.collectSetCapped
+
 /** Near-duplicate detection over `documents` — the LLM-training-data dedup
   * suite (SURVEY.md §7.3.7). Exact dedup lives in
   * [[graft.operators.Cleaning]] / [[TextAnalysis.fingerprintDedup]]; this file
@@ -96,7 +98,7 @@ object Dedup {
     // stop-shingles. (At extreme skew, pre-filter hot shingles with a
     // count-only pass before collecting — same shapes, one more shuffle.)
     val buckets = sh.groupBy(col("shingle"))
-      .agg(sort_array(collect_set(struct(col("doc_id"), col("n")))).as("d"),
+      .agg(sort_array(collectSetCapped(struct(col("doc_id"), col("n")), maxBucket)).as("d"),
         count(lit(1)).as("c"))
       .where(col("c") >= 2 && col("c") <= maxBucket)
     val pairs = buckets.select(explode_outer(
@@ -160,7 +162,7 @@ object Dedup {
                    minBands: Int = 1, maxBucket: Int = 1000): DataFrame = {
     val sig = minhashBands(docs, k, bands)
     val buckets = sig.groupBy(col("band"), col("sig"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("d"),
+      .agg(sort_array(collectSetCapped(col("doc_id"), maxBucket)).as("d"),
         count(lit(1)).as("c"))
       .where(col("c") >= 2 && col("c") <= maxBucket)
     val pairs = buckets.select(explode_outer(
@@ -272,7 +274,7 @@ object Dedup {
                      minShared: Long = 10, maxBucket: Int = 1000): DataFrame = {
     val fp = winnowingFingerprints(docs, k, w)
     val buckets = fp.groupBy(col("fp"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("d"), count(lit(1)).as("c"))
+      .agg(sort_array(collectSetCapped(col("doc_id"), maxBucket)).as("d"), count(lit(1)).as("c"))
       .where(col("c") >= 2 && col("c") <= maxBucket)
     val pairs = buckets.select(explode_outer(
         flatten(transform(col("d"), (x, i) =>
@@ -318,10 +320,10 @@ object Dedup {
     // collect_set skips nulls, so each bucket carries its train and test
     // doc sets side by side from one aggregation.
     val buckets = sh.groupBy(col("shingle"))
-      .agg(sort_array(collect_set(when(col("split") === trainSplit,
-          col("doc_id")))).as("tr"),
-        sort_array(collect_set(when(col("split") === testSplit,
-          col("doc_id")))).as("te"),
+      .agg(sort_array(collectSetCapped(when(col("split") === trainSplit,
+          col("doc_id")), maxBucket)).as("tr"),
+        sort_array(collectSetCapped(when(col("split") === testSplit,
+          col("doc_id")), maxBucket)).as("te"),
         count(lit(1)).as("c"))
       .where(size(col("tr")) >= 1 && size(col("te")) >= 1
         && col("c") <= maxBucket)
@@ -365,8 +367,8 @@ object Dedup {
             .as("bsig"))): _*)).as("bs"))
     val buckets = banded
       .groupBy(col("bs.band").as("band"), col("bs.bsig").as("bsig"))
-      .agg(sort_array(collect_set(struct(col("doc_id"), col("simhash"))))
-        .as("d"), count(lit(1)).as("c"))
+      .agg(sort_array(collectSetCapped(struct(col("doc_id"), col("simhash")),
+          maxBucket)).as("d"), count(lit(1)).as("c"))
       .where(col("c") >= 2 && col("c") <= maxBucket)
     val pairs = buckets.select(explode_outer(
         flatten(transform(col("d"), (x, i) =>

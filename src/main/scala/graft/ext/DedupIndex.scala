@@ -215,6 +215,8 @@ object DedupIndex {
       .groupBy(col("doc_id"), col("island"))
       .agg(min(col("pos")).as("s"), (max(col("pos")) + (k - 1)).as("e"))
       .groupBy(col("doc_id"))
+      // bounded buffer: one interval per cut island, at most n_tokens/k
+      // per doc — the same per-row bound as the doc's own token array
       .agg(collect_list(struct(col("s"), col("e"))).as("ivs"))
     batch
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))

@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.BoundedCollect.collectSetCapped
+
 /** Blocked fuzzy matching (entity resolution) — near-identical NAMES, not
   * near-identical documents: catalog/vendor/author strings that differ by
   * a typo or a token. Complements [[Dedup]] (content near-dup) with the
@@ -27,7 +29,7 @@ object Fuzzy {
     val rows = df.select(block.as("block"), col(idCol).as("id"),
       col(nameCol).as("name"))
     val buckets = rows.groupBy(col("block"))
-      .agg(sort_array(collect_set(struct(col("id"), col("name")))).as("d"),
+      .agg(sort_array(collectSetCapped(struct(col("id"), col("name")), maxBucket)).as("d"),
         count(lit(1)).as("c"))
       .where(col("c") >= 2 && col("c") <= maxBucket)
     buckets.select(col("block"), explode_outer(

@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.BoundedCollect.collectListCapped
+
 /** Span-level (sub-document) duplication analysis — the missing granularity
   * between [[TextAnalysis.fingerprintDedup]] (whole-doc exact) and the
   * [[Dedup]] near-dup family (whole-doc approximate). Training corpora are
@@ -128,7 +130,7 @@ object SpanDedup {
     val sp = spanRows(docs, k)
     val cutHits = sp
       .groupBy(col("span"))
-      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("d"),
+      .agg(collectListCapped(struct(col("doc_id"), col("pos")), maxOcc).as("d"),
         count(lit(1)).as("c"))
       .where(size(array_distinct(transform(col("d"),
         x => x.getField("doc_id")))) >= minDocs && col("c") <= maxOcc)
@@ -148,6 +150,8 @@ object SpanDedup {
       .groupBy(col("doc_id"), col("island"))
       .agg(min(col("pos")).as("s"), (max(col("pos")) + (k - 1)).as("e"))
       .groupBy(col("doc_id"))
+      // bounded buffer: one interval per cut island, at most n_tokens/k
+      // per doc — the same per-row bound as the doc's own token array
       .agg(collect_list(struct(col("s"), col("e"))).as("ivs"))
     docs
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
@@ -173,8 +177,8 @@ object SpanDedup {
     // Spark does not reuse plan subtrees across DataFrame branches.)
     val hits = sp
       .groupBy(col("span"))
-      .agg(collect_list(struct(col("doc_id"), col("n_tokens"), col("pos")))
-        .as("d"), count(lit(1)).as("c"))
+      .agg(collectListCapped(struct(col("doc_id"), col("n_tokens"),
+          col("pos")), maxOcc).as("d"), count(lit(1)).as("c"))
       .where(size(array_distinct(transform(col("d"),
         x => x.getField("doc_id")))) >= minDocs && col("c") <= maxOcc)
       .select(explode_outer(col("d")).as("h"))
