@@ -1286,7 +1286,8 @@ object SparkEntry {
         .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       t(s, dir, "events")
         .withColumn("__hold",
-          (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+          (unix_micros(lead(col("ts"), 1).over(w).cast("timestamp"))
+            - unix_micros(col("ts").cast("timestamp")))
             .cast("double"))
         .where(col("__hold").isNotNull) // last sample holds nothing
         .groupBy(col("user_id"))

@@ -183,7 +183,10 @@ object Attribution {
     // Δt < 2^53 µs (≈285 years), so the double floor-division is exact.
     val stepUs = halfLifeSec * 1000000L
     val k = least(
-      floor((unix_micros(col("__conv_ts")) - unix_micros(col(tsCol)))
+      // cast: unix_micros takes TIMESTAMP only; NTZ inputs convert
+      // value-preserving under the forced UTC session timezone.
+      floor((unix_micros(col("__conv_ts").cast("timestamp"))
+          - unix_micros(col(tsCol).cast("timestamp")))
         / lit(stepUs.toDouble)),
       lit(30L)).cast("int")
     val wJAll = Window.partitionBy(col(userCol), col("__journey"))

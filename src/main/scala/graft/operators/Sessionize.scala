@@ -16,12 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
+  // unix_micros takes TIMESTAMP only; the cast makes the operators safe on
+  // TIMESTAMP_NTZ inputs too (value-preserving under the engine's forced
+  // UTC session timezone; no-op on TimestampType). Same pattern as
+  // RangeJoin.pointInTimeWindow / AsOf's type dispatch.
+  private def micros(c: org.apache.spark.sql.Column) =
+    unix_micros(c.cast("timestamp"))
+
   /** Tag each event with its session ordinal per user (1-based). */
   def withSessionId(events: DataFrame, userCol: String, tsCol: String,
                     gapSeconds: Long): DataFrame = {
     val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
     val isNew = when(
-      unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(byUser)
+      micros(col(tsCol)) - lag(micros(col(tsCol)), 1).over(byUser)
         <= gapSeconds * 1000000L, 0L).otherwise(1L)
     events.withColumn("__new", isNew)
       .withColumn("session_id",
@@ -74,11 +81,11 @@ object Sessionize {
     // Monotone in t and ties on t share a bucket, so per-bucket (t, d)
     // order concatenated in bucket order IS the global sweep order.
     val bounds = deltas.agg(
-      min(unix_micros(col("t"))).as("__lo"),
-      max(unix_micros(col("t"))).as("__hi"))
+      min(micros(col("t"))).as("__lo"),
+      max(micros(col("t"))).as("__hi"))
     val bucketed = deltas.crossJoin(broadcast(bounds))
       .withColumn("__bucket", least(lit(nBuckets - 1),
-        floor((unix_micros(col("t")) - col("__lo")) * nBuckets /
+        floor((micros(col("t")) - col("__lo")) * nBuckets /
           greatest(col("__hi") - col("__lo") + 1L, lit(1L)))).cast("int"))
       .drop("__lo", "__hi")
     // Pass 1: bucket totals -> exclusive prefix offsets (<= nBuckets rows;

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Readers over the engine's table surface.
   *
@@ -25,17 +25,37 @@ object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark has no native type
-    // for. Sessions set spark.sql.legacy.parquet.nanosAsLong, so it arrives
-    // as Long nanos-since-epoch; convert to microsecond TimestampType by
-    // truncation — the same NS→US semantics as DuckDB's CAST(ts AS TIMESTAMP),
-    // keeping the oracle comparable.
-    // NB: integer `div`, not `/` — Spark's `/` on longs is DOUBLE division,
-    // and ns-epoch values (~1.7e18) exceed 2^53, so floor(ts/1000.0) lands
-    // ±1 µs off the true value. Exposed by the as-of join (raw timestamp
-    // output); latent in hour-granularity aggregates.
-    if (name == "events" && df.schema.exists(f => f.name == "ts" && f.dataType == LongType))
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Ingestion contract: events.ts is ALWAYS timezone-normalized (UTC)
+    // TimestampType past this boundary, whatever the parquet writer chose.
+    // Generations of the driver testdata have shipped three physical
+    // encodings, each normalized here:
+    //  - TIMESTAMP(NANOS): Spark has no nanos type; sessions set
+    //    spark.sql.legacy.parquet.nanosAsLong so it arrives as Long
+    //    nanos-since-epoch. Truncate to micros — same NS→US semantics as
+    //    DuckDB's CAST(ts AS TIMESTAMP), keeping the oracle comparable.
+    //    NB: integer `div`, not `/` — Spark's `/` on longs is DOUBLE
+    //    division, and ns-epoch values (~1.7e18) exceed 2^53, so
+    //    floor(ts/1000.0) lands ±1 µs off. Exposed by the as-of join.
+    //  - timestamp[us] without timezone (isAdjustedToUTC=false) → Spark
+    //    reads TIMESTAMP_NTZ. Cast to TimestampType: under the forced UTC
+    //    session timezone the cast is value-preserving (reinterprets the
+    //    wall-clock micros as UTC-epoch micros, identical bits).
+    //  - timestamp[us] UTC-adjusted → TimestampType already; passthrough.
+    // Anything else (e.g. a string ts) fails loudly with the table+column
+    // named, instead of flowing through to per-query analysis errors that
+    // a harness may silently drop (the round-8 incident).
+    if (name == "events")
+      df.schema.find(_.name == "ts").map(_.dataType) match {
+        case Some(LongType) =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case Some(TimestampNTZType) =>
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case Some(TimestampType) | None => df
+        case Some(other) => throw new IllegalStateException(
+          s"events.ts: unsupported physical type ${other.simpleString} " +
+            "(expected long nanos, timestamp_ntz, or timestamp) — " +
+            "testdata schema drifted; update Tables.table normalization")
+      }
     else df
   }
 
