@@ -23,6 +23,14 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Testdata-schema canary (round-8 incident: a driver regen changed
+    // events.ts's physical type and four queries vanished from the
+    // correctness artifact with no error row). Named drift errors print
+    // LOUDLY here; the dump still proceeds — partial results beat none,
+    // and SchemaCanarySpec fails the build on the same condition.
+    graft.sources.SchemaCanary.errors(spark, sfDir).foreach { e =>
+      System.err.println(s"[verify] SCHEMA CANARY: $e")
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
