@@ -29,7 +29,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2 + extensions. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    core ++ ext ++ ext3 ++ skewFixture
+    core ++ ext ++ ext3 ++ skewFixture ++ graft.registry.TpchCanon.queries
 
   // ---------------------------------------------------------------- core ---
 
@@ -1884,7 +1884,8 @@ object SparkEntry {
 
   /** DuckDB twins for the driver's differential check. Keys must mirror
     * [[queries]]; result column names and ORDER BY match exactly. */
-  def oracleSql: Map[String, String] = coreOracle ++ extOracle ++ Map(
+  def oracleSql: Map[String, String] =
+    coreOracle ++ extOracle ++ graft.registry.TpchCanon.oracle ++ Map(
     // the indexed twin must reproduce the recompute-the-corpus report
     // EXACTLY — one oracle serves both paths
     "incremental_new_docs_indexed" -> extOracle("incremental_new_docs"))

@@ -1,0 +1,148 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** TPC-H canon witnesses (Q1 / Q3 / Q18) over the driver's tables.
+  *
+  * The reference's KPI job is the fact⋈dim+agg shape
+  * (reference: dags/etl/kpi_processor.py:59-92); these three generalize it
+  * to the canonical decision-support forms: full-scan aggregate (Q1),
+  * filtered multi-join top-k (Q3), and having-filtered semi-join (Q18).
+  * Constants are adapted to the driver testdata's 1995-2001 date range and
+  * quantity distribution; shapes and column roles follow the public TPC-H
+  * spec (o_shippriority does not exist in this schema — o_orderpriority
+  * stands in).
+  *
+  * Scale posture:
+  *  - Q1 is one hash aggregate over a pushed-down scan (4-ish groups —
+  *    partial aggregation collapses it map-side; no skew possible).
+  *  - Q3 broadcasts the segment-filtered customer projection (a dim here;
+  *    on a cluster where customer outgrows the broadcast threshold, drop
+  *    the hint and AQE picks the shuffle join) and shuffle-joins
+  *    orders⋈lineitem on the order key.
+  *  - Q18 finds big orders with a map-side-combining aggregate and
+  *    LEFT SEMI joins it back — never a full-table window; the semi join's
+  *    build side is HAVING-filtered, answer-sized.
+  */
+object TpchCanon {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q1: pricing summary report. One scan, one hash agg; the shipdate
+    // predicate reaches the parquet reader as a pushed filter.
+    "tpch_q1_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("2000-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 6).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // Q3: shipping priority — revenue of undelivered orders for one market
+    // segment. Customer is the dim: filter, project to the two needed
+    // columns, broadcast. Orders⋈lineitem shuffles on the order key.
+    // Revenue rounded BEFORE the order-by so both engines rank identical
+    // values; l_orderkey breaks ties deterministically.
+    "tpch_q3_shipping_priority" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") < lit("2000-03-15"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_orderpriority"))
+      val li = t(s, dir, "lineitem")
+        .where(col("l_shipdate") > lit("2000-03-15"))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Q18: large-volume customers. The HAVING subquery is an aggregate +
+    // LEFT SEMI join (build side is answer-sized), NOT a windowed filter —
+    // a full-table window would shuffle and sort every order's lineitems.
+    // Customer joins plain: a true dim at test scale (AQE broadcasts it),
+    // and a shuffle join when it outgrows the threshold on a cluster.
+    "tpch_q18_large_customers" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("__sq"))
+        .where(col("__sq") > 300.0)
+        .select(col("l_orderkey").as("o_orderkey"))
+      val ord = t(s, dir, "orders")
+        .join(big, Seq("o_orderkey"), "left_semi")
+      ord.join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"),
+          col("o_orderkey"))
+        .limit(100)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "tpch_q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+         round(avg(l_quantity), 6) AS avg_qty,
+         round(avg(l_extendedprice), 6) AS avg_price,
+         round(avg(l_discount), 6) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "tpch_q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '2000-03-15'
+           AND l_shipdate > TIMESTAMP '2000-03-15'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, o_orderdate, l_orderkey
+         LIMIT 10""",
+
+    "tpch_q18_large_customers" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+         round(sum(l_quantity), 2) AS sum_qty
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey IN (
+           SELECT l_orderkey FROM lineitem
+           GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+         LIMIT 100"""
+  )
+}

@@ -180,4 +180,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!aj.contains("__salt"),
       s"adaptive_join_segments salted a uniform join:\n${aj.take(800)}")
   }
+
+  test("tpch q1: shipdate filter reaches the parquet scan") {
+    val p = plan(SparkEntry.queries("tpch_q1_pricing_summary")(spark, sf))
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"Q1's shipdate predicate should push to the scan:\n${p.take(1200)}")
+    assert(!p.contains("NestedLoop"))
+  }
+
+  test("tpch q3: the segment-filtered customer dim broadcasts") {
+    val p = plan(SparkEntry.queries("tpch_q3_shipping_priority")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"Q3 lost its broadcast dim join:\n${p.take(1200)}")
+    assert(!p.contains("NestedLoop"))
+  }
+
+  test("tpch q18: having-filter is a semi join, never a full-table window") {
+    val df = SparkEntry.queries("tpch_q18_large_customers")(spark, sf)
+    val wins = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.isEmpty,
+      "Q18 must filter big orders via aggregate + semi join, not a window")
+    val p = plan(df)
+    assert(p.contains("LeftSemi"), s"Q18 lost its semi join:\n${p.take(1200)}")
+  }
 }
