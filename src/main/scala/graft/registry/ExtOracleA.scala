@@ -1,0 +1,667 @@
+package graft.registry
+
+import graft.ext.{Similarity, TextAnalysis}
+import OracleFrag._
+
+/** DuckDB twins for the extension queries (text/dedup/similarity half;
+  * the rest live in [[ExtOracleB]]). */
+object ExtOracleA {
+  val oracle: Map[String, String] = {
+    val markers = TextAnalysis.langMarkers.map { case (l, ms) =>
+      l -> ms.map(m => s"x = '$m'").mkString(" OR ")
+    }.toMap
+    val planes = Similarity.hyperplanes(4, 64)
+    val bucketOf = (v: String) => planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${dotSql(v, planeLiteral(p))} >= 0.0 " +
+        s"THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    // OR-amplified LSH: table t's plane set is seeded 42 + t, mirroring
+    // Similarity.knnLshOr's defaults (12 tables x 5 planes)
+    val orBucketOf = (v: String, t: Int) =>
+      Similarity.hyperplanes(5, 64, 42L + t).zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN ${dotSql(v, planeLiteral(p))} >= 0.0 " +
+          s"THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+
+    // Winnowing fingerprint pipeline (tok -> positional k-gram md5 ->
+    // 32-bit ints -> window mins -> distinct per doc -> shared-fp pairs),
+    // shared by neardup_winnowing and dedup_components.
+    val winnowH32 = foldSum(
+      "list_transform(generate_series(1, 8), i -> " +
+        "CAST(CASE WHEN ascii(substr(m, i, 1)) <= 57 " +
+        "THEN ascii(substr(m, i, 1)) - 48 " +
+        "ELSE ascii(substr(m, i, 1)) - 87 END AS BIGINT) " +
+        "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+      "CAST(0 AS BIGINT)")
+    val winnowCtes =
+      s"""$tokCte,
+         sh AS (SELECT doc_id, list_transform(generate_series(1, len(w)-4),
+             i -> md5(array_to_string(w[i:i+4], ' '))) AS mh
+           FROM tok WHERE len(w) >= 5),
+         h AS (SELECT doc_id, list_transform(mh, m -> $winnowH32) AS hs FROM sh),
+         fp AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(hs)-3, 1)),
+             j -> list_min(hs[j:j+3])))) AS fp FROM h),
+         fpfreq AS (SELECT fp, count(*) AS c FROM fp GROUP BY 1),
+         fpp AS (SELECT fp.doc_id, fp.fp FROM fp JOIN fpfreq USING (fp)
+                 WHERE c >= 2 AND c <= 1000),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS n_shared_fp
+           FROM fpp a JOIN fpp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)"""
+
+    Map(
+      "text_stats" ->
+        s"""WITH $tokCte
+           SELECT lang, source, count(*) AS n_docs,
+             CAST(sum(len(w)) AS BIGINT) AS total_tokens,
+             round(avg(len(w)), 6) AS avg_tokens,
+             round(avg(n_chars), 6) AS avg_chars
+           FROM tok GROUP BY lang, source ORDER BY lang, source""",
+
+      "top_tokens" ->
+        """SELECT token, count(*) AS n FROM (
+             SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+             FROM documents)
+           GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+
+      "lang_id_confusion" ->
+        s"""WITH $tokCte,
+           s AS (SELECT lang,
+             len(list_filter(w, x -> ${markers("de")})) AS s_de,
+             len(list_filter(w, x -> ${markers("en")})) AS s_en,
+             len(list_filter(w, x -> ${markers("es")})) AS s_es,
+             len(list_filter(w, x -> ${markers("fr")})) AS s_fr
+             FROM tok)
+           SELECT lang,
+             CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unk'
+                  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                  WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                  WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS predicted_lang,
+             count(*) AS n_docs
+           FROM s GROUP BY 1, 2 ORDER BY lang, predicted_lang""",
+
+      "quality_scores" ->
+        s"""WITH $tokCte,
+           q AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(w, x -> x = 'the' OR x = 'a' OR x = 'of'
+               OR x = 'and' OR x = 'is' OR x = 'in')) AS BIGINT) AS stop_hits,
+             CASE WHEN len(w) = 0 THEN 0.0
+                  ELSE CAST(${foldSum("list_transform(w, x -> length(x))", "CAST(0 AS BIGINT)")} AS DOUBLE) / len(w)
+             END AS atl
+             FROM tok),
+           q2 AS (SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens = 0 THEN 0.0
+                  ELSE CAST(stop_hits AS DOUBLE) / n_tokens END AS stopword_ratio,
+             atl FROM q)
+           SELECT doc_id, n_tokens, stopword_ratio,
+             round(atl, 6) AS avg_token_len,
+             round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+               + stopword_ratio * 0.3 + least(atl / 8.0, 1.0) * 0.2, 6)
+               AS quality_score
+           FROM q2 ORDER BY doc_id""",
+
+      "doc_fingerprints" ->
+        """SELECT md5(array_to_string(
+             regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fingerprint,
+           count(*) AS n_copies, min(doc_id) AS survivor_doc_id
+           FROM documents GROUP BY 1 ORDER BY fingerprint""",
+
+      "neardup_jaccard" ->
+        s"""WITH $tokCte, $shCte,
+           sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+           freq AS (SELECT shingle, count(*) AS c FROM sh GROUP BY 1),
+           pruned AS (SELECT sh.doc_id, sh.shingle FROM sh
+                      JOIN freq USING (shingle) WHERE c <= 1000),
+           common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        count(*) AS n_common
+                      FROM pruned a JOIN pruned b
+                      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+           SELECT doc_a, doc_b, n_common,
+             round(CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common), 6) AS jaccard
+           FROM common JOIN sizes na ON na.doc_id = doc_a
+                       JOIN sizes nb ON nb.doc_id = doc_b
+           WHERE round(CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common), 6) >= 0.8
+           ORDER BY doc_a, doc_b""",
+
+      "neardup_minhash" -> {
+        // hex→int fold of md5 substring [off+1, off+8] (mirrors Spark's
+        // conv(substring(md5(shingle), off+1, 8), 16, 10)).
+        def h32(off: Int) = foldSum(
+          "list_transform(generate_series(1, 8), i -> " +
+            s"CAST(CASE WHEN ascii(substr(md5(shingle), $off + i, 1)) <= 57 " +
+            s"THEN ascii(substr(md5(shingle), $off + i, 1)) - 48 " +
+            s"ELSE ascii(substr(md5(shingle), $off + i, 1)) - 87 END AS BIGINT) " +
+            "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+          "CAST(0 AS BIGINT)")
+        s"""WITH $tokCte, $shCte,
+           hashed AS (SELECT doc_id, ${h32(0)} AS h1, ${h32(8)} AS h2 FROM sh),
+           bands AS (SELECT doc_id, band,
+               min((h1 + band * h2) % 4294967296) AS sig
+             FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS band)
+             GROUP BY doc_id, band),
+           freq AS (SELECT band, sig, count(*) AS c FROM bands GROUP BY 1, 2),
+           pruned AS (SELECT bands.* FROM bands JOIN freq USING (band, sig)
+                      WHERE c >= 2 AND c <= 1000)
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS n_shared_bands
+           FROM pruned a JOIN pruned b
+             ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 1 ORDER BY doc_a, doc_b"""
+      },
+
+      "neardup_winnowing" ->
+        s"""WITH $winnowCtes
+           SELECT doc_a, doc_b, n_shared_fp FROM pairs
+           WHERE n_shared_fp >= 10 ORDER BY doc_a, doc_b""",
+
+      // Positional 5-grams (POSITIONS matter — no list_distinct, unlike
+      // shCte): pos is 1-based to match Spark's posexplode index + 1.
+      "dup_span_report" ->
+        s"""WITH $tokCte,
+           sp AS (SELECT doc_id, i AS pos,
+                    array_to_string(w[i:i+4], ' ') AS span
+                  FROM tok, LATERAL unnest(generate_series(1, len(w)-4)) t(i))
+           SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_occ
+           FROM sp GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+           ORDER BY n_docs DESC, n_occ DESC, span LIMIT 100""",
+
+      // Non-owner occurrences cut, text rebuilt from surviving token
+      // positions; md5 compares the full rebuilt stream per doc.
+      "span_cut_docs" ->
+        s"""WITH $tokCte,
+           sp AS (SELECT doc_id, i AS pos,
+                    array_to_string(w[i:i+4], ' ') AS span
+                  FROM tok, LATERAL unnest(generate_series(1, len(w)-4)) t(i)),
+           dup AS (SELECT span, min(doc_id) AS own FROM sp GROUP BY 1
+                   HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= 10000),
+           cuts AS (SELECT s.doc_id, s.pos FROM sp s JOIN dup USING (span)
+                    WHERE s.doc_id <> dup.own),
+           isl AS (SELECT doc_id, pos,
+                     CASE WHEN pos > coalesce(max(pos + 4) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                     THEN 1 ELSE 0 END AS flag
+                   FROM cuts),
+           isl2 AS (SELECT doc_id, pos, sum(flag) OVER (
+                      PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+           ivs AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 4 AS e
+                   FROM isl2 GROUP BY doc_id, island),
+           toks AS (SELECT t.doc_id, i, w[i] AS tk FROM tok t,
+                      LATERAL unnest(generate_series(1, len(w))) u(i)),
+           kept AS (SELECT k.doc_id, k.i, k.tk FROM toks k
+                    WHERE NOT EXISTS (SELECT 1 FROM ivs v
+                      WHERE v.doc_id = k.doc_id AND k.i BETWEEN v.s AND v.e))
+           SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_before,
+             CAST(coalesce(g.n_after, 0) AS BIGINT) AS n_after,
+             md5(coalesce(g.clean, '')) AS clean_md5
+           FROM tok t LEFT JOIN (
+             SELECT doc_id, count(*) AS n_after,
+                    string_agg(tk, ' ' ORDER BY i) AS clean
+             FROM kept GROUP BY doc_id) g USING (doc_id)
+           ORDER BY t.doc_id""",
+
+      // Interval-union coverage by gaps-and-islands, mirroring the Spark
+      // windows exactly (integer positions — deterministic cross-engine).
+      "doc_span_dup_ratio" ->
+        s"""WITH $tokCte,
+           sp AS (SELECT doc_id, len(w) AS n_tokens, i AS pos,
+                    array_to_string(w[i:i+4], ' ') AS span
+                  FROM tok, LATERAL unnest(generate_series(1, len(w)-4)) t(i)),
+           dup AS (SELECT span FROM sp GROUP BY 1
+                   HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= 10000),
+           hits AS (SELECT doc_id, n_tokens, pos FROM sp JOIN dup USING (span)),
+           isl AS (SELECT doc_id, n_tokens, pos,
+                     CASE WHEN pos > coalesce(max(pos + 4) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                     THEN 1 ELSE 0 END AS flag
+                   FROM hits),
+           isl2 AS (SELECT doc_id, n_tokens, pos, sum(flag) OVER (
+                      PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+           per_isl AS (SELECT doc_id, n_tokens, island, min(pos) AS s,
+                         max(pos) AS e, count(*) AS nh
+                       FROM isl2 GROUP BY doc_id, n_tokens, island)
+           SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(sum(nh) AS BIGINT) AS n_dup_spans,
+             CAST(count(*) AS BIGINT) AS n_islands,
+             CAST(sum(e - s + 5) AS BIGINT) AS covered_tokens,
+             round(CAST(sum(e - s + 5) AS DOUBLE)
+               / CAST(n_tokens AS DOUBLE), 6) AS dup_ratio
+           FROM per_isl GROUP BY doc_id, n_tokens ORDER BY doc_id""",
+
+      // Components via transitive closure (recursive CTE) — structurally
+      // different from Spark's label propagation, same fixpoint.
+      "dedup_components" ->
+        s"""WITH RECURSIVE $winnowCtes,
+           edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                     WHERE n_shared_fp >= 10
+                     UNION SELECT doc_b, doc_a FROM pairs
+                     WHERE n_shared_fp >= 10),
+           reach AS (
+             SELECT a, b FROM edges
+             UNION
+             SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+           SELECT a AS doc_id, least(a, min(b)) AS component
+           FROM reach GROUP BY a ORDER BY doc_id""",
+
+      "dedup_survivors" ->
+        // same component CTEs; non-survivors (doc_id <> component = min
+        // member) are dropped from the corpus by anti-join
+        s"""WITH RECURSIVE $winnowCtes,
+           edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                     WHERE n_shared_fp >= 10
+                     UNION SELECT doc_b, doc_a FROM pairs
+                     WHERE n_shared_fp >= 10),
+           reach AS (
+             SELECT a, b FROM edges
+             UNION
+             SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+           labels AS (SELECT a AS doc_id, least(a, min(b)) AS component
+                      FROM reach GROUP BY a)
+           SELECT d.doc_id, d.lang, d.source, d.n_chars
+           FROM documents d
+           WHERE d.doc_id NOT IN
+             (SELECT doc_id FROM labels WHERE doc_id <> component)
+           ORDER BY d.doc_id""",
+
+      "neardup_simhash" -> {
+        // 32-bit word of md5(t) at hex offset `off` (mirrors Spark's
+        // conv(substring(md5(tok), off+1, 8), 16, 10)).
+        def w32(off: Int) = foldSum(
+          "list_transform(generate_series(1, 8), i -> " +
+            s"CAST(CASE WHEN ascii(substr(md5(t), $off + i, 1)) <= 57 " +
+            s"THEN ascii(substr(md5(t), $off + i, 1)) - 48 " +
+            s"ELSE ascii(substr(md5(t), $off + i, 1)) - 87 END AS BIGINT) " +
+            "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+          "CAST(0 AS BIGINT)")
+        // ±1 vote sum for bit `bexp` of each 32-bit word in list `lst`.
+        def vote(lst: String, bexp: String) = foldSum(
+          s"list_transform($lst, hh -> CASE WHEN " +
+            s"CAST(floor(hh / pow(2.0, $bexp)) AS BIGINT) % 2 = 1 " +
+            "THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)",
+          "CAST(0 AS BIGINT)")
+        // 64-bit signature: bits 0-31 from word 1, 32-62 from word 2
+        // (pow(2,j) is a power of two — exact in double, BIGINT-castable
+        // through 2^62); bit 63 added as the Long.MIN_VALUE literal since
+        // 2^63 overflows BIGINT.
+        val lo = foldSum(
+          "list_transform(generate_series(0, 31), j -> " +
+            "CASE WHEN " + vote("hlo", "j") + " > 0 " +
+            "THEN CAST(pow(2.0, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)",
+          "CAST(0 AS BIGINT)")
+        val hi62 = foldSum(
+          "list_transform(generate_series(32, 62), j -> " +
+            "CASE WHEN " + vote("hhi", "j - 32") + " > 0 " +
+            "THEN CAST(pow(2.0, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)",
+          "CAST(0 AS BIGINT)")
+        val bit63 = "CASE WHEN " + vote("hhi", "31") + " > 0 " +
+          "THEN (-9223372036854775807 - 1) ELSE CAST(0 AS BIGINT) END"
+        s"""WITH toks AS (SELECT doc_id, list_distinct(
+               regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents),
+           h AS (SELECT doc_id,
+               list_transform(w, t -> ${w32(0)}) AS hlo,
+               list_transform(w, t -> ${w32(8)}) AS hhi
+             FROM toks),
+           sig AS (SELECT doc_id, $lo + $hi62 + $bit63 AS simhash FROM h),
+           b AS (SELECT doc_id, simhash, band,
+               ((simhash >> (band * 16)) & 65535) AS bsig
+             FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)),
+           freq AS (SELECT band, bsig, count(*) AS c FROM b GROUP BY 1, 2),
+           pruned AS (SELECT b.* FROM b JOIN freq USING (band, bsig)
+                      WHERE c >= 2 AND c <= 1000),
+           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming
+             FROM pruned a JOIN pruned b2
+               ON a.band = b2.band AND a.bsig = b2.bsig
+               AND a.doc_id < b2.doc_id)
+           SELECT doc_a, doc_b, hamming FROM cand
+           WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
+      },
+
+      "knn_bruteforce" ->
+        s"""WITH v AS (SELECT vec_id, embedding AS emb FROM embeddings),
+           p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               ${dotSql("q.emb", "c.emb")} AS d,
+               ${dotSql("q.emb", "q.emb")} AS qn2,
+               ${dotSql("c.emb", "c.emb")} AS cn2
+             FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+           s AS (SELECT query_id, cand_id,
+               round(CASE WHEN sqrt(qn2) = 0.0 OR sqrt(cn2) = 0.0 THEN 0.0
+                          ELSE d / (sqrt(qn2) * sqrt(cn2)) END, 6) AS cos_sim
+             FROM p)
+           SELECT query_id, cand_id, cos_sim, CAST(rn AS BIGINT) AS rank
+           FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, cand_id) AS rn FROM s)
+           WHERE rn <= 5 ORDER BY query_id, rank""",
+
+      "neardup_cosine" ->
+        s"""WITH v AS (SELECT vec_id, embedding AS emb,
+               ${dotSql("embedding", "embedding")} AS n2 FROM embeddings),
+           p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(CASE WHEN sqrt(a.n2) = 0.0 OR sqrt(b.n2) = 0.0 THEN 0.0
+                          ELSE ${dotSql("a.emb", "b.emb")}
+                               / (sqrt(a.n2) * sqrt(b.n2)) END, 6) AS cos_sim
+             FROM v a JOIN v b ON a.vec_id < b.vec_id)
+           SELECT vec_a, vec_b, cos_sim FROM p
+           WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""",
+
+      "neardup_cosine_lsh" ->
+        s"""WITH v AS (SELECT vec_id, embedding AS emb,
+               ${dotSql("embedding", "embedding")} AS n2,
+               ${bucketOf("embedding")} AS bucket FROM embeddings),
+           p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+               round(CASE WHEN sqrt(a.n2) = 0.0 OR sqrt(b.n2) = 0.0 THEN 0.0
+                          ELSE ${dotSql("a.emb", "b.emb")}
+                               / (sqrt(a.n2) * sqrt(b.n2)) END, 6) AS cos_sim
+             FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+           SELECT vec_a, vec_b, bucket, cos_sim FROM p
+           WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""",
+
+      "knn_lsh" ->
+        s"""WITH v AS (SELECT vec_id, embedding AS emb,
+               ${bucketOf("embedding")} AS bucket FROM embeddings),
+           p AS (SELECT q.vec_id AS query_id, q.bucket AS bucket,
+               c.vec_id AS cand_id,
+               ${dotSql("q.emb", "c.emb")} AS d,
+               ${dotSql("q.emb", "q.emb")} AS qn2,
+               ${dotSql("c.emb", "c.emb")} AS cn2
+             FROM v q JOIN v c ON q.vec_id < 10 AND c.bucket = q.bucket
+               AND c.vec_id <> q.vec_id),
+           s AS (SELECT query_id, bucket, cand_id,
+               round(CASE WHEN sqrt(qn2) = 0.0 OR sqrt(cn2) = 0.0 THEN 0.0
+                          ELSE d / (sqrt(qn2) * sqrt(cn2)) END, 6) AS cos_sim
+             FROM p)
+           SELECT query_id, bucket, cand_id, cos_sim, CAST(rn AS BIGINT) AS rank
+           FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, cand_id) AS rn FROM s)
+           WHERE rn <= 5 ORDER BY query_id, rank""",
+
+      // OR-amplified LSH: a candidate qualifies if it shares the query's
+      // bucket in ANY of the 12 seeded tables; the single OR-join predicate
+      // yields each (query, cand) pair once, mirroring Spark's post-score
+      // dropDuplicates
+      "knn_lsh_or" ->
+        s"""WITH v AS (SELECT vec_id, embedding AS emb,
+               ${(0 until 12).map(t =>
+                  s"${orBucketOf("embedding", t)} AS b$t").mkString(", ")}
+             FROM embeddings),
+           p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               ${dotSql("q.emb", "c.emb")} AS d,
+               ${dotSql("q.emb", "q.emb")} AS qn2,
+               ${dotSql("c.emb", "c.emb")} AS cn2
+             FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+               AND (${(0 until 12).map(t => s"q.b$t = c.b$t").mkString(" OR ")})),
+           s AS (SELECT query_id, cand_id,
+               round(CASE WHEN sqrt(qn2) = 0.0 OR sqrt(cn2) = 0.0 THEN 0.0
+                          ELSE d / (sqrt(qn2) * sqrt(cn2)) END, 6) AS cos_sim
+             FROM p)
+           SELECT query_id, cand_id, cos_sim, CAST(rn AS BIGINT) AS rank
+           FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, cand_id) AS rn FROM s)
+           WHERE rn <= 5 ORDER BY query_id, rank""",
+
+      "hard_negatives" ->
+        s"""WITH v AS (SELECT vec_id, embedding AS emb,
+               ${bucketOf("embedding")} AS bucket FROM embeddings),
+           p AS (SELECT q.vec_id AS anchor_id, c.vec_id AS neg_id,
+               ${dotSql("q.emb", "c.emb")} AS d,
+               ${dotSql("q.emb", "q.emb")} AS qn2,
+               ${dotSql("c.emb", "c.emb")} AS cn2
+             FROM v q JOIN v c ON q.vec_id < 10 AND c.bucket = q.bucket
+               AND c.vec_id <> q.vec_id),
+           s AS (SELECT anchor_id, neg_id,
+               round(CASE WHEN sqrt(qn2) = 0.0 OR sqrt(cn2) = 0.0 THEN 0.0
+                          ELSE d / (sqrt(qn2) * sqrt(cn2)) END, 6) AS cos_sim
+             FROM p)
+           SELECT anchor_id, neg_id, cos_sim, CAST(rn AS BIGINT) AS neg_rank
+           FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                   ORDER BY cos_sim DESC, neg_id) AS rn FROM s
+                 WHERE cos_sim >= 0.05 AND cos_sim < 0.4)
+           WHERE rn <= 5 ORDER BY anchor_id, neg_rank""",
+
+      "tfidf_top_tokens" ->
+        s"""WITH $tokCte,
+           t AS (SELECT doc_id, unnest(w) AS token FROM tok),
+           tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+           dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+           n AS (SELECT count(*) AS n_docs FROM documents),
+           scored AS (SELECT doc_id, token, tf, df,
+               round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+             FROM tf JOIN dfq USING (token) CROSS JOIN n
+             WHERE doc_id < 20),
+           r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, token) AS rank FROM scored)
+           SELECT doc_id, token, tf, df, tfidf, CAST(rank AS BIGINT) AS rank
+           FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+      "props_map_stats" ->
+        """SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INT)
+             / 10.0) AS BIGINT) AS k_decile,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+             AS sum_k
+           FROM events GROUP BY 1 ORDER BY 1""",
+
+      "salted_hourly_counts" ->
+        """SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+           count(*) AS n
+           FROM events GROUP BY 1 ORDER BY 1""",
+
+      "contrastive_negatives" -> {
+        // same md5-bucket family as doc_splits, applied twice: once to
+        // the doc key (anchor bucket) and once to "key#rank" (the draw)
+        def hex32(c: String) = foldSum(
+          "list_transform(generate_series(1, 8), i -> " +
+            s"CAST(CASE WHEN ascii(substr($c, i, 1)) <= 57 " +
+            s"THEN ascii(substr($c, i, 1)) - 48 " +
+            s"ELSE ascii(substr($c, i, 1)) - 87 END AS BIGINT) " +
+            "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+          "CAST(0 AS BIGINT)")
+        s"""WITH d AS (SELECT doc_id,
+               ${hex32("md5(CAST(doc_id AS VARCHAR))")} % 16 AS bucket
+             FROM documents),
+           reps AS (SELECT bucket AS nb, min(doc_id) AS neg_doc_id
+                    FROM d GROUP BY 1),
+           a AS (SELECT d.doc_id AS anchor_doc_id, d.bucket AS ab,
+                   r AS neg_rank,
+                   ${hex32("md5(CAST(d.doc_id AS VARCHAR) || '#' || CAST(r AS VARCHAR))")} % 16 AS nb
+                 FROM d, LATERAL unnest(generate_series(1, 3)) t(r))
+           SELECT anchor_doc_id, neg_rank, neg_doc_id
+           FROM a JOIN reps USING (nb)
+           WHERE nb != ab
+           ORDER BY anchor_doc_id, neg_rank"""
+      },
+
+      "doc_splits" -> {
+        // 32-bit int from the first 8 hex chars of md5 (mirrors Spark's
+        // conv(substring(md5(...), 1, 8), 16, 10)).
+        val hex32 = foldSum(
+          "list_transform(generate_series(1, 8), i -> " +
+            "CAST(CASE WHEN ascii(substr(mh, i, 1)) <= 57 " +
+            "THEN ascii(substr(mh, i, 1)) - 48 " +
+            "ELSE ascii(substr(mh, i, 1)) - 87 END AS BIGINT) " +
+            "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+          "CAST(0 AS BIGINT)")
+        s"""WITH m AS (SELECT doc_id, n_chars,
+               md5(CAST(doc_id AS VARCHAR)) AS mh FROM documents),
+           h AS (SELECT doc_id, n_chars, $hex32 % 100 AS bucket FROM m)
+           SELECT CASE WHEN bucket < 80 THEN 'train'
+                       WHEN bucket < 90 THEN 'val'
+                       ELSE 'test' END AS split,
+             count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+           FROM h GROUP BY 1 ORDER BY split"""
+      },
+
+      // The shard formula is the plain global prefix-sum cut; Spark's
+      // bucket-decomposed evaluation reconstructs the same integers.
+      "token_balanced_shards" ->
+        """WITH tokc AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS ord,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+             FROM documents),
+           c AS (SELECT doc_id, w,
+               sum(w) OVER (ORDER BY ord, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(w) OVER () AS total FROM tokc)
+           SELECT least(CAST(7 AS BIGINT),
+               CAST(((cum - w) * 8) // total AS BIGINT)) AS shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(w) AS BIGINT) AS sum_tokens
+           FROM c GROUP BY 1 ORDER BY shard""",
+
+      "token_estimates" ->
+        """SELECT lang, count(*) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+             AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(text,
+             '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'))) AS BIGINT) AS bpe_tokens,
+           CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT)
+             AS char_est_tokens
+           FROM documents GROUP BY lang ORDER BY lang""",
+
+      "contamination_report" -> {
+        // hashBucket mirror (see doc_splits) on the shingle-row split.
+        val hex32 = foldSum(
+          "list_transform(generate_series(1, 8), i -> " +
+            "CAST(CASE WHEN ascii(substr(mh, i, 1)) <= 57 " +
+            "THEN ascii(substr(mh, i, 1)) - 48 " +
+            "ELSE ascii(substr(mh, i, 1)) - 87 END AS BIGINT) " +
+            "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+          "CAST(0 AS BIGINT)")
+        s"""WITH $tokCte, $shCte,
+           m AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS mh
+                 FROM documents),
+           spl AS (SELECT doc_id,
+               CASE WHEN ($hex32 % 100) < 80 THEN 'train'
+                    WHEN ($hex32 % 100) < 90 THEN 'val'
+                    ELSE 'test' END AS split FROM m),
+           shs AS (SELECT sh.doc_id, shingle, split
+                   FROM sh JOIN spl USING (doc_id)
+                   WHERE split IN ('train', 'test')),
+           freq AS (SELECT shingle, count(*) AS c FROM shs GROUP BY 1),
+           ok AS (SELECT shs.* FROM shs JOIN freq USING (shingle)
+                  WHERE c <= 1000),
+           pairs AS (SELECT a.doc_id AS test_doc, b.doc_id AS train_doc,
+               count(*) AS n_shared
+             FROM ok a JOIN ok b ON a.shingle = b.shingle
+               AND a.split = 'test' AND b.split = 'train'
+             GROUP BY 1, 2)
+           SELECT test_doc, train_doc, n_shared FROM pairs
+           WHERE n_shared >= 5 ORDER BY test_doc, train_doc"""
+      },
+
+      "doc_repetition" ->
+        """WITH t2 AS (SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+           FROM documents),
+           r AS (SELECT doc_id, token, count(*) AS c FROM t2 GROUP BY 1, 2),
+           s AS (SELECT doc_id, token, c,
+               max(c) OVER (PARTITION BY doc_id) AS mx,
+               sum(c) OVER (PARTITION BY doc_id) AS tot FROM r)
+           SELECT doc_id, CAST(tot AS BIGINT) AS n_tokens,
+             min(CASE WHEN c = mx THEN token END) AS top_token,
+             CAST(mx AS BIGINT) AS top_count,
+             round(CAST(mx AS DOUBLE) / tot, 6) AS top_ratio
+           FROM s GROUP BY doc_id, tot, mx ORDER BY doc_id""",
+
+      "zorder_codes" -> {
+        val z = (0 until 5).map(j =>
+          s"(((a >> $j) & 1) * ${1L << (2 * j)} + " +
+            s"((b >> $j) & 1) * ${1L << (2 * j + 1)})").mkString(" + ")
+        s"""SELECT c_custkey, $z AS zcode
+           FROM (SELECT c_custkey, c_custkey % 32 AS a,
+                   CAST(c_nationkey AS BIGINT) AS b FROM customer)
+           ORDER BY c_custkey"""
+      },
+
+      "hourly_gapfill" ->
+        """WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
+               AS hour_start, count(*) AS c
+             FROM events WHERE event_type = 'purchase' AND value > 200
+             GROUP BY 1),
+           bounds AS (SELECT min(hour_start) mn, max(hour_start) mx FROM h),
+           spine AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+               AS hour_start FROM bounds)
+           SELECT hour_start, CAST(coalesce(c, 0) AS BIGINT) AS n_events
+           FROM spine LEFT JOIN h USING (hour_start)
+           ORDER BY hour_start""",
+
+      "fuzzy_part_pairs" ->
+        """WITH b AS (SELECT p_partkey, p_name,
+             split_part(p_name, ' ', 1) AS block FROM part),
+           pairs AS (SELECT a.block,
+               levenshtein(a.p_name, c.p_name) AS edit_dist
+             FROM b a JOIN b c
+               ON a.block = c.block AND a.p_partkey < c.p_partkey
+             WHERE levenshtein(a.p_name, c.p_name) <= 1)
+           SELECT block, count(*) AS n_pairs,
+             round(avg(edit_dist), 6) AS avg_dist
+           FROM pairs GROUP BY block ORDER BY block""",
+
+      "fuzzy_part_pairs_jw" ->
+        """WITH b AS (SELECT p_partkey, p_name,
+             split_part(p_name, ' ', 1) AS block FROM part),
+           pairs AS (SELECT a.block,
+               jaro_winkler_similarity(a.p_name, c.p_name) AS jw
+             FROM b a JOIN b c
+               ON a.block = c.block AND a.p_partkey < c.p_partkey
+             WHERE jaro_winkler_similarity(a.p_name, c.p_name) >= 0.9)
+           SELECT block, count(*) AS n_pairs,
+             round(avg(jw), 6) AS avg_sim
+           FROM pairs GROUP BY block ORDER BY block""",
+
+      // American Soundex reproduced in DuckDB SQL (it has no builtin):
+      // a list_reduce fold over the word's characters carrying
+      // "code-so-far|last-code" state, with Spark's exact mapping table
+      // ('7' = h/w, skipped without resetting the last code; '0' =
+      // vowels, skipped but resetting it) — so the phonetic blocks
+      // match Spark's builtin soundex byte-for-byte and the pairing
+      // below is the same blocked-JW shape as fuzzy_part_pairs_jw.
+      "fuzzy_soundex_pairs" -> {
+        val sx =
+          """CASE WHEN NOT regexp_matches(w, '^[a-zA-Z]') THEN w ELSE
+             rpad(split_part(list_reduce(
+               list_prepend(
+                 upper(w[1]) || '|' ||
+                   substr('01230127022455012623017202',
+                          ascii(upper(w[1])) - 64, 1),
+                 regexp_extract_all(substr(w, 2), '.')),
+               (acc, ch) -> CASE
+                 WHEN ascii(upper(ch)) < 65 OR ascii(upper(ch)) > 90
+                   THEN split_part(acc, '|', 1) || '|0'
+                 WHEN substr('01230127022455012623017202',
+                        ascii(upper(ch)) - 64, 1) = '7'
+                   THEN acc
+                 WHEN substr('01230127022455012623017202',
+                        ascii(upper(ch)) - 64, 1) = '0'
+                   THEN split_part(acc, '|', 1) || '|0'
+                 WHEN substr('01230127022455012623017202',
+                        ascii(upper(ch)) - 64, 1) <> split_part(acc, '|', 2)
+                      AND length(split_part(acc, '|', 1)) < 4
+                   THEN split_part(acc, '|', 1) ||
+                        substr('01230127022455012623017202',
+                               ascii(upper(ch)) - 64, 1) ||
+                        '|' || substr('01230127022455012623017202',
+                                      ascii(upper(ch)) - 64, 1)
+                 ELSE split_part(acc, '|', 1) || '|' ||
+                      substr('01230127022455012623017202',
+                             ascii(upper(ch)) - 64, 1)
+                 END), '|', 1), 4, '0')
+             END"""
+        s"""WITH t AS (SELECT p_partkey, p_name,
+               split_part(p_name, ' ', 1) AS w FROM part),
+           b AS (SELECT p_partkey, p_name, $sx AS block FROM t),
+           pairs AS (SELECT a.block,
+               jaro_winkler_similarity(a.p_name, c.p_name) AS jw
+             FROM b a JOIN b c
+               ON a.block = c.block AND a.p_partkey < c.p_partkey
+             WHERE jaro_winkler_similarity(a.p_name, c.p_name) >= 0.9)
+           SELECT block, count(*) AS n_pairs,
+             round(avg(jw), 6) AS avg_sim
+           FROM pairs GROUP BY block ORDER BY block"""
+      },
+    )
+  }
+}

@@ -1,0 +1,771 @@
+package graft.registry
+
+import OracleFrag._
+
+/** DuckDB twins for the extension queries (second half — sampling,
+  * attribution, sessionization, skew-census families). */
+object ExtOracleB {
+  val oracle: Map[String, String] = Map(
+      "mixture_counts" -> {
+        val hex32 = foldSum(
+          "list_transform(generate_series(1, 8), i -> " +
+            "CAST(CASE WHEN ascii(substr(mh, i, 1)) <= 57 " +
+            "THEN ascii(substr(mh, i, 1)) - 48 " +
+            "ELSE ascii(substr(mh, i, 1)) - 87 END AS BIGINT) " +
+            "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+          "CAST(0 AS BIGINT)")
+        s"""WITH m AS (SELECT lang, md5(CAST(doc_id AS VARCHAR)) AS mh
+               FROM documents),
+           h AS (SELECT lang, $hex32 % 100 AS bucket FROM m)
+           SELECT lang, count(*) AS n_docs FROM h
+           WHERE bucket < CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50
+                                    WHEN 'zh' THEN 25 ELSE 10 END
+           GROUP BY 1 ORDER BY 1"""
+      },
+
+      "embedding_quant_error" ->
+        """WITH s AS (SELECT vec_id, label, embedding,
+             list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+           FROM embeddings),
+           e AS (SELECT label,
+               CASE WHEN scale = 0 THEN 0.0 ELSE
+                 list_reduce(list_prepend(0.0, list_transform(embedding,
+                   x -> abs(floor(CAST(x AS DOUBLE) / scale + 0.5) * scale
+                     - CAST(x AS DOUBLE)))), (a, b) -> a + b)
+                 / len(embedding) END AS mae
+             FROM s)
+           SELECT label, count(*) AS n_vecs,
+             round(avg(mae), 6) AS avg_abs_err,
+             round(max(mae), 6) AS max_abs_err
+           FROM e GROUP BY label ORDER BY label""",
+
+      "context_packing" ->
+        """WITH c AS (SELECT lang, doc_id,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+           FROM documents),
+           b AS (SELECT lang, doc_id, n_tokens,
+               CAST(floor((sum(n_tokens) OVER (PARTITION BY lang
+                 ORDER BY doc_id) - n_tokens) / 2048.0) AS BIGINT) AS bin
+             FROM c)
+           SELECT lang, bin, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS window_tokens
+           FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+
+      "label_centroids" ->
+        """SELECT label, i - 1 AS dim, round(avg(e), 4) AS centroid
+           FROM (SELECT label,
+                   CAST(unnest(embedding[1:8]) AS DOUBLE) AS e,
+                   generate_subscripts(embedding[1:8], 1) AS i
+                 FROM embeddings)
+           GROUP BY label, i ORDER BY label, dim""",
+
+      "media_feature_stats" ->
+        s"""WITH f AS (SELECT doc_id, source AS kind,
+               CAST(length(text) AS BIGINT) AS byte_len,
+               ${foldSum(
+                 "list_transform(generate_series(1, length(text)), " +
+                   "i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))",
+                 "CAST(0 AS BIGINT)")} AS checksum
+             FROM documents),
+           g AS (SELECT kind, byte_len, checksum,
+               CASE WHEN byte_len = 0 THEN 0.0
+                    ELSE floor((CAST(checksum AS DOUBLE) / byte_len) * 1000000.0)
+                         / 1000000.0 END AS feat_mean
+             FROM f)
+           SELECT kind, count(*) AS n_items,
+             CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+             CAST(sum(checksum) AS BIGINT) AS total_checksum,
+             round(avg(feat_mean), 4) AS avg_feat_mean
+           FROM g GROUP BY kind ORDER BY kind""",
+
+      "media_dims_stats" ->
+        // ground truth is the doc_id arithmetic the payload generator
+        // encodes into the headers; Spark's side decodes the actual bytes
+        """WITH m AS (SELECT
+             CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                  WHEN 2 THEN 'gif' ELSE 'unknown' END AS media_format,
+             CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 16 + doc_id % 317 END AS w,
+             CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 16 + doc_id % 211 END AS h
+           FROM documents)
+           SELECT media_format, count(*) AS n_items,
+             CAST(sum(w) AS BIGINT) AS sum_width,
+             CAST(sum(h) AS BIGINT) AS sum_height,
+             CAST(min(w) AS BIGINT) AS min_width,
+             CAST(max(h) AS BIGINT) AS max_height
+           FROM m GROUP BY media_format ORDER BY media_format""",
+
+      "media_audio_stats" ->
+        // ground truth is the doc_id arithmetic the payload generator
+        // encodes into the headers; Spark's side decodes the actual bytes.
+        // duration: the parser computes declared_bytes*1000/byte_rate in
+        // integer math; the shared block-align factor cancels, so
+        // floor(frames*1000/rate) is the same value.
+        """WITH m AS (SELECT
+             CASE doc_id % 3 WHEN 0 THEN 'wav' WHEN 1 THEN 'flac'
+                  ELSE 'unknown' END AS audio_format,
+             CASE WHEN doc_id % 3 = 2 THEN 0
+                  ELSE 8000 + (doc_id % 353) * 100 END AS rate,
+             CASE WHEN doc_id % 3 = 2 THEN 0
+                  ELSE 1 + doc_id % 2 END AS ch,
+             CASE WHEN doc_id % 3 = 2 THEN 0
+                  ELSE 8 * (1 + doc_id % 4) END AS bits,
+             CASE WHEN doc_id % 3 = 2 THEN 0
+                  ELSE CAST(floor((100 + doc_id % 1000) * 1000.0 /
+                    (8000 + (doc_id % 353) * 100)) AS BIGINT) END AS dur
+           FROM documents)
+           SELECT audio_format, count(*) AS n_items,
+             CAST(sum(rate) AS BIGINT) AS sum_sample_rate,
+             CAST(sum(ch) AS BIGINT) AS sum_channels,
+             CAST(sum(bits) AS BIGINT) AS sum_bits,
+             CAST(sum(dur) AS BIGINT) AS sum_duration_ms
+           FROM m GROUP BY audio_format ORDER BY audio_format""",
+
+      "bloom_pruned_revenue" -> urgentRevenueOracle,
+      // the twin pair shares it: the bloom prune is a no-false-negative
+      // pre-filter, so all three forms must equal the plain join
+      "revenue_urgent_plain" -> urgentRevenueOracle,
+      "revenue_urgent_bloom_merge" -> urgentRevenueOracle,
+
+      "redaction_stats" ->
+        """WITH r AS (SELECT lang, text,
+             len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+             len(regexp_extract_all(text, '\b(spark|stream)\b'))
+               AS n_engine_term,
+             regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '[REDACTED]', 'g'),
+               '\b(spark|stream)\b', '[REDACTED]', 'g') AS red
+           FROM documents)
+           SELECT lang, count(*) AS n_docs,
+             CAST(sum(CASE WHEN n_email > 0 OR n_engine_term > 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_redacted,
+             CAST(sum(n_email) AS BIGINT) AS total_email,
+             CAST(sum(n_engine_term) AS BIGINT) AS total_engine_term,
+             CAST(sum(length(text) - length(red)) AS BIGINT) AS chars_removed
+           FROM r GROUP BY lang ORDER BY lang""",
+
+      "doc_chunks" ->
+        // chunk i covers tokens [i*24+1, i*24+32] (1-based inclusive) =
+        // Spark's slice(toks, i*24+1, 32); last chunk idx =
+        // ceil(max(n-32,0)/24) mirrors Chunking.chunkByTokens
+        """WITH t AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+           n AS (SELECT doc_id, w, len(w) AS n FROM t),
+           c AS (SELECT doc_id, w, unnest(generate_series(0,
+               CAST(ceil(greatest(n - 32, 0) / 24.0) AS BIGINT))) AS chunk_id
+             FROM n WHERE n > 0)
+           SELECT doc_id, chunk_id,
+             CAST(len(w[chunk_id*24 + 1 : chunk_id*24 + 32]) AS BIGINT)
+               AS n_tokens,
+             md5(array_to_string(w[chunk_id*24 + 1 : chunk_id*24 + 32], ' '))
+               AS chunk_hash
+           FROM c ORDER BY doc_id, chunk_id""",
+
+      "quality_funnel" -> {
+        val lenSum = foldSum(
+          "list_transform(w, x -> CAST(length(x) AS BIGINT))",
+          "CAST(0 AS BIGINT)")
+        s"""WITH q AS (SELECT lang, len(w) AS n_tokens,
+             len(list_filter(w, x -> x = 'the' OR x = 'a' OR x = 'of'
+               OR x = 'and' OR x = 'is' OR x = 'in')) AS stop_hits,
+             CASE WHEN len(w) = 0 THEN 0.0
+                  ELSE CAST($lenSum AS DOUBLE) / len(w) END AS avg_len
+           FROM (SELECT lang, regexp_extract_all(lower(text), '[a-z0-9]+')
+                   AS w FROM documents))
+           SELECT lang, count(*) AS n_docs,
+             CAST(sum(CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_min_tokens,
+             CAST(sum(CASE WHEN avg_len >= 3.0 AND avg_len <= 10.0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_avg_len,
+             CAST(sum(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_stopwords,
+             CAST(sum(CASE WHEN n_tokens >= 20 AND avg_len >= 3.0
+               AND avg_len <= 10.0 AND stop_hits >= 2
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+           FROM q GROUP BY lang ORDER BY lang"""
+      },
+
+      "token_histogram" ->
+        """SELECT CAST(floor(len(regexp_extract_all(lower(text),
+             '[a-z0-9]+')) / 10.0) * 10 AS BIGINT) AS bucket_lo,
+           count(*) AS n_docs
+           FROM documents GROUP BY 1 ORDER BY 1""",
+
+      "span_contamination_indexed" -> {
+        // same 80/20 hashBucket split; the oracle joins span TEXT where
+        // Spark joins md5(span) — identical verdicts, md5 is injective
+        // on these keys
+        val hex32 = foldSum(
+          "list_transform(generate_series(1, 8), i -> " +
+            "CAST(CASE WHEN ascii(substr(mh, i, 1)) <= 57 " +
+            "THEN ascii(substr(mh, i, 1)) - 48 " +
+            "ELSE ascii(substr(mh, i, 1)) - 87 END AS BIGINT) " +
+            "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+          "CAST(0 AS BIGINT)")
+        s"""WITH m AS (SELECT doc_id, text,
+               md5(CAST(doc_id AS VARCHAR)) AS mh FROM documents),
+           d AS (SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
+               $hex32 % 100 AS bucket FROM m),
+           csp AS (SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS span
+                   FROM d, LATERAL unnest(generate_series(1, len(w)-4)) t(i)
+                   WHERE bucket < 80),
+           bsp AS (SELECT doc_id, array_to_string(w[i:i+4], ' ') AS span
+                   FROM d, LATERAL unnest(generate_series(1, len(w)-4)) t(i)
+                   WHERE bucket >= 80)
+           SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(CASE WHEN c.span IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_seen,
+             round(CAST(sum(CASE WHEN c.span IS NULL THEN 0 ELSE 1 END)
+                 AS DOUBLE) / count(*), 6) AS seen_ratio
+           FROM bsp b LEFT JOIN csp c USING (span)
+           GROUP BY b.doc_id ORDER BY b.doc_id"""
+      },
+
+      "span_cut_indexed" -> {
+        // corpus spans own everything; batch hits -> islands -> rebuild
+        // (same algebra as span_cut_docs, corpus side from the split)
+        val hex32 = foldSum(
+          "list_transform(generate_series(1, 8), i -> " +
+            "CAST(CASE WHEN ascii(substr(mh, i, 1)) <= 57 " +
+            "THEN ascii(substr(mh, i, 1)) - 48 " +
+            "ELSE ascii(substr(mh, i, 1)) - 87 END AS BIGINT) " +
+            "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+          "CAST(0 AS BIGINT)")
+        s"""WITH m AS (SELECT doc_id, text,
+               md5(CAST(doc_id AS VARCHAR)) AS mh FROM documents),
+           d AS (SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
+               $hex32 % 100 AS bucket FROM m),
+           csp AS (SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS span
+                   FROM d, LATERAL unnest(generate_series(1, len(w)-4)) t(i)
+                   WHERE bucket < 80),
+           bsp AS (SELECT doc_id, i AS pos,
+                     array_to_string(w[i:i+4], ' ') AS span
+                   FROM d, LATERAL unnest(generate_series(1, len(w)-4)) t(i)
+                   WHERE bucket >= 80),
+           cuts AS (SELECT b.doc_id, b.pos FROM bsp b
+                    JOIN csp c USING (span)),
+           isl AS (SELECT doc_id, pos,
+                     CASE WHEN pos > coalesce(max(pos + 4) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                     THEN 1 ELSE 0 END AS flag
+                   FROM cuts),
+           isl2 AS (SELECT doc_id, pos, sum(flag) OVER (
+                      PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+           ivs AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 4 AS e
+                   FROM isl2 GROUP BY doc_id, island),
+           btoks AS (SELECT b.doc_id, i, w[i] AS tk
+                     FROM d b, LATERAL unnest(generate_series(1, len(w))) u(i)
+                     WHERE bucket >= 80),
+           kept AS (SELECT k.doc_id, k.i, k.tk FROM btoks k
+                    WHERE NOT EXISTS (SELECT 1 FROM ivs v
+                      WHERE v.doc_id = k.doc_id AND k.i BETWEEN v.s AND v.e))
+           SELECT b.doc_id, CAST(len(b.w) AS BIGINT) AS n_before,
+             CAST(coalesce(g.n_after, 0) AS BIGINT) AS n_after,
+             md5(coalesce(g.clean, '')) AS clean_md5
+           FROM d b LEFT JOIN (
+             SELECT doc_id, count(*) AS n_after,
+                    string_agg(tk, ' ' ORDER BY i) AS clean
+             FROM kept GROUP BY doc_id) g USING (doc_id)
+           WHERE b.bucket >= 80 ORDER BY b.doc_id"""
+      },
+
+      "incremental_new_docs" -> {
+        // hashBucket mirror (see doc_splits): 80/20 corpus/batch split,
+        // then batch fingerprints left-join the corpus's distinct set
+        val hex32 = foldSum(
+          "list_transform(generate_series(1, 8), i -> " +
+            "CAST(CASE WHEN ascii(substr(mh, i, 1)) <= 57 " +
+            "THEN ascii(substr(mh, i, 1)) - 48 " +
+            "ELSE ascii(substr(mh, i, 1)) - 87 END AS BIGINT) " +
+            "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+          "CAST(0 AS BIGINT)")
+        s"""WITH m AS (SELECT doc_id, lang, text,
+               md5(CAST(doc_id AS VARCHAR)) AS mh FROM documents),
+           d AS (SELECT doc_id, lang,
+               md5(array_to_string(
+                 regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fp,
+               $hex32 % 100 AS bucket FROM m),
+           corpus AS (SELECT DISTINCT fp FROM d WHERE bucket < 80),
+           batch AS (SELECT lang, fp FROM d WHERE bucket >= 80
+             UNION ALL
+             SELECT lang, fp FROM d WHERE bucket < 80 AND doc_id % 20 = 0)
+           SELECT b.lang, count(*) AS n_batch,
+             CAST(sum(CASE WHEN c.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new
+           FROM batch b LEFT JOIN corpus c ON b.fp = c.fp
+           GROUP BY b.lang ORDER BY b.lang"""
+      },
+
+      "conversion_funnel" ->
+        // chained window-mins: stage i's min only ranges over events
+        // strictly after the user's stage i-1 time
+        """WITH w0 AS (SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS s0 FROM events),
+           w1 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > s0
+               THEN ts END) OVER (PARTITION BY user_id) AS s1 FROM w0),
+           w2 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s1
+               THEN ts END) OVER (PARTITION BY user_id) AS s2 FROM w1),
+           u AS (SELECT user_id, min(s0) AS s0, min(s1) AS s1, min(s2) AS s2
+             FROM w2 GROUP BY user_id),
+           c AS (SELECT
+               count(CASE WHEN s0 IS NOT NULL THEN 1 END) AS n0,
+               count(CASE WHEN s1 IS NOT NULL THEN 1 END) AS n1,
+               count(CASE WHEN s2 IS NOT NULL THEN 1 END) AS n2 FROM u)
+           SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
+             n0 AS n_users, CASE WHEN n0 = 0 THEN 0.0
+               ELSE round(CAST(n0 AS DOUBLE) / n0, 6) END AS rate_vs_prev
+           FROM c
+           UNION ALL SELECT 1, 'click', n1, CASE WHEN n0 = 0 THEN 0.0
+             ELSE round(CAST(n1 AS DOUBLE) / n0, 6) END FROM c
+           UNION ALL SELECT 2, 'purchase', n2, CASE WHEN n1 = 0 THEN 0.0
+             ELSE round(CAST(n2 AS DOUBLE) / n1, 6) END FROM c
+           ORDER BY stage_idx""",
+
+      "cohort_retention" ->
+        // week-truncated dates make the day diff an exact multiple of 7
+        """WITH c AS (SELECT user_id,
+             date_trunc('week', min(ts)) AS cohort_week
+           FROM events GROUP BY user_id),
+           a AS (SELECT DISTINCT user_id,
+               date_trunc('week', ts) AS active_week
+             FROM events)
+           SELECT cohort_week,
+             CAST(date_diff('day', cohort_week, active_week) // 7 AS BIGINT)
+               AS weeks_since,
+             count(*) AS n_users
+           FROM a JOIN c USING (user_id)
+           GROUP BY 1, 2 ORDER BY 1, 2""",
+
+      "lang_doc_sample" ->
+        """WITH r AS (SELECT lang, doc_id, n_chars,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+               AS sample_rank
+           FROM documents
+           WHERE md5(CAST(doc_id AS VARCHAR)) < '8')
+           SELECT lang, sample_rank, doc_id, n_chars FROM r
+           WHERE sample_rank <= 3 ORDER BY lang, sample_rank""",
+
+      "twap_by_user" ->
+        """WITH h AS (SELECT user_id, value,
+             CAST(epoch_us(lead(ts, 1) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id))
+               - epoch_us(ts) AS DOUBLE) AS hold
+           FROM events)
+           SELECT user_id, count(*) AS n_intervals,
+             round(sum(value * hold) / sum(hold), 6) AS twap
+           FROM h WHERE hold IS NOT NULL
+           GROUP BY user_id ORDER BY user_id""",
+
+      "frame_sample_stats" -> {
+        // frame k covers bytes [k*128+1, k*128+least(64, n-k*128)]; the
+        // ascii fold mirrors the stub's unsigned-byte checksum (text is
+        // ascii, so char == byte)
+        val frameSum = foldSum(
+          "list_transform(generate_series(1, least(64, n - k*128)), " +
+            "i -> CAST(ascii(substr(text, CAST(k*128 + i AS INTEGER), 1)) " +
+            "AS BIGINT))",
+          "CAST(0 AS BIGINT)")
+        s"""WITH f AS (SELECT source AS kind, text, length(text) AS n
+               FROM documents),
+           e AS (SELECT kind, text, n,
+               unnest(generate_series(0,
+                 CAST(ceil(n / 128.0) AS BIGINT) - 1)) AS k
+             FROM f WHERE n > 0),
+           fr AS (SELECT kind,
+               CAST(least(64, n - k*128) AS BIGINT) AS frame_len,
+               $frameSum AS checksum
+             FROM e)
+           SELECT kind, count(*) AS n_frames,
+             CAST(sum(frame_len) AS BIGINT) AS total_frame_bytes,
+             CAST(sum(checksum) AS BIGINT) AS total_checksum
+           FROM fr GROUP BY kind ORDER BY kind"""
+      },
+
+      "top3_orders_per_cust" ->
+        // the aggregate's (v desc, id asc) order == this window's order
+        """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
+           FROM orders)
+           SELECT o_custkey, rank, o_orderkey, o_totalprice FROM r
+           WHERE rank <= 3 ORDER BY o_custkey, rank""",
+
+      "top3_orders_per_cust_window" ->
+        // result-identical control twin: same SQL as the aggregate form
+        """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
+           FROM orders)
+           SELECT o_custkey, rank, o_orderkey, o_totalprice FROM r
+           WHERE rank <= 3 ORDER BY o_custkey, rank""",
+
+      "zscore_outliers" ->
+        """WITH z AS (SELECT o_orderpriority,
+             (o_totalprice - avg(o_totalprice)
+               OVER (PARTITION BY o_orderpriority)) /
+             stddev_samp(o_totalprice)
+               OVER (PARTITION BY o_orderpriority) AS z
+           FROM orders)
+           SELECT o_orderpriority, count(*) AS n_orders,
+             CAST(sum(CASE WHEN abs(z) > 2.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+             round(max(z), 4) AS max_z
+           FROM z GROUP BY 1 ORDER BY 1""",
+
+      "salted_join_segments" ->
+        // the salt is internal plumbing: the oracle is the PLAIN join
+        """SELECT c_mktsegment, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+           FROM events e JOIN customer c ON e.user_id = c.c_custkey
+           GROUP BY 1 ORDER BY 1""",
+
+      "adaptive_join_segments" ->
+        // strategy choice is internal plumbing: same plain-join oracle
+        """SELECT c_mktsegment, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+           FROM events e JOIN customer c ON e.user_id = c.c_custkey
+           GROUP BY 1 ORDER BY 1""",
+
+      "catalog_join_segments" ->
+        // the catalog is internal plumbing too: same plain-join oracle
+        """SELECT c_mktsegment, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+           FROM events e JOIN customer c ON e.user_id = c.c_custkey
+           GROUP BY 1 ORDER BY 1""",
+
+      "scd2_pit_join" ->
+        // same SCD2 construction as scd2_customer_dim, then each order
+        // left-joins the version whose [eff_from, eff_to) covers its date
+        """WITH dim AS (SELECT c_custkey, c_mktsegment AS seg,
+             DATE '1995-01-01' AS eff_from, CAST(NULL AS DATE) AS eff_to
+           FROM customer),
+         upd AS (SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 0 THEN c_mktsegment || '_V2'
+                  ELSE c_mktsegment END AS seg FROM customer),
+         j AS (SELECT c_custkey, dim.seg AS dseg, upd.seg AS useg,
+                 dim.eff_from
+               FROM dim FULL JOIN upd USING (c_custkey)),
+         ver AS (
+           SELECT c_custkey, dseg AS segment, eff_from, CAST(NULL AS DATE)
+             AS eff_to FROM j WHERE useg IS NULL OR dseg = useg
+           UNION ALL
+           SELECT c_custkey, dseg, eff_from, DATE '1996-01-01' FROM j
+           WHERE useg IS NOT NULL AND dseg IS NOT NULL AND dseg <> useg
+           UNION ALL
+           SELECT c_custkey, useg, DATE '1996-01-01', CAST(NULL AS DATE)
+           FROM j WHERE useg IS NOT NULL AND (dseg IS NULL OR dseg <> useg))
+         SELECT coalesce(v.segment, 'NO_VERSION') AS segment,
+           count(*) AS n_orders
+         FROM orders o LEFT JOIN ver v
+           ON o.o_custkey = v.c_custkey
+           AND CAST(v.eff_from AS TIMESTAMP) <= o.o_orderdate
+           AND (v.eff_to IS NULL
+                OR o.o_orderdate < CAST(v.eff_to AS TIMESTAMP))
+         GROUP BY 1 ORDER BY 1""",
+
+      "rolling_7d_revenue" ->
+        """SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS rev_7d_cents
+           FROM orders ORDER BY o_custkey, o_orderkey""",
+
+      "lang_drift_report" -> {
+        val hex32 = foldSum(
+          "list_transform(generate_series(1, 8), i -> " +
+            "CAST(CASE WHEN ascii(substr(mh, i, 1)) <= 57 " +
+            "THEN ascii(substr(mh, i, 1)) - 48 " +
+            "ELSE ascii(substr(mh, i, 1)) - 87 END AS BIGINT) " +
+            "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+          "CAST(0 AS BIGINT)")
+        s"""WITH m AS (SELECT lang, md5(CAST(doc_id AS VARCHAR)) AS mh
+               FROM documents),
+           d AS (SELECT lang, $hex32 % 100 AS bucket FROM m),
+           j AS (SELECT lang,
+               count(CASE WHEN bucket < 80 THEN 1 END) AS n_a,
+               count(CASE WHEN bucket >= 80 THEN 1 END) AS n_b
+             FROM d GROUP BY lang),
+           t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb, count(*) AS k FROM j),
+           p AS (SELECT lang, n_a, n_b,
+               (n_a + 1.0) / (ta + k) AS p_a,
+               (n_b + 1.0) / (tb + k) AS p_b
+             FROM j, t)
+           SELECT lang AS category, CAST(n_a AS BIGINT) AS n_a,
+             CAST(n_b AS BIGINT) AS n_b,
+             round(p_a, 6) AS p_a, round(p_b, 6) AS p_b,
+             round(abs(p_a - p_b), 6) AS abs_delta,
+             round(p_a * ln(p_a / p_b), 6) AS kl_term
+           FROM p ORDER BY category"""
+      },
+
+      "snapshot_diff" ->
+        // same synthetic versions; null-safe IS DISTINCT FROM on both
+        // compared columns, unchanged rows dropped
+        """WITH o AS (SELECT c_custkey, c_acctbal, c_mktsegment
+                      FROM customer WHERE c_custkey % 10 <> 3),
+           n AS (SELECT c_custkey,
+                   CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+                        ELSE c_acctbal END AS c_acctbal,
+                   c_mktsegment
+                 FROM customer WHERE c_custkey % 7 <> 2),
+           j AS (SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+               CASE WHEN o.c_custkey IS NULL THEN 'added'
+                    WHEN n.c_custkey IS NULL THEN 'removed'
+                    WHEN (o.c_acctbal IS DISTINCT FROM n.c_acctbal)
+                      OR (o.c_mktsegment IS DISTINCT FROM n.c_mktsegment)
+                    THEN 'changed' ELSE 'unchanged' END AS diff_status,
+               o.c_acctbal AS old_c_acctbal, n.c_acctbal AS new_c_acctbal,
+               o.c_mktsegment AS old_c_mktsegment,
+               n.c_mktsegment AS new_c_mktsegment
+             FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey)
+           SELECT * FROM j WHERE diff_status <> 'unchanged'
+           ORDER BY c_custkey""",
+
+      "order_price_ranks" ->
+        """SELECT o_orderkey, o_orderpriority,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             round(cume_dist() OVER w, 6) AS cume,
+             ntile(10) OVER w AS decile
+           FROM orders
+           WINDOW w AS (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice, o_orderkey)
+           ORDER BY o_orderkey""",
+
+      "key_skew_report" ->
+        """WITH c AS (SELECT user_id, count(*) AS n_rows
+                      FROM events GROUP BY user_id),
+           t AS (SELECT sum(n_rows) AS total FROM c),
+           top AS (SELECT * FROM c ORDER BY n_rows DESC, user_id LIMIT 10)
+           SELECT user_id, n_rows,
+             round(n_rows / total, 6) AS share,
+             round(sum(n_rows) OVER (ORDER BY n_rows DESC, user_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / total,
+               6) AS cum_share
+           FROM top, t ORDER BY n_rows DESC, user_id""",
+
+      "attribution_last_touch" ->
+        // strictly-preceding frame: a touch at the conversion's own
+        // timestamp counts only when the tie-break orders it earlier
+        """WITH a AS (SELECT event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_type
+           FROM events)
+           SELECT coalesce(touch_type, 'organic') AS channel,
+             count(*) AS n_conversions,
+             round(sum(value), 2) AS attributed_value
+           FROM a WHERE event_type = 'purchase'
+           GROUP BY 1 ORDER BY 1""",
+
+      "mad_outliers" ->
+        // count(CASE...) not sum(CASE...): DuckDB sum(int) widens to
+        // HUGEINT, which would break the BIGINT dtype match
+        """WITH med AS (SELECT o_orderpriority,
+                          median(o_totalprice) AS med
+                        FROM orders GROUP BY 1),
+           d AS (SELECT o.o_orderpriority,
+                   abs(o.o_totalprice - med.med) AS dev, med.med
+                 FROM orders o JOIN med USING (o_orderpriority)),
+           m2 AS (SELECT o_orderpriority, median(dev) AS mad
+                  FROM d GROUP BY 1)
+           SELECT d.o_orderpriority, count(*) AS n_rows,
+             round(any_value(d.med), 4) AS median_value,
+             round(any_value(m2.mad), 4) AS mad_value,
+             count(CASE WHEN m2.mad > 0
+                        AND d.dev > 3.0 * 1.4826 * m2.mad
+                        THEN 1 END) AS n_outliers
+           FROM d JOIN m2 USING (o_orderpriority)
+           GROUP BY 1 ORDER BY 1""",
+
+      "attribution_linear" -> multiTouchOracle(
+        "CASE WHEN channel = 'organic' THEN 1.0 ELSE 1.0 / n END"),
+
+      "attribution_position" -> multiTouchOracle(
+        """CASE WHEN channel = 'organic' OR n = 1 THEN 1.0
+                WHEN n = 2 THEN 0.5
+                WHEN pos = 1 OR pos = n THEN 0.4
+                ELSE 0.2 / (n - 2) END"""),
+
+      "attribution_decay" -> timeDecayOracle(halfLifeSec = 3600L),
+
+      "training_pipeline_counts" -> {
+        // fragments reused verbatim from the stage oracles:
+        // quality_funnel (gate), doc_splits (hash bucket), doc_fingerprints
+        // (md5 of token stream), temperature_mixture (sqrt rates)
+        val lenSum = foldSum(
+          "list_transform(w, x -> CAST(length(x) AS BIGINT))",
+          "CAST(0 AS BIGINT)")
+        val hex32 = foldSum(
+          "list_transform(generate_series(1, 8), i -> " +
+            "CAST(CASE WHEN ascii(substr(mh, i, 1)) <= 57 " +
+            "THEN ascii(substr(mh, i, 1)) - 48 " +
+            "ELSE ascii(substr(mh, i, 1)) - 87 END AS BIGINT) " +
+            "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+          "CAST(0 AS BIGINT)")
+        s"""WITH q AS (SELECT doc_id, lang,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+           FROM documents),
+           k AS (SELECT doc_id, lang, w FROM q
+             WHERE len(w) >= 20
+               AND len(list_filter(w, x -> x = 'the' OR x = 'a'
+                 OR x = 'of' OR x = 'and' OR x = 'is' OR x = 'in')) >= 2
+               AND (CASE WHEN len(w) = 0 THEN 0.0
+                    ELSE CAST($lenSum AS DOUBLE) / len(w) END)
+                 BETWEEN 3.0 AND 10.0),
+           h AS (SELECT doc_id, lang, w,
+                   md5(CAST(doc_id AS VARCHAR)) AS mh,
+                   md5(array_to_string(w, ' ')) AS fp
+                 FROM k),
+           b AS (SELECT doc_id, lang, w, fp,
+                   $hex32 % 100 AS b100, $hex32 % 1000000 AS bppm
+                 FROM h),
+           ev AS (SELECT DISTINCT fp FROM b WHERE b100 >= 90),
+           d AS (SELECT doc_id, lang, w, fp, bppm,
+                   row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+                     AS rn
+                 FROM b WHERE b100 < 90),
+           cl AS (SELECT doc_id, lang, w, bppm FROM d
+                  WHERE rn = 1 AND fp NOT IN (SELECT fp FROM ev)),
+           c AS (SELECT lang, count(*) AS n FROM cl GROUP BY lang),
+           m AS (SELECT min(n) AS nmin FROM c),
+           t AS (SELECT lang,
+                   CAST(floor(sqrt(CAST(nmin AS DOUBLE) / n) * 1000000.0)
+                     AS BIGINT) AS keep_ppm
+                 FROM c, m),
+           fin AS (SELECT cl.lang, cl.w FROM cl JOIN t USING (lang)
+                   WHERE cl.bppm < t.keep_ppm)
+           SELECT lang, count(*) AS n_docs,
+             CAST(sum(len(w)) AS BIGINT) AS total_tokens
+           FROM fin GROUP BY lang ORDER BY lang"""
+      },
+
+      "k_anonymity_report" ->
+        """WITH g AS (SELECT c_mktsegment, c_nationkey, count(*) AS n
+                      FROM customer GROUP BY 1, 2)
+           SELECT count(*) AS n_groups,
+             count(CASE WHEN n < 5 THEN 1 END) AS n_small_groups,
+             coalesce(CAST(sum(CASE WHEN n < 5 THEN n END) AS BIGINT), 0)
+               AS n_rows_at_risk,
+             CAST(min(n) AS BIGINT) AS min_group_size,
+             CAST(5 AS BIGINT) AS k
+           FROM g""",
+
+      "event_transitions" ->
+        """WITH p AS (SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_type
+           FROM events),
+           c AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+                 FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+           SELECT prev_type, next_type, n,
+             round(n / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+           FROM c ORDER BY prev_type, next_type""",
+
+      "top_bigrams" ->
+        // same tokenizer as top_tokens; adjacent pairs via index zip
+        """WITH w AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+')
+                        AS t FROM documents),
+           b AS (SELECT unnest(list_transform(
+                   generate_series(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i + 1])) AS bigram
+                 FROM w)
+           SELECT bigram, count(*) AS n FROM b
+           GROUP BY bigram ORDER BY n DESC, bigram LIMIT 25""",
+
+      "equi_depth_hist" ->
+        """WITH t AS (SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+           FROM orders)
+           SELECT bucket, count(*) AS n_orders,
+             round(min(o_totalprice), 2) AS lo,
+             round(max(o_totalprice), 2) AS hi
+           FROM t GROUP BY bucket ORDER BY bucket""",
+
+      "numeric_profile" -> {
+        // one-row aggregate CTE + generated UNION ALL unpivot, mirroring
+        // the Spark side's single-pass + explode
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+          "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+          "l_tax")
+        val aggs = cols.flatMap(c => Seq(
+          s"CAST(min($c) AS DOUBLE) AS min_$c",
+          s"CAST(max($c) AS DOUBLE) AS max_$c",
+          s"CAST(count(CASE WHEN $c IS NULL THEN 1 END) AS DOUBLE) AS nulls_$c",
+          s"avg($c) AS mean_$c")).mkString(", ")
+        val branches = cols.flatMap(c => Seq(
+          s"""SELECT '$c' AS "column", 'min' AS metric, round(min_$c, 4) AS value FROM a""",
+          s"""SELECT '$c', 'max', round(max_$c, 4) FROM a""",
+          s"""SELECT '$c', 'null_count', nulls_$c FROM a""",
+          s"""SELECT '$c', 'mean', round(mean_$c, 4) FROM a"""))
+          .mkString("\n UNION ALL ")
+        s"""WITH a AS (SELECT $aggs FROM lineitem)
+           $branches
+           ORDER BY "column", metric"""
+      },
+
+      "value_spike_census" ->
+        """WITH e AS (SELECT user_id, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+           w AS (SELECT user_id, vc,
+               sum(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS s,
+               count(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS n
+             FROM e)
+           SELECT user_id,
+             count(CASE WHEN n >= 10 THEN 1 END) AS n_scored,
+             count(CASE WHEN n >= 10 AND abs(vc * n - s) > s * 3 THEN 1 END)
+               AS n_spikes
+           FROM w GROUP BY user_id ORDER BY user_id""",
+
+      "temperature_mixture" -> {
+        // same hex32 md5-bucket fold as mixture_counts, mod 1e6 ppm space
+        val hex32 = foldSum(
+          "list_transform(generate_series(1, 8), i -> " +
+            "CAST(CASE WHEN ascii(substr(mh, i, 1)) <= 57 " +
+            "THEN ascii(substr(mh, i, 1)) - 48 " +
+            "ELSE ascii(substr(mh, i, 1)) - 87 END AS BIGINT) " +
+            "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+          "CAST(0 AS BIGINT)")
+        s"""WITH c AS (SELECT lang, count(*) AS n FROM documents
+                       GROUP BY lang),
+           m AS (SELECT min(n) AS nmin FROM c),
+           t AS (SELECT lang,
+                   CAST(floor(sqrt(CAST(nmin AS DOUBLE) / n) * 1000000.0)
+                     AS BIGINT) AS keep_ppm
+                 FROM c, m),
+           h AS (SELECT d.lang, t.keep_ppm,
+                   md5(CAST(d.doc_id AS VARCHAR)) AS mh
+                 FROM documents d JOIN t USING (lang)),
+           b AS (SELECT lang, keep_ppm, $hex32 % 1000000 AS bucket FROM h)
+           SELECT lang, count(CASE WHEN bucket < keep_ppm THEN 1 END)
+               AS n_kept,
+             any_value(keep_ppm) AS keep_ppm
+           FROM b GROUP BY lang ORDER BY lang"""
+      },
+
+      "skewed_key_report" ->
+        """WITH f AS (SELECT CASE WHEN user_id % 10 < 3 THEN 7
+                                  ELSE user_id END AS skey
+                      FROM events),
+           c AS (SELECT skey, count(*) AS n_rows FROM f GROUP BY skey),
+           t AS (SELECT sum(n_rows) AS total FROM c),
+           top AS (SELECT * FROM c ORDER BY n_rows DESC, skey LIMIT 5)
+           SELECT skey, n_rows,
+             round(n_rows / total, 6) AS share,
+             round(sum(n_rows) OVER (ORDER BY n_rows DESC, skey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / total,
+               6) AS cum_share
+           FROM top, t ORDER BY n_rows DESC, skey""",
+    )
+}

@@ -1,0 +1,355 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, SpanDedup, TextAnalysis}
+import graft.operators.{Cleaning, Kpis, Validation}
+import graft.Pipeline
+
+/** Training-data-pipeline operators over documents/embeddings
+  * (SURVEY.md §7.3.7; ext/ package). */
+object ExtQueries {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Corpus rollup: tokenization + one-pass aggregation.
+    "text_stats" -> ((s, dir) => TextAnalysis.textStats(t(s, dir, "documents"))),
+
+    // Vocabulary top-k with deterministic tie-break.
+    "top_tokens" -> ((s, dir) => TextAnalysis.topTokens(t(s, dir, "documents"), 20)),
+
+    // Language-ID heuristic (marker-word scoring) rolled up vs labels.
+    "lang_id_confusion" -> ((s, dir) =>
+      TextAnalysis.langIdConfusion(t(s, dir, "documents"))),
+
+    // Per-doc quality scoring (length/stopword/token-shape ratios).
+    "quality_scores" -> ((s, dir) =>
+      TextAnalysis.qualityScores(t(s, dir, "documents"))),
+
+    // Content fingerprint (md5 of normalized token stream) exact-dedup groups.
+    "doc_fingerprints" -> ((s, dir) =>
+      TextAnalysis.fingerprintDedup(t(s, dir, "documents"))),
+
+    // Exact 5-gram Jaccard near-dup pairs (correctness baseline).
+    "neardup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), k = 5, threshold = 0.8)),
+
+    // MinHash+LSH banding candidates (the linear-ish 100 TB dedup path).
+    "neardup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents"), k = 5, bands = 16)),
+
+    // 64-bit SimHash near-dups (hamming <= 3) via the pigeonhole band
+    // trick: bucket on exact 16-bit band collision, verify bit_count(xor).
+    "neardup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3)),
+
+    // Winnowing (MOSS) rolling-hash fingerprints: >= 10 shared selected
+    // k-gram hashes → near-dup pair.
+    "neardup_winnowing" -> ((s, dir) =>
+      Dedup.winnowingPairs(t(s, dir, "documents"), k = 5, w = 4,
+        minShared = 10)),
+
+    // Sub-document duplication (Lee et al. substring dedup, k-gram form):
+    // token spans repeated across >= 2 docs, most-shared first.
+    "dup_span_report" -> ((s, dir) =>
+      SpanDedup.dupSpanReport(t(s, dir, "documents"), k = 5)),
+
+    // Per-doc duplicated-span coverage: fraction of each doc's tokens
+    // lying inside a >= 5-token run that also occurs in another doc
+    // (interval-union via gaps-and-islands, not position explode).
+    "doc_span_dup_ratio" -> ((s, dir) =>
+      SpanDedup.spanDupCoverage(t(s, dir, "documents"), k = 5)),
+
+    // The corpus REWRITE the reports inform: every cross-doc duplicated
+    // span keeps only its first (min doc_id) occurrence; other docs get
+    // the covered token ranges cut. md5 of each rebuilt token stream is
+    // compared, so the oracle checks every byte of every rewritten doc.
+    "span_cut_docs" -> ((s, dir) =>
+      SpanDedup.cutDuplicatedSpans(t(s, dir, "documents"), k = 5)),
+
+    // Near-dup pairs → dedup GROUPS: connected components over the
+    // winnowing edge list by iterative min-label propagation (ext/
+    // Components); component = smallest doc_id in the cluster, i.e. the
+    // survivor under keep-smallest dedup.
+    "dedup_components" -> ((s, dir) =>
+      graft.ext.Components.connectedComponents(
+          Dedup.winnowingPairs(t(s, dir, "documents"), k = 5, w = 4,
+            minShared = 10),
+          "doc_a", "doc_b")
+        .orderBy(col("doc_id"))),
+
+    // The detect→group→drop loop end to end: winnowing pairs → components
+    // → keep the min-doc_id survivor per cluster → anti-join rewrite of
+    // the corpus. What a training pipeline actually ships: the deduped
+    // corpus itself, not the pair/label diagnostics.
+    "dedup_survivors" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ext.Components.dedupSurvivors(docs,
+          Dedup.winnowingPairs(docs, k = 5, w = 4, minShared = 10))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact cosine top-5 for 10 probe vectors (brute-force ANN baseline).
+    "knn_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnBruteForce(emb, emb.where(col("vec_id") < 10), k = 5)
+    }),
+
+    // Embedding-cosine near-dup pairs (brute-force baseline; LSH bucketing
+    // is the scale path).
+    "neardup_cosine" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4)),
+
+    // LSH-bucketed cosine near-dup (the scale path made concrete): compare
+    // only within hyperplane buckets — one shuffle, (N/2^P)² pairs/bucket.
+    "neardup_cosine_lsh" -> ((s, dir) =>
+      Similarity.cosineNearDupPairsLsh(t(s, dir, "embeddings"),
+        threshold = 0.4, nPlanes = 4)),
+
+    // LSH-bucketed ANN (sign-bit hyperplane buckets — the scale path).
+    "knn_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnLsh(emb, emb.where(col("vec_id") < 10), k = 5)
+    }),
+
+    // OR-amplified LSH ANN (12 seeded plane tables, union of bucket
+    // candidates): the recall fix for knn_lsh — 0.74 recall vs 0.16 at a
+    // candidate budget within knn_ivf's nprobe/nlist coverage. The spec
+    // (ExtSpec "OR-amplified LSH") pins recall >= 0.6 vs brute force.
+    "knn_lsh_or" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnLshOr(emb, emb.where(col("vec_id") < 10), k = 5)
+    }),
+
+    // Hard-negative mining (ext/Similarity): the contrastive-pairs
+    // counterpart to contrastive_negatives — same-LSH-bucket candidates
+    // in the [0.05, 0.4) similarity band (informative but below the
+    // near-dup cap), top-5 hardest per anchor. Same bucketed plan and
+    // seeded-plane determinism as knn_lsh.
+    "hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegativesLsh(emb, emb.where(col("vec_id") < 10),
+        m = 5, lo = 0.05, hi = 0.4)
+    }),
+
+    // IVF-bucketed ANN (k-means inverted lists, nprobe search). Centroids
+    // are engine-specific (mllib k-means) → rows-only check, no oracle;
+    // recall vs brute force is asserted in the spec instead.
+    "knn_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = Similarity.ivfFit(emb, nlist = 8)
+      Similarity.knnIvf(emb, emb.where(col("vec_id") < 10), k = 5,
+        centroids, nprobe = 3)
+    }),
+
+    // Multimodal plumbing: binary payload + partition-local feature extract.
+    "media_feature_stats" -> ((s, dir) =>
+      Multimodal.mediaFeatureStats(t(s, dir, "documents"))),
+
+    // REAL image-header decode (PNG IHDR / JPEG SOF / GIF LSD byte
+    // layouts) over synthesized spec-valid payloads; the oracle recomputes
+    // dimensions from doc_id arithmetic, so the byte parser itself is what
+    // is being checked.
+    "media_dims_stats" -> ((s, dir) =>
+      Multimodal.mediaDimsStats(t(s, dir, "documents"))),
+
+    // Real AUDIO-header decode (functions/AudioDecode): WAV RIFF chunk
+    // walk + FLAC STREAMINFO bit fields over synthesized spec-valid
+    // headers; oracle recomputes every field from doc_id arithmetic.
+    "media_audio_stats" -> ((s, dir) =>
+      Multimodal.audioInfoStats(t(s, dir, "documents"))),
+
+    // Custom TypedImperativeAggregate: per-label centroid via vec_sum
+    // (single mutable double[dim] buffer per group — no posexplode
+    // shuffle). First 8 dims in long format for the oracle.
+    "label_centroids" -> ((s, dir) => {
+      val agg = t(s, dir, "embeddings")
+        .groupBy(col("label"))
+        .agg(graft.functions.VectorAggregates.vecSum(col("embedding")).as("vs"),
+          count(lit(1)).as("n"))
+      agg.select(col("label"), col("n"),
+          posexplode(slice(col("vs"), 1, 8)).as(Seq("dim", "s")))
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          round(col("s") / col("n"), 4).as("centroid"))
+        .orderBy(col("label"), col("dim"))
+    }),
+
+    // TF-IDF top-3 tokens for the first 20 docs (corpus-wide df).
+    "tfidf_top_tokens" -> ((s, dir) =>
+      TextAnalysis.tfIdf(t(s, dir, "documents"), topK = 3,
+        docFilter = col("doc_id") < 20)),
+
+    // from_json -> MapType extraction on events.props (SURVEY.md §1.2).
+    "props_map_stats" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k",
+          element_at(from_json(col("props"),
+            org.apache.spark.sql.types.DataType.fromDDL("MAP<STRING, INT>")), "k"))
+        .groupBy(floor(col("k") / 10.0).cast("long").as("k_decile"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("k_decile"))),
+
+    // Deterministic hash-bucket train/val/test split (ext/Sampling): split
+    // assignment from row identity, stable across runs/engines/layouts —
+    // the property df.sample()/TABLESAMPLE cannot give.
+    "doc_splits" -> ((s, dir) =>
+      graft.ext.Sampling.deterministicSplit(t(s, dir, "documents"),
+          col("doc_id"), Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("split"))),
+
+    // Token-count budgeting estimates per language (whitespace / BPE-ish
+    // pre-tokenizer / chars-per-4) — one pass, no explode.
+    "token_estimates" -> ((s, dir) =>
+      TextAnalysis.tokenEstimates(t(s, dir, "documents"))),
+
+    // TOKEN-balanced shards: equal token budget per shard (± one doc) via
+    // a distributed prefix-sum cut over the md5 order, all integer math —
+    // hash sharding balances rows, this balances what training consumes.
+    "token_balanced_shards" -> ((s, dir) =>
+      graft.sources.TrainingShards.tokenBalancedAssign(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          col("doc_id"), TextAnalysis.tokenCount(col("text")), nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("weight")).as("sum_tokens"))
+        .orderBy(col("shard"))),
+
+    // Eval-set decontamination: (test doc, train doc) pairs sharing >= 5
+    // 5-gram shingles across the deterministic 80/10/10 split — one scan,
+    // one shuffle (the jaccard bucket-collect shape restricted to
+    // cross-split pairs).
+    "contamination_report" -> ((s, dir) =>
+      Dedup.contaminationPairs(t(s, dir, "documents"), k = 5,
+        weights = Seq("train" -> 80, "val" -> 10, "test" -> 10),
+        minShared = 5)),
+
+    // Per-doc repetition score: share of the doc taken by its most
+    // frequent token (boilerplate/spam signal), argmax folded into the
+    // aggregation via min(struct(-count, token)).
+    "doc_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionScores(t(s, dir, "documents"))),
+
+    // Z-order (Morton) codes: the multi-dim clustering key behind
+    // ZORDER BY layouts, as a pure bit-arithmetic projection (operators/
+    // ZOrder; ZOrderSpec proves the both-dims-bounded file property).
+    "zorder_codes" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          graft.operators.ZOrder.zorderCode2(
+            col("c_custkey") % 32, col("c_nationkey"), bits = 5).as("zcode"))
+        .orderBy(col("c_custkey"))),
+
+    // Calendar-spine gap fill: hourly counts of a SPARSE event subset
+    // (big purchases) where dead hours appear explicitly with 0 — the
+    // alerting/dashboarding shape the data-present-only rollup can't give.
+    "hourly_gapfill" -> ((s, dir) =>
+      graft.operators.GapFill.hourlyCounts(
+        t(s, dir, "events")
+          .where(col("event_type") === "purchase" && col("value") > 200),
+        "ts")),
+
+    // Blocked fuzzy matching (entity resolution): part names within one
+    // edit of each other, blocked on the first name token; rolled up to
+    // per-block pair counts (the synthetic catalog's tiny name space makes
+    // raw pair lists huge — the rollup is the witness).
+    "fuzzy_part_pairs" -> ((s, dir) =>
+      graft.ext.Fuzzy.blockedNamePairs(t(s, dir, "part"),
+          "p_partkey", "p_name",
+          block = split(col("p_name"), " ").getItem(0), maxDist = 1)
+        .groupBy(col("block"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("edit_dist")), 6).as("avg_dist"))
+        .orderBy(col("block"))),
+
+    // Jaro-Winkler-scored twin of fuzzy_part_pairs (ext/Fuzzy +
+    // functions/StringSimilarity): transposition-tolerant prefix-boosted
+    // similarity, bit-exact with DuckDB's jaro_winkler_similarity so the
+    // oracle verifies pair sets AND scores.
+    "fuzzy_part_pairs_jw" -> ((s, dir) =>
+      graft.ext.Fuzzy.blockedNamePairsJw(t(s, dir, "part"),
+          "p_partkey", "p_name",
+          block = split(col("p_name"), " ").getItem(0), minSim = 0.9)
+        .groupBy(col("block"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("jw_sim")), 6).as("avg_sim"))
+        .orderBy(col("block"))),
+
+    // Phonetic blocking (the third blocking strategy the Fuzzy scaladoc
+    // names): Soundex of the first name token groups sound-alike
+    // candidates that first-token equality misses, then Jaro-Winkler
+    // scores inside the block. Oracled: DuckDB has no soundex builtin,
+    // so the oracle SQL reproduces the algorithm with a list_reduce
+    // character fold (Spark's exact mapping table incl. the h/w rule);
+    // FuzzySpec pins the homophone behavior.
+    "fuzzy_soundex_pairs" -> ((s, dir) =>
+      graft.ext.Fuzzy.blockedNamePairsJw(t(s, dir, "part"),
+          "p_partkey", "p_name",
+          block = soundex(split(col("p_name"), " ").getItem(0)),
+          minSim = 0.9)
+        .groupBy(col("block"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("jw_sim")), 6).as("avg_sim"))
+        .orderBy(col("block"))),
+
+    // Heavy hitters WITHOUT a vocabulary-wide shuffle: Misra-Gries sketch
+    // (capacity 64) -> top 20. The sketch family (like approx_count_
+    // distinct / approx_percentile) is engine-specific -> rows-only check;
+    // SketchSpec asserts the retention + error-bound guarantees vs exact.
+    "top_tokens_sketch" -> ((s, dir) => {
+      import graft.functions.SketchAggregates.freqItems
+      t(s, dir, "documents")
+        .select(explode_outer(TextAnalysis.tokens(col("text"))).as("token"))
+        .where(col("token").isNotNull)
+        .agg(freqItems(col("token"), 64).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.item").as("token"), col("e.est").as("est_count"))
+        .orderBy(col("est_count").desc, col("token"))
+        .limit(20)
+    }),
+
+    // Source-mixture sampling: per-language keep rates (all of en, half of
+    // de, a quarter of zh, 10% elsewhere), counted per lang.
+    "mixture_counts" -> ((s, dir) =>
+      graft.ext.Sampling.mixtureSample(t(s, dir, "documents"),
+          col("doc_id"), col("lang"),
+          Seq("en" -> 100, "de" -> 50, "zh" -> 25), defaultPercent = 10)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))),
+
+    // Int8 embedding quantization quality: per-label mean/max
+    // reconstruction error of absmax-scaled int8 codes.
+    "embedding_quant_error" -> ((s, dir) =>
+      Similarity.quantizeInt8(t(s, dir, "embeddings"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg(col("quant_mae")), 6).as("avg_abs_err"),
+          round(max(col("quant_mae")), 6).as("max_abs_err"))
+        .orderBy(col("label"))),
+
+    // Context-window packing: 2048-token position-packing bins per lang
+    // stream (ordered by doc_id), rolled up to per-bin doc/token counts.
+    "context_packing" -> ((s, dir) =>
+      graft.ext.Sampling.packByTokenBudget(
+          t(s, dir, "documents")
+            .select(col("lang"), col("doc_id"),
+              TextAnalysis.tokenCount(col("text")).cast("long")
+                .as("n_tokens")),
+          orderCol = col("doc_id"), tokensCol = col("n_tokens"),
+          budget = 2048, partitionCols = Seq(col("lang")))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("window_tokens"))
+        .orderBy(col("lang"), col("bin"))),
+
+    // Skew-safe two-phase salted aggregation (SURVEY.md §7.5.6): identical
+    // result to a direct groupBy count, straggler-immune shape.
+    "salted_hourly_counts" -> ((s, dir) =>
+      graft.operators.Skew.saltedCount(
+          t(s, dir, "events").withColumn("hour", hour(col("ts"))),
+          keys = Seq("hour"), saltFrom = Seq("user_id"), salts = 32)
+        .orderBy(col("hour")))
+  )
+}

@@ -72,7 +72,7 @@ class BoundedBufferSpec extends SparkSpec {
   test("every raw collect_list/collect_set call site is inventoried with its bound") {
     // file -> (expected raw call-site count, documented bound)
     val allow = Map(
-      "SparkEntry.scala" -> (1,
+      "CoreQueries.scala" -> (1,
         "user_event_paths: row_number() <= 5 filter runs BEFORE the " +
           "collect — the buffer never holds more than 5 rows per user"),
       "SpanDedup.scala" -> (1,
