@@ -327,9 +327,13 @@ class IvfSpec extends SparkSpec {
       .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
     val recall = (ivf & bf).size.toDouble / bf.size
     assert(ivf.nonEmpty)
-    // nprobe=3 of nlist=8 scans ~3/8 of the corpus; on near-orthogonal
-    // synthetic vectors recall tracks coverage, so demand at least ~1/4.
-    assert(recall >= 0.25, s"IVF recall $recall too low")
+    // nprobe=3 of nlist=8 scans ~3/8 of the corpus, but the corpus has
+    // label-cluster structure the quantizer captures, so recall beats raw
+    // coverage decisively (numpy replica of the same Lloyd fit: ~0.72).
+    // Floor 0.6 — the same bar the OR-LSH path is held to at an equal
+    // candidate budget.
+    assert(recall >= 0.6, s"IVF recall $recall too low (budget 3/8)")
+    info(s"recall=$recall budget=${3.0 / 8} of corpus/query")
     // determinism: same seed, same centroids
     val again = Similarity.ivfFit(emb, nlist = 8)
     assert(centroids.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)

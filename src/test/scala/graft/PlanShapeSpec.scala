@@ -181,6 +181,32 @@ class PlanShapeSpec extends SparkSpec {
       s"adaptive_join_segments salted a uniform join:\n${aj.take(800)}")
   }
 
+  test("unpartitioned windows appear only above bounded aggregates") {
+    // Funnel / hourlyConcurrency / tokenBalancedAssign run global prefix
+    // sums over provably bounded frames (stage count / bucket totals /
+    // 16^hexChars rows). A constant partitionBy(lit(0)) does NOT survive
+    // Spark 4's optimizer (the foldable key is eliminated and the spec
+    // reads empty again), so the invariant is pinned the way
+    // hourly_concurrency's pin does it: every empty-partition WindowExec
+    // must sit above an aggregate, never over data-sized input. The
+    // benign move-to-single-partition WARN these emit is filtered
+    // bench-locally in Bench.main.
+    for ((name, df) <- Seq(
+      "conversion_funnel" -> SparkEntry.queries("conversion_funnel")(spark, sf),
+      "token_balanced_shards" -> SparkEntry.queries("token_balanced_shards")(spark, sf))) {
+      val bare = df.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w }
+      bare.foreach { w =>
+        val bounded = w.child.collect {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+        }.nonEmpty
+        assert(bounded,
+          s"$name: unpartitioned window over non-aggregated input:\n$w")
+      }
+    }
+  }
+
   test("tpch q1: shipdate filter reaches the parquet scan") {
     val p = plan(SparkEntry.queries("tpch_q1_pricing_summary")(spark, sf))
     assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
