@@ -112,6 +112,13 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val benchQueries = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // Ambient load BEFORE the bench perturbs the box: the 32-thread
+    // warm-up passes below push the 1-minute loadavg to ~5 on their own,
+    // so capturing load_avg_start after them (as earlier rounds did)
+    // recorded the bench's self-noise as if it were co-tenant load and
+    // made every "calm window?" judgment read dirty. Steal% is unaffected
+    // (our own work is not steal) and stays the cleaner signal.
+    val load0 = loadAvg()
     // Warm-up: JVM/codegen/parquet-reader init should not be billed to
     // whichever query happens to run first.
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -158,7 +165,6 @@ object Bench {
     val seed = sys.env.get("SPARK_GRAFT_BENCH_SEED").map(_.toLong)
       .getOrElse(System.nanoTime())
     val order = new scala.util.Random(seed).shuffle(benchQueries.toSeq)
-    val load0 = loadAvg()
     val (steal0, jiffies0) = cpuJiffies()
     var steal = steal0
     var jiffies = jiffies0
