@@ -78,6 +78,41 @@ object TpchCanon {
         .limit(10)
     }),
 
+    // Q5: local-supplier revenue — the full 6-table snowflake
+    // (lineitem⋈orders⋈customer⋈supplier⋈nation⋈region). The big three
+    // shuffle on their keys; the region-filtered nation list (≤ nations)
+    // broadcasts; customer/supplier join plain and AQE broadcasts them
+    // while they fit. The same-nation constraint rides the supplier join
+    // as a second equi-key — no post-join filter, no extra shuffle. Date
+    // predicate pushes to the orders scan.
+    "tpch_q5_local_supplier" -> ((s, dir) => {
+      val r = t(s, dir, "region")
+        .where(col("r_name") === "ASIA").select(col("r_regionkey"))
+      val n = t(s, dir, "nation")
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01")
+          && col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val su = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // Q18: large-volume customers. The HAVING subquery is an aggregate +
     // LEFT SEMI join (build side is answer-sized), NOT a windowed filter —
     // a full-table window would shuffle and sort every order's lineitems.
@@ -131,6 +166,19 @@ object TpchCanon {
          GROUP BY l_orderkey, o_orderdate, o_orderpriority
          ORDER BY revenue DESC, o_orderdate, l_orderkey
          LIMIT 10""",
+
+    "tpch_q5_local_supplier" ->
+      """SELECT n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name""",
 
     "tpch_q18_large_customers" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,

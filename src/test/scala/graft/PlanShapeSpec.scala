@@ -221,6 +221,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("NestedLoop"))
   }
 
+  test("tpch q5: snowflake joins hash, nation/region broadcast, date pushed") {
+    val p = plan(SparkEntry.queries("tpch_q5_local_supplier")(spark, sf))
+    assert(!p.contains("NestedLoop"), s"Q5 degraded to nested loop:\n${p.take(1200)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"Q5 lost the broadcast dim joins:\n${p.take(1200)}")
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
+      s"Q5's date predicate should push to the orders scan:\n${p.take(1200)}")
+  }
+
   test("tpch q18: having-filter is a semi join, never a full-table window") {
     val df = SparkEntry.queries("tpch_q18_large_customers")(spark, sf)
     val wins = df.queryExecution.sparkPlan.collect {
