@@ -187,6 +187,11 @@ object Bench {
     }
     val failed = telemetry.filterNot(_.ok)
     failed.foreach(q => System.err.println(s"[bench] FAILED ${q.name}: ${q.err}"))
+    // Flaky = succeeded overall but at least one attempt threw (only
+    // possible with repeat>1). Surfaced on stderr and in the artifact so
+    // intermittent breakage is never invisible (ADVICE r9).
+    val flaky = telemetry.filter(q => q.ok && q.err.nonEmpty)
+    flaky.foreach(q => System.err.println(s"[bench] FLAKY ${q.name}: ${q.err}"))
     val firstPass = telemetry.filter(_.ok).map(q => q.name -> q.sec).toMap
     // The first-pass measurement window is captured HERE, before the
     // salvage pass below: re-measure runs execute after this point, so
@@ -228,20 +233,34 @@ object Bench {
     // how many were dropped so the artifact shows the cap bit.
     val remeasureCap =
       sys.env.getOrElse("SPARK_GRAFT_REMEASURE_CAP", "16").toInt
+    // Referenced queries rank by ratio-vs-reference and ALWAYS ahead of
+    // unreferenced ones: the two keys are incommensurate (a 15 s query
+    // with no reference is not more suspect than a 3x regression), and
+    // mixing them let long unreferenced queries evict genuine 2-3x
+    // regressions from the capped salvage set (ADVICE r9).
     val suspect = suspectAll
-      .sortBy(q => -prevQ.get(q.name).filter(_ > 0)
-        .map(p => q.sec / p).getOrElse(q.sec))
+      .sortBy { q =>
+        val ref = prevQ.get(q.name).filter(_ > 0)
+        (if (ref.isDefined) 0 else 1,
+         -ref.map(p => q.sec / p).getOrElse(q.sec))
+      }
       .take(remeasureCap).map(_.name)
     val remeasureDropped = suspectAll.size - suspect.size
     val byName = benchQueries.toMap
     val remeasured = suspect.flatMap { n =>
       byName.get(n).map { fn =>
-        val oks = (1 to 3).flatMap(_ =>
-          timedAttempt(() => fn(spark, sfDir)).toOption)
-        (n, firstPass(n), if (oks.nonEmpty) oks.min else firstPass(n))
+        val attempts = (1 to 3).map(_ => timedAttempt(() => fn(spark, sfDir)))
+        val oks = attempts.collect { case Right(s) => s }
+        // If every salvage attempt threw, the fallback keeps the first-pass
+        // number — but the failure must be visible in the artifact, not
+        // silently absorbed (ADVICE r9): salvage_err rides the remeasured
+        // row so a gate reader can see the re-measurement never succeeded.
+        val err = if (oks.isEmpty)
+          attempts.collectFirst { case Left(e) => e }.getOrElse("") else ""
+        (n, firstPass(n), if (oks.nonEmpty) oks.min else firstPass(n), err)
       }
     }
-    val results = firstPass ++ remeasured.map { case (n, orig, best) =>
+    val results = firstPass ++ remeasured.map { case (n, orig, best, _) =>
       n -> math.min(orig, best)
     }
     def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
@@ -256,9 +275,6 @@ object Bench {
     def qjson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}")
-    val teleJson = telemetry.map { q =>
-      s"""{"q":"${q.name}","sec":${f3(q.sec)},"ok":${q.ok},"end_ms":${q.endMs},"load":${f2(q.load)},"steal_pct":${f2(q.stealPct)},"order":${q.pos}}"""
-    }.mkString("[", ",", "]")
     // JSON string escape for error messages (quotes/backslashes/control
     // chars would otherwise break the artifact's json.load).
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -267,6 +283,13 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // err is emitted whenever ANY attempt threw — including ok=true rows
+    // where repeat>1 and only some attempts failed. Without it, a query
+    // that throws on 1 of N attempts left no trace anywhere (ADVICE r9).
+    val teleJson = telemetry.map { q =>
+      val errField = if (q.err.nonEmpty) s""","err":${jstr(q.err)}""" else ""
+      s"""{"q":"${q.name}","sec":${f3(q.sec)},"ok":${q.ok},"end_ms":${q.endMs},"load":${f2(q.load)},"steal_pct":${f2(q.stealPct)},"order":${q.pos}$errField}"""
+    }.mkString("[", ",", "]")
     val failedJson = failed.map(q =>
       s"""{"q":"${q.name}","err":${jstr(q.err)}}""").mkString("[", ",", "]")
     val meta = s""""sf":"$sfDir","seed":$seed,"warm_full":$warmFull,"load_avg_start":${f2(load0)},"load_avg_end":${f2(load1)},"steal_pct":${f2(stealPct)}"""
@@ -289,10 +312,13 @@ object Bench {
     val devJson = deviations.map { case (n, s, p, r) =>
       s"""{"q":"$n","sec":${f3(s)},"prev_sec":${f3(p)},"ratio":${f2(r)}}"""
     }.mkString("[", ",", "]")
-    val remJson = remeasured.map { case (n, orig, best) =>
-      s"""{"q":"$n","first_sec":${f3(orig)},"best_sec":${f3(best)}}"""
+    val remJson = remeasured.map { case (n, orig, best, err) =>
+      val extra = if (err.nonEmpty) s""","salvage_err":${jstr(err)}""" else ""
+      s"""{"q":"$n","first_sec":${f3(orig)},"best_sec":${f3(best)}$extra}"""
     }.mkString("[", ",", "]")
-    val devMeta = s""""deviations":$devJson,"remeasured":$remJson,"remeasure_dropped":$remeasureDropped,"deviation_ref":"$prevSource","failed":$failedJson"""
+    val flakyJson = flaky.map(q =>
+      s"""{"q":"${q.name}","err":${jstr(q.err)}}""").mkString("[", ",", "]")
+    val devMeta = s""""deviations":$devJson,"remeasured":$remJson,"remeasure_dropped":$remeasureDropped,"deviation_ref":"$prevSource","failed":$failedJson,"flaky":$flakyJson"""
     // A subset run (BENCH_ONLY) must never replace the committed full
     // map — it would silently become the next run's deviation reference.
     // A run with failures must not either: its totals are partial, and a

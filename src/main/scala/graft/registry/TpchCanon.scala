@@ -5,16 +5,28 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 
-/** TPC-H canon witnesses (Q1 / Q3 / Q18) over the driver's tables.
+/** TPC-H canon witnesses (Q1 / Q3 / Q5 / Q18 + the decorrelation trio
+  * Q17 / Q20 / Q21) over the driver's tables.
   *
   * The reference's KPI job is the fact⋈dim+agg shape
-  * (reference: dags/etl/kpi_processor.py:59-92); these three generalize it
+  * (reference: dags/etl/kpi_processor.py:59-92); these generalize it
   * to the canonical decision-support forms: full-scan aggregate (Q1),
-  * filtered multi-join top-k (Q3), and having-filtered semi-join (Q18).
-  * Constants are adapted to the driver testdata's 1995-2001 date range and
-  * quantity distribution; shapes and column roles follow the public TPC-H
-  * spec (o_shippriority does not exist in this schema — o_orderpriority
-  * stands in).
+  * filtered multi-join top-k (Q3), snowflake (Q5), having-filtered
+  * semi-join (Q18). Constants are adapted to the driver testdata's
+  * 1995-2001 date range and quantity distribution; shapes and column roles
+  * follow the public TPC-H spec (o_shippriority does not exist in this
+  * schema — o_orderpriority stands in).
+  *
+  * Q17/Q20/Q21 are deliberately written through the SQL surface as
+  * CORRELATED subqueries — the shapes where Catalyst plans go bad
+  * silently. The witness is not just the answer but the plan:
+  * PlanShapeSpec pins that each decorrelates to aggregate+join / semi+anti
+  * hash joins, never a per-row nested-loop re-execution of the inner
+  * query. Schema adaptations: Q17's container predicate → p_size; Q20 has
+  * no partsupp table, so a supplier's all-time shipped quantity per part
+  * stands in for ps_availqty (same correlated scalar-agg comparison
+  * shape); Q21 has no receipt/commit dates, so l_returnflag = 'R' marks
+  * the "failed" line (same exists + not-exists double self-correlation).
   *
   * Scale posture:
   *  - Q1 is one hash aggregate over a pushed-down scan (4-ish groups —
@@ -54,10 +66,16 @@ object TpchCanon {
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
     // Q3: shipping priority — revenue of undelivered orders for one market
-    // segment. Customer is the dim: filter, project to the two needed
-    // columns, broadcast. Orders⋈lineitem shuffles on the order key.
-    // Revenue rounded BEFORE the order-by so both engines rank identical
-    // values; l_orderkey breaks ties deterministically.
+    // segment. Customer is the dim: filter, project to the single needed
+    // column, and join PLAIN — the segment-filtered single-column frame is
+    // kilobytes, so the planner's size estimate (and AQE at runtime) picks
+    // BroadcastHashJoin on its own; PlanShapeSpec pins that the planner,
+    // not a hint, makes that call. On a cluster where customer outgrows
+    // the threshold it degrades gracefully to a shuffle join — exactly the
+    // behavior a hard hint would have overridden. Orders⋈lineitem shuffles
+    // on the order key. Revenue rounded BEFORE the order-by so both
+    // engines rank identical values; l_orderkey breaks ties
+    // deterministically.
     "tpch_q3_shipping_priority" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
         .where(col("c_mktsegment") === "BUILDING")
@@ -70,7 +88,7 @@ object TpchCanon {
         .where(col("l_shipdate") > lit("2000-03-15"))
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))
@@ -135,6 +153,89 @@ object TpchCanon {
         .orderBy(col("o_totalprice").desc, col("o_orderdate"),
           col("o_orderkey"))
         .limit(100)
+    }),
+
+    // Q17: small-quantity-order revenue — the correlated scalar-agg-per-row
+    // shape. The inner avg(l_quantity) is correlated on l_partkey; Catalyst
+    // must decorrelate it to ONE aggregate over lineitem grouped by
+    // l_partkey joined back to the filtered fact — at 100 TB the difference
+    // between that and a per-row re-scan is the whole query. p_size < 15
+    // stands in for the spec's container predicate; 0.5x (vs the spec's
+    // 0.2x) matches the synthetic uniform quantity distribution.
+    "tpch_q17_small_qty_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_li_q17")
+      t(s, dir, "part").createOrReplaceTempView("graft_part_q17")
+      s.sql("""SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+               FROM graft_li_q17 l JOIN graft_part_q17 p
+                 ON p.p_partkey = l.l_partkey
+               WHERE p.p_brand = 'Brand#23' AND p.p_size < 15
+                 AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                                     FROM graft_li_q17 l2
+                                     WHERE l2.l_partkey = l.l_partkey)""")
+    }),
+
+    // Q20: the nested semi chain — suppliers (of one nation) who
+    // concentrated their shipments of 'red' parts into 1997. partsupp does
+    // not exist in this schema; the all-time (supplier, part) shipped
+    // total stands in for ps_availqty, preserving the spec's correlated
+    // scalar-agg comparison inside an IN subquery inside a semi join.
+    // Catalyst must fold the correlation into a grouped aggregate joined
+    // on BOTH correlation keys (l_partkey, l_suppkey) — never re-running
+    // the date-windowed sum per candidate row.
+    "tpch_q20_part_promotion" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_li_q20")
+      t(s, dir, "part").createOrReplaceTempView("graft_part_q20")
+      t(s, dir, "supplier").createOrReplaceTempView("graft_supp_q20")
+      t(s, dir, "nation").createOrReplaceTempView("graft_nat_q20")
+      s.sql("""SELECT s_suppkey, s_name FROM graft_supp_q20
+               WHERE s_suppkey IN (
+                 SELECT st.l_suppkey FROM (
+                   SELECT l_suppkey, l_partkey, sum(l_quantity) AS total_qty
+                   FROM graft_li_q20 GROUP BY l_suppkey, l_partkey) st
+                 WHERE st.l_partkey IN (SELECT p_partkey FROM graft_part_q20
+                                        WHERE p_name LIKE 'red%')
+                   AND st.total_qty > (
+                     SELECT 1.2 * sum(l.l_quantity) FROM graft_li_q20 l
+                     WHERE l.l_partkey = st.l_partkey
+                       AND l.l_suppkey = st.l_suppkey
+                       AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+                       AND l.l_shipdate <  TIMESTAMP '1998-01-01'))
+                 AND s_nationkey = (SELECT n_nationkey FROM graft_nat_q20
+                                    WHERE n_name = 'NATION_3')
+               ORDER BY s_suppkey""")
+    }),
+
+    // Q21: the exists + not-exists double self-correlation — suppliers who
+    // were the SOLE flagged supplier on a multi-supplier finished order.
+    // l_returnflag = 'R' marks the failed line (no receipt/commit dates in
+    // this schema). Both correlated subqueries reference lineitem again
+    // with an equality correlation (l_orderkey) plus an inequality
+    // (l_suppkey <>): the pin asserts they become one semi and one anti
+    // hash join on the order key — the shape where a planner that only
+    // decorrelates equality predicates silently falls back to a per-row
+    // nested loop over the 100 TB fact.
+    "tpch_q21_waiting_supplier" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_li_q21")
+      t(s, dir, "orders").createOrReplaceTempView("graft_ord_q21")
+      t(s, dir, "supplier").createOrReplaceTempView("graft_supp_q21")
+      t(s, dir, "nation").createOrReplaceTempView("graft_nat_q21")
+      s.sql("""SELECT s_name, count(*) AS numwait
+               FROM graft_supp_q21, graft_li_q21 l1, graft_ord_q21
+               WHERE s_suppkey = l1.l_suppkey
+                 AND o_orderkey = l1.l_orderkey
+                 AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+                 AND EXISTS (SELECT 1 FROM graft_li_q21 l2
+                             WHERE l2.l_orderkey = l1.l_orderkey
+                               AND l2.l_suppkey <> l1.l_suppkey)
+                 AND NOT EXISTS (SELECT 1 FROM graft_li_q21 l3
+                                 WHERE l3.l_orderkey = l1.l_orderkey
+                                   AND l3.l_suppkey <> l1.l_suppkey
+                                   AND l3.l_returnflag = 'R')
+                 AND s_nationkey = (SELECT n_nationkey FROM graft_nat_q21
+                                    WHERE n_name = 'NATION_1')
+               GROUP BY s_name
+               ORDER BY numwait DESC, s_name
+               LIMIT 100""")
     })
   )
 
@@ -191,6 +292,51 @@ object TpchCanon {
            GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
          GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
          ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+         LIMIT 100""",
+
+    "tpch_q17_small_qty_revenue" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE p.p_brand = 'Brand#23' AND p.p_size < 15
+           AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = l.l_partkey)""",
+
+    "tpch_q20_part_promotion" ->
+      """SELECT s_suppkey, s_name FROM supplier
+         WHERE s_suppkey IN (
+           SELECT st.l_suppkey FROM (
+             SELECT l_suppkey, l_partkey, sum(l_quantity) AS total_qty
+             FROM lineitem GROUP BY l_suppkey, l_partkey) st
+           WHERE st.l_partkey IN (SELECT p_partkey FROM part
+                                  WHERE p_name LIKE 'red%')
+             AND st.total_qty > (
+               SELECT 1.2 * sum(l.l_quantity) FROM lineitem l
+               WHERE l.l_partkey = st.l_partkey
+                 AND l.l_suppkey = st.l_suppkey
+                 AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+                 AND l.l_shipdate <  TIMESTAMP '1998-01-01'))
+           AND s_nationkey = (SELECT n_nationkey FROM nation
+                              WHERE n_name = 'NATION_3')
+         ORDER BY s_suppkey""",
+
+    "tpch_q21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM supplier, lineitem l1, orders
+         WHERE s_suppkey = l1.l_suppkey
+           AND o_orderkey = l1.l_orderkey
+           AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_returnflag = 'R')
+           AND s_nationkey = (SELECT n_nationkey FROM nation
+                              WHERE n_name = 'NATION_1')
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name
          LIMIT 100"""
   )
 }

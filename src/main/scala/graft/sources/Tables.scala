@@ -49,6 +49,16 @@ object Tables {
         case Some(LongType) =>
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         case Some(TimestampNTZType) =>
+          // The NTZ→TimestampType cast is value-preserving ONLY under a UTC
+          // session timezone (it reinterprets wall-clock micros as epoch
+          // micros). A non-UTC session would silently shift every ts value —
+          // the exact quiet drift this boundary exists to make loud.
+          val tz = spark.sessionState.conf.sessionLocalTimeZone
+          if (tz != "UTC") throw new IllegalStateException(
+            s"events.ts: TIMESTAMP_NTZ normalization requires " +
+              s"spark.sql.session.timeZone=UTC (session has '$tz'); a " +
+              "non-UTC cast would shift every value instead of " +
+              "reinterpreting it — set the session timezone to UTC")
           df.withColumn("ts", col("ts").cast(TimestampType))
         case Some(TimestampType) | None => df
         case Some(other) => throw new IllegalStateException(

@@ -214,10 +214,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("NestedLoop"))
   }
 
-  test("tpch q3: the segment-filtered customer dim broadcasts") {
+  test("tpch q3: planner (not a hint) broadcasts the filtered customer dim") {
+    // The query carries NO broadcast() hint (TpchCanon drops it on purpose):
+    // the single-column segment-filtered customer frame is small enough that
+    // the size estimate / AQE must pick BroadcastHashJoin unaided. This pin
+    // is the witness that the planner makes the right call — a hint would
+    // only prove we told it to.
     val p = plan(SparkEntry.queries("tpch_q3_shipping_priority")(spark, sf))
     assert(p.contains("BroadcastHashJoin"),
-      s"Q3 lost its broadcast dim join:\n${p.take(1200)}")
+      s"Q3's planner-chosen broadcast dim join disappeared:\n${p.take(1200)}")
     assert(!p.contains("NestedLoop"))
   }
 
@@ -228,6 +233,55 @@ class PlanShapeSpec extends SparkSpec {
       s"Q5 lost the broadcast dim joins:\n${p.take(1200)}")
     assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
       s"Q5's date predicate should push to the orders scan:\n${p.take(1200)}")
+  }
+
+  test("tpch q17: correlated scalar-avg decorrelates to aggregate + join") {
+    // The inner per-partkey avg must run ONCE as a grouped aggregate joined
+    // back on l_partkey — a per-row nested-loop re-execution of the inner
+    // query is the silent scale-killer this pin exists to catch.
+    val df = SparkEntry.queries("tpch_q17_small_qty_revenue")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("NestedLoop"),
+      s"Q17's correlated subquery fell back to a nested loop:\n${p.take(1500)}")
+    val aggs = df.queryExecution.sparkPlan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+        if a.groupingExpressions.exists(_.toString.contains("l_partkey")) => a
+    }
+    assert(aggs.nonEmpty,
+      s"Q17 should contain a per-partkey aggregate (the decorrelated avg):\n${p.take(1500)}")
+  }
+
+  test("tpch q20: nested semi chain decorrelates, correlated sum is grouped") {
+    val df = SparkEntry.queries("tpch_q20_part_promotion")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("NestedLoop"),
+      s"Q20's correlation fell back to a nested loop:\n${p.take(1500)}")
+    assert(p.contains("LeftSemi"),
+      s"Q20's IN chain should plan as semi joins:\n${p.take(1500)}")
+    // The date-windowed correlated sum decorrelates to ONE aggregate
+    // grouped by BOTH correlation keys, joined back — not re-run per row.
+    val aggs = df.queryExecution.sparkPlan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+        if a.groupingExpressions.exists(_.toString.contains("l_partkey")) &&
+           a.groupingExpressions.exists(_.toString.contains("l_suppkey")) => a
+    }
+    assert(aggs.nonEmpty,
+      s"Q20's correlated sum should be a (partkey, suppkey)-grouped aggregate:\n${p.take(1500)}")
+  }
+
+  test("tpch q21: exists/not-exists become semi + anti hash joins") {
+    // Equality correlation on l_orderkey with an l_suppkey <> inequality
+    // rider: the hash join carries the inequality as a residual condition.
+    // A planner that only decorrelates pure-equality predicates nested-loops
+    // here — over the biggest table in the schema.
+    val df = SparkEntry.queries("tpch_q21_waiting_supplier")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("NestedLoop"),
+      s"Q21's double correlation fell back to a nested loop:\n${p.take(1500)}")
+    assert(p.contains("LeftSemi"),
+      s"Q21 lost its EXISTS semi join:\n${p.take(1500)}")
+    assert(p.contains("LeftAnti"),
+      s"Q21 lost its NOT EXISTS anti join:\n${p.take(1500)}")
   }
 
   test("tpch q18: having-filter is a semi join, never a full-table window") {
