@@ -1,0 +1,245 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale probe: measure how each headline query's runtime grows
+  * when the data grows ~10x, converting the repo's "this plan survives
+  * 100x" arguments (PlanShapeSpec pins) into measurements.
+  *
+  * /root/testdata is read-only and tops out at sf0.1, so the probe
+  * synthesizes larger inputs OUTSIDE it (default target/scaleprobe/) by
+  * unioning k key-shifted replicas of sf0.1. The construction is an
+  * ISOMETRY per replica, so per-replica workload structure is exactly the
+  * base workload and totals scale by k — the clean setting for reading a
+  * scaling exponent off two timings:
+  *
+  *  - Key columns shift by replica * (max(key)+1) per key domain, applied
+  *    consistently on both sides of every FK (orders.o_custkey and
+  *    customer.c_custkey shift together), so joins stay intact within a
+  *    replica and never match across replicas. Dims (region/nation) stay
+  *    fixed — dims grow slower than facts on real clusters.
+  *  - documents.text is word-salted per replica (every word gets a _r<i>
+  *    suffix). Shingle/minhash/simhash/winnowing similarity WITHIN a
+  *    replica is preserved exactly (both members of a pair transform the
+  *    same way); similarity ACROSS replicas collapses (disjoint token
+  *    spaces) — so near-dup pair generation scales by k, not k^2.
+  *  - embeddings flip signs on a per-replica hash-chosen dim pattern.
+  *    s in {-1,+1}^d applied to both x and y preserves <x,y> and norms,
+  *    so intra-replica cosine structure (pairs, kNN neighborhoods) is
+  *    EXACT; cross-replica dots become random-sign sums ~ 0, far below
+  *    any near-dup threshold. Replica 0 is the identity.
+  *
+  * Deliberately excluded: the skew_* fixture twins. Replicating both
+  * sides of a deliberately skewed join multiplies the hot key's output
+  * quadratically in the DATA itself — the probe would read the fixture's
+  * construction, not the operator's scaling.
+  *
+  * Output: SCALEPROBE.json — per query, seconds at each factor and the
+  * fitted exponent log(t_hi/t_lo)/log(hi/lo). ~1.0 = linear, <~1.2 is
+  * healthy (shuffle/sort log factors); anything near 2 is a found bug.
+  * Queries under 0.3 s at the base factor are exponent-unreliable (JVM
+  * jitter dominates) and are flagged low_signal rather than trusted.
+  */
+object ScaleProbe {
+
+  /** Per-table key domains to shift: column -> offset unit is computed
+    * from the BASE table's max so replicas never collide. */
+  private val keyDomains: Map[String, Seq[(String, String)]] = Map(
+    // table -> (column, domain); same domain = same offset unit
+    "customer" -> Seq("c_custkey" -> "cust"),
+    "supplier" -> Seq("s_suppkey" -> "supp"),
+    "part" -> Seq("p_partkey" -> "part"),
+    "orders" -> Seq("o_orderkey" -> "order", "o_custkey" -> "cust"),
+    "lineitem" -> Seq("l_orderkey" -> "order", "l_partkey" -> "part",
+      "l_suppkey" -> "supp"),
+    "events" -> Seq("event_id" -> "event", "user_id" -> "user"),
+    "documents" -> Seq("doc_id" -> "doc"),
+    "embeddings" -> Seq("vec_id" -> "vec")
+  )
+
+  private val dims = Seq("region", "nation")
+  private val facts = Seq("customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Build the k-replica blowup of `baseDir` into `outDir` (idempotent:
+    * skipped when the marker file exists). */
+  def generate(spark: SparkSession, baseDir: String, outDir: String,
+               k: Int): Unit = {
+    val marker = new java.io.File(s"$outDir/_GRAFT_SCALE_OK")
+    if (marker.exists()) return
+    new java.io.File(outDir).mkdirs()
+
+    // Offset units from the base tables (max+1 per key domain).
+    val domains = keyDomains.values.flatten.map(_._2).toSeq.distinct
+    val unit: Map[String, Long] = domains.map { d =>
+      val (tbl, colName) = d match {
+        case "cust" => ("customer", "c_custkey")
+        case "supp" => ("supplier", "s_suppkey")
+        case "part" => ("part", "p_partkey")
+        case "order" => ("orders", "o_orderkey")
+        case "event" => ("events", "event_id")
+        case "user" => ("events", "user_id")
+        case "doc" => ("documents", "doc_id")
+        case "vec" => ("embeddings", "vec_id")
+      }
+      val mx = graft.sources.Tables.table(spark, baseDir, tbl)
+        .agg(max(col(colName))).head.getLong(0)
+      d -> (mx + 1L)
+    }.toMap
+
+    dims.foreach { t =>
+      graft.sources.Tables.table(spark, baseDir, t)
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+    facts.foreach { t =>
+      val base = graft.sources.Tables.table(spark, baseDir, t)
+      val replicas = (0 until k).map { i =>
+        var df = base
+        for ((c, d) <- keyDomains(t))
+          df = df.withColumn(c, (col(c) + lit(i * unit(d))).cast("long"))
+        if (t == "documents" && i > 0) {
+          // Word-salt: within-replica shingle similarity preserved
+          // exactly, cross-replica token spaces disjoint. The salt MUST
+          // survive tokenization as part of its word: TextAnalysis.tokens
+          // extracts [a-z0-9]+ runs, so an alphanumeric suffix ("batchr2")
+          // maps each token bijectively, while a separator ("batch_r2")
+          // would SPLIT every word into (word, salt) — interleaving a
+          // shared token between all content words, collapsing k-shingle
+          // specificity to ~k/2 content words and inflating shingle-bucket
+          // collisions quadratically (the first probe run measured
+          // exponent 1.93 on neardup_jaccard from exactly this).
+          df = df
+            .withColumn("text", array_join(
+              transform(split(col("text"), " "),
+                w => concat(w, lit(s"r$i"))), " "))
+            .withColumn("n_chars", length(col("text")).cast("long"))
+        }
+        if (t == "embeddings" && i > 0) {
+          // Sign-flip isometry: dims whose murmur3(dim*2654435761 + i)
+          // is even flip sign. Same pattern for every vector in the
+          // replica => intra-replica dot products and norms unchanged.
+          df = df.withColumn("embedding",
+            expr(s"transform(embedding, (x, j) -> " +
+              s"CASE WHEN pmod(hash(j * 2654435761 + $i), 2) = 0 " +
+              s"THEN x ELSE -x END)"))
+        }
+        df
+      }
+      replicas.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+    marker.createNewFile()
+    ()
+  }
+
+  /** Queries probed: the bench's most expensive plus the whole near-dup /
+    * components / span family — the operators whose 100 TB posture rests
+    * on bucketed pair generation staying linear. */
+  val probeQueries: Seq[String] = Seq(
+    "tpch_q1_pricing_summary", "tpch_q5_local_supplier",
+    "tpch_q18_large_customers", "tpch_q21_waiting_supplier",
+    "revenue_by_nation_merge", "incremental_kpis", "user_sessions",
+    "hourly_concurrency", "asof_click_view_native", "supplier_pagerank",
+    "dedup_components", "dedup_survivors", "neardup_minhash",
+    "neardup_simhash", "neardup_jaccard", "neardup_winnowing",
+    "neardup_cosine_lsh", "dup_span_report", "span_cut_docs",
+    "doc_span_dup_ratio", "tfidf_top_tokens", "knn_lsh_or",
+    "context_packing", "training_pipeline_counts")
+
+  private def materialize(df: DataFrame): Long =
+    df.queryExecution.toRdd.count()
+
+  private def timeIt(mk: () => DataFrame, attempts: Int): Double =
+    (1 to attempts).map { _ =>
+      val t0 = System.nanoTime()
+      materialize(mk())
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val outRoot = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
+      "target/scaleprobe")
+    val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "1,10")
+      .split(",").map(_.trim.toInt).toSeq.sorted
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
+    val attempts =
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_ATTEMPTS", "2").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      java.util.Map.of(
+        "org.apache.spark.sql.execution.window.WindowExec",
+        org.apache.logging.log4j.Level.ERROR,
+        "org.apache.spark.sql.execution.window.WindowExecBase",
+        org.apache.logging.log4j.Level.ERROR))
+    catch { case _: Throwable => () }
+
+    val qs = probeQueries.filter(n => only.forall(_.contains(n)))
+      .flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+
+    // Generate each factor's dataset (factor 1 = the base dir itself).
+    val dirs: Seq[(Int, String)] = factors.map {
+      case 1 => 1 -> baseDir
+      case k =>
+        val d = s"$outRoot/x$k"
+        System.err.println(s"[scaleprobe] generating ${k}x at $d ...")
+        generate(spark, baseDir, d, k)
+        k -> d
+    }
+
+    // Codegen warm-up at the smallest SF (plan-structure dependent only).
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
+      "/root/testdata/sf0.001")
+    if (warmDir != "none" && new java.io.File(warmDir).isDirectory)
+      qs.foreach { case (_, fn) =>
+        try materialize(fn(spark, warmDir)) catch { case _: Throwable => () }
+      }
+
+    def f3(d: Double): String =
+      "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    val timings = qs.map { case (name, fn) =>
+      val byFactor = dirs.map { case (k, d) =>
+        val sec = try timeIt(() => fn(spark, d), attempts)
+                  catch { case e: Throwable =>
+                    System.err.println(
+                      s"[scaleprobe] FAILED $name@x$k: ${e.getMessage}")
+                    -1.0 }
+        System.err.println(s"[scaleprobe] $name x$k: ${f3(sec)}s")
+        k -> sec
+      }
+      name -> byFactor
+    }
+
+    val lo = factors.min.toDouble
+    val hi = factors.max.toDouble
+    val rows = timings.map { case (name, byFactor) =>
+      val m = byFactor.toMap
+      val (tLo, tHi) = (m(factors.min), m(factors.max))
+      val exp =
+        if (tLo > 0 && tHi > 0) math.log(tHi / tLo) / math.log(hi / lo)
+        else Double.NaN
+      val lowSignal = tLo >= 0 && tLo < 0.3
+      val secs = byFactor.map { case (k, s) =>
+        s""""x$k":${f3(s)}""" }.mkString(",")
+      val expStr = if (exp.isNaN) "null" else f3(exp)
+      s""""$name":{$secs,"exponent":$expStr,"low_signal":$lowSignal}"""
+    }
+    val json = s"""{"base":"$baseDir","factors":[${factors.mkString(",")}],"attempts":$attempts,"queries":{${rows.mkString(",")}}}"""
+    val w = new java.io.PrintWriter("SCALEPROBE.json", "UTF-8")
+    try w.println(json) finally w.close()
+    println(json)
+    spark.stop()
+  }
+}

@@ -1,0 +1,167 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{StreamingDecontamination, StreamingKpis,
+  StreamingSessions}
+
+/** Streaming micro-bench (VERDICT r09 #4): the 8 streaming suites prove
+  * semantics but publish no latency/throughput number. This harness
+  * drives the three stateful loops with a deterministic in-memory feed
+  * and reports rows/s and per-trigger ms into BENCH_STREAMING.json —
+  * measured, not gated: the artifact exists so a regression (e.g. state
+  * store growth making trigger time climb) becomes a visible number
+  * instead of an invisible property.
+  *
+  * Feeds use MemoryStream + processAllAvailable per trigger — wall-clock
+  * per trigger includes source admission, state store I/O, and sink
+  * commit, which is the number a user feels. The rate source was
+  * considered and rejected: its admission cadence (rowsPerSecond) would
+  * measure the throttle, not the engine.
+  *
+  * Benches:
+  *  - sessionize: flatMapGroupsWithState gap sessions, N users
+  *    interleaved, event-time advancing ~1 min/trigger so the watermark
+  *    moves and timeout-close paths execute (state stays O(users)).
+  *  - hourly_kpis: watermarked sliding-window agg + approx distinct.
+  *  - decontamination: the versioned span-index loop (cut batch against
+  *    index, append report, ingest spans) over real sf0.001 documents —
+  *    per trigger the index grows, so trigger_ms trend is the signal.
+  */
+object StreamBench {
+
+  private case class TriggerStat(rows: Long, ms: Double)
+
+  private def pct(xs: Seq[Double], p: Double): Double =
+    if (xs.isEmpty) -1.0
+    else xs.sorted.apply(math.min(xs.size - 1, (p * xs.size).toInt))
+
+  private def f1(d: Double): String =
+    "%.1f".formatLocal(java.util.Locale.ROOT, d)
+
+  private def report(name: String, stats: Seq[TriggerStat]): String = {
+    val rows = stats.map(_.rows).sum
+    val totalSec = stats.map(_.ms).sum / 1000.0
+    val ms = stats.map(_.ms)
+    s""""$name":{"rows":$rows,"triggers":${stats.size},"total_sec":${f1(totalSec * 10) .toDouble / 10},"rows_per_sec":${(rows / math.max(totalSec, 1e-9)).toLong},"trigger_ms_p50":${f1(pct(ms, 0.5))},"trigger_ms_p95":${f1(pct(ms, 0.95))},"trigger_ms_max":${f1(ms.max)}}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def tmp(prefix: String): String =
+      Files.createTempDirectory(prefix).toString
+
+    val triggers = sys.env.getOrElse("SPARK_GRAFT_STREAM_TRIGGERS", "20").toInt
+    val rowsPerTrigger =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "25000").toInt
+    val users = 2000
+
+    // ---- sessionize ----------------------------------------------------
+    val sessStats = {
+      val input = MemoryStream[StreamingSessions.SessionEvent]
+      val out = StreamingSessions.sessionize(input.toDS(), gapSeconds = 300)
+      val q = out.writeStream.format("noop")
+        .option("checkpointLocation", tmp("sb-sess")).outputMode("append")
+        .start()
+      val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val stats = (0 until triggers).map { b =>
+        // trigger b spans one minute; each user gets rowsPerTrigger/users
+        // events spread across it. Sessions close via the 300 s gap as
+        // the watermark advances trigger over trigger.
+        val events = (0 until rowsPerTrigger).map { i =>
+          val u = i % users
+          val t = base + b * 60000L + (i / users) * 7000L + u % 997
+          StreamingSessions.SessionEvent(u, new Timestamp(t), 1.0)
+        }
+        input.addData(events)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        TriggerStat(rowsPerTrigger, (System.nanoTime() - t0) / 1e6)
+      }
+      q.stop()
+      stats
+    }
+
+    // ---- hourly windowed kpis -----------------------------------------
+    val kpiStats = {
+      val input = MemoryStream[(Timestamp, Long, String, Double)]
+      val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
+      val out = StreamingKpis.hourlyWindowedKpis(events, "ts", "user_id")
+      val q = out.writeStream.format("noop")
+        .option("checkpointLocation", tmp("sb-kpi")).outputMode("append")
+        .start()
+      val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val types = Array("play", "pause", "skip", "like")
+      val stats = (0 until triggers).map { b =>
+        // ~3 event-time minutes per trigger: windows age out and emit as
+        // the watermark crosses hour boundaries.
+        val rows = (0 until rowsPerTrigger).map { i =>
+          val t = base + b * 180000L + (i % 180) * 1000L
+          (new Timestamp(t), (i % users).toLong, types(i % types.length),
+            (i % 100).toDouble)
+        }
+        input.addData(rows)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        TriggerStat(rowsPerTrigger, (System.nanoTime() - t0) / 1e6)
+      }
+      q.stop()
+      stats
+    }
+
+    // ---- decontamination loop -----------------------------------------
+    val decontStats = {
+      val sf = sys.env.getOrElse("SPARK_GRAFT_STREAM_DOCS_DIR",
+        "/root/testdata/sf0.001")
+      val docs = graft.sources.Tables.table(spark, sf, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")).collect()
+      val perBatch = math.max(1, docs.length / triggers)
+      val indexRoot = tmp("sb-dc-index")
+      val reportRoot = tmp("sb-dc-report")
+      val input = MemoryStream[(Long, String)]
+      val stream = input.toDF().toDF("doc_id", "text")
+      // Continuous micro-batch trigger: the writer's AvailableNow default
+      // would terminate on the initially-empty MemoryStream before any
+      // addData arrives, measuring nothing.
+      val q = StreamingDecontamination.decontaminationWriter(
+        stream, indexRoot, reportRoot, k = 12,
+        checkpoint = tmp("sb-dc-ckpt"),
+        trigger = org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("0 seconds")).start()
+      val stats = docs.grouped(perBatch).toSeq.map { g =>
+        input.addData(g.map(r => (r.getLong(0), r.getString(1))))
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        TriggerStat(g.length.toLong, (System.nanoTime() - t0) / 1e6)
+      }
+      q.stop()
+      stats
+    }
+
+    val json = s"""{${report("sessionize", sessStats)},${report(
+        "hourly_kpis", kpiStats)},${report("decontamination", decontStats)},"triggers":$triggers,"rows_per_trigger":$rowsPerTrigger}"""
+    val w = new java.io.PrintWriter("BENCH_STREAMING.json", "UTF-8")
+    try w.println(json) finally w.close()
+    println(json)
+    spark.stop()
+  }
+}

@@ -70,6 +70,7 @@ object Components {
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
+      val roundT0 = System.nanoTime()
       // each node's best neighbor label this round
       val nbr = sym
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
@@ -87,6 +88,12 @@ object Components {
       changed = next.where(col("ch")).count() // materializes the snapshot
       labels = next.drop("ch")
       iter += 1
+      // Round telemetry at debug: at cluster scale the round count and
+      // per-round cost are the two numbers that explain CC wall time
+      // (rounds = diameter; cost = one shuffle over edges+labels).
+      if (log.isDebugEnabled)
+        log.debug(s"CC round $iter: changed=$changed " +
+          f"(${(System.nanoTime() - roundT0) / 1e9}%.2fs)")
     }
     sym.unpersist()
     if (changed > 0) {

@@ -698,25 +698,32 @@ object Ext3Queries {
     }),
 
     // The corpus-scale twin the equi_depth_hist comment promises:
-    // t-digest decile bounds (one mergeable aggregate, no global sort)
-    // + range bucket assignment. Rows-only (sketch bounds are not
-    // engine-comparable); ProfileSpec bounds its divergence from the
-    // exact form.
+    // t-digest decile bounds (one mergeable aggregate, no global sort),
+    // emitted as a TOLERANCE-BAND WITNESS the DuckDB oracle can hash-match
+    // (VERDICT r09 #7 — graduated from rows-only): for each sketch decile
+    // bound, the exact rank fraction of rows at or below it, rounded to
+    // 2 dp. Sketch accuracy 10000 bounds the rank error at N/10000
+    // (±1e-4), so every row must round to exactly i/10 — the oracle is
+    // the constant decile grid, and any sketch/normalization regression
+    // larger than half a percentile breaks the hash. The full histogram
+    // remains the exact twin's (`equi_depth_hist`) job; ProfileSpec still
+    // bounds the sketch-vs-exact bucket divergence at 2%.
     "equi_depth_hist_approx" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
       val bounds = orders.agg(approx_percentile(col("o_totalprice"),
         array((1 to 9).map(i => lit(i / 10.0)): _*), lit(10000))
         .as("bs"))
       orders.crossJoin(broadcast(bounds))
-        .withColumn("bucket",
-          (aggregate(col("bs"),
-            lit(1L), (acc, b) =>
-              acc + when(col("o_totalprice") > b, 1L).otherwise(0L))))
-        .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n_orders"),
-          round(min(col("o_totalprice")), 2).as("lo"),
-          round(max(col("o_totalprice")), 2).as("hi"))
-        .orderBy(col("bucket"))
+        .select(col("o_totalprice"),
+          posexplode_outer(col("bs")).as(Seq("i", "b")))
+        .where(col("b").isNotNull)
+        .groupBy(col("i"))
+        .agg(round(
+          sum(when(col("o_totalprice") <= col("b"), 1L).otherwise(0L)) /
+            count(lit(1)).cast("double"), 2).as("rank_frac"))
+        .select((col("i") + 1).cast("long").as("bound_idx"),
+          col("rank_frac"))
+        .orderBy(col("bound_idx"))
     }),
 
     // Deterministic negative sampling (ext/Sampling): contrastive

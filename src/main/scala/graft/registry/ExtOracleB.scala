@@ -713,6 +713,32 @@ object ExtOracleB {
            ORDER BY "column", metric"""
       },
 
+      // A-ES weighted sample graduates from rows-only to a FULL oracle
+      // (VERDICT r09 #7): the uniform u is a pure md5-of-key function both
+      // engines compute bit-identically, and although ln is not
+      // bit-standardized across libms, the SELECTED SET only changes if
+      // two -ln(u)/w scores land within 1 ulp — with continuous length
+      // weights that never decides a rank. Same threshold, same
+      // tie-break, exact hash match.
+      // Tolerance band as an exact hash: the query emits each sketch
+      // bound's exact rank fraction rounded to 2 dp, which the N/10000
+      // accuracy guarantee forces onto the constant decile grid. DuckDB
+      // needs no sketch — the oracle IS the grid.
+      "equi_depth_hist_approx" ->
+        """SELECT CAST(i AS BIGINT) AS bound_idx,
+             round(i / 10.0, 2) AS rank_frac
+           FROM generate_series(1, 9) t(i) ORDER BY bound_idx""",
+
+      "weighted_doc_sample" ->
+        """SELECT doc_id, lang FROM (
+             SELECT doc_id, lang,
+               -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                     AS UBIGINT) + 1.0) / 281474976710657.0)
+                 / CAST(length(text) AS DOUBLE) AS __s
+             FROM documents WHERE length(text) > 0
+             ORDER BY __s, doc_id LIMIT 50)
+           ORDER BY doc_id""",
+
       "value_spike_census" ->
         """WITH e AS (SELECT user_id, ts, event_id,
              CAST(round(value * 100) AS BIGINT) AS vc FROM events),

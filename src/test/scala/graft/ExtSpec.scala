@@ -339,6 +339,42 @@ class IvfSpec extends SparkSpec {
     assert(centroids.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("IVF adaptive probing: recall >= 0.7 at the OR-LSH budget") {
+    // The registered knn_ivf path (VERDICT r09 #6): per-query budget-based
+    // list selection must beat fixed nprobe at the same total coverage —
+    // floor raised 0.6 -> 0.7 (fixed-nprobe measured 0.72; adaptive
+    // equalizes per-query work so it clears 0.7 with margin).
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    val queries = emb.where(col("vec_id") < 10)
+    val centroids = Similarity.ivfFit(emb, nlist = 8)
+    val ivf = Similarity.knnIvfAdaptive(emb, queries, k = 5, centroids,
+        budgetFrac = 0.375)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val bf = Similarity.knnBruteForce(emb, queries, k = 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = (ivf & bf).size.toDouble / bf.size
+    assert(recall >= 0.7, s"adaptive IVF recall $recall < 0.7 at budget 3/8")
+
+    // Budget honesty: each query's scanned fraction is <= budget + one
+    // list (the fold stops after first crossing), so the per-query
+    // candidate coverage must stay under 0.375 + max list fraction.
+    val listed = emb.select(col("vec_id"),
+      Similarity.ivfListId(col("embedding"), centroids).as("list_id"))
+    val sizes = listed.groupBy("list_id").count()
+      .as[(Int, Long)].collect().map(_._2)
+    val maxListFrac = sizes.max.toDouble / n
+    val qLists = Similarity.knnIvfAdaptive(emb, queries, k = n.toInt,
+        centroids, budgetFrac = 0.375)
+      .select("query_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map(_._2.size)
+    qLists.foreach { scanned =>
+      assert(scanned <= (0.375 + maxListFrac) * n + 1,
+        s"adaptive IVF scanned $scanned of $n — budget overshot")
+    }
+    info(f"recall=$recall%.2f budget=0.375 maxListFrac=$maxListFrac%.3f")
+  }
+
   test("OR-amplified LSH: recall >= 0.6 at a candidate budget <= IVF's") {
     // round-7 fix: single-table knnLsh recall is ~0.16 on this corpus —
     // the OR-construction (12 tables x 5 planes) must reach >= 0.6 while

