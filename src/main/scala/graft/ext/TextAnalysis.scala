@@ -189,6 +189,50 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Unigram-LM perplexity scoring — the classic LM-quality filter for
+    * training corpora (cf. the CCNet-style perplexity gate): train an
+    * add-α-smoothed unigram model ON the corpus itself, score each doc by
+    * `ppl = exp(−Σ m_w · ln p(w) / Σ m_w)` with
+    * `p(w) = (count(w)+α) / (T+α·V)`. High perplexity = token
+    * distribution far from the corpus norm (gibberish, boilerplate,
+    * wrong-language); the downstream gate thresholds or buckets it.
+    *
+    * Scale posture: ONE corpus scan → per-(doc, token) counts (map-side
+    * combine); the vocabulary and the (T, V) totals re-aggregate FROM
+    * that same grouped frame, so Catalyst reuses the exchange instead of
+    * re-scanning the corpus (PlanShapeSpec pins scan-count 1). The
+    * score join shuffles on token — vocabulary-sized, not corpus-sized,
+    * and AQE broadcasts it while it fits; the totals ride a broadcast
+    * one-row frame exactly like [[tfIdf]]'s corpus count. No driver-side
+    * state, no UDFs — ln/exp are codegen'd builtins.
+    *
+    * Determinism: pure arithmetic on exact counts; round(…, 6) keeps the
+    * float surface inside the repo's cross-engine convention (ln is not
+    * bit-standardized, but 6 dp sits ~9 orders above double ulp noise —
+    * same precedent as tfIdf). Zero-token docs have no defined perplexity
+    * and are excluded (the quality gate drops them upstream anyway). */
+  def unigramPerplexity(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"need positive smoothing alpha: $alpha")
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val dt = docs.repartition(par)
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("tok"))
+      .where(col("tok").isNotNull) // outer: avoids InferFiltersFromGenerate
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("m"))
+    val vocab = dt.groupBy(col("tok")).agg(sum(col("m")).as("cnt"))
+    val totals = vocab.agg(sum(col("cnt")).as("T"),
+      count(lit(1)).as("V"))
+    dt.join(vocab, "tok")
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).cast("long").as("n_tokens"),
+        (-sum(col("m") * log((col("cnt") + lit(alpha)) /
+            (col("T") + lit(alpha) * col("V"))))
+          / sum(col("m"))).as("nll"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(exp(col("nll")), 6).as("ppl"))
+  }
+
   /** Document fingerprinting: md5 over the whitespace-normalized lowercased
     * token stream — the canonical-form hash used for exact dedup at scale
     * (one groupBy on a 32-char key instead of full-text comparison). */

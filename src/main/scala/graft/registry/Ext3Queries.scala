@@ -88,6 +88,14 @@ object Ext3Queries {
     "quality_funnel" -> ((s, dir) =>
       TextAnalysis.qualityFunnel(t(s, dir, "documents"))),
 
+    // Unigram-LM perplexity scores (ext/TextAnalysis.unigramPerplexity):
+    // the CCNet-style quality gate's input — self-trained add-0.5 unigram
+    // model, per-doc exp(mean NLL). One corpus scan (exchange reuse
+    // pinned), vocab-sized score join.
+    "doc_perplexity" -> ((s, dir) =>
+      TextAnalysis.unigramPerplexity(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
     // Token-count histogram: docs per 10-token bucket — the length
     // distribution a packing/truncation policy is tuned against.
     "token_histogram" -> ((s, dir) =>

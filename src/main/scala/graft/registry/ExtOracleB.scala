@@ -720,6 +720,21 @@ object ExtOracleB {
       // two -ln(u)/w scores land within 1 ulp — with continuous length
       // weights that never decides a rank. Same threshold, same
       // tie-break, exact hash match.
+      // Unigram perplexity: same counts, same smoothing, same ln/exp —
+      // 6 dp rounding absorbs libm ulp differences (tfidf precedent).
+      "doc_perplexity" ->
+        """WITH tok AS (SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+           FROM documents),
+           dt AS (SELECT doc_id, tok, count(*) AS m FROM tok GROUP BY 1, 2),
+           vocab AS (SELECT tok, sum(m) AS cnt FROM dt GROUP BY 1),
+           tot AS (SELECT sum(cnt) AS T, count(*) AS V FROM vocab)
+           SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
+             round(exp(-sum(m * ln((cnt + 0.5) / (T + 0.5 * V)))
+               / sum(m)), 6) AS ppl
+           FROM dt JOIN vocab USING (tok), tot
+           GROUP BY doc_id ORDER BY doc_id""",
+
       // Tolerance band as an exact hash: the query emits each sketch
       // bound's exact rank fraction rounded to 2 dp, which the N/10000
       // accuracy guarantee forces onto the constant decile grid. DuckDB

@@ -16,6 +16,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2) === Seq.empty)
   }
 
+  test("unigram perplexity: hand-computed smoothed model on a toy corpus") {
+    // corpus: d1 = "a a b", d2 = "c". counts a=2 b=1 c=1, T=4, V=3,
+    // alpha=0.5 => p(a)=2.5/5.5, p(b)=1.5/5.5, p(c)=1.5/5.5
+    val docs = Seq((1L, "a a b"), (2L, "c"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramPerplexity(docs)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    val (pa, pb, pc) = (2.5 / 5.5, 1.5 / 5.5, 1.5 / 5.5)
+    val ppl1 = math.exp(-(2 * math.log(pa) + math.log(pb)) / 3)
+    val ppl2 = math.exp(-math.log(pc))
+    assert(out.map(_._1).toSeq === Seq(1L, 2L)) // zero-token doc excluded
+    assert(out(0)._2 === 3L && out(1)._2 === 1L)
+    assert(math.abs(out(0)._3 - ppl1) < 1e-6, s"${out(0)._3} vs $ppl1")
+    assert(math.abs(out(1)._3 - ppl2) < 1e-6)
+    // the common-token doc sits closer to the corpus norm than the rare one
+    assert(out(0)._3 < out(1)._3)
+  }
+
   test("tokenCount equals size(tokens) on edge cases and real docs") {
     // the allocation-free count must never drift from the array form
     val edge = Seq("  Hello,   WORLD-99!x ", "", "...", "a", "A.a.A")

@@ -207,6 +207,31 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("unigram perplexity: corpus exchange reused at runtime, no rescans") {
+    // dt feeds the vocabulary aggregate, the totals, and the score join.
+    // The shared (doc_id, tok) exchange is unified by ReuseExchange at
+    // EXECUTION time (the static explain still prints three scan
+    // branches), so the pin reads the executed plan: every duplicate
+    // branch must resolve to a ReusedExchange/reused stage, leaving
+    // exactly one live parquet scan of the corpus.
+    val df = graft.ext.TextAnalysis.unigramPerplexity(docs)
+    df.queryExecution.toRdd.count()
+    val ep = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(ep).size
+    val reused = "ReusedExchange|ReusedQueryStage|reused".r
+      .findAllIn(ep).nonEmpty
+    assert(scans <= 1 || reused,
+      s"perplexity re-scans the corpus ($scans scans, no reuse):\n" +
+        ep.take(2000))
+    // NB: the one BroadcastNestedLoopJoin(Cross) in this plan is the
+    // (T, V) one-row broadcast scalar riding the score projection — the
+    // same accepted bounded-cross pattern as tfIdf's corpus count — so no
+    // blanket NestedLoop assertion here; the data-sized joins above it
+    // must still hash.
+    assert(ep.contains("BroadcastHashJoin") || ep.contains("SortMergeJoin"),
+      s"perplexity's score join lost its hash strategy:\n${ep.take(2000)}")
+  }
+
   test("tpch q1: shipdate filter reaches the parquet scan") {
     val p = plan(SparkEntry.queries("tpch_q1_pricing_summary")(spark, sf))
     assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
