@@ -236,6 +236,72 @@ object TpchCanon {
                GROUP BY s_name
                ORDER BY numwait DESC, s_name
                LIMIT 100""")
+    }),
+
+    // Q2: minimum-cost supplier — the correlated scalar-MIN whose inner
+    // query is itself a multi-relation join (cost⋈supplier⋈nation⋈region).
+    // partsupp does not exist in this schema; per-(part, supplier) minimum
+    // observed unit price from lineitem stands in for ps_supplycost.
+    // Catalyst must decorrelate the inner min to ONE region-filtered
+    // aggregate grouped on the correlation key and join it back — a
+    // planner that re-runs the 4-relation join per outer row is quadratic
+    // in parts. The cost CTE is referenced by both the outer join tree and
+    // the subquery; runtime exchange reuse keeps it one computation.
+    "tpch_q2_min_cost_supplier" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_li_q2")
+      t(s, dir, "part").createOrReplaceTempView("graft_part_q2")
+      t(s, dir, "supplier").createOrReplaceTempView("graft_supp_q2")
+      t(s, dir, "nation").createOrReplaceTempView("graft_nat_q2")
+      t(s, dir, "region").createOrReplaceTempView("graft_reg_q2")
+      s.sql("""WITH cost AS (
+                 SELECT l_partkey, l_suppkey,
+                   round(min(l_extendedprice / l_quantity), 4) AS unit_cost
+                 FROM graft_li_q2 GROUP BY l_partkey, l_suppkey)
+               SELECT p.p_partkey, s.s_suppkey, c.unit_cost
+               FROM graft_part_q2 p, cost c, graft_supp_q2 s,
+                    graft_nat_q2 n, graft_reg_q2 r
+               WHERE p.p_partkey = c.l_partkey AND c.l_suppkey = s.s_suppkey
+                 AND s.s_nationkey = n.n_nationkey
+                 AND n.n_regionkey = r.r_regionkey
+                 AND r.r_name = 'EUROPE' AND p.p_size < 6
+                 AND p.p_type = 'SMALL'
+                 AND c.unit_cost = (
+                   SELECT min(c2.unit_cost)
+                   FROM cost c2, graft_supp_q2 s2, graft_nat_q2 n2,
+                        graft_reg_q2 r2
+                   WHERE c2.l_partkey = p.p_partkey
+                     AND c2.l_suppkey = s2.s_suppkey
+                     AND s2.s_nationkey = n2.n_nationkey
+                     AND n2.n_regionkey = r2.r_regionkey
+                     AND r2.r_name = 'EUROPE')
+               ORDER BY p.p_partkey, s.s_suppkey""")
+    }),
+
+    // Q15: top supplier. The spec's CTE + scalar-MAX form makes Spark
+    // compute the revenue aggregate TWICE — the uncorrelated scalar
+    // subquery plans as an independent adaptive plan with its own
+    // lineitem scan, and AQE does not unify exchanges across that
+    // boundary (verified against the executed plan). The Spark-first
+    // re-expression is the max-over-unpartitioned-window form: ONE
+    // date-pruned scan, one aggregate, a window over the
+    // supplier-count-bounded aggregate output (the repo's accepted
+    // bounded-window pattern), equality keeps ties per spec. The DuckDB
+    // oracle keeps the spec's CTE text — same fixpoint, different plan.
+    "tpch_q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01")
+          && col("l_shipdate") < lit("1997-04-01"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("total_revenue"))
+      val top = rev.withColumn("mx",
+          max(col("total_revenue")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
+        .where(col("total_revenue") === col("mx"))
+      t(s, dir, "supplier")
+        .join(top, col("s_suppkey") === col("supplier_no"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
     })
   )
 
@@ -337,6 +403,41 @@ object TpchCanon {
                               WHERE n_name = 'NATION_1')
          GROUP BY s_name
          ORDER BY numwait DESC, s_name
-         LIMIT 100"""
+         LIMIT 100""",
+
+    "tpch_q2_min_cost_supplier" ->
+      """WITH cost AS (
+           SELECT l_partkey, l_suppkey,
+             round(min(l_extendedprice / l_quantity), 4) AS unit_cost
+           FROM lineitem GROUP BY l_partkey, l_suppkey)
+         SELECT p.p_partkey, s.s_suppkey, c.unit_cost
+         FROM part p, cost c, supplier s, nation n, region r
+         WHERE p.p_partkey = c.l_partkey AND c.l_suppkey = s.s_suppkey
+           AND s.s_nationkey = n.n_nationkey
+           AND n.n_regionkey = r.r_regionkey
+           AND r.r_name = 'EUROPE' AND p.p_size < 6 AND p.p_type = 'SMALL'
+           AND c.unit_cost = (
+             SELECT min(c2.unit_cost)
+             FROM cost c2, supplier s2, nation n2, region r2
+             WHERE c2.l_partkey = p.p_partkey
+               AND c2.l_suppkey = s2.s_suppkey
+               AND s2.s_nationkey = n2.n_nationkey
+               AND n2.n_regionkey = r2.r_regionkey
+               AND r2.r_name = 'EUROPE')
+         ORDER BY p.p_partkey, s.s_suppkey""",
+
+    "tpch_q15_top_supplier" ->
+      """WITH revenue AS (
+           SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2)
+               AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate <  TIMESTAMP '1997-04-01'
+           GROUP BY l_suppkey)
+         SELECT s.s_suppkey, s.s_name, r.total_revenue
+         FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+         WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+         ORDER BY s.s_suppkey"""
   )
 }

@@ -309,6 +309,44 @@ class PlanShapeSpec extends SparkSpec {
       s"Q21 lost its NOT EXISTS anti join:\n${p.take(1500)}")
   }
 
+  test("tpch q2: correlated min-over-join decorrelates to a grouped aggregate") {
+    val df = SparkEntry.queries("tpch_q2_min_cost_supplier")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("NestedLoop"),
+      s"Q2's correlated min fell back to a nested loop:\n${p.take(1500)}")
+    // the decorrelated inner: a min aggregate grouped on the correlation
+    // key (l_partkey), fed by the region-filtered join
+    val aggs = df.queryExecution.sparkPlan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+        if a.groupingExpressions.size == 1 &&
+           a.groupingExpressions.exists(_.toString.contains("partkey")) &&
+           a.aggregateExpressions.exists(_.toString.contains("min")) => a
+    }
+    assert(aggs.nonEmpty,
+      s"Q2 should contain the decorrelated per-partkey min:\n${p.take(1500)}")
+  }
+
+  test("tpch q15: max-over-window form scans lineitem once, window is bounded") {
+    // The spec's CTE + scalar-MAX would scan lineitem twice (the scalar
+    // subquery plans independently — verified in round 10); the registered
+    // window form must keep ONE scan, with its only unpartitioned window
+    // sitting above the supplier-bounded aggregate.
+    val df = SparkEntry.queries("tpch_q15_top_supplier")(spark, sf)
+    val p = plan(df)
+    assert(scanCount(p) === 2, // lineitem + supplier
+      s"Q15 should scan lineitem and supplier exactly once each:\n${p.take(1500)}")
+    assert(!p.contains("NestedLoop"))
+    val bare = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w }
+    bare.foreach { w =>
+      val bounded = w.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.nonEmpty
+      assert(bounded, s"Q15's max window must sit above the aggregate:\n$w")
+    }
+  }
+
   test("tpch q18: having-filter is a semi join, never a full-table window") {
     val df = SparkEntry.queries("tpch_q18_large_customers")(spark, sf)
     val wins = df.queryExecution.sparkPlan.collect {
