@@ -43,12 +43,14 @@ object StreamBench {
 
   private def f1(d: Double): String =
     "%.1f".formatLocal(java.util.Locale.ROOT, d)
+  private def f2(d: Double): String =
+    "%.2f".formatLocal(java.util.Locale.ROOT, d)
 
   private def report(name: String, stats: Seq[TriggerStat]): String = {
     val rows = stats.map(_.rows).sum
     val totalSec = stats.map(_.ms).sum / 1000.0
     val ms = stats.map(_.ms)
-    s""""$name":{"rows":$rows,"triggers":${stats.size},"total_sec":${f1(totalSec * 10) .toDouble / 10},"rows_per_sec":${(rows / math.max(totalSec, 1e-9)).toLong},"trigger_ms_p50":${f1(pct(ms, 0.5))},"trigger_ms_p95":${f1(pct(ms, 0.95))},"trigger_ms_max":${f1(ms.max)}}"""
+    s""""$name":{"rows":$rows,"triggers":${stats.size},"total_sec":${f2(totalSec)},"rows_per_sec":${(rows / math.max(totalSec, 1e-9)).toLong},"trigger_ms_p50":${f1(pct(ms, 0.5))},"trigger_ms_p95":${f1(pct(ms, 0.95))},"trigger_ms_max":${f1(ms.max)}}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -384,6 +384,17 @@ object CoreOracle {
                FROM orders GROUP BY o_orderpriority)
          ORDER BY o_orderpriority, q_idx""",
 
+    // Tolerance band as an exact hash (equi_depth_hist_approx pattern):
+    // the query emits each group's exact rank fraction at the sketch's
+    // quantile bounds; the accuracy guarantee forces them onto the
+    // requested grid, which DuckDB produces as constants per group.
+    "price_percentiles_approx" ->
+      """SELECT o_orderpriority, CAST(t.i AS BIGINT) AS q_idx,
+           CAST(t.q AS DOUBLE) AS rank_frac
+         FROM (SELECT DISTINCT o_orderpriority FROM orders),
+              (VALUES (0, 0.25), (1, 0.5), (2, 0.75), (3, 0.95)) t(i, q)
+         ORDER BY o_orderpriority, q_idx""",
+
     "viewers_and_buyers" ->
       """SELECT user_id FROM events WHERE event_type = 'view'
          INTERSECT

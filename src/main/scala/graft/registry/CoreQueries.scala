@@ -520,17 +520,32 @@ object CoreQueries {
         .orderBy(col("o_orderpriority"), col("q_idx"))),
 
     // The 100 TB percentile path: t-digest sketch (approx_percentile) —
-    // single streaming pass, no per-group sort. Sketches are not
-    // cross-engine comparable → rows-only check (accuracy vs the exact
-    // query is asserted in OperatorsSpec instead).
-    "price_percentiles_approx" -> ((s, dir) =>
-      t(s, dir, "orders")
-        .groupBy(col("o_orderpriority"))
+    // single streaming pass, no per-group sort. Emitted as the
+    // tolerance-band witness the oracle can hash-match (same graduation
+    // as equi_depth_hist_approx): per (group, quantile), the EXACT rank
+    // fraction of rows at or below the sketch's bound, rounded to 2 dp.
+    // Accuracy 10000 bounds the rank error well under half a percent, so
+    // every row must land exactly on the requested quantile grid — the
+    // oracle is that constant grid per group. Sketch-vs-exact value
+    // divergence stays bounded in OperatorsSpec; exact values remain
+    // price_percentiles' job.
+    "price_percentiles_approx" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val bounds = orders.groupBy(col("o_orderpriority"))
         .agg(expr("approx_percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.95D), 10000)")
-            .as("qs"))
-        .select(col("o_orderpriority"),
-          posexplode(col("qs")).as(Seq("q_idx", "q_value")))
-        .orderBy(col("o_orderpriority"), col("q_idx"))),
+          .as("qs"))
+      orders.join(bounds, Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("o_totalprice"),
+          posexplode_outer(col("qs")).as(Seq("q_idx", "b")))
+        .where(col("b").isNotNull)
+        .groupBy(col("o_orderpriority"), col("q_idx"))
+        .agg(round(
+          sum(when(col("o_totalprice") <= col("b"), 1L).otherwise(0L)) /
+            count(lit(1)).cast("double"), 2).as("rank_frac"))
+        .select(col("o_orderpriority"), col("q_idx").cast("long").as("q_idx"),
+          col("rank_frac"))
+        .orderBy(col("o_orderpriority"), col("q_idx"))
+    }),
 
     // Set intersection (INTERSECT DISTINCT): users who both viewed and
     // purchased. Set-op breadth beyond the reference's union-only surface.
