@@ -139,6 +139,9 @@ object ScaleProbe {
   val probeQueries: Seq[String] = Seq(
     "tpch_q1_pricing_summary", "tpch_q5_local_supplier",
     "tpch_q18_large_customers", "tpch_q21_waiting_supplier",
+    "tpch_q4_priority_check", "tpch_q9_product_profit",
+    "tpch_q13_cust_distribution", "tpch_q16_supplier_relation",
+    "tpch_q19_disjunct_revenue", "tpch_q22_sales_opportunity",
     "revenue_by_nation_merge", "incremental_kpis", "user_sessions",
     "hourly_concurrency", "asof_click_view_native", "supplier_pagerank",
     "dedup_components", "dedup_survivors", "neardup_minhash",

@@ -356,4 +356,88 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan(df)
     assert(p.contains("LeftSemi"), s"Q18 lost its semi join:\n${p.take(1200)}")
   }
+
+  test("tpch q4: EXISTS decorrelates to a semi join on the pushed flag scan") {
+    val p = plan(SparkEntry.queries("tpch_q4_priority_check")(spark, sf))
+    assert(p.contains("LeftSemi"),
+      s"Q4's EXISTS should plan as a semi join:\n${p.take(1500)}")
+    assert(!p.contains("NestedLoop"),
+      s"Q4's correlation fell back to a nested loop:\n${p.take(1500)}")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"Q4's flag predicate should push to the lineitem scan:\n${p.take(1500)}")
+  }
+
+  test("tpch q6: every predicate reaches the scan; no join anywhere") {
+    val df = SparkEntry.queries("tpch_q6_forecast_revenue")(spark, sf)
+    val p = plan(df)
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(p.contains(s"IsNotNull($c)") || p.contains(c),
+        s"Q6's $c predicate vanished from the scan:\n${p.take(1200)}")
+    assert(p.contains("PushedFilters: [IsNotNull"),
+      s"Q6's predicates should push to the parquet reader:\n${p.take(1200)}")
+    val joins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(joins.isEmpty, s"Q6 must be a pure scan + aggregate:\n${p.take(1200)}")
+  }
+
+  test("tpch q11: threshold rides a broadcast scalar; fact scanned once") {
+    // The grouped-values branch feeds both the row side and the one-row
+    // threshold aggregate; ReuseExchange must unify the duplicate branch
+    // (statically or as an AQE reused stage) so lineitem is scanned once —
+    // the spec's scalar-subquery form scans it twice (see TpchCanon2 doc).
+    // sf0.01, not sf0.001: the smallest SF has no NATION_5 supplier, AQE
+    // empty-propagates the whole plan and there is no exchange to reuse.
+    val df = SparkEntry.queries("tpch_q11_important_stock")(
+      spark, "/root/testdata/sf0.01")
+    df.queryExecution.toRdd.count()
+    val ep = df.queryExecution.executedPlan.toString
+    val liScans = "lineitem".r.findAllIn(ep).size
+    val reused = "ReusedExchange|ReusedQueryStage|reused".r
+      .findAllIn(ep).nonEmpty
+    assert(liScans <= 1 || reused,
+      s"Q11 re-scans the fact ($liScans lineitem refs, no reuse):\n" +
+        ep.take(2000))
+    // the one cross join is the accepted one-row broadcast scalar
+    assert(!plan(df).contains("CartesianProduct"),
+      "Q11's threshold join must broadcast, never a cartesian shuffle")
+  }
+
+  test("tpch q16: NOT IN plans as an anti hash join, never a nested loop") {
+    val p = plan(SparkEntry.queries("tpch_q16_supplier_relation")(spark, sf))
+    assert(p.contains("LeftAnti"),
+      s"Q16's NOT IN should plan as an anti join:\n${p.take(1500)}")
+    assert(!p.contains("NestedLoop"),
+      s"Q16's NOT IN fell back to a nested loop:\n${p.take(1500)}")
+    assert(p.contains("In(p_size"),
+      s"Q16's size-set predicate should push to the part scan:\n${p.take(1500)}")
+  }
+
+  test("tpch q19: factored disjunction hash-joins with per-side pushed bounds") {
+    // The registered form factors the common equality out of the spec's
+    // OR-of-ANDs (Catalyst does not extract join keys from a disjunction —
+    // the literal form plans as a BroadcastNestedLoopJoin); the pin holds
+    // the hash join AND the derived per-branch bounds reaching BOTH scans.
+    val p = plan(SparkEntry.queries("tpch_q19_disjunct_revenue")(spark, sf))
+    assert(!p.contains("NestedLoop"),
+      s"Q19 degraded to a nested loop:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"Q19 lost its equi join:\n${p.take(1500)}")
+    assert(p.contains("In(p_brand"),
+      s"Q19's brand set should push to the part scan:\n${p.take(1500)}")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)"),
+      s"Q19's quantity envelope should push to the lineitem scan:\n${p.take(1500)}")
+  }
+
+  test("tpch q22: NOT EXISTS is an anti join; the avg is one scalar subquery") {
+    val df = SparkEntry.queries("tpch_q22_sales_opportunity")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("LeftAnti"),
+      s"Q22's NOT EXISTS should plan as an anti join:\n${p.take(1500)}")
+    assert(!p.contains("NestedLoop"),
+      s"Q22's correlation fell back to a nested loop:\n${p.take(1500)}")
+    // date-pruned anti-join build side: the orders scan carries the
+    // recency predicate, so the build is the active-customer set only
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"Q22's recency predicate should push to the orders scan:\n${p.take(1500)}")
+  }
 }
