@@ -616,19 +616,34 @@ object Ext3Queries {
     // Count-Min point-frequency estimates (functions/CountMin): token
     // frequencies for a probe set chosen AFTER the scan, answered from
     // one mergeable fixed-size sketch — the any-key complement of the
-    // Misra-Gries top-k sketch. Rows-only (seeded Spark-side hashes);
-    // CountMinSpec carries the one-sided-error and εN bounds.
+    // Misra-Gries top-k sketch. Hash-matched witness (the tolerance-band
+    // pattern): per probe token the EXACT count plus the two CMS
+    // contracts the sketch must satisfy — never under-counts (structural:
+    // every true occurrence increments every probed cell), and stays
+    // within εN of truth for ε = e/width (holds per probe with prob
+    // ≥ 1−e^-depth; evaluated deterministically here — seeded hashes,
+    // canary-pinned corpus). The absent probes (la/el/und: exact 0)
+    // exercise the interesting CMS case — collision-only estimates.
     "token_freq_cms" -> ((s, dir) => {
       import s.implicits._
       import graft.functions.CountMinFunctions._
-      val sketch = t(s, dir, "documents")
+      val toks = t(s, dir, "documents")
         .select(explode_outer(TextAnalysis.tokens(col("text"))).as("token"))
         .where(col("token").isNotNull)
-        .agg(cmsSketch(col("token")).as("sk"))
+      val sketch = toks.agg(cmsSketch(col("token")).as("sk"),
+        count(lit(1)).as("n_total"))
+      val exact = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("exact_count"))
       val probes = Seq("the", "of", "and", "la", "el", "und").toDF("token")
-      probes.crossJoin(broadcast(sketch))
-        .select(col("token"),
-          cmsEstimate(col("sk"), col("token")).as("est_count"))
+      val est = cmsEstimate(col("sk"), col("token"))
+      probes.join(broadcast(exact), Seq("token"), "left")
+        .na.fill(0L, Seq("exact_count"))
+        .crossJoin(broadcast(sketch))
+        .select(col("token"), col("exact_count"),
+          (est >= col("exact_count")).as("cms_ge_exact"),
+          (est <= col("exact_count") +
+            ceil(lit(math.E / 2048.0) * col("n_total")).cast("long"))
+            .as("cms_within_eps"))
         .orderBy(col("token"))
     }),
 

@@ -65,6 +65,15 @@ object ExtOracleA {
              FROM documents)
            GROUP BY token ORDER BY n DESC, token LIMIT 20""",
 
+      // Exact twin of the Misra-Gries top-20: with distinct(tokens) <=
+      // sketch capacity the summary never evicts, so est_count IS the
+      // exact count (see the query's Scaladoc for the degradation story).
+      "top_tokens_sketch" ->
+        """SELECT token, count(*) AS est_count FROM (
+             SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+             FROM documents)
+           GROUP BY token ORDER BY est_count DESC, token LIMIT 20""",
+
       "lang_id_confusion" ->
         s"""WITH $tokCte,
            s AS (SELECT lang,

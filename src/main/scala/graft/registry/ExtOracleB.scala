@@ -739,6 +739,20 @@ object ExtOracleB {
       // bound's exact rank fraction rounded to 2 dp, which the N/10000
       // accuracy guarantee forces onto the constant decile grid. DuckDB
       // needs no sketch — the oracle IS the grid.
+      // CMS band witness: exact probe counts are real data; the two
+      // sketch contracts (never under-count, within εN) are constants
+      // the Spark side must earn.
+      "token_freq_cms" ->
+        """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text),
+               '[a-z0-9]+')) AS token FROM documents),
+           ex AS (SELECT token, count(*) AS c FROM tok GROUP BY token)
+           SELECT p.token, CAST(coalesce(ex.c, 0) AS BIGINT) AS exact_count,
+             TRUE AS cms_ge_exact, TRUE AS cms_within_eps
+           FROM (VALUES ('the'), ('of'), ('and'), ('la'), ('el'), ('und'))
+             p(token)
+           LEFT JOIN ex USING (token)
+           ORDER BY token""",
+
       "equi_depth_hist_approx" ->
         """SELECT CAST(i AS BIGINT) AS bound_idx,
              round(i / 10.0, 2) AS rank_frac

@@ -297,9 +297,13 @@ object ExtQueries {
         .orderBy(col("block"))),
 
     // Heavy hitters WITHOUT a vocabulary-wide shuffle: Misra-Gries sketch
-    // (capacity 64) -> top 20. The sketch family (like approx_count_
-    // distinct / approx_percentile) is engine-specific -> rows-only check;
-    // SketchSpec asserts the retention + error-bound guarantees vs exact.
+    // (capacity 64) -> top 20. Hash-matched against DuckDB's EXACT top-20:
+    // MG's decrement step only fires when the summary is full, so with
+    // distinct(tokens) <= capacity (31 <= 64 on this corpus — the schema
+    // canary pins the corpus family) the sketch never evicts and every
+    // estimate is exactly the true count. On a vocabulary that outgrows
+    // the capacity the guarantee degrades to the εN band SketchSpec
+    // asserts — and this row would fail loudly rather than silently.
     "top_tokens_sketch" -> ((s, dir) => {
       import graft.functions.SketchAggregates.freqItems
       t(s, dir, "documents")
