@@ -30,6 +30,14 @@ object CoreOracle {
          FROM events WHERE event_id % 23 <> 0
          GROUP BY 1 ORDER BY 1""",
 
+    // HLL band witness: exact per-hour distincts are the real data; the
+    // within-3×rsd boolean is the contract the sketch must earn.
+    "hourly_uniques_approx" ->
+      """SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+           count(DISTINCT user_id) AS n_unique_users,
+           TRUE AS hll_within_band
+         FROM events GROUP BY 1 ORDER BY hour""",
+
     "hourly_kpis_hod" ->
       """WITH e AS (SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
                            user_id AS u, event_type AS v FROM events),

@@ -361,8 +361,9 @@ object CoreQueries {
              max(col("k")).as("max_k"))
         .orderBy(col("event_type"))),
 
-    // A3-approx: the 100 TB path for distinct counts (HLL sketch). Sketches
-    // are not comparable across engines → no oracle entry (rows-only check).
+    // A3-approx: the 100 TB path for distinct counts (HLL sketch), emitted
+    // as a hash-matched band witness — exact per-hour distincts plus the
+    // sketch's 3×rsd accuracy contract as a boolean (see Kpis Scaladoc).
     "hourly_uniques_approx" -> ((s, dir) =>
       Kpis.hourlyUniquesApprox(t(s, dir, "events"), "ts", "user_id")),
 

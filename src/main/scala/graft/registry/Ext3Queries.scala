@@ -230,16 +230,26 @@ object Ext3Queries {
 
     // Mergeable HLL rollup: daily user sketches union'd into per-type
     // distinct estimates WITHOUT re-scanning events — the store-the-
-    // sketch pattern (Datasketches HLL; engine-specific -> rows-only
-    // check, accuracy spec-asserted vs exact in HllRollupSpec).
+    // sketch pattern (Datasketches HLL). Hash-matched band witness: the
+    // exact day and user distincts are real oracle data; the boolean is
+    // the ROLLUP contract — the union of 30 daily sketches must still
+    // land within 15% of the true per-type cardinality (union does not
+    // compound HLL error; HllRollupSpec carries the tighter bound).
     "uniques_hll_rollup" -> ((s, dir) => {
-      val daily = t(s, dir, "events")
+      val ev = t(s, dir, "events")
+      val daily = ev
         .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
         .agg(hll_sketch_agg(col("user_id")).as("sk"))
-      daily.groupBy(col("event_type"))
+      val rolled = daily.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_days"),
-          hll_sketch_estimate(hll_union_agg(col("sk")))
-            .as("est_distinct_users"))
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("__est"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users_exact"))
+      rolled.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_days"), col("n_users_exact"),
+          (abs(col("__est").cast("double") - col("n_users_exact")) <=
+            lit(0.15) * col("n_users_exact").cast("double"))
+            .as("rollup_within_band"))
         .orderBy(col("event_type"))
     }),
 

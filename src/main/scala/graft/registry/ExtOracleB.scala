@@ -739,6 +739,15 @@ object ExtOracleB {
       // bound's exact rank fraction rounded to 2 dp, which the N/10000
       // accuracy guarantee forces onto the constant decile grid. DuckDB
       // needs no sketch — the oracle IS the grid.
+      // HLL-rollup band witness: exact day/user distincts are real data;
+      // the within-15% boolean is the union-rollup contract.
+      "uniques_hll_rollup" ->
+        """SELECT event_type,
+             count(DISTINCT CAST(date_trunc('day', ts) AS DATE)) AS n_days,
+             count(DISTINCT user_id) AS n_users_exact,
+             TRUE AS rollup_within_band
+           FROM events GROUP BY event_type ORDER BY event_type""",
+
       // CMS band witness: exact probe counts are real data; the two
       // sketch contracts (never under-count, within εN) are constants
       // the Spark side must earn.
