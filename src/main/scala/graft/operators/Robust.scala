@@ -56,4 +56,36 @@ object Robust {
           .otherwise(0L)).as("n_outliers"))
       .orderBy(col(groupCol))
   }
+
+  /** Hash-matched witness for the approx census (the rank-witness
+    * pattern price_percentiles_approx established): per group the EXACT
+    * row count plus two booleans the t-digest must earn — the rank
+    * fraction of rows at or below its median sits within 0.02 of 0.5,
+    * and likewise for the MAD (the median of absolute deviations). The
+    * 1/accuracy relative-rank guarantee bounds the drift at 1e-4; the
+    * 0.02 slack absorbs the discrete 1/n rank step at small groups.
+    * Same plan shape as the census itself — two mergeable aggregation
+    * passes and two broadcast join-backs, nothing exact-order-statistic
+    * anywhere, so the witness runs wherever the 100 TB path runs. */
+  def madOutlierCensusApproxWitness(df: DataFrame, groupCol: String,
+                                    valueCol: String,
+                                    accuracy: Int = 10000): DataFrame = {
+    def median(c: Column): Column =
+      approx_percentile(c, lit(0.5), lit(accuracy))
+    val med = df.groupBy(col(groupCol))
+      .agg(median(col(valueCol)).as("__med"))
+    val withDev = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("__dev", abs(col(valueCol) - col("__med")))
+    val mad = withDev.groupBy(col(groupCol))
+      .agg(median(col("__dev")).as("__mad"))
+    def rankOk(le: Column) = abs(
+      sum(when(le, 1L).otherwise(0L)).cast("double") /
+        count(lit(1)).cast("double") - lit(0.5)) <= lit(0.02)
+    withDev.join(broadcast(mad), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        rankOk(col(valueCol) <= col("__med")).as("med_rank_ok"),
+        rankOk(col("__dev") <= col("__mad")).as("mad_rank_ok"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -519,11 +519,13 @@ object Ext3Queries {
 
     // The 100 TB path of the same census: approx_percentile (t-digest,
     // mergeable partial aggregation — bounded memory per group) instead
-    // of exact order statistics. Rows-only in the driver; RobustSpec
-    // bounds its divergence from the exact twin.
+    // of exact order statistics. Hash-matched rank witness (see
+    // Robust.madOutlierCensusApproxWitness): exact group counts plus the
+    // two rank contracts the t-digest must earn. RobustSpec still bounds
+    // the census's value-level divergence from the exact twin.
     "mad_outliers_approx" -> ((s, dir) =>
-      graft.operators.Robust.madOutlierCensus(t(s, dir, "orders"),
-        "o_orderpriority", "o_totalprice", exact = false)),
+      graft.operators.Robust.madOutlierCensusApproxWitness(
+        t(s, dir, "orders"), "o_orderpriority", "o_totalprice")),
 
     // Multi-touch attribution (operators/Attribution.multiTouchReport):
     // each purchase's credit split across its journey's touches — linear
@@ -661,8 +663,13 @@ object Ext3Queries {
     // customer output size estimated from one cheap sketch per side —
     // the broadcast-vs-shuffle planning decision WITHOUT running the
     // join. Median-of-means computed fully in-plan (zip_with product,
-    // sliced group means, array_sort median); rows-only (the ±1 hash
-    // family is Spark-side; JoinEstimateSpec carries the accuracy bound).
+    // sliced group means, array_sort median). Hash-matched band witness:
+    // the side counts and the EXACT join size are real oracle data; the
+    // sketch must land within 2x of truth (256 counters, median of 8
+    // means of 32 — measured 0.73-1.10x across SFs; JoinEstimateSpec
+    // carries the formal variance bound). The 2x band also pins the
+    // strategy: est <= 2·|A⋈B| = 2·rows_a <= 4·max(side) here, so the
+    // decision rule reduces to the side-count comparison DuckDB applies.
     // The estimate is CONSULTED, not just printed: the same decision
     // rule operators/EstimatedJoin applies as a physical-plan hint
     // (broadcast small+clean, sort-merge otherwise) is emitted as the
@@ -670,12 +677,18 @@ object Ext3Queries {
     // operator per fixture.
     "join_size_estimate" -> ((s, dir) => {
       import graft.functions.JoinSizeSketch.agmsSketch
-      val sa = t(s, dir, "events")
+      val ev = t(s, dir, "events")
+      val cu = t(s, dir, "customer")
+      val sa = ev
         .agg(agmsSketch(col("user_id"), 256).as("sa"),
           count(lit(1)).as("rows_a"))
-      val sb = t(s, dir, "customer")
+      val sb = cu
         .agg(agmsSketch(col("c_custkey"), 256).as("sb"),
           count(lit(1)).as("rows_b"))
+      val exact = ev.select(col("user_id"))
+        .join(cu.select(col("c_custkey")),
+          col("user_id") === col("c_custkey"))
+        .agg(count(lit(1)).as("exact_join_rows"))
       val products = zip_with(col("sa"), col("sb"), (x, y) => x * y)
       val means = transform(sequence(lit(0), lit(7)), g =>
         aggregate(slice(products, g * 32 + 1, lit(32)), lit(0L), _ + _)
@@ -688,14 +701,16 @@ object Ext3Queries {
       val canBroadcast =
         least(col("rows_a"), col("rows_b")) <= lit(10000000L) &&
           est <= lit(4.0) * greatest(col("rows_a"), col("rows_b"), lit(1L))
-      sa.crossJoin(sb).select(col("rows_a"), col("rows_b"),
-        est.as("est_join_rows"),
-        when(canBroadcast && col("rows_b") <= col("rows_a"),
-            lit("broadcast_right"))
-          .when(canBroadcast, lit("broadcast_left"))
-          .when(est <= lit(0.1) * greatest(col("rows_a"), col("rows_b")),
-            lit("bloom_merge"))
-          .otherwise(lit("shuffle_merge")).as("strategy"))
+      sa.crossJoin(sb).crossJoin(broadcast(exact))
+        .select(col("rows_a"), col("rows_b"), col("exact_join_rows"),
+          (est >= col("exact_join_rows") / lit(2L) &&
+            est <= lit(2L) * col("exact_join_rows")).as("est_within_2x"),
+          when(canBroadcast && col("rows_b") <= col("rows_a"),
+              lit("broadcast_right"))
+            .when(canBroadcast, lit("broadcast_left"))
+            .when(est <= lit(0.1) * greatest(col("rows_a"), col("rows_b")),
+              lit("bloom_merge"))
+            .otherwise(lit("shuffle_merge")).as("strategy"))
     }),
 
     // CAPSTONE composition — the end-to-end training-data pipeline as

@@ -739,6 +739,30 @@ object ExtOracleB {
       // bound's exact rank fraction rounded to 2 dp, which the N/10000
       // accuracy guarantee forces onto the constant decile grid. DuckDB
       // needs no sketch — the oracle IS the grid.
+      // t-digest rank witness: exact group sizes are real data; the two
+      // rank-contract booleans are earned by the sketch at eval time.
+      "mad_outliers_approx" ->
+        """SELECT o_orderpriority, count(*) AS n_rows,
+             TRUE AS med_rank_ok, TRUE AS mad_rank_ok
+           FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+      // AGMS band witness: side counts and the exact join size are real
+      // data; est_within_2x is the sketch contract. The strategy CASE
+      // mirrors the engine's decision rule under that band (est <= 2·ex
+      // ⇒ the 4×max(side) output test reduces to 2·ex <= 4·max).
+      "join_size_estimate" ->
+        """WITH a AS (SELECT count(*) AS ra FROM events),
+           b AS (SELECT count(*) AS rb FROM customer),
+           j AS (SELECT count(*) AS ex FROM events e
+                 JOIN customer c ON e.user_id = c.c_custkey)
+           SELECT ra AS rows_a, rb AS rows_b, ex AS exact_join_rows,
+             TRUE AS est_within_2x,
+             CASE WHEN least(ra, rb) <= 10000000 AND 2 * ex <= 4 * greatest(ra, rb)
+                    THEN (CASE WHEN rb <= ra THEN 'broadcast_right'
+                               ELSE 'broadcast_left' END)
+                  ELSE 'shuffle_merge' END AS strategy
+           FROM a, b, j""",
+
       // HLL-rollup band witness: exact day/user distincts are real data;
       // the within-15% boolean is the union-rollup contract.
       "uniques_hll_rollup" ->
