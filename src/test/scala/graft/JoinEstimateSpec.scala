@@ -47,15 +47,15 @@ class JoinEstimateSpec extends SparkSpec {
   test("registered query emits a sane estimate") {
     val row = SparkEntry.queries("join_size_estimate")(
         spark, "/root/testdata/sf0.001")
-      .as[(Long, Long, Long, String)].head()
-    val (rowsA, rowsB, est, strategy) = row
+      .as[(Long, Long, Long, Boolean, String)].head()
+    val (rowsA, rowsB, exact, withinBand, strategy) = row
     assert(rowsA === 1000L && rowsB === 150L)
-    // every event user exists in customer → true join size = 1000;
-    // sqrt(F2A·F2B) noise dominates at this tiny SF, so just bound sanity
-    assert(est >= 0L && est < 20000L, s"estimate off the rails: $est")
-    // the emitted strategy must agree with EstimatedJoin's rule on the
-    // same numbers (customer is the smaller side)
-    val want = if (est <= 4 * rowsA) "broadcast_right" else "shuffle_merge"
-    assert(strategy === want, s"strategy $strategy vs est $est")
+    // every event user exists in customer → true join size = 1000
+    assert(exact === 1000L)
+    // the witness's own contract: the AGMS estimate landed within 2×
+    assert(withinBand, "AGMS estimate left the 2x band")
+    // the emitted strategy must agree with EstimatedJoin's rule
+    // (customer is the smaller side; band ⇒ est ≤ 2·exact ≤ 4·rows_a)
+    assert(strategy === "broadcast_right", s"strategy $strategy")
   }
 }
