@@ -162,12 +162,15 @@ object Ext3Queries {
         split.where(col("split") === "batch"), k = 5)
     }),
 
-    // The bloom-compressed probe of the same index (rows-only by
-    // design: verdicts depend on Spark's bloom hash family, which no
-    // SQL oracle reproduces; IncrementalIndexSpec bounds it against the
-    // exact twin — superset verdicts, FP rate within the configured
-    // fpp). expectedItems comes from the index's own row count, the
-    // stored stat a catalog would hold.
+    // The bloom-compressed probe of the same index, emitted as the
+    // hash-matched no-false-negative witness: the EXACT contamination
+    // report (doc_id, n_spans, n_seen, seen_ratio — the same rows the
+    // indexed twin oracles) plus the one verdict the bloom probe must
+    // earn per doc — its seen-count never undercounts the exact one (a
+    // contaminated span can never slip through a bloom gate). The FP
+    // side stays spec territory (IncrementalIndexSpec: measured rate
+    // within 3×fpp). expectedItems comes from the index's own row
+    // count, the stored stat a catalog would hold.
     "span_contamination_bloom" -> ((s, dir) => {
       val split = graft.ext.Sampling.deterministicSplit(
         t(s, dir, "documents"), col("doc_id"),
@@ -177,9 +180,17 @@ object Ext3Queries {
       val index = graft.ext.DedupIndex.readOrBuild(s, root,
         graft.ext.DedupIndex.spanIndex(
           split.where(col("split") === "corpus"), k = 5))
-      graft.ext.DedupIndex.spanContaminationBloom(index,
-        split.where(col("split") === "batch"), k = 5,
-        expectedItems = math.max(1L, index.count()))
+      val batch = split.where(col("split") === "batch")
+      val exact = graft.ext.DedupIndex.spanContamination(index, batch, k = 5)
+      val bloom = graft.ext.DedupIndex.spanContaminationBloom(index, batch,
+          k = 5, expectedItems = math.max(1L, index.count()))
+        .select(col("doc_id"), col("n_seen").as("__bloom_seen"))
+      exact.join(bloom, Seq("doc_id"))
+        .select(col("doc_id"), col("n_spans"), col("n_seen"),
+          col("seen_ratio"),
+          (col("__bloom_seen") >= col("n_seen"))
+            .as("bloom_no_false_negative"))
+        .orderBy(col("doc_id"))
     }),
 
     // The production substring-dedup shape: the batch CUT against the

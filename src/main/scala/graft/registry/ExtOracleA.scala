@@ -330,6 +330,13 @@ object ExtOracleA {
            WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
       },
 
+      // IVF recall witness: the query-set size is real data; the recall
+      // floor is the contract the engine-seeded index must earn in-plan.
+      "knn_ivf" ->
+        """SELECT count(*) AS n_queries, CAST(5 AS BIGINT) AS k,
+             TRUE AS recall_ge_060
+           FROM embeddings WHERE vec_id < 10""",
+
       "knn_bruteforce" ->
         s"""WITH v AS (SELECT vec_id, embedding AS emb FROM embeddings),
            p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,

@@ -193,6 +193,37 @@ object ExtOracleB {
            count(*) AS n_docs
            FROM documents GROUP BY 1 ORDER BY 1""",
 
+      // Bloom witness twin: the exact report (same rows as the indexed
+      // oracle) + the no-false-negative verdict the bloom probe earns.
+      "span_contamination_bloom" -> {
+        val hex32 = foldSum(
+          "list_transform(generate_series(1, 8), i -> " +
+            "CAST(CASE WHEN ascii(substr(mh, i, 1)) <= 57 " +
+            "THEN ascii(substr(mh, i, 1)) - 48 " +
+            "ELSE ascii(substr(mh, i, 1)) - 87 END AS BIGINT) " +
+            "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+          "CAST(0 AS BIGINT)")
+        s"""WITH m AS (SELECT doc_id, text,
+               md5(CAST(doc_id AS VARCHAR)) AS mh FROM documents),
+           d AS (SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
+               $hex32 % 100 AS bucket FROM m),
+           csp AS (SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS span
+                   FROM d, LATERAL unnest(generate_series(1, len(w)-4)) t(i)
+                   WHERE bucket < 80),
+           bsp AS (SELECT doc_id, array_to_string(w[i:i+4], ' ') AS span
+                   FROM d, LATERAL unnest(generate_series(1, len(w)-4)) t(i)
+                   WHERE bucket >= 80)
+           SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(CASE WHEN c.span IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_seen,
+             round(CAST(sum(CASE WHEN c.span IS NULL THEN 0 ELSE 1 END)
+                 AS DOUBLE) / count(*), 6) AS seen_ratio,
+             TRUE AS bloom_no_false_negative
+           FROM bsp b LEFT JOIN csp c USING (span)
+           GROUP BY b.doc_id ORDER BY b.doc_id"""
+      },
+
       "span_contamination_indexed" -> {
         // same 80/20 hashBucket split; the oracle joins span TEXT where
         // Spark joins md5(span) — identical verdicts, md5 is injective
