@@ -233,11 +233,22 @@ object ScaleProbe {
       val exp =
         if (tLo > 0 && tHi > 0) math.log(tHi / tLo) / math.log(hi / lo)
         else Double.NaN
+      // With >= 3 factors, also fit the TAIL exponent over the two
+      // largest — the asymptotically honest number once fixed JVM/plan
+      // overhead (which deflates the full-range fit) has amortized.
+      val tailExp = if (factors.size >= 3) {
+        val Seq(mid, top) = factors.sorted.takeRight(2)
+        val (tM, tT) = (m(mid), m(top))
+        if (tM > 0 && tT > 0)
+          math.log(tT / tM) / math.log(top.toDouble / mid) else Double.NaN
+      } else Double.NaN
       val lowSignal = tLo >= 0 && tLo < 0.3
       val secs = byFactor.map { case (k, s) =>
         s""""x$k":${f3(s)}""" }.mkString(",")
       val expStr = if (exp.isNaN) "null" else f3(exp)
-      s""""$name":{$secs,"exponent":$expStr,"low_signal":$lowSignal}"""
+      val tailStr =
+        if (tailExp.isNaN) "" else s""","exponent_tail":${f3(tailExp)}"""
+      s""""$name":{$secs,"exponent":$expStr$tailStr,"low_signal":$lowSignal}"""
     }
     val json = s"""{"base":"$baseDir","factors":[${factors.mkString(",")}],"attempts":$attempts,"queries":{${rows.mkString(",")}}}"""
     val w = new java.io.PrintWriter("SCALEPROBE.json", "UTF-8")
