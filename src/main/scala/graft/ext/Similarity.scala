@@ -168,6 +168,79 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** [[cosineNearDupPairsLsh]] with the two knobs that make the plan
+    * survive corpus growth, derived from the corpus itself (the round-10
+    * x30 scale probe measured the fixed-plane form going quadratic:
+    * 2^4 = 16 buckets means per-bucket pairs grow as (N/16)² — 1.6 s at
+    * 20k vectors, 33 s at 60k, tail exponent 2.77):
+    *
+    *  - PLANES grow with log2(N / targetBucket), keeping expected bucket
+    *    occupancy — and so per-bucket pair work — bounded by a constant.
+    *    Pair generation returns to ~linear: T · N · targetBucket.
+    *  - More planes cut recall (a θ-similar pair co-buckets with prob
+    *    (1-θ/π)^P), so TABLES OR-amplify it back: T is the smallest
+    *    count with 1-(1-p^P)^T ≥ p^4, i.e. the adaptive form never
+    *    recalls worse than the fixed 4-plane baseline at the threshold.
+    *    Tables are seeded seed+t; pairs found by several tables dedup
+    *    on (vec_a, vec_b) before the threshold filter.
+    *
+    * At N ≤ targetBucket·2^4 this degenerates to P=4, T=1 with table
+    * seed `seed` — bit-identical to [[cosineNearDupPairsLsh]], which is
+    * what keeps the DuckDB oracle exact at test scales. The one
+    * `corpus.count()` is the stat a table catalog would hold at 100 TB
+    * (the stats sidecar already stores it for persisted tables). */
+  def cosineNearDupPairsLshAdaptive(corpus: DataFrame, threshold: Double,
+                                    targetBucket: Int = 512,
+                                    seed: Long = 42L,
+                                    dim: Int = 64): DataFrame = {
+    val n = math.max(1L, corpus.count())
+    val (planes, tables) = lshAdaptiveParams(n, threshold, targetBucket)
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val v = corpus.repartition(par).select(col("vec_id"), col("embedding"),
+      dotNative(col("embedding"), col("embedding")).as("n2"))
+    val perTable = (0 until tables).map { t =>
+      val pl = hyperplanes(planes, dim, seed + t)
+      val vt = v.withColumn("bucket", bucketId(col("embedding"), pl))
+      val a = vt.select(col("bucket"), col("vec_id").as("vec_a"),
+        col("embedding").as("va"), col("n2").as("n2a"))
+      val b = vt.select(col("bucket"), col("vec_id").as("vec_b"),
+        col("embedding").as("vb"), col("n2").as("n2b"))
+      a.join(b, Seq("bucket")).where(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"), col("bucket"),
+          round(pairCosine(dotNative(col("va"), col("vb")),
+            col("n2a"), col("n2b")), 6).as("cos_sim"))
+    }
+    // Cross-table dedup must stay deterministic: cos_sim is identical for
+    // every sighting of a pair (same vectors, same rounding) but bucket
+    // differs per table — keep the smallest. (dropDuplicates would keep
+    // an arbitrary sighting's bucket.)
+    perTable.reduce(_ unionByName _)
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(min(col("bucket")).as("bucket"), max(col("cos_sim")).as("cos_sim"))
+      .select(col("vec_a"), col("vec_b"), col("bucket"), col("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** The adaptive-LSH sizing rule, pure so the spec can pin it:
+    * planes = max(4, ceil(log2(n / targetBucket))) bounds expected bucket
+    * occupancy; tables = smallest T with 1-(1-p^P)^T ≥ p^4 (p = co-bucket
+    * probability at the threshold angle) so recall never drops below the
+    * fixed 4-plane baseline. Returns (planes, tables). */
+  def lshAdaptiveParams(n: Long, threshold: Double,
+                        targetBucket: Int): (Int, Int) = {
+    val planes = math.max(4, math.ceil(
+      math.log(math.max(1L, n).toDouble / targetBucket) / math.log(2.0)).toInt)
+    val pCollide = 1.0 - math.acos(threshold) / math.Pi
+    val baseRecall = math.pow(pCollide, 4)
+    val tableRecall = math.pow(pCollide, planes)
+    val tables =
+      if (planes <= 4) 1
+      else math.max(1, math.ceil(
+        math.log1p(-baseRecall) / math.log1p(-tableRecall)).toInt)
+    (planes, tables)
+  }
+
   /** Deterministic pseudo-random hyperplanes (values in [-0.5, 0.5)),
     * generated from a fixed seed — inlined as literals so an external oracle
     * can use the exact same planes. */

@@ -102,11 +102,16 @@ object ExtQueries {
     "neardup_cosine" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4)),
 
-    // LSH-bucketed cosine near-dup (the scale path made concrete): compare
-    // only within hyperplane buckets — one shuffle, (N/2^P)² pairs/bucket.
+    // LSH-bucketed cosine near-dup (the scale path made concrete):
+    // compare only within hyperplane buckets. ADAPTIVE form — planes
+    // grow with log2(N/targetBucket) so per-bucket pair work stays
+    // bounded (the x30 scale probe measured the fixed-plane form going
+    // quadratic), OR-tables buy the recall back; degenerates to the
+    // fixed 4-plane single table at test scales, which keeps the DuckDB
+    // oracle exact.
     "neardup_cosine_lsh" -> ((s, dir) =>
-      Similarity.cosineNearDupPairsLsh(t(s, dir, "embeddings"),
-        threshold = 0.4, nPlanes = 4)),
+      Similarity.cosineNearDupPairsLshAdaptive(t(s, dir, "embeddings"),
+        threshold = 0.4)),
 
     // LSH-bucketed ANN (sign-bit hyperplane buckets — the scale path).
     "knn_lsh" -> ((s, dir) => {

@@ -1,0 +1,55 @@
+package graft
+
+import graft.ext.Similarity
+import org.apache.spark.sql.functions._
+
+/** The adaptive OR-amplified cosine-LSH scale fix (round-10 x30 probe
+  * finding: fixed 4-plane bucketing goes quadratic once buckets outgrow
+  * a constant). Pins the sizing rule, the degenerate small-corpus
+  * equality that keeps the DuckDB oracle exact, and the recall-floor
+  * guarantee the OR-tables exist to provide. */
+class AdaptiveLshSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("sizing rule: planes bound bucket occupancy, tables restore recall") {
+    // Small corpora degenerate to the fixed baseline.
+    assert(Similarity.lshAdaptiveParams(500L, 0.4, 512) === ((4, 1)))
+    assert(Similarity.lshAdaptiveParams(8192L, 0.4, 512) === ((4, 1)))
+    // x30-probe scale: 60k vectors → 7 planes (128 buckets ⇒ ~470/bucket),
+    // 5 OR-tables to keep recall ≥ the 4-plane baseline at θ = acos(0.4).
+    val (p60k, t60k) = Similarity.lshAdaptiveParams(60000L, 0.4, 512)
+    assert(p60k === 7 && t60k === 5)
+    // The recall inequality itself: 1-(1-p^P)^T >= p^4.
+    val pc = 1.0 - math.acos(0.4) / math.Pi
+    val orRecall = 1.0 - math.pow(1.0 - math.pow(pc, p60k), t60k)
+    assert(orRecall >= math.pow(pc, 4))
+    // Planes keep growing with log2(n): per-bucket work stays ~constant.
+    assert(Similarity.lshAdaptiveParams(1000000L, 0.4, 512)._1 === 11)
+  }
+
+  test("degenerate path is bit-identical to the fixed 4-plane form") {
+    val emb = graft.sources.Tables.table(spark, sf, "embeddings")
+    val fixed = Similarity.cosineNearDupPairsLsh(emb, threshold = 0.4,
+      nPlanes = 4).collect()
+    val adaptive = Similarity.cosineNearDupPairsLshAdaptive(emb,
+      threshold = 0.4).collect()
+    assert(adaptive.toSeq === fixed.toSeq)
+  }
+
+  test("OR-tables recover pairs a single high-plane table loses") {
+    // Force the adaptive regime on the small corpus by shrinking the
+    // bucket target: P grows past 4, recall would drop; with the
+    // OR-tables the adaptive form must still find every pair the fixed
+    // 4-plane baseline finds on this corpus... not guaranteed per-pair
+    // (different planes), so assert the COUNT is at least comparable:
+    // adaptive(targetBucket=32) recovers >= 80% of baseline pairs found.
+    val emb = graft.sources.Tables.table(spark, sf, "embeddings")
+    val base = Similarity.cosineNearDupPairsLsh(emb, threshold = 0.4,
+      nPlanes = 4).count()
+    val adaptive = Similarity.cosineNearDupPairsLshAdaptive(emb,
+      threshold = 0.4, targetBucket = 32).count()
+    assert(adaptive >= (base * 0.8).toLong,
+      s"adaptive found $adaptive pairs vs baseline $base")
+  }
+}
