@@ -181,8 +181,19 @@ object Similarity {
     *    (1-θ/π)^P), so TABLES OR-amplify it back: T is the smallest
     *    count with 1-(1-p^P)^T ≥ p^4, i.e. the adaptive form never
     *    recalls worse than the fixed 4-plane baseline at the threshold.
-    *    Tables are seeded seed+t; pairs found by several tables dedup
-    *    on (vec_a, vec_b) before the threshold filter.
+    *    Tables are seeded seed+t; threshold-filtered pairs dedup
+    *    deterministically on (vec_a, vec_b) across tables.
+    *
+    * Scaling law, measured and theoretical: with recall PINNED, T must
+    * grow as p^-P ~ N^(log2(1/p)) — the classic LSH 1+ρ exponent. At
+    * this query's deliberately low threshold 0.4 (p ≈ 0.63) that is
+    * ~N^1.66: sub-quadratic, far from linear — the probe's x30 tail
+    * exponent ~1.4-1.7 on this operator is LSH theory, not a plan bug.
+    * At production near-dup thresholds (0.9 ⇒ p ≈ 0.86) the same rule
+    * gives ~N^1.22. When the threshold is low enough that 1+ρ hurts,
+    * the right tool changes shape: kNN via the IVF index (per-item
+    * candidates bounded by probed lists) or clustering — both shipped
+    * here (`knn_ivf`, `label_centroids`).
     *
     * At N ≤ targetBucket·2^4 this degenerates to P=4, T=1 with table
     * seed `seed` — bit-identical to [[cosineNearDupPairsLsh]], which is
@@ -205,20 +216,24 @@ object Similarity {
         col("embedding").as("va"), col("n2").as("n2a"))
       val b = vt.select(col("bucket"), col("vec_id").as("vec_b"),
         col("embedding").as("vb"), col("n2").as("n2b"))
+      // Threshold BEFORE the cross-table dedup: cos_sim is identical for
+      // every sighting of a pair (same vectors, same rounding), so the
+      // filter commutes with dedup — and it is the difference between
+      // shuffling a handful of near-dup rows and shuffling every
+      // co-bucket candidate pair (T·N·targetBucket rows) into the
+      // dedup exchange.
       a.join(b, Seq("bucket")).where(col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"), col("bucket"),
           round(pairCosine(dotNative(col("va"), col("vb")),
             col("n2a"), col("n2b")), 6).as("cos_sim"))
+        .where(col("cos_sim") >= threshold)
     }
-    // Cross-table dedup must stay deterministic: cos_sim is identical for
-    // every sighting of a pair (same vectors, same rounding) but bucket
-    // differs per table — keep the smallest. (dropDuplicates would keep
-    // an arbitrary sighting's bucket.)
+    // Deterministic cross-table dedup: bucket differs per table — keep
+    // the smallest. (dropDuplicates would keep an arbitrary sighting's.)
     perTable.reduce(_ unionByName _)
       .groupBy(col("vec_a"), col("vec_b"))
       .agg(min(col("bucket")).as("bucket"), max(col("cos_sim")).as("cos_sim"))
       .select(col("vec_a"), col("vec_b"), col("bucket"), col("cos_sim"))
-      .where(col("cos_sim") >= threshold)
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
