@@ -28,7 +28,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 + extensions. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ ExtQueries.queries ++ Ext3Queries.queries ++
-      SkewFixture.queries ++ TpchCanon.queries ++ TpchCanon2.queries
+      SkewFixture.queries ++ TpchCanon.queries ++ TpchCanon2.queries ++
+      ScaleQueries.queries
 
   private lazy val extOracle: Map[String, String] =
     ExtOracleA.oracle ++ ExtOracleB.oracle
@@ -37,7 +38,7 @@ object SparkEntry {
     * [[queries]]; result column names and ORDER BY match exactly. */
   def oracleSql: Map[String, String] =
     CoreOracle.oracle ++ extOracle ++ SkewFixture.oracle ++
-      TpchCanon.oracle ++ TpchCanon2.oracle ++ Map(
+      TpchCanon.oracle ++ TpchCanon2.oracle ++ ScaleQueries.oracle ++ Map(
         // the indexed twin must reproduce the recompute-the-corpus report
         // EXACTLY — one oracle serves both paths
         "incremental_new_docs_indexed" -> extOracle("incremental_new_docs"))

@@ -54,7 +54,7 @@ object Similarity {
   /** Pairwise cosine with norms computed ONCE per side (not 3 dot products
     * per pair). Op order matches [[cosine]]: dot / (sqrt(n2a) * sqrt(n2b)).
     */
-  private def pairCosine(dotCol: Column, n2a: Column, n2b: Column): Column =
+  private[ext] def pairCosine(dotCol: Column, n2a: Column, n2b: Column): Column =
     when(sqrt(n2a) === 0.0 || sqrt(n2b) === 0.0, lit(0.0))
       .otherwise(dotCol / (sqrt(n2a) * sqrt(n2b)))
 
