@@ -148,7 +148,18 @@ object ScaleProbe {
     "neardup_simhash", "neardup_jaccard", "neardup_winnowing",
     "neardup_cosine_lsh", "dup_span_report", "span_cut_docs",
     "doc_span_dup_ratio", "tfidf_top_tokens", "knn_lsh_or",
-    "context_packing", "training_pipeline_counts")
+    "context_packing", "training_pipeline_counts",
+    "bucketed_join_revenue")
+
+  /** Probe-only operators: production paths whose REGISTERED query form
+    * carries a deliberately-quadratic exact-witness side (the
+    * `semantic_dedup` gate row computes the brute-force prunable set to
+    * hash-match against DuckDB). The probe measures the OPERATOR a
+    * pipeline would run at scale, not its test-scale witness. */
+  val probeExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "semantic_dedup_verdicts" -> ((s, dir) =>
+      graft.ext.SemanticDedup.verdicts(
+        graft.sources.Tables.table(s, dir, "embeddings"), threshold = 0.4)))
 
   private def materialize(df: DataFrame): Long =
     df.queryExecution.toRdd.count()
@@ -190,7 +201,8 @@ object ScaleProbe {
     catch { case _: Throwable => () }
 
     val qs = probeQueries.filter(n => only.forall(_.contains(n)))
-      .flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+      .flatMap(n => SparkEntry.queries.get(n).map(n -> _)) ++
+      probeExtras.toSeq.filter { case (n, _) => only.forall(_.contains(n)) }
 
     // Generate each factor's dataset (factor 1 = the base dir itself).
     val dirs: Seq[(Int, String)] = factors.map {

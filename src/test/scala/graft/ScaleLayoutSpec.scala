@@ -51,6 +51,17 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSeq === Seq(500L, 1000L))
   }
 
+  test("bucket-key aggregation needs no exchange either") {
+    // the scan's reported hash partitioning satisfies the groupBy's
+    // distribution requirement — aggregation collapses in place
+    val o = BucketedTable.bucketed(spark, sf, "orders", "o_orderkey", 8)
+    val agg = o.groupBy(col("o_orderkey"))
+      .agg(sum(col("o_totalprice")).as("t"))
+    val p = agg.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"bucket-key aggregation must not shuffle:\n$p")
+  }
+
   test("a fresh session re-registers an existing layout without rewriting") {
     // force the re-registration path: drop ONLY the catalog entry (the
     // table is external — files stay), then read again
