@@ -91,6 +91,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.sources.BucketedTable.configure(spark)
     spark.sparkContext.setLogLevel("WARN")
     // Bench-local filter for WindowExec's move-all-data-to-one-partition
     // WARN: the three unpartitioned windows in the suite (funnel stage

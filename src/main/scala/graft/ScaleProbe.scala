@@ -149,7 +149,8 @@ object ScaleProbe {
     "neardup_cosine_lsh", "dup_span_report", "span_cut_docs",
     "doc_span_dup_ratio", "tfidf_top_tokens", "knn_lsh_or",
     "context_packing", "training_pipeline_counts",
-    "bucketed_join_revenue")
+    "bucketed_join_revenue", "incremental_kpis_bucketed",
+    "tpch_q5_planned")
 
   /** Probe-only operators: production paths whose REGISTERED query form
     * carries a deliberately-quadratic exact-witness side (the
@@ -159,17 +160,36 @@ object ScaleProbe {
   val probeExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
     "semantic_dedup_verdicts" -> ((s, dir) =>
       graft.ext.SemanticDedup.verdicts(
-        graft.sources.Tables.table(s, dir, "embeddings"), threshold = 0.4)))
+        graft.sources.Tables.table(s, dir, "embeddings"), threshold = 0.4)),
+    // The refined regime forced at probe scale (default params stay flat
+    // up to nlist=256 — far beyond these corpora): capped coarse fit +
+    // per-cell OR-LSH refinement. Production-like threshold 0.85; the
+    // OR-table count grows with the per-cell split depth, so the honest
+    // expectation here is the 1+ρ LSH exponent (BASELINE.md), not 1.0.
+    "semantic_dedup_verdicts_refined" -> ((s, dir) =>
+      graft.ext.SemanticDedup.verdicts(
+        graft.sources.Tables.table(s, dir, "embeddings"), threshold = 0.85,
+        targetClusterSize = 64, flatNlistCap = 8)))
 
   private def materialize(df: DataFrame): Long =
     df.queryExecution.toRdd.count()
 
-  private def timeIt(mk: () => DataFrame, attempts: Int): Double =
+  /** One timed attempt split into (build, exec) seconds: build is the
+    * query-construction call — for operators with an eager planning
+    * component (SemanticDedup's count+centroid fit, estimated joins'
+    * sketch pass) this reports the fit/planning cost SEPARATELY from
+    * the distributed execution, so a fit that stopped being bounded
+    * shows up as build time growing with the factor. Best attempt by
+    * total. */
+  private def timeIt(mk: () => DataFrame, attempts: Int): (Double, Double) =
     (1 to attempts).map { _ =>
       val t0 = System.nanoTime()
-      materialize(mk())
-      (System.nanoTime() - t0) / 1e9
-    }.min
+      val df = mk()
+      val t1 = System.nanoTime()
+      materialize(df)
+      val t2 = System.nanoTime()
+      ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+    }.minBy(t => t._1 + t._2)
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
@@ -191,6 +211,7 @@ object ScaleProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.sources.BucketedTable.configure(spark)
     spark.sparkContext.setLogLevel("WARN")
     try org.apache.logging.log4j.core.config.Configurator.setLevel(
       java.util.Map.of(
@@ -226,21 +247,26 @@ object ScaleProbe {
       "%.3f".formatLocal(java.util.Locale.ROOT, d)
     val timings = qs.map { case (name, fn) =>
       val byFactor = dirs.map { case (k, d) =>
-        val sec = try timeIt(() => fn(spark, d), attempts)
-                  catch { case e: Throwable =>
-                    System.err.println(
-                      s"[scaleprobe] FAILED $name@x$k: ${e.getMessage}")
-                    -1.0 }
-        System.err.println(s"[scaleprobe] $name x$k: ${f3(sec)}s")
-        k -> sec
+        val (build, exec) =
+          try timeIt(() => fn(spark, d), attempts)
+          catch { case e: Throwable =>
+            System.err.println(
+              s"[scaleprobe] FAILED $name@x$k: ${e.getMessage}")
+            (-1.0, 0.0) }
+        System.err.println(
+          s"[scaleprobe] $name x$k: ${f3(build + exec)}s (build ${f3(build)})")
+        k -> (build, exec)
       }
       name -> byFactor
     }
 
     val lo = factors.min.toDouble
     val hi = factors.max.toDouble
-    val rows = timings.map { case (name, byFactor) =>
+    val rows = timings.map { case (name, byFactorSplit) =>
+      val byFactor = byFactorSplit.map { case (k, (b, e)) =>
+        k -> (if (b < 0) -1.0 else b + e) }
       val m = byFactor.toMap
+      val builds = byFactorSplit.toMap
       val (tLo, tHi) = (m(factors.min), m(factors.max))
       val exp =
         if (tLo > 0 && tHi > 0) math.log(tHi / tLo) / math.log(hi / lo)
@@ -257,10 +283,18 @@ object ScaleProbe {
       val lowSignal = tLo >= 0 && tLo < 0.3
       val secs = byFactor.map { case (k, s) =>
         s""""x$k":${f3(s)}""" }.mkString(",")
+      // build (construction/fit/planning) seconds per factor, only when
+      // any factor's build cost is non-trivial — keeps linear-scan rows
+      // compact while fit-carrying operators report the split.
+      val buildStr =
+        if (builds.values.exists { case (b, _) => b >= 0.05 })
+          "," + byFactorSplit.map { case (k, (b, _)) =>
+            s""""build_x$k":${f3(math.max(b, 0.0))}""" }.mkString(",")
+        else ""
       val expStr = if (exp.isNaN) "null" else f3(exp)
       val tailStr =
         if (tailExp.isNaN) "" else s""","exponent_tail":${f3(tailExp)}"""
-      s""""$name":{$secs,"exponent":$expStr$tailStr,"low_signal":$lowSignal}"""
+      s""""$name":{$secs$buildStr,"exponent":$expStr$tailStr,"low_signal":$lowSignal}"""
     }
     val json = s"""{"base":"$baseDir","factors":[${factors.mkString(",")}],"attempts":$attempts,"queries":{${rows.mkString(",")}}}"""
     val w = new java.io.PrintWriter("SCALEPROBE.json", "UTF-8")

@@ -22,6 +22,7 @@ object Verify {
       // TimestampType in graft.sources.Tables.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
+    graft.sources.BucketedTable.configure(spark)
     spark.sparkContext.setLogLevel("WARN")
     // Testdata-schema canary (round-8 incident: a driver regen changed
     // events.ts's physical type and four queries vanished from the

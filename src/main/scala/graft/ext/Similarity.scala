@@ -67,6 +67,14 @@ object Similarity {
     * already minutes of work; anything larger is certainly a mistake. */
   val BruteForceCap: Long = 100000L
 
+  /** Hard ceiling on [[ivfFit]]'s nlist — the driver-side Lloyd fit must
+    * stay a bounded planner statistic (sample ≤ cap × samplePerList rows,
+    * ~16 MB at 64 dims; worst-case Lloyd ~2×10¹⁰ flops, a few seconds
+    * ONCE) no matter how large the corpus grows. More lists than this →
+    * hierarchical composition ([[SemanticDedup.verdicts]]' refined
+    * path), never a bigger flat fit. */
+  val IvfFitNlistCap: Int = 256
+
   /** Fail fast when an all-pairs control path is invoked on a corpus above
     * [[BruteForceCap]] rows, unless the caller explicitly opts in with
     * `force=true`. The count runs EAGERLY at DataFrame-construction time:
@@ -246,15 +254,25 @@ object Similarity {
                         targetBucket: Int): (Int, Int) = {
     val planes = math.max(4, math.ceil(
       math.log(math.max(1L, n).toDouble / targetBucket) / math.log(2.0)).toInt)
-    val pCollide = 1.0 - math.acos(threshold) / math.Pi
-    val baseRecall = math.pow(pCollide, 4)
-    val tableRecall = math.pow(pCollide, planes)
-    val tables =
-      if (planes <= 4) 1
-      else math.max(1, math.ceil(
-        math.log1p(-baseRecall) / math.log1p(-tableRecall)).toInt)
-    (planes, tables)
+    (planes, orTablesFor(planes, threshold))
   }
+
+  /** OR-amplification table count for a `planes`-bit split at `threshold`
+    * — the tables half of [[lshAdaptiveParams]], shared with
+    * [[SemanticDedup]]'s within-cluster refinement: the smallest T with
+    * 1-(1-p^planes)^T ≥ p^4 (p = co-bucket probability at the threshold
+    * angle), i.e. amplified recall never below the library's fixed
+    * 4-plane LSH baseline. planes ≤ 4 needs no amplification (p^planes ≥
+    * p^4 already). Pure, so sizing specs can pin it. */
+  def orTablesFor(planes: Int, threshold: Double): Int =
+    if (planes <= 4) 1
+    else {
+      val pCollide = 1.0 - math.acos(threshold) / math.Pi
+      val baseRecall = math.pow(pCollide, 4)
+      val tableRecall = math.pow(pCollide, planes)
+      math.max(1, math.ceil(
+        math.log1p(-baseRecall) / math.log1p(-tableRecall)).toInt)
+    }
 
   /** Deterministic pseudo-random hyperplanes (values in [-0.5, 0.5)),
     * generated from a fixed seed — inlined as literals so an external oracle
@@ -292,9 +310,25 @@ object Similarity {
     * (9.7 s vs ~0.1 s at sf0.1), and the corpus-side cost (one bounded
     * top-k scan) is unchanged. Deterministic by construction: hash-sorted
     * sample (vec_id tie-break), evenly-spaced init, first-index
-    * tie-breaks, no RNG. */
+    * tie-breaks, no RNG.
+    *
+    * nlist is HARD-CAPPED at [[IvfFitNlistCap]]: both the collected
+    * sample (nlist × samplePerList rows) and the Lloyd cost
+    * (iter × sample × nlist × dim) grow with nlist, so an uncapped
+    * caller scaling nlist with the corpus (the round-10 SemDeDup bug:
+    * nlist = n/1024 ⇒ an O(n²) single-threaded driver fit) turns this
+    * bounded planner statistic into a scale-killer. Callers needing more
+    * lists than the cap compose hierarchically — a capped coarse fit
+    * plus per-cell refinement — the way
+    * [[SemanticDedup.verdicts]]' refined path does. */
   def ivfFit(corpus: DataFrame, nlist: Int, seed: Long = 42L,
              maxIter: Int = 20, samplePerList: Int = 256): Array[Array[Double]] = {
+    require(nlist >= 1 && nlist <= IvfFitNlistCap,
+      s"ivfFit nlist=$nlist outside [1, $IvfFitNlistCap]: the driver-side " +
+        "Lloyd fit is bounded BY this cap (sample nlist*samplePerList rows, " +
+        "cost iter*sample*nlist*dim). Compose a capped coarse fit with " +
+        "per-cell refinement (see SemanticDedup.verdicts) instead of " +
+        "raising nlist with the corpus.")
     val pts: Array[Array[Double]] = corpus
       .select(col("vec_id"), col("embedding"))
       .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))

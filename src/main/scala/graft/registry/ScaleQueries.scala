@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{SemanticDedup, Similarity}
+import graft.operators.{EstimatedJoin, IncrementalKpis}
 import graft.sources.BucketedTable
 import OracleFrag.dotSql
 
@@ -60,6 +61,100 @@ object ScaleQueries {
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 2).as("value_sum"))
         .orderBy(col("event_type"))),
+
+    // Incremental KPI refresh × bucketed layout (the round-10 verdict's
+    // composition item): the KPI group key IS the bucket key, so
+    //  - prev-state and recompute aggregates are EXCHANGE-FREE (the
+    //    bucketed scan already satisfies the groupBy distribution), and
+    //  - the affected-group prune becomes BUCKET PRUNING: the delta's
+    //    group keys — delta-sized by construction — inline as an IN
+    //    literal, and the recompute scan reads only the buckets those
+    //    keys hash to (SelectedBucketsCount in the plan; pinned on a
+    //    single-group delta in ScaleLayoutSpec). The manual form of
+    //    dynamic partition pruning, priced O(delta/buckets) of the
+    //    corpus instead of a full scan.
+    // Delta scenario: an APPEND-ONLY late batch (every row of parts
+    // %97 == 0 arrives after the previous refresh) lifted through
+    // IncrementalKpis.appendOnlyDiff — the streaming-ingest case, and
+    // deliberately NOT a snapshot re-diff: this testdata's
+    // (l_orderkey, l_linenumber) is not unique (4599 distinct over 6000
+    // rows at sf0.001), so a row-keyed SnapshotDiff here would
+    // cross-match duplicates and flag every group (the spec pins the
+    // batch form localizing instead). The oracle is the full per-part
+    // recompute the refresh must equal.
+    "incremental_kpis_bucketed" -> ((s, dir) => {
+      val li = BucketedTable.bucketed(s, dir, "lineitem", "l_partkey", 8)
+      val batch = li.where(col("l_partkey") % 97 === 0)
+      val prevFacts = li.where(col("l_partkey") % 97 =!= 0)
+      // avg at 6 dp via INTEGER floor-division (micros of price units):
+      // round() here would sit on engine-specific half-tie behavior
+      // (partkey 148 at sf0.01 lands exactly on x.xxxxxx5 — Spark
+      // HALF_UP vs DuckDB half-even), while `div` is exact everywhere
+      def kpi(f: DataFrame): DataFrame =
+        f.groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(round(col("l_extendedprice") * 100).cast("long"))
+              .as("sum_cents"))
+          .withColumn("avg_price",
+            expr("(sum_cents * 10000) div n_lines").cast("double")
+              / 1000000.0)
+      val prev = kpi(prevFacts)
+      val rowDiff = IncrementalKpis.appendOnlyDiff(batch,
+        Seq("l_orderkey", "l_linenumber"))
+      val affected = IncrementalKpis
+        .affectedGroups(rowDiff, Seq("l_partkey"))
+      // delta-sized driver list — bounded by the batch's group spread,
+      // never the corpus; the IN literal is what the bucket pruner
+      // consumes (manual dynamic partition pruning)
+      val keys = affected.collect().map(_.getLong(0))
+      val recomputed = kpi(li.where(col("l_partkey").isin(keys: _*)))
+      IncrementalKpis.refresh(prev, recomputed, affected, Seq("l_partkey"))
+        .orderBy(col("l_partkey"))
+    }),
+
+    // TPC-H Q5 with the customer/supplier join strategies chosen by the
+    // AGMS sketch planner (EstimatedJoin.estimatedMultiJoin) instead of
+    // hand placement — the round-10 probe measured the hinted form's
+    // broadcast→shuffle regime transition as its only >1.2-adjacent
+    // exponent; here the transition is PLANNED: below broadcastMaxRows
+    // the dims broadcast, beyond it the same query picks merge/bloom
+    // from the sketch estimate (ScaleLayoutSpec pins both decisions).
+    // The planning pass itself is one aggregate over the l⋈o fact
+    // (sketches for both dim keys + heavy hitters in a single scan) and
+    // one answer-sized aggregate per dim — at warehouse scale those are
+    // stored write-time stats (VersionedStats), not a per-query cost.
+    // The same-nation constraint becomes a post-join filter (inner-join
+    // equivalent), letting the planner order the two dim joins freely.
+    "tpch_q5_planned" -> ((s, dir) => {
+      val r = t(s, dir, "region")
+        .where(col("r_name") === "ASIA").select(col("r_regionkey"))
+      val n = t(s, dir, "nation")
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01")
+          && col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val fact = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+      val dims = Seq(
+        EstimatedJoin.DimSpec("customer",
+          t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+          "o_custkey", "c_custkey"),
+        EstimatedJoin.DimSpec("supplier",
+          t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          "l_suppkey", "s_suppkey"))
+      val (joined, _) = EstimatedJoin.estimatedMultiJoin(fact, dims,
+        broadcastMaxRows = 100000L)
+      joined.where(col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
 
     // SemDeDup witness (graduated-witness pattern: exact-side data as
     // real oracle columns + contracts the engine-seeded clustering must
@@ -126,6 +221,59 @@ object ScaleQueries {
           (col("__np").cast("double") >=
             lit(0.7) * col("n_prunable_exact").cast("double"))
             .as("recall_ge_070"))
+    }),
+
+    // The REFINED regime of the same operator (SemanticDedup.verdicts
+    // with nlist over the flat cap: capped coarse k-means cells +
+    // per-cell OR-amplified LSH refinement — the path a 100 TB corpus
+    // takes, where the flat driver fit would be O(n²)). Forced at test
+    // scale via targetClusterSize/flatNlistCap; same graduated-witness
+    // pattern as `semantic_dedup`, minus survivors_clean (the refined
+    // regime's clean guarantee is per-(cell, table, bucket), which the
+    // verdict frame deliberately does not expose — recall and subset
+    // are the operative contracts):
+    //  - n_vectors / n_prunable_exact: real data, hash-matched;
+    //  - pruned_near_keeper: every pruned vector's named keeper is a
+    //    LOWER id whose re-computed cosine >= τ;
+    //  - pruned_is_subset: pruned ⊆ the exact prunable set;
+    //  - recall_ge_060: coarse-cell 2-probe + OR-LSH refinement caught
+    //    >= 60% of the exactly-prunable set (measured 0.73/0.91/0.79 at
+    //    sf0.001/0.01/0.1 with refineTablesFor's 0.8 in-bucket floor,
+    //    floored below the cross-scale minimum — the hyperplane-split
+    //    miss stacked on the cell-boundary miss is the refined regime's
+    //    deliberate trade).
+    "semantic_dedup_refined" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val v = SemanticDedup.verdicts(emb, threshold = 0.4,
+        targetClusterSize = 32, flatNlistCap = 8)
+      val prunableIds = Similarity.cosineNearDupPairs(emb, 0.4)
+        .select(col("vec_b").as("vec_id")).distinct()
+      val pruned = v.where(col("pruned"))
+      val e1 = emb.select(col("vec_id"), col("embedding"))
+      val e2 = emb.select(col("vec_id").as("keeper_id"),
+        col("embedding").as("kv"))
+      val nearKeeper = pruned.select(col("vec_id"), col("keeper_id"))
+        .join(e1, Seq("vec_id")).join(e2, Seq("keeper_id"))
+        .select((col("keeper_id") < col("vec_id") &&
+          SemanticDedup.roundedCosine(col("embedding"), col("kv")) >= 0.4)
+          .as("ok"))
+        .agg(coalesce(min(col("ok")), lit(true)).as("pruned_near_keeper"))
+      val subset = pruned.select(col("vec_id"))
+        .join(prunableIds, Seq("vec_id"), "left_anti")
+        .agg((count(lit(1)) === 0).as("pruned_is_subset"))
+      val nPrunable = prunableIds
+        .agg(count(lit(1)).as("n_prunable_exact"))
+      val nPruned = pruned.agg(count(lit(1)).as("__np"))
+      emb.agg(count(lit(1)).as("n_vectors"))
+        .crossJoin(broadcast(nPrunable))
+        .crossJoin(broadcast(nPruned))
+        .crossJoin(broadcast(nearKeeper))
+        .crossJoin(broadcast(subset))
+        .select(col("n_vectors"), col("n_prunable_exact"),
+          col("pruned_is_subset"), col("pruned_near_keeper"),
+          (col("__np").cast("double") >=
+            lit(0.6) * col("n_prunable_exact").cast("double"))
+            .as("recall_ge_060"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -147,6 +295,31 @@ object ScaleQueries {
          FROM events WHERE event_type IN ('purchase', 'signup')
          GROUP BY event_type ORDER BY event_type""",
 
+    // full per-part recompute — the bucket-pruned incremental refresh
+    // must be indistinguishable from it
+    "incremental_kpis_bucketed" ->
+      """SELECT l_partkey, count(*) AS n_lines,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+         (CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+           AS BIGINT) * 10000) // count(*) / 1000000.0 AS avg_price
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    // identical to tpch_q5_local_supplier: planning must never change
+    // the answer
+    "tpch_q5_planned" ->
+      """SELECT n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name""",
+
     // Exact side real (brute-force prunable set — same pair formula and
     // 6-dp rounding as the Spark baseline); earned contracts TRUE.
     "semantic_dedup" ->
@@ -161,5 +334,21 @@ object ScaleQueries {
          SELECT (SELECT count(*) FROM v) AS n_vectors,
            (SELECT count(*) FROM pr) AS n_prunable_exact,
            TRUE AS pruned_is_subset, TRUE AS pruned_near_keeper,
-           TRUE AS survivors_clean, TRUE AS recall_ge_070""")
+           TRUE AS survivors_clean, TRUE AS recall_ge_070""",
+
+    // Refined-regime twin: same exact side, earned contracts TRUE
+    // (no survivors_clean — see the query registration).
+    "semantic_dedup_refined" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS emb,
+             ${dotSql("embedding", "embedding")} AS n2 FROM embeddings),
+         p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+             round(CASE WHEN sqrt(a.n2) = 0.0 OR sqrt(b.n2) = 0.0 THEN 0.0
+                        ELSE ${dotSql("a.emb", "b.emb")}
+                             / (sqrt(a.n2) * sqrt(b.n2)) END, 6) AS cos_sim
+           FROM v a JOIN v b ON a.vec_id < b.vec_id),
+         pr AS (SELECT DISTINCT vb FROM p WHERE cos_sim >= 0.4)
+         SELECT (SELECT count(*) FROM v) AS n_vectors,
+           (SELECT count(*) FROM pr) AS n_prunable_exact,
+           TRUE AS pruned_is_subset, TRUE AS pruned_near_keeper,
+           TRUE AS recall_ge_060""")
 }

@@ -29,23 +29,51 @@ import org.apache.spark.sql.functions.col
   * replacement.
   *
   * Mechanics: layouts are MATERIALIZED ARTIFACTS keyed by (source dir,
-  * table, layout spec, layout version) under java.io.tmpdir — writing one
-  * is idempotent and re-entrant. Bucketed reads require catalog metadata
-  * (a bare parquet path read ignores bucket files), so a fresh session
-  * re-registers an already-written layout as an EXTERNAL table over the
-  * existing files (schema from the source frame, CLUSTERED BY from the
-  * layout spec) instead of rewriting; `_SUCCESS` is the completeness
-  * marker, so a crashed write re-runs. The writer repartitions by the
-  * bucket column first so each bucket lands as ONE file — the layout
-  * Spark's sorted-scan optimization requires. On a real cluster the same
-  * calls target the warehouse root instead of tmpdir; nothing else
-  * changes.
-  */
+  * table, layout spec, layout version, SOURCE FINGERPRINT) under
+  * java.io.tmpdir — writing one is idempotent and re-entrant. The
+  * fingerprint (file count + total bytes + max mtime of the source
+  * parquet) is load-bearing: tmpdir layouts outlive JVMs, so without it
+  * a source regenerated at the same path (refreshed testdata, a re-built
+  * scale-probe dir) would silently serve the STALE materialization to
+  * consumers that have no oracle. Bucketed reads require catalog
+  * metadata (a bare parquet path read ignores bucket files), so a fresh
+  * session re-registers an already-written layout as an EXTERNAL table
+  * over the existing files (schema from the source frame, CLUSTERED BY
+  * from the layout spec) instead of rewriting; `_SUCCESS` is the
+  * completeness marker, so a crashed write re-runs — and a catalog entry
+  * whose FILES have vanished (tmp reaper between runs sharing a
+  * warehouse) is dropped and re-materialized instead of failing the scan
+  * with an opaque FileNotFound. Residual known gap: two JVMs racing the
+  * same cold layout can interleave writes to one path (single-writer is
+  * the contract, as for [[VersionedTable]]); within one JVM, catalog ops
+  * are serialized by Spark. The writer repartitions by the bucket column
+  * first so each bucket lands as ONE file — the layout Spark's
+  * sorted-scan optimization requires. On a real cluster the same calls
+  * target the warehouse root instead of tmpdir; nothing else changes.
+  *
+  * Session contract: reading layouts as buckets requires
+  * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false`
+  * (Spark's DisableUnnecessaryBucketedScan rule otherwise turns the
+  * bucketed scan off exactly for the point lookups whose bucket PRUNING
+  * we want). [[configure]] sets it; every layout-owning entry point
+  * (Bench/Verify/ScaleProbe/SparkSpec) calls it ONCE at session
+  * bootstrap — a table READER mutating session confs as a side effect
+  * made plan shapes order-dependent (ADVICE r10), so bucketed() no
+  * longer does. */
 object BucketedTable {
 
   /** Layout-format version: bump to invalidate previously-materialized
     * layouts after a semantic change. */
-  private val LayoutVersion = 1
+  private val LayoutVersion = 2
+
+  /** Opt the session into reading materialized layouts as buckets —
+    * call once at session bootstrap (see the session contract above).
+    * The cost is numBuckets-task parallelism on full scans of OUR layout
+    * tables (sized for that); the gain is bucket pruning + exchange-free
+    * joins, deterministically, regardless of query order. */
+  def configure(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+      "false")
 
   private def stableId(parts: String*): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -53,32 +81,53 @@ object BucketedTable {
       .take(6).map("%02x".format(_)).mkString
   }
 
+  /** Cheap source-content fingerprint: (file count, total bytes, max
+    * mtime) over the source parquet path — no data read. Folded into the
+    * layout id so regenerating the source invalidates the cached layout
+    * (the stale layout files are simply never selected again; tmpdir
+    * reclaims them). */
+  private def sourceFingerprint(dir: String, table: String): String = {
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+          .sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val fs = walk(new File(dir, s"$table.parquet"))
+    s"${fs.size}:${fs.map(_.length).sum}:" +
+      s"${fs.foldLeft(0L)((m, f) => math.max(m, f.lastModified))}"
+  }
+
   private def layoutRoot: File =
     new File(sys.props("java.io.tmpdir"), "graft-layout")
+
+  /** The catalog name a (source, spec) pair materializes under —
+    * package-visible so specs exercising the re-registration path can
+    * drop EXACTLY this table (picking any `graft_b_<table>_*` match
+    * could hit another suite's layout; ADVICE r10). */
+  private[graft] def bucketedName(dir: String, table: String,
+                                  bucketCol: String, numBuckets: Int): String =
+    s"graft_b_${table}_" + stableId(dir, table, bucketCol,
+      numBuckets.toString, LayoutVersion.toString,
+      sourceFingerprint(dir, table))
 
   /** Read `table` from `dir` bucketed by `bucketCol` into `numBuckets`
     * (writing/registering the layout on first use in this JVM+tmpdir).
     * Returned frame scans the bucketed files: joins on `bucketCol`
     * against an equally-bucketed side need no exchange, and equality/IN
-    * filters on it prune buckets. */
+    * filters on it prune buckets. Requires [[configure]] at session
+    * bootstrap for the bucketed-scan guarantees. */
   def bucketed(spark: SparkSession, dir: String, table: String,
                bucketCol: String, numBuckets: Int): DataFrame = {
-    // Spark's DisableUnnecessaryBucketedScan rule turns the bucketed scan
-    // OFF for plans where bucketing gives no interesting output
-    // partitioning (e.g. a pure point lookup) — which also forfeits
-    // bucket PRUNING, the very feature the lookup wants. A session that
-    // opts into these layouts reads them as buckets, always: the cost is
-    // numBuckets-task parallelism on full scans of OUR layout tables
-    // (sized for that), the gain is pruning + exchange-free joins.
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
-      "false")
-    val id = stableId(dir, table, bucketCol, numBuckets.toString,
-      LayoutVersion.toString)
-    val name = s"graft_b_${table}_$id"
+    val name = bucketedName(dir, table, bucketCol, numBuckets)
+    val path = new File(layoutRoot, name).getAbsolutePath
+    val complete = new File(path, "_SUCCESS").isFile
+    // catalog entry without files (tmp reaper / crashed write): drop and
+    // fall through to re-materialize rather than FileNotFound at scan
+    if (spark.catalog.tableExists(name) && !complete)
+      spark.sql(s"DROP TABLE IF EXISTS $name")
     if (!spark.catalog.tableExists(name)) {
       val src = Tables.table(spark, dir, table)
-      val path = new File(layoutRoot, name).getAbsolutePath
-      if (new File(path, "_SUCCESS").isFile) {
+      if (complete) {
         // layout already materialized by an earlier session: register the
         // existing files — metadata-only, no rewrite
         spark.sql(
@@ -106,7 +155,8 @@ object BucketedTable {
     * PartitionFilters — directory pruning, not row filtering. */
   def partitioned(spark: SparkSession, dir: String, table: String,
                   partCol: String): DataFrame = {
-    val id = stableId(dir, table, s"part:$partCol", LayoutVersion.toString)
+    val id = stableId(dir, table, s"part:$partCol", LayoutVersion.toString,
+      sourceFingerprint(dir, table))
     val path = new File(layoutRoot, s"graft_p_${table}_$id").getAbsolutePath
     if (!new File(path, "_SUCCESS").isFile) {
       Tables.table(spark, dir, table)

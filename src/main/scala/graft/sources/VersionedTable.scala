@@ -17,10 +17,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - two versions diff with [[graft.operators.SnapshotDiff]] — the CDC
   *    loop over table HISTORY instead of externally-kept snapshots.
   *
-  * The manifest write is the commit point: a single file creation with
-  * overwrite=false, atomic on local/HDFS semantics — two racing commits
-  * of the same version resolve to exactly ONE winner (the loser's
-  * create throws; its staged files remain invisible orphans). On
+  * Two race points, both atomic: data stages under a writer-unique
+  * dot-directory and CLAIMS `data/vN` by rename (so no two writers can
+  * ever interleave files into one version directory), then the manifest
+  * write is the commit point — a single file creation with
+  * overwrite=false, atomic on local/HDFS semantics. Two racing commits
+  * of the same version resolve to exactly ONE winner; the loser's claim
+  * fails, its staged files are removed, and it throws CLEANLY. On
   * S3-style stores a deployment would use a conditional put / rename
   * for the same effect; the reader-side contract (manifest = source of
   * truth) is unchanged. Sustained multi-writer throughput (retry loops,
@@ -69,12 +72,36 @@ object VersionedTable {
     val staged = stagedVersions(spark, root)
     val v = math.max(prior.lastOption.getOrElse(0L),
       staged.lastOption.getOrElse(0L)) + 1
-    // stage this commit's data under a version-unique directory: never
-    // overwrites another version's files, and a crash before the
-    // manifest write below leaves only invisible orphans
+    // Stage under a WRITER-UNIQUE dot-directory first, then CLAIM the
+    // version directory by rename. Staging straight into data/vN with
+    // errorifexists (the first cut) was check-then-write, not a claim:
+    // two racing writers could both pass the existence check and
+    // interleave part files into one data/vN, and the manifest winner
+    // then LISTED the loser's files into its snapshot — a torn commit
+    // the race spec caught under full-suite load ("2 did not equal 1").
+    // The rename is atomic on local/HDFS; on stores without atomic
+    // dir-rename the deployment substitutes its conditional primitive,
+    // as already documented for the manifest create. A lost claim
+    // (dataDir appeared first, rename refused, or — local-FS rename
+    // semantics — our stage landed NESTED inside the winner's dir) is
+    // detected, our files are removed, and the commit fails CLEAN; the
+    // manifest create below stays the commit point.
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val stage = new Path(root, s"data/.stage-v$v-$nonce")
+    df.write.mode("errorifexists").parquet(stage.toString)
     val dataDir = new Path(root, s"data/v$v")
-    df.write.mode("errorifexists").parquet(dataDir.toString)
     val f = fs(spark, dataDir)
+    val nested = new Path(dataDir, stage.getName)
+    val claimed = !f.exists(dataDir) && f.rename(stage, dataDir) &&
+      !f.exists(nested)
+    if (!claimed) {
+      if (f.exists(nested)) f.delete(nested, true)
+      if (f.exists(stage)) f.delete(stage, true)
+      throw new IllegalStateException(
+        s"lost commit race for version $v of $root (another writer " +
+          "claimed the version directory); staged files removed — " +
+          "retrying commits a fresh version")
+    }
     val newFiles = f.listStatus(dataDir)
       .filter(_.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toUri.toString).sorted
@@ -165,8 +192,15 @@ object VersionedTable {
     val f = fs(spark, dataRoot)
     val all = f.listStatus(dataRoot).flatMap { d =>
       val name = d.getPath.getName
-      val aboveHorizon = d.isDirectory && name.startsWith("v") &&
-        name.drop(1).forall(_.isDigit) && name.drop(1).toLong > latest
+      // claimed version dirs AND writer-unique stages (.stage-vN-*)
+      // carry their target version; above the horizon either may be an
+      // in-flight commit — never sweep those
+      val vNum: Option[Long] =
+        if (name.startsWith("v") && name.drop(1).forall(_.isDigit))
+          Some(name.drop(1).toLong)
+        else "^\\.stage-v(\\d+)-".r.findFirstMatchIn(name)
+          .map(_.group(1).toLong)
+      val aboveHorizon = d.isDirectory && vNum.exists(_ > latest)
       if (aboveHorizon) Seq.empty // possible in-flight commit — never sweep
       else if (d.isDirectory) f.listStatus(d.getPath).toSeq else Seq(d)
     }.map(_.getPath).filter(_.getName.endsWith(".parquet"))

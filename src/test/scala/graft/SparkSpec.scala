@@ -14,6 +14,8 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+      "false") // layout-owning session: see BucketedTable.configure
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
