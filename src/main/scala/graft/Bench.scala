@@ -43,6 +43,24 @@ object Bench {
       Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
   }
 
+  /** Whether this run may REPLACE the committed deviation reference
+    * (BENCH_FULL.json) — pure, spec-pinned. A subset run would leave a
+    * hole-ridden reference; a run with failures has partial totals; and
+    * a run from a NOISY window (ambient load ≥ 2 before the bench
+    * perturbed the box, or visible steal ≥ 0.5%) would poison every
+    * later deviation comparison with co-tenant noise — the recurring
+    * "re-pin the calm reference" verdict item, ended structurally here.
+    * `force` (SPARK_GRAFT_BENCH_FORCE_REF=1) overrides the noise gate
+    * only, for deliberate re-pins. Returns the action for the artifact:
+    * written | subset_skip | failed_skip | refused_noisy. */
+  def refDecision(subset: Boolean, nFailed: Int, load0: Double,
+                  stealPct: Double, force: Boolean): String =
+    if (subset) "subset_skip"
+    else if (nFailed > 0) "failed_skip"
+    else if (force || (load0 >= 0 && load0 < 2.0 && stealPct < 0.5))
+      "written"
+    else "refused_noisy"
+
   /** The previous run's per-query map, for the deviation guard: prefer
     * the last COMMITTED BENCH_FULL.json (the repo's defensible number),
     * fall back to the on-disk file (read BEFORE this run overwrites
@@ -320,16 +338,29 @@ object Bench {
     val flakyJson = flaky.map(q =>
       s"""{"q":"${q.name}","err":${jstr(q.err)}}""").mkString("[", ",", "]")
     val devMeta = s""""deviations":$devJson,"remeasured":$remJson,"remeasure_dropped":$remeasureDropped,"deviation_ref":"$prevSource","failed":$failedJson,"flaky":$flakyJson"""
-    // A subset run (BENCH_ONLY) must never replace the committed full
-    // map — it would silently become the next run's deviation reference.
-    // A run with failures must not either: its totals are partial, and a
-    // later fixed run would diff against a hole-ridden reference.
-    if (only.isEmpty && failed.isEmpty) try {
-      val w = new java.io.PrintWriter(fullPath, "UTF-8")
-      try w.println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${qjson(byTime)},"telemetry":$teleJson,$devMeta,$meta}""")
-      finally w.close()
-    } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${qjson(byTime.take(40))},"n_queries":${results.size},"n_failed":${failed.size},"all_queries_file":"$fullPath",$devMeta,$meta}""")
+    // Reference-update gate ([[refDecision]]): subset runs and failed
+    // runs never replace the committed full map, and a NOISY window's
+    // numbers land in BENCH_FULL.dirty.json instead — visible for
+    // inspection, never the next run's deviation reference.
+    val refAction = refDecision(only.nonEmpty, failed.size, load0, stealPct,
+      sys.env.get("SPARK_GRAFT_BENCH_FORCE_REF").contains("1"))
+    val fullTarget = refAction match {
+      case "written" => Some(fullPath)
+      case "refused_noisy" =>
+        System.err.println(s"[bench] NOISY window (load0=${f2(load0)}, " +
+          s"steal=${f2(stealPct)}%): reference kept; full map -> " +
+          s"$fullPath.dirty.json (force with SPARK_GRAFT_BENCH_FORCE_REF=1)")
+        Some(s"$fullPath.dirty.json")
+      case _ => None
+    }
+    fullTarget.foreach { path =>
+      try {
+        val w = new java.io.PrintWriter(path, "UTF-8")
+        try w.println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","ref_update":"$refAction","queries":${qjson(byTime)},"telemetry":$teleJson,$devMeta,$meta}""")
+        finally w.close()
+      } catch { case _: Throwable => () }
+    }
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${qjson(byTime.take(40))},"n_queries":${results.size},"n_failed":${failed.size},"ref_update":"$refAction","all_queries_file":"$fullPath",$devMeta,$meta}""")
     spark.stop()
     // Loud exit: a broken query is a broken bench. total above excludes
     // the failed queries (they contributed no timing), so rc is the only
