@@ -278,29 +278,23 @@ object ExtQueries {
 
     // Blocked fuzzy matching (entity resolution): part names within one
     // edit of each other, blocked on the first name token; rolled up to
-    // per-block pair counts (the synthetic catalog's tiny name space makes
-    // raw pair lists huge — the rollup is the witness).
+    // per-block RAW-pair counts via the multiplicity-weighted
+    // distinct-name form (Fuzzy.blockedPairStatsWeighted) — this catalog
+    // duplicates each name thousands of times, so the raw form's blocks
+    // outgrow any sane bucket cap while the collapsed form compares 8
+    // distinct names per block at every SF. The oracle computes the same
+    // numbers from RAW pairs: two formulations, one answer.
     "fuzzy_part_pairs" -> ((s, dir) =>
-      graft.ext.Fuzzy.blockedNamePairs(t(s, dir, "part"),
-          "p_partkey", "p_name",
-          block = split(col("p_name"), " ").getItem(0), maxDist = 1)
-        .groupBy(col("block"))
-        .agg(count(lit(1)).as("n_pairs"),
-          round(avg(col("edit_dist")), 6).as("avg_dist"))
-        .orderBy(col("block"))),
+      graft.ext.Fuzzy.blockedPairStatsWeighted(t(s, dir, "part"), "p_name",
+        block = split(col("p_name"), " ").getItem(0), maxDist = 1)),
 
     // Jaro-Winkler-scored twin of fuzzy_part_pairs (ext/Fuzzy +
     // functions/StringSimilarity): transposition-tolerant prefix-boosted
     // similarity, bit-exact with DuckDB's jaro_winkler_similarity so the
     // oracle verifies pair sets AND scores.
     "fuzzy_part_pairs_jw" -> ((s, dir) =>
-      graft.ext.Fuzzy.blockedNamePairsJw(t(s, dir, "part"),
-          "p_partkey", "p_name",
-          block = split(col("p_name"), " ").getItem(0), minSim = 0.9)
-        .groupBy(col("block"))
-        .agg(count(lit(1)).as("n_pairs"),
-          round(avg(col("jw_sim")), 6).as("avg_sim"))
-        .orderBy(col("block"))),
+      graft.ext.Fuzzy.blockedPairStatsWeightedJw(t(s, dir, "part"), "p_name",
+        block = split(col("p_name"), " ").getItem(0), minSim = 0.9)),
 
     // Phonetic blocking (the third blocking strategy the Fuzzy scaladoc
     // names): Soundex of the first name token groups sound-alike
@@ -310,14 +304,9 @@ object ExtQueries {
     // character fold (Spark's exact mapping table incl. the h/w rule);
     // FuzzySpec pins the homophone behavior.
     "fuzzy_soundex_pairs" -> ((s, dir) =>
-      graft.ext.Fuzzy.blockedNamePairsJw(t(s, dir, "part"),
-          "p_partkey", "p_name",
-          block = soundex(split(col("p_name"), " ").getItem(0)),
-          minSim = 0.9)
-        .groupBy(col("block"))
-        .agg(count(lit(1)).as("n_pairs"),
-          round(avg(col("jw_sim")), 6).as("avg_sim"))
-        .orderBy(col("block"))),
+      graft.ext.Fuzzy.blockedPairStatsWeightedJw(t(s, dir, "part"), "p_name",
+        block = soundex(split(col("p_name"), " ").getItem(0)),
+        minSim = 0.9)),
 
     // Heavy hitters WITHOUT a vocabulary-wide shuffle: Misra-Gries sketch
     // (capacity 64) -> top 20. Hash-matched against DuckDB's EXACT top-20:

@@ -195,8 +195,15 @@ object TpchCanon2 {
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("n_name").as("nation"),
           year(col("o_orderdate")).as("o_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
-          - col("unit_cost") * col("l_quantity")), 2).as("sum_profit"))
+        // per-ROW cents rounding, then an exact integer sum: round-after-
+        // float-sum put NATION_3/1998 at sf0.1 one summation-order ULP
+        // across the 2-dp boundary between engines (the sf0.1 sweep's
+        // catch) — each row's amount is computed by the same IEEE op
+        // sequence in both engines, so rounding per row is deterministic
+        // while the float SUM's grouping order is not
+        .agg((sum(round((col("l_extendedprice") * (lit(1) - col("l_discount"))
+            - col("unit_cost") * col("l_quantity")) * 100).cast("long"))
+          .cast("double") / 100.0).as("sum_profit"))
         .orderBy(col("nation"), col("o_year"))
     }),
 
@@ -449,7 +456,8 @@ object TpchCanon2 {
            SELECT l_partkey AS c_pk, l_suppkey AS c_sk,
              min(l_extendedprice / l_quantity) AS unit_cost
            FROM lineitem GROUP BY l_partkey, l_suppkey)
-         SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+         SELECT nation, o_year,
+           sum(CAST(round(amount * 100) AS BIGINT)) / 100.0 AS sum_profit
          FROM (SELECT n_name AS nation,
                  CAST(year(o_orderdate) AS INTEGER) AS o_year,
                  l_extendedprice * (1 - l_discount)

@@ -243,6 +243,37 @@ class FuzzySpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 4L)))
   }
+
+  test("weighted distinct-name stats equal the raw-pair rollup exactly") {
+    // heavy duplication (the sf0.1 failure shape): few distinct names,
+    // many copies — weighted form must reproduce the RAW rollup
+    val df = graft.sources.Tables
+      .table(spark, "/root/testdata/sf0.001", "part")
+      .select(col("p_partkey").as("id"), col("p_name").as("name"))
+    val blockCol = split(col("name"), " ").getItem(0)
+    val raw = Fuzzy.blockedNamePairs(df, "id", "name", blockCol,
+        maxDist = 1, maxBucket = 100000)
+      .groupBy(col("block"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("edit_dist")), 6).as("avg_dist"))
+    val weighted = Fuzzy.blockedPairStatsWeighted(df, "name", blockCol,
+      maxDist = 1)
+    assert(raw.exceptAll(weighted).isEmpty && weighted.exceptAll(raw).isEmpty,
+      "weighted form must be indistinguishable from the raw rollup")
+    // JW twin: same equivalence
+    val rawJw = Fuzzy.blockedNamePairsJw(df, "id", "name", blockCol,
+        minSim = 0.9, maxBucket = 100000)
+      .groupBy(col("block"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("jw_sim")), 6).as("avg_sim"))
+    val weightedJw = Fuzzy.blockedPairStatsWeightedJw(df, "name", blockCol,
+      minSim = 0.9)
+    assert(rawJw.exceptAll(weightedJw).isEmpty &&
+      weightedJw.exceptAll(rawJw).isEmpty)
+    // the distinct-name cap drops degenerate blocks like the raw cap
+    assert(Fuzzy.blockedPairStatsWeighted(df, "name", lit("all"),
+      maxDist = 99, maxBucket = 3).count() === 0L)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
