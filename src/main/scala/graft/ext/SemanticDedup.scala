@@ -208,30 +208,43 @@ object SemanticDedup {
     val planesLit = typedLit(planesPerCell.toSeq)
     val vc = v0.withColumn("cell", explode(col("__lists")))
       .withColumn("pl", element_at(planesLit, col("cell") + 1))
-    val perTable = (0 until tables).map { t =>
-      // one maxPlanes-bit signature per table; each cell keeps its LOW
-      // planes(c) bits — per-cell depth without per-cell plane sets.
-      // Seed offset keeps these planes disjoint from every other LSH
-      // family in the library for the same user seed.
+    // One maxPlanes-bit signature per table; each cell keeps its LOW
+    // planes(c) bits — per-cell depth without per-cell plane sets. Seed
+    // offset keeps these planes disjoint from every other LSH family in
+    // the library for the same user seed. All T tables ride ONE
+    // (table, bucket) explode and ONE shuffle join — the knnLshOr
+    // shape — rather than T unioned joins, whose per-branch
+    // scheduling overhead dominated the bench row (T separate shuffle
+    // joins of the same exploded frame; 10 tables cost 8 s on a corpus
+    // whose pair work is milliseconds).
+    val tableBuckets = array((0 until tables).map { t =>
       val pl = Similarity.hyperplanes(maxPlanes, dim, seed + 7001 + t)
-      val vt = vc.withColumn("bucket",
-        when(col("pl") === 0, lit(0L)).otherwise(
-          Similarity.bucketId(col("embedding"), pl)
-            .bitwiseAND(expr("shiftleft(1L, pl) - 1L"))))
-      val a = vt.select(col("cell"), col("bucket"), col("vec_id").as("vec_a"),
-        col("embedding").as("va"), col("n2").as("n2a"))
-      val b = vt.select(col("cell"), col("bucket"), col("vec_id").as("vec_b"),
-        col("embedding").as("vb"), col("n2").as("n2b"))
-      // threshold BEFORE the cross-table union: cos_sim is identical for
-      // every sighting, so the filter commutes with the keeper dedup —
-      // only near-dup rows reach the union+groupBy exchange
-      a.join(b, Seq("cell", "bucket")).where(col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"),
-          round(Similarity.pairCosine(dotNative(col("va"), col("vb")),
-            col("n2a"), col("n2b")), 6).as("cos_sim"))
-        .where(col("cos_sim") >= threshold)
-    }
-    withKeepers(v0, perTable.reduce(_ unionByName _))
+      when(col("pl") === 0, lit(0L)).otherwise(
+        Similarity.bucketId(col("embedding"), pl)
+          .bitwiseAND(expr("shiftleft(1L, pl) - 1L")))
+    }: _*)
+    // posexplode_outer, not posexplode: the plain explode of a COMPUTED
+    // array would make InferFiltersFromGenerate re-evaluate every
+    // table's plane dots in a pushed-down size() filter (see knnLshOr)
+    val vt = vc.select(col("cell"), col("vec_id"), col("embedding"),
+      col("n2"), posexplode_outer(tableBuckets).as(Seq("tbl", "bucket")))
+    val a = vt.select(col("cell"), col("tbl"), col("bucket"),
+      col("vec_id").as("vec_a"), col("embedding").as("va"),
+      col("n2").as("n2a"))
+    val b = vt.select(col("cell"), col("tbl"), col("bucket"),
+      col("vec_id").as("vec_b"), col("embedding").as("vb"),
+      col("n2").as("n2b"))
+    // threshold BEFORE the keeper aggregate: cos_sim is identical for
+    // every sighting of a pair (probes and tables alike), so the filter
+    // commutes with the struct-min dedup — only near-dup rows reach the
+    // groupBy exchange
+    val dupPairs = a.join(b, Seq("cell", "tbl", "bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(Similarity.pairCosine(dotNative(col("va"), col("vb")),
+          col("n2a"), col("n2b")), 6).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+    withKeepers(v0, dupPairs)
   }
 
   /** Shared projection: (vec_id, embedding, |v|², probed list ids). */

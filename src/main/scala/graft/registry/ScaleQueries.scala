@@ -183,19 +183,24 @@ object ScaleQueries {
       val v = SemanticDedup.verdicts(emb, threshold = 0.4)
       val prunableIds = Similarity.cosineNearDupPairs(emb, 0.4)
         .select(col("vec_b").as("vec_id")).distinct()
-      val pruned = v.where(col("pruned"))
       val e1 = emb.select(col("vec_id"), col("embedding"))
       val e2 = emb.select(col("vec_id").as("keeper_id"),
         col("embedding").as("kv"))
-      val nearKeeper = pruned.select(col("vec_id"), col("keeper_id"))
+      // the pruned-branch contracts fold into ONE pass over the verdict
+      // frame (keeper validity + subset membership + count as columns of
+      // the same joined row set): v's pair-generation subtree is the
+      // expensive part of this witness, and three separate consumers
+      // re-executed it per aggregate (12 s on the refined twin's bench
+      // row before the collapse)
+      val prunedChecks = v.where(col("pruned"))
         .join(e1, Seq("vec_id")).join(e2, Seq("keeper_id"))
+        .join(prunableIds.withColumn("__isp", lit(1)), Seq("vec_id"), "left")
         .select((col("keeper_id") < col("vec_id") &&
           SemanticDedup.roundedCosine(col("embedding"), col("kv")) >= 0.4)
-          .as("ok"))
-        .agg(coalesce(min(col("ok")), lit(true)).as("pruned_near_keeper"))
-      val subset = pruned.select(col("vec_id"))
-        .join(prunableIds, Seq("vec_id"), "left_anti")
-        .agg((count(lit(1)) === 0).as("pruned_is_subset"))
+          .as("ok"), col("__isp").isNotNull.as("isp"))
+        .agg(coalesce(min(col("ok")), lit(true)).as("pruned_near_keeper"),
+          coalesce(min(col("isp")), lit(true)).as("pruned_is_subset"),
+          count(lit(1)).as("__np"))
       val sv = v.where(!col("pruned")).select(col("cluster"), col("vec_id"))
         .join(e1, Seq("vec_id"))
       val sa = sv.select(col("cluster"), col("vec_id").as("vec_a"),
@@ -208,12 +213,9 @@ object ScaleQueries {
         .agg((count(lit(1)) === 0).as("survivors_clean"))
       val nPrunable = prunableIds
         .agg(count(lit(1)).as("n_prunable_exact"))
-      val nPruned = pruned.agg(count(lit(1)).as("__np"))
       emb.agg(count(lit(1)).as("n_vectors"))
         .crossJoin(broadcast(nPrunable))
-        .crossJoin(broadcast(nPruned))
-        .crossJoin(broadcast(nearKeeper))
-        .crossJoin(broadcast(subset))
+        .crossJoin(broadcast(prunedChecks))
         .crossJoin(broadcast(clean))
         .select(col("n_vectors"), col("n_prunable_exact"),
           col("pruned_is_subset"), col("pruned_near_keeper"),
@@ -248,27 +250,26 @@ object ScaleQueries {
         targetClusterSize = 32, flatNlistCap = 8)
       val prunableIds = Similarity.cosineNearDupPairs(emb, 0.4)
         .select(col("vec_b").as("vec_id")).distinct()
-      val pruned = v.where(col("pruned"))
       val e1 = emb.select(col("vec_id"), col("embedding"))
       val e2 = emb.select(col("vec_id").as("keeper_id"),
         col("embedding").as("kv"))
-      val nearKeeper = pruned.select(col("vec_id"), col("keeper_id"))
+      // one pass over the verdict frame for all pruned-branch contracts
+      // (see semantic_dedup): the refined pair-gen subtree must not
+      // re-execute per aggregate
+      val prunedChecks = v.where(col("pruned"))
         .join(e1, Seq("vec_id")).join(e2, Seq("keeper_id"))
+        .join(prunableIds.withColumn("__isp", lit(1)), Seq("vec_id"), "left")
         .select((col("keeper_id") < col("vec_id") &&
           SemanticDedup.roundedCosine(col("embedding"), col("kv")) >= 0.4)
-          .as("ok"))
-        .agg(coalesce(min(col("ok")), lit(true)).as("pruned_near_keeper"))
-      val subset = pruned.select(col("vec_id"))
-        .join(prunableIds, Seq("vec_id"), "left_anti")
-        .agg((count(lit(1)) === 0).as("pruned_is_subset"))
+          .as("ok"), col("__isp").isNotNull.as("isp"))
+        .agg(coalesce(min(col("ok")), lit(true)).as("pruned_near_keeper"),
+          coalesce(min(col("isp")), lit(true)).as("pruned_is_subset"),
+          count(lit(1)).as("__np"))
       val nPrunable = prunableIds
         .agg(count(lit(1)).as("n_prunable_exact"))
-      val nPruned = pruned.agg(count(lit(1)).as("__np"))
       emb.agg(count(lit(1)).as("n_vectors"))
         .crossJoin(broadcast(nPrunable))
-        .crossJoin(broadcast(nPruned))
-        .crossJoin(broadcast(nearKeeper))
-        .crossJoin(broadcast(subset))
+        .crossJoin(broadcast(prunedChecks))
         .select(col("n_vectors"), col("n_prunable_exact"),
           col("pruned_is_subset"), col("pruned_near_keeper"),
           (col("__np").cast("double") >=
