@@ -169,7 +169,19 @@ object ScaleProbe {
     "semantic_dedup_verdicts_refined" -> ((s, dir) =>
       graft.ext.SemanticDedup.verdicts(
         graft.sources.Tables.table(s, dir, "embeddings"), threshold = 0.85,
-        targetClusterSize = 64, flatNlistCap = 8)))
+        targetClusterSize = 64, flatNlistCap = 8)),
+    // The PQ ANN operator alone (the registered knn_pq row carries the
+    // brute-force recall twin): bounded fit (build sec), then encode +
+    // ADC shortlist + exact re-rank. Expected near-linear in the
+    // corpus: the ADC scan is corpus × queries × m lookups and the
+    // shortlist window shuffles scalar rows only.
+    "knn_pq_operator" -> ((s, dir) => {
+      val emb = graft.sources.Tables.table(s, dir, "embeddings")
+      val cb = graft.ext.ProductQuant.pqFit(emb)
+      graft.ext.ProductQuant.knnPq(emb,
+        emb.where(org.apache.spark.sql.functions.col("vec_id") < 10),
+        k = 5, cb)
+    }))
 
   private def materialize(df: DataFrame): Long =
     df.queryExecution.toRdd.count()

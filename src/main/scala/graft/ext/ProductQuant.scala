@@ -1,0 +1,279 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.dotNative
+
+/** Product quantization for embedding search at corpus scale (Jégou,
+  * Douze, Schmid, "Product Quantization for Nearest Neighbor Search",
+  * IEEE TPAMI 2011) — the compression half of the FAISS-style IVF-PQ
+  * stack whose coarse half already ships as [[Similarity.ivfFit]] /
+  * [[Similarity.knnIvf]].
+  *
+  * The 100 TB motivation is MEMORY, not arithmetic: a 64-dim float
+  * embedding is 256 bytes/vector; its PQ code at m=16 subspaces ×
+  * 16 codes is 16 nibbles — semantically 8 bytes — so the scan side
+  * of an ANN query touches ~3 % of the bytes. At 100 TB of raw
+  * embeddings the code table is ~3 TB: the difference between an
+  * index that fits in cluster page cache and one that doesn't.
+  * Scoring shrinks the same way: m table lookups per pair instead of
+  * dim multiplies.
+  *
+  * Pipeline:
+  *  1. [[pqFit]] — per-subspace Lloyd codebooks over a BOUNDED
+  *     deterministic sample (the [[Similarity.ivfFit]] discipline:
+  *     hash-ordered top-k sample, driver-side fit that costs the same
+  *     whether the corpus is 1 GB or 100 TB).
+  *  2. [[encode]] — pure projection: argmin centroid per subspace on
+  *     the L2-NORMALIZED vector (cosine ranking ⇔ L2 ranking on the
+  *     unit sphere: ‖q̂−x̂‖² = 2−2·cos, so one geometry serves both).
+  *  3. [[knnPq]] — asymmetric distance computation (ADC): each query
+  *     precomputes an m×ksub lookup table of exact
+  *     subspace-to-centroid distances; a candidate scores as m
+  *     `element_at`s against its stored code. Codes-only scan,
+  *     broadcast queries, top-R by ADC, then an exact cosine
+  *     re-rank of the R survivors (the standard refine step) — the
+  *     full vectors are touched for R×queries rows only, never the
+  *     corpus.
+  *
+  * Plan-size discipline: the codebooks enter the plan as ONE literal
+  * (an m × ksub × dsub nested array) walked by higher-order functions
+  * (`transform`/`aggregate` folds), so the expression TREE is O(m)
+  * regardless of ksub — inlining per-centroid expressions (the
+  * [[Similarity.ivfListId]] struct-min shape, fine at nlist ≤ 256)
+  * would put m×ksub subtrees into analysis/codegen and stall the
+  * planner long before the executors see a row (the round-10 SemDeDup
+  * verdict's exact failure mode).
+  *
+  * Determinism: hash-ordered sample, evenly-spaced init, first-index
+  * tie-breaks (both in Lloyd and in `array_position` decode), no RNG —
+  * a given (corpus, seed) always yields the same codebooks, codes, and
+  * neighbor lists, so the registered witness can hash-match its recall
+  * contract.
+  */
+object ProductQuant {
+
+  /** Fit-sample ceiling: the driver fit collects at most this many
+    * vectors no matter the corpus size (FAISS trains PQ on ~10k-100k
+    * points). 16384 × 64 dims × 8 B = 8 MB collected; Lloyd cost
+    * m × sample × ksub × dsub × iter ≈ 3×10⁸ flops worst case — a
+    * bounded planner statistic, like [[Similarity.IvfFitNlistCap]]
+    * bounds the IVF fit. */
+  val PqFitSampleCap: Int = 16384
+
+  /** L2-normalize `v` (array<float|double> → array<double>); zero
+    * vectors map to all-zero (norm check, not NaN). Pure projection.
+    *
+    * NOTE for consumers that READ BACK individual elements (the code /
+    * LUT / error expressions below): always materialize this as its own
+    * column first ([[withNormalized]]) and reference the attribute.
+    * Passing the raw expression means every `element_at` re-evaluates
+    * the whole transform — including the norm's dot product — because
+    * the higher-order functions are CodegenFallback (no common-
+    * subexpression elimination): measured 70 s instead of ~2 s on the
+    * sf0.1 error rollup. */
+  def l2Normalize(v: Column): Column = {
+    val n = sqrt(dotNative(v, v))
+    when(n === 0.0, transform(v, _ => lit(0.0)))
+      .otherwise(transform(v, x => x.cast("double") / n))
+  }
+
+  /** Append the L2-normalized vector as a MATERIALIZED column `as`,
+    * computed once per row in its own projection. CollapseProject will
+    * not inline it into consumers: the alias is non-cheap and
+    * multiply-referenced, which is exactly the property that keeps the
+    * m×ksub×dsub element reads O(1) each. */
+  private def withNormalized(df: DataFrame, vecCol: String,
+                             as: String): DataFrame =
+    df.withColumn("__nrm", sqrt(dotNative(col(vecCol), col(vecCol))))
+      .withColumn(as,
+        when(col("__nrm") === 0.0, transform(col(vecCol), _ => lit(0.0)))
+          .otherwise(transform(col(vecCol),
+            x => x.cast("double") / col("__nrm"))))
+      .drop("__nrm")
+
+  /** Per-subspace Lloyd codebooks over the hash-ordered bounded sample.
+    * Returns codebooks(sub)(code)(d): m subspaces × ksub centroids ×
+    * (dim/m) dims, fit on L2-normalized vectors. Same Lloyd discipline
+    * as [[Similarity.ivfFit]]: evenly-spaced init over the hash-ordered
+    * sample, first-index tie-breaks, empty cells keep their previous
+    * centroid, convergence = no centroid moved. */
+  def pqFit(corpus: DataFrame, m: Int = 16, ksub: Int = 16, dim: Int = 64,
+            seed: Long = 42L, maxIter: Int = 20): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    require(ksub >= 2 && ksub <= 256, s"ksub $ksub outside [2, 256]")
+    val dsub = dim / m
+    val sampled: Array[Array[Double]] = corpus
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      .limit(PqFitSampleCap)
+      .collect().map { r =>
+        val raw = r.getSeq[Float](1).map(_.toDouble).toArray
+        val n = math.sqrt(raw.map(x => x * x).sum)
+        if (n == 0.0) raw else raw.map(_ / n)
+      }
+    require(sampled.length >= ksub,
+      s"need >= $ksub sample vectors to fit $ksub codes, got ${sampled.length}")
+    Array.tabulate(m) { s =>
+      val off = s * dsub
+      val pts = sampled.map(v => java.util.Arrays.copyOfRange(v, off, off + dsub))
+      var centroids = Array.tabulate(ksub)(i =>
+        pts((i.toLong * pts.length / ksub).toInt).clone())
+      var iter = 0
+      var moved = true
+      while (iter < maxIter && moved) {
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val counts = new Array[Long](ksub)
+        pts.foreach { p =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < ksub) {
+            var d = 0.0
+            var j = 0
+            while (j < dsub) { val t = p(j) - centroids(c)(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var j = 0
+          while (j < dsub) { sums(best)(j) += p(j); j += 1 }
+          counts(best) += 1
+        }
+        val next = Array.tabulate(ksub) { c =>
+          if (counts(c) == 0) centroids(c) else sums(c).map(_ / counts(c))
+        }
+        moved = (0 until ksub).exists(c =>
+          !java.util.Arrays.equals(next(c), centroids(c)))
+        centroids = next
+        iter += 1
+      }
+      centroids
+    }
+  }
+
+  /** The codebooks as ONE plan literal: array(sub)(code)(d). */
+  private def cbLit(codebooks: Array[Array[Array[Double]]]): Column =
+    typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** ‖v[off+1..off+dsub] − cj‖² as a fold: dsub `element_at` pairs. */
+  private def subDist(v: Column, cj: Column, off: Column, dsub: Int): Column =
+    aggregate(sequence(lit(1), lit(dsub)), lit(0.0), (acc, i) => {
+      val d = element_at(v, i + off) - element_at(cj, i)
+      acc + d * d
+    })
+
+  /** Per-subspace squared distances of normalized `v` to every centroid
+    * of subspace `s` (0-based): a ksub-element array column. One
+    * expression subtree per SUBSPACE, not per centroid. */
+  private def subDists(vn: Column, cb: Column, s: Int, dsub: Int): Column =
+    transform(element_at(cb, s + 1),
+      cj => subDist(vn, cj, lit(s * dsub), dsub))
+
+  /** Append `pq_code` (array<int>, length m — the compressed
+    * representation) to `vecs`. Encodes the L2-NORMALIZED vector so
+    * ADC distance ranks by cosine. Pure projection, no shuffle; codes
+    * are argmin with FIRST-index tie-break (`array_position` returns
+    * the first match), mirroring the fit's tie-break. */
+  def encode(vecs: DataFrame, codebooks: Array[Array[Array[Double]]],
+             vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val cb = cbLit(codebooks)
+    val codes = (0 until m).map { s =>
+      val dists = subDists(col("__vn"), cb, s, dsub)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    withNormalized(vecs, vecCol, "__vn")
+      .withColumn("pq_code", array(codes: _*))
+      .drop("__vn")
+  }
+
+  /** ADC ANN with exact re-rank: top-`k` cosine neighbors per query,
+    * found by scanning PQ CODES (m lookups/pair) for the `refine`-sized
+    * shortlist, then rescoring that shortlist exactly.
+    *
+    * Plan shape: the corpus is encoded once (projection) and only
+    * (cand_id, pq_code) flows into the scoring join — the full vectors
+    * re-enter for shortlist rows only, via a broadcast join of the
+    * (queries × refine)-sized shortlist against the corpus. Queries
+    * broadcast with their per-subspace lookup tables (m × ksub doubles
+    * each, exact query-side arithmetic — "asymmetric": only the
+    * candidate side is quantized). Only SCALAR rows (query_id, cand_id,
+    * adc_dist) reach the shortlist window's exchange. Output schema and
+    * tie-break contract match [[Similarity.knnBruteForce]] (cos_sim
+    * desc, cand_id asc), so recall witnesses compose.
+    *
+    * refine defaults to 10·k: the shortlist must out-size k enough to
+    * absorb ADC's quantization-induced rank inversions; the registered
+    * witness earns its recall floor at this setting, and the spec pins
+    * the recall-vs-refine trade. */
+  def knnPq(corpus: DataFrame, queries: DataFrame, k: Int,
+            codebooks: Array[Array[Array[Double]]],
+            refine: Int = 0): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val cb = cbLit(codebooks)
+    val r = if (refine > 0) refine else 10 * k
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val codesOnly = encode(corpus.repartition(par), codebooks)
+      .select(col("vec_id").as("cand_id"), col("pq_code"))
+    // Per-query LUT: lut[s][j] = ‖q̂_s − c_{s,j}‖², exact on the query
+    // side ("asymmetric" — only candidates are quantized).
+    val lut = array((0 until m).map(s =>
+      subDists(col("__vn"), cb, s, dsub)): _*)
+    val q = withNormalized(queries, "embedding", "__vn")
+      .select(col("vec_id").as("query_id"), lut.as("lut"))
+    // ADC score: m nested lookups per (candidate, query) pair.
+    val adc = (0 until m).map(s =>
+      element_at(element_at(col("lut"), s + 1),
+        element_at(col("pq_code"), s + 1) + 1)).reduce(_ + _)
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("cand_id").asc)
+    val shortlist = codesOnly.crossJoin(broadcast(q))
+      .where(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"), adc.as("adc_dist"))
+      .withColumn("__r", row_number().over(wAdc))
+      .where(col("__r") <= r)
+      .select(col("query_id"), col("cand_id"))
+    // Exact re-rank of the shortlist: rejoin the full candidate and
+    // query vectors (shortlist is queries×refine rows — broadcast
+    // side), score exact cosine with the shared op order, keep top-k.
+    val qv = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"),
+      dotNative(col("embedding"), col("embedding")).as("qn2"))
+    val cand = corpus.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cv"),
+      dotNative(col("embedding"), col("embedding")).as("cn2"))
+    val exact = cand.join(
+        broadcast(shortlist.join(qv, Seq("query_id"))), Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(Similarity.pairCosine(dotNative(col("qv"), col("cv")),
+          col("qn2"), col("cn2")), 6).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id").asc)
+    exact.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Per-vector PQ reconstruction error on the unit sphere —
+    * ‖v̂ − decode(code(v̂))‖² = Σ_s min_j ‖v̂_s − c_{s,j}‖², the quality
+    * stat a pipeline thresholds before committing to m/ksub (the PQ
+    * analogue of [[Similarity.quantizeInt8]]'s quant_mae). Appends
+    * `pq_err2`. One pass, pure projection. */
+  def reconstructionError(vecs: DataFrame,
+                          codebooks: Array[Array[Array[Double]]],
+                          vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val cb = cbLit(codebooks)
+    val perSub = (0 until m).map(s =>
+      array_min(subDists(col("__vn"), cb, s, dsub)))
+    withNormalized(vecs, vecCol, "__vn")
+      .withColumn("pq_err2", greatest(perSub.reduce(_ + _), lit(0.0)))
+      .drop("__vn")
+  }
+}

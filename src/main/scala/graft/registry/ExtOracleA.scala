@@ -337,6 +337,19 @@ object ExtOracleA {
              TRUE AS recall_ge_060
            FROM embeddings WHERE vec_id < 10""",
 
+      // PQ recall witness — same contract shape as knn_ivf: count from
+      // real oracle data, the recall floor earned in-plan.
+      "knn_pq" ->
+        """SELECT count(*) AS n_queries, CAST(5 AS BIGINT) AS k,
+             TRUE AS recall_ge_060
+           FROM embeddings WHERE vec_id < 10""",
+
+      // PQ reconstruction-error contract: exact per-label counts, the
+      // unit-sphere error ceiling earned by the engine-seeded fit.
+      "pq_quant_error" ->
+        """SELECT label, count(*) AS n_vecs, TRUE AS avg_err2_lt_050
+           FROM embeddings GROUP BY label ORDER BY label""",
+
       "knn_bruteforce" ->
         s"""WITH v AS (SELECT vec_id, embedding AS emb FROM embeddings),
            p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,

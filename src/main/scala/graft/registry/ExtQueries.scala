@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, SpanDedup, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, ProductQuant, Similarity, SpanDedup, TextAnalysis}
 import graft.operators.{Cleaning, Kpis, Validation}
 import graft.Pipeline
 
@@ -167,6 +167,48 @@ object ExtQueries {
           (col("__hits").cast("double") >=
             lit(0.6) * col("n_queries").cast("double") * 5.0)
             .as("recall_ge_060"))
+    }),
+
+    // PQ-compressed ANN (ext/ProductQuant — Jégou et al. TPAMI'11): ADC
+    // over 16-subspace × 16-code codebooks (the candidate scan touches 8
+    // bytes/vector instead of 256) + exact re-rank of the 10·k shortlist.
+    // Codebooks are engine-seeded (bounded hash-ordered sample, Lloyd),
+    // so the hash-matched witness is the RECALL contract, same shape as
+    // knn_ivf: exact query count from oracle data + a boolean the
+    // compressed index must earn in-plan — recall@5 vs brute force.
+    "knn_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+      val cb = ProductQuant.pqFit(emb)
+      val pq = ProductQuant.knnPq(emb, queries, k = 5, cb)
+      val bf = Similarity.knnBruteForce(emb, queries, k = 5)
+      val hits = pq.select(col("query_id"), col("cand_id"))
+        .join(bf.select(col("query_id"), col("cand_id")),
+          Seq("query_id", "cand_id"))
+        .agg(count(lit(1)).as("__hits"))
+      queries.agg(count(lit(1)).as("n_queries"))
+        .crossJoin(broadcast(hits))
+        .select(col("n_queries"), lit(5L).as("k"),
+          (col("__hits").cast("double") >=
+            lit(0.6) * col("n_queries").cast("double") * 5.0)
+            .as("recall_ge_060"))
+    }),
+
+    // PQ reconstruction-error rollup: per-label mean/max of ‖v̂ −
+    // decode(code(v̂))‖² on the unit sphere — the quality stat gating a
+    // commit to m/ksub (the PQ analogue of embedding_quant_error).
+    // Codebooks are engine-seeded, so the oracled contract is the
+    // count (exact, from oracle data) + the error ceiling the fit must
+    // earn: unit-sphere distance² is ≤ 2 everywhere, a USEFUL codebook
+    // keeps the mean well under the 0.5 bound asserted here.
+    "pq_quant_error" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = ProductQuant.pqFit(emb)
+      ProductQuant.reconstructionError(emb, cb)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          (avg(col("pq_err2")) < 0.5).as("avg_err2_lt_050"))
+        .orderBy(col("label"))
     }),
 
     // Multimodal plumbing: binary payload + partition-local feature extract.
