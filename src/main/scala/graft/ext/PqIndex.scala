@@ -1,0 +1,159 @@
+package graft.ext
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.VersionedTable
+
+/** Persisted IVF-PQ embedding index — the fourth index family next to
+  * [[DedupIndex]]'s fingerprint/minhash/span tables, and the lifecycle
+  * that makes [[ProductQuant]] a production index rather than a
+  * per-query computation: FIT ONCE, encode once, persist 12 bytes per
+  * vector, then every later query or ingest reuses the stored model.
+  *
+  * Layout under `root`:
+  *  - `_model/` — one small parquet with the coarse centroids and PQ
+  *    codebooks (≈ (nlist + m·ksub)·dim doubles), written exactly once
+  *    at [[create]]. The model is FROZEN: ingested batches are encoded
+  *    with the stored codebooks, never refit, so codes stay comparable
+  *    across versions (refitting would silently re-key every existing
+  *    code — the classic drifting-index bug).
+  *  - the [[VersionedTable]] codes table — (vec_id, list_id,
+  *    pq_packed) rows; each [[ingest]] appends a version, so time
+  *    travel and the streaming replay posture
+  *    ([[graft.streaming.StreamingDecontamination]]) compose.
+  *
+  * Raw embeddings are NOT stored (that is the point — at 100 TB of
+  * vectors the index is ~0.5 % of the data); exact re-rank joins the
+  * caller's corpus table by vec_id for shortlist rows only, and
+  * [[semanticContamination]] screens on ADC distance alone, the way a
+  * FAISS IVFPQ deployment does.
+  */
+object PqIndex {
+
+  private def modelPath(root: String) = new Path(root, "_model")
+
+  /** A root under `base` keyed by a cheap fingerprint (name, length,
+    * mtime of every file) of the SOURCE the index is built from — the
+    * [[graft.sources.BucketedTable]] lesson: a cached physical asset
+    * keyed by path alone silently serves stale data when the source is
+    * regenerated in place. With the fingerprint in the key, a
+    * regenerated source simply builds a fresh index at a fresh root. */
+  def fingerprintedRoot(spark: SparkSession, base: String,
+                        sourcePath: String): String = {
+    val p = new Path(sourcePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val parts = fs.listStatus(p).sortBy(_.getPath.getName)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.mkString("|").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    s"${base}_$h"
+  }
+
+  /** Build the index: fit coarse + residual codebooks on the corpus
+    * (bounded samples — [[ProductQuant.pqFit]] discipline), persist the
+    * model, commit codes v1. No-op if the index already exists. */
+  def create(corpus: DataFrame, root: String, nlist: Int = 8,
+             m: Int = 16, ksub: Int = 16, dim: Int = 64,
+             seed: Long = 42L): Unit = {
+    val spark = corpus.sparkSession
+    val mp = modelPath(root)
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(mp) && VersionedTable.versions(spark, root).nonEmpty) return
+    val coarse = ProductQuant.coarseFit(corpus, nlist, dim, seed)
+    val cb = ProductQuant.pqFitIvf(corpus, coarse, m, ksub, dim, seed)
+    if (!fs.exists(mp)) {
+      import spark.implicits._
+      val rows =
+        coarse.zipWithIndex.map { case (c, j) =>
+          ("coarse", 0, j, c.toSeq) } ++
+        cb.zipWithIndex.flatMap { case (sub, s) =>
+          sub.zipWithIndex.map { case (c, j) => ("cb", s, j, c.toSeq) } }
+      rows.toSeq.toDF("kind", "sub", "code", "dims")
+        .coalesce(1).write.mode("errorifexists").parquet(mp.toString)
+    }
+    if (VersionedTable.versions(spark, root).isEmpty)
+      VersionedTable.commit(
+        ProductQuant.encodeIvfPacked(corpus, coarse, cb)
+          .select(col("vec_id"), col("list_id"), col("pq_packed")), root)
+  }
+
+  /** The stored (coarse, codebooks) model. */
+  def readModel(spark: SparkSession,
+                root: String): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val rows = spark.read.parquet(modelPath(root).toString)
+      .select(col("kind"), col("sub"), col("code"), col("dims"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getSeq[Double](3).toArray))
+    val coarse = rows.filter(_._1 == "coarse").sortBy(_._3).map(_._4)
+    val cbRows = rows.filter(_._1 == "cb")
+    val m = cbRows.map(_._2).max + 1
+    val cb = Array.tabulate(m)(s =>
+      cbRows.filter(_._2 == s).sortBy(_._3).map(_._4))
+    require(coarse.nonEmpty && cb.forall(_.nonEmpty),
+      s"PqIndex model at $root is empty or torn")
+    (coarse, cb)
+  }
+
+  /** Codes frame (vec_id, list_id, pq_packed) — latest version, or a
+    * pinned one (time travel; the streaming replay posture needs the
+    * screen recomputed against the batch's PRE-ingest version). */
+  def codes(spark: SparkSession, root: String,
+            version: Option[Long] = None): DataFrame =
+    VersionedTable.read(spark, root, version)
+
+  /** Encode a new batch with the STORED model and append it as the next
+    * version. Returns the new version. Caller contract: batch vec_ids
+    * are new (dedup upstream — the index is an append log, not a map).
+    */
+  def ingest(root: String, batch: DataFrame): Long = {
+    val spark = batch.sparkSession
+    val (coarse, cb) = readModel(spark, root)
+    VersionedTable.commit(
+      ProductQuant.encodeIvfPacked(batch, coarse, cb)
+        .select(col("vec_id"), col("list_id"), col("pq_packed")),
+      root, append = true)
+  }
+
+  /** Top-k ANN against the PERSISTED codes — identical plan to
+    * [[ProductQuant.knnIvfPq]] from the scoring join up, but the
+    * corpus-side state comes off disk (12 B/vector scan) instead of
+    * being re-encoded; `rerankFrom` serves raw vectors for the
+    * shortlist (typically the original corpus table). */
+  def knn(spark: SparkSession, root: String, queries: DataFrame, k: Int,
+          nprobe: Int, rerankFrom: DataFrame, refine: Int = 0): DataFrame = {
+    val (coarse, cb) = readModel(spark, root)
+    ProductQuant.adcSearchIvf(codes(spark, root), queries, k, coarse, cb,
+      nprobe, refine, rerankFrom)
+  }
+
+  /** Semantic-decontamination screen: for each query vector, its
+    * minimum ADC distance to any indexed vector in its probed cells,
+    * flagged `contaminated` when that distance is under `tau2` (squared
+    * unit-sphere distance; cos θ ≥ t ⇔ dist² ≤ 2−2t). Pure
+    * codes-vs-queries ([[ProductQuant.adcMinDistance]]) — no raw
+    * vectors touched, which is exactly what a training pipeline runs
+    * against a frozen eval-set index. ADC is approximate: calibrate
+    * `tau2` with the measured quantization error
+    * ([[ProductQuant.reconstructionError]]) — the spec pins the
+    * screen's recall against the exact twin on the test corpus.
+    * Queries probing only empty cells keep a null min_adc_dist and are
+    * not contaminated. */
+  def semanticContamination(spark: SparkSession, root: String,
+                            queries: DataFrame, nprobe: Int,
+                            tau2: Double,
+                            version: Option[Long] = None): DataFrame = {
+    val (coarse, cb) = readModel(spark, root)
+    val mins = ProductQuant.adcMinDistance(codes(spark, root, version),
+      queries, coarse, cb, nprobe)
+    queries.select(col("vec_id").as("query_id"))
+      .join(mins, Seq("query_id"), "left")
+      .select(col("query_id"), col("min_adc_dist"),
+        coalesce(col("min_adc_dist") <= tau2, lit(false))
+          .as("contaminated"))
+      .orderBy(col("query_id"))
+  }
+}

@@ -103,18 +103,19 @@ object ProductQuant {
             seed: Long = 42L, maxIter: Int = 20): Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     require(ksub >= 2 && ksub <= 256, s"ksub $ksub outside [2, 256]")
-    val dsub = dim / m
-    val sampled: Array[Array[Double]] = corpus
-      .select(col("vec_id"), col("embedding"))
-      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
-      .limit(PqFitSampleCap)
-      .collect().map { r =>
-        val raw = r.getSeq[Float](1).map(_.toDouble).toArray
-        val n = math.sqrt(raw.map(x => x * x).sum)
-        if (n == 0.0) raw else raw.map(_ / n)
-      }
+    val sampled = normalizedSample(corpus, seed)
     require(sampled.length >= ksub,
       s"need >= $ksub sample vectors to fit $ksub codes, got ${sampled.length}")
+    fitSubspaces(sampled, m, ksub, maxIter)
+  }
+
+  /** The per-subspace Lloyd loop over an in-memory point set — shared by
+    * [[pqFit]] (raw normalized vectors) and [[pqFitIvf]] (coarse-cell
+    * residuals). Deterministic: evenly-spaced init, first-index
+    * tie-breaks, empty cells keep their centroid. */
+  private def fitSubspaces(sampled: Array[Array[Double]], m: Int, ksub: Int,
+                           maxIter: Int): Array[Array[Array[Double]]] = {
+    val dsub = sampled(0).length / m
     Array.tabulate(m) { s =>
       val off = s * dsub
       val pts = sampled.map(v => java.util.Arrays.copyOfRange(v, off, off + dsub))
@@ -152,6 +153,63 @@ object ProductQuant {
     }
   }
 
+  /** The bounded deterministic fit sample, L2-normalized: the hash-order
+    * discipline shared with [[Similarity.ivfFit]]. */
+  private def normalizedSample(corpus: DataFrame, seed: Long): Array[Array[Double]] =
+    corpus.select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      .limit(PqFitSampleCap)
+      .collect().map { r =>
+        val raw = r.getSeq[Float](1).map(_.toDouble).toArray
+        val n = math.sqrt(raw.map(x => x * x).sum)
+        if (n == 0.0) raw else raw.map(_ / n)
+      }
+
+  /** Coarse quantizer for the IVF half of IVF-PQ: a single-subspace
+    * [[pqFit]] (m=1, ksub=nlist) on NORMALIZED vectors — nlist full-dim
+    * centroids, same bounded-fit discipline (and the same ≤256 ceiling
+    * the flat [[Similarity.ivfFit]] enforces). */
+  def coarseFit(corpus: DataFrame, nlist: Int, dim: Int = 64,
+                seed: Long = 42L, maxIter: Int = 20): Array[Array[Double]] =
+    pqFit(corpus, m = 1, ksub = nlist, dim = dim, seed = seed,
+      maxIter = maxIter)(0)
+
+  /** Nearest-coarse-centroid index (driver-side, for the fit sample). */
+  private def nearestCell(v: Array[Double],
+                          coarse: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < coarse.length) {
+      var d = 0.0
+      var j = 0
+      while (j < v.length) { val t = v(j) - coarse(c)(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Residual PQ codebooks for IVF-PQ (Jégou et al. §IV: encode
+    * r = v̂ − c_cell, not v̂ — residuals concentrate near 0, so the same
+    * code budget spends its resolution where the data actually is).
+    * Same bounded sample; each sampled vector is assigned to its coarse
+    * cell on the driver and the Lloyd fit runs on the residuals. */
+  def pqFitIvf(corpus: DataFrame, coarse: Array[Array[Double]],
+               m: Int = 16, ksub: Int = 16, dim: Int = 64,
+               seed: Long = 42L, maxIter: Int = 20): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    require(ksub >= 2 && ksub <= 256, s"ksub $ksub outside [2, 256]")
+    val sampled = normalizedSample(corpus, seed)
+    require(sampled.length >= ksub,
+      s"need >= $ksub sample vectors to fit $ksub codes, got ${sampled.length}")
+    val residuals = sampled.map { v =>
+      val c = coarse(nearestCell(v, coarse))
+      Array.tabulate(v.length)(j => v(j) - c(j))
+    }
+    fitSubspaces(residuals, m, ksub, maxIter)
+  }
+
   /** The codebooks as ONE plan literal: array(sub)(code)(d). */
   private def cbLit(codebooks: Array[Array[Array[Double]]]): Column =
     typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
@@ -170,22 +228,60 @@ object ProductQuant {
     transform(element_at(cb, s + 1),
       cj => subDist(vn, cj, lit(s * dsub), dsub))
 
-  /** Append `pq_code` (array<int>, length m — the compressed
-    * representation) to `vecs`. Encodes the L2-NORMALIZED vector so
-    * ADC distance ranks by cosine. Pure projection, no shuffle; codes
-    * are argmin with FIRST-index tie-break (`array_position` returns
-    * the first match), mirroring the fit's tie-break. */
-  def encode(vecs: DataFrame, codebooks: Array[Array[Array[Double]]],
-             vecCol: String = "embedding"): DataFrame = {
-    val m = codebooks.length
-    val dsub = codebooks(0)(0).length
-    val cb = cbLit(codebooks)
-    val codes = (0 until m).map { s =>
-      val dists = subDists(col("__vn"), cb, s, dsub)
+  /** Argmin-centroid code expressions per subspace for a materialized
+    * normalized-vector column; FIRST-index tie-break (`array_position`
+    * returns the first match), mirroring the fit's tie-break. */
+  private def codeExprs(vn: Column, cb: Column, m: Int,
+                        dsub: Int): Seq[Column] =
+    (0 until m).map { s =>
+      val dists = subDists(vn, cb, s, dsub)
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
+
+  /** Bits per sub-code. */
+  private def codeBits(ksub: Int): Int =
+    math.max(1, 32 - Integer.numberOfLeadingZeros(ksub - 1))
+
+  /** Pack per-subspace codes into ONE long, sub-code s at bit s·bits —
+    * this is what makes the 8-bytes-per-vector claim literal: an
+    * `array<int>` row costs ~(4+overhead)·m bytes and its ADC read is
+    * an ArrayData access; the packed long is 8 bytes flat and the ADC
+    * read is two codegen-friendly bit ops. Requires m·bits ≤ 64 (m=16,
+    * ksub=16 → exactly 64). */
+  private def packExpr(codes: Seq[Column], bits: Int): Column = {
+    require(codes.length * bits <= 64,
+      s"${codes.length} sub-codes × $bits bits do not fit one long")
+    codes.zipWithIndex.map { case (c, s) =>
+      shiftleft(c.cast("long"), s * bits)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Sub-code `s` back out of a packed code. */
+  private def unpackExpr(packed: Column, s: Int, bits: Int): Column =
+    shiftright(packed, s * bits).bitwiseAND(lit((1L << bits) - 1))
+      .cast("int")
+
+  /** Append `pq_code` (array<int>, length m — the inspectable
+    * representation) to `vecs`. Encodes the L2-NORMALIZED vector so
+    * ADC distance ranks by cosine. Pure projection, no shuffle. */
+  def encode(vecs: DataFrame, codebooks: Array[Array[Array[Double]]],
+             vecCol: String = "embedding"): DataFrame = {
+    val cb = cbLit(codebooks)
     withNormalized(vecs, vecCol, "__vn")
-      .withColumn("pq_code", array(codes: _*))
+      .withColumn("pq_code", array(codeExprs(col("__vn"), cb,
+        codebooks.length, codebooks(0)(0).length): _*))
+      .drop("__vn")
+  }
+
+  /** Append `pq_packed` (ONE long) — the storage/scan representation
+    * the scoring paths use. Same codes as [[encode]], bit-packed. */
+  def encodePacked(vecs: DataFrame, codebooks: Array[Array[Array[Double]]],
+                   vecCol: String = "embedding"): DataFrame = {
+    val cb = cbLit(codebooks)
+    val bits = codeBits(codebooks(0).length)
+    withNormalized(vecs, vecCol, "__vn")
+      .withColumn("pq_packed", packExpr(codeExprs(col("__vn"), cb,
+        codebooks.length, codebooks(0)(0).length), bits))
       .drop("__vn")
   }
 
@@ -194,7 +290,8 @@ object ProductQuant {
     * shortlist, then rescoring that shortlist exactly.
     *
     * Plan shape: the corpus is encoded once (projection) and only
-    * (cand_id, pq_code) flows into the scoring join — the full vectors
+    * (cand_id, pq_packed) — 16 bytes/row — flows into the scoring
+    * join; the full vectors
     * re-enter for shortlist rows only, via a broadcast join of the
     * (queries × refine)-sized shortlist against the corpus. Queries
     * broadcast with their per-subspace lookup tables (m × ksub doubles
@@ -213,21 +310,24 @@ object ProductQuant {
             refine: Int = 0): DataFrame = {
     val m = codebooks.length
     val dsub = codebooks(0)(0).length
+    val ksub = codebooks(0).length
+    val bits = codeBits(ksub)
     val cb = cbLit(codebooks)
     val r = if (refine > 0) refine else 10 * k
     val par = corpus.sparkSession.sparkContext.defaultParallelism
-    val codesOnly = encode(corpus.repartition(par), codebooks)
-      .select(col("vec_id").as("cand_id"), col("pq_code"))
+    val codesOnly = encodePacked(corpus.repartition(par), codebooks)
+      .select(col("vec_id").as("cand_id"), col("pq_packed"))
     // Per-query LUT: lut[s][j] = ‖q̂_s − c_{s,j}‖², exact on the query
     // side ("asymmetric" — only candidates are quantized).
     val lut = array((0 until m).map(s =>
       subDists(col("__vn"), cb, s, dsub)): _*)
     val q = withNormalized(queries, "embedding", "__vn")
       .select(col("vec_id").as("query_id"), lut.as("lut"))
-    // ADC score: m nested lookups per (candidate, query) pair.
+    // ADC score: m (unpack, lookup) pairs per (candidate, query) row —
+    // the candidate side is one packed long, 8 bytes flat.
     val adc = (0 until m).map(s =>
       element_at(element_at(col("lut"), s + 1),
-        element_at(col("pq_code"), s + 1) + 1)).reduce(_ + _)
+        unpackExpr(col("pq_packed"), s, bits) + 1)).reduce(_ + _)
     val wAdc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("cand_id").asc)
@@ -257,6 +357,204 @@ object ProductQuant {
     exact.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF-PQ ANN (IVFADC, Jégou et al. §V) — the composition that makes
+    * PQ a 100 TB INDEX rather than a full-scan compression: the coarse
+    * quantizer routes each query to its `nprobe` nearest inverted
+    * lists, and within probed lists candidates score by ADC over
+    * RESIDUAL codes (r = v̂ − c_cell). Per-query work drops from
+    * O(N·m lookups) to O(N·nprobe/nlist·m); the corpus-side state is
+    * still 8 bytes + a list id per vector.
+    *
+    * Plan shape: corpus normalizes ONCE, assigns its list id and
+    * residual codes in one projection, and shuffles nothing — the
+    * scoring join hash-partitions the codes-only frame by list id
+    * against broadcast (query × nprobe) rows, each carrying the LUT for
+    * ITS list's residual (asymmetric: exact query-side residual per
+    * probed cell). A candidate lives in exactly one list, so no
+    * cross-table dedup is needed. Shortlist window sees scalar rows
+    * only; exact cosine re-rank of the `refine` survivors as in
+    * [[knnPq]]. Output schema and tie-breaks match
+    * [[Similarity.knnBruteForce]].
+    *
+    * Single-literal discipline throughout: the coarse centroids and
+    * codebooks are each ONE nested-array literal; list assignment,
+    * probe ranking, residuals, and LUTs are `transform`/`array_sort`
+    * folds over materialized columns — expression tree O(m + 1),
+    * plan literals bounded by (nlist + m·ksub)·dim doubles. */
+  def knnIvfPq(corpus: DataFrame, queries: DataFrame, k: Int,
+               coarse: Array[Array[Double]],
+               codebooks: Array[Array[Array[Double]]],
+               nprobe: Int, refine: Int = 0): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val codes = encodeIvfPacked(corpus.repartition(par), coarse, codebooks)
+      .select(col("vec_id"), col("list_id"), col("pq_packed"))
+    adcSearchIvf(codes, queries, k, coarse, codebooks, nprobe, refine,
+      rerank = corpus)
+  }
+
+  /** Cell distances of a normalized vector to every coarse centroid, as
+    * one array column (tree O(1): a transform over the single coarse
+    * literal). */
+  private def cellDists(vn: Column, coarseL: Column, dim: Int): Column =
+    transform(coarseL, c => aggregate(sequence(lit(1), lit(dim)), lit(0.0),
+      (acc, i) => { val d = element_at(vn, i) - element_at(c, i); acc + d * d }))
+
+  /** Residual of a normalized vector vs an assigned cell id (both
+    * materialized columns). */
+  private def residual(vn: Column, cellId: Column, coarseL: Column,
+                       dim: Int): Column =
+    transform(sequence(lit(1), lit(dim)), i =>
+      element_at(vn, i) - element_at(element_at(coarseL, cellId + 1), i))
+
+  /** The corpus-side IVF-PQ state, one projection per vector: cell
+    * assignment (`list_id`) + packed RESIDUAL codes (`pq_packed`) —
+    * the 12-bytes-per-vector frame an IVF-PQ index persists
+    * ([[PqIndex]]) or feeds straight to [[adcSearchIvf]]. */
+  def encodeIvfPacked(vecs: DataFrame, coarse: Array[Array[Double]],
+                      codebooks: Array[Array[Array[Double]]],
+                      vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val dim = coarse(0).length
+    val cb = cbLit(codebooks)
+    val coarseL = typedLit(coarse.map(_.toSeq).toSeq)
+    val bits = codeBits(codebooks(0).length)
+    withNormalized(vecs, vecCol, "__vn")
+      .withColumn("__cd", cellDists(col("__vn"), coarseL, dim))
+      // coalesce makes list_id NON-NULLABLE: the scoring join would
+      // otherwise infer isnotnull(list_id) and push it below the
+      // exchange with the whole normalize->cellDists->argmin chain
+      // SUBSTITUTED inline (alias substitution in predicate pushdown),
+      // re-evaluating it per row per element — measured 40 s instead
+      // of 2 s on the sf0.1 corpus. A non-nullable key yields no
+      // inferred filter at all. (-1 is unreachable: __cd is never
+      // empty.)
+      .withColumn("list_id", coalesce(
+        (array_position(col("__cd"), array_min(col("__cd"))) - 1).cast("int"),
+        lit(-1)))
+      .withColumn("__res", residual(col("__vn"), col("list_id"), coarseL, dim))
+      .withColumn("pq_packed",
+        packExpr(codeExprs(col("__res"), cb, m, dsub), bits))
+      .drop("__vn", "__cd", "__res")
+  }
+
+  /** ADC search against an already-encoded codes frame ((vec_id,
+    * list_id, pq_packed) — fresh from [[encodeIvfPacked]] or read back
+    * from a persisted [[PqIndex]]): probe, score, shortlist, then exact
+    * cosine re-rank against `rerank` ((vec_id, embedding) — the raw
+    * corpus or any table that can serve shortlist vectors). */
+  def adcSearchIvf(codes: DataFrame, queries: DataFrame, k: Int,
+                   coarse: Array[Array[Double]],
+                   codebooks: Array[Array[Array[Double]]],
+                   nprobe: Int, refine: Int,
+                   rerank: DataFrame): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val dim = coarse(0).length
+    val nlist = coarse.length
+    require(nprobe >= 1 && nprobe <= nlist, s"nprobe $nprobe outside [1, $nlist]")
+    val r = if (refine > 0) refine else 10 * k
+    val cb = cbLit(codebooks)
+    val coarseL = typedLit(coarse.map(_.toSeq).toSeq)
+    val bits = codeBits(codebooks(0).length)
+    val codesOnly = codes.select(col("vec_id").as("cand_id"),
+      col("list_id"), col("pq_packed"))
+
+    // Queries: nprobe nearest cells each; one LUT per (query, cell) on
+    // the query's residual AGAINST THAT CELL.
+    val probed = withNormalized(queries, "embedding", "__vn")
+      .withColumn("__cd", cellDists(col("__vn"), coarseL, dim))
+      .withColumn("__ranked", array_sort(transform(
+        sequence(lit(0), lit(nlist - 1)),
+        j => struct(element_at(col("__cd"), j + 1).as("d"), j.as("i")))))
+      .withColumn("list_id", explode_outer(slice(
+        transform(col("__ranked"), s => s.getField("i")), 1, nprobe)))
+      .where(col("list_id").isNotNull)
+      .withColumn("list_id", coalesce(col("list_id").cast("int"), lit(-1)))
+      .withColumn("__qres", residual(col("__vn"), col("list_id"), coarseL, dim))
+    val lut = array((0 until m).map(s =>
+      subDists(col("__qres"), cb, s, dsub)): _*)
+    val q = probed.select(col("vec_id").as("query_id"), col("list_id"),
+      lut.as("lut"))
+
+    val adc = (0 until m).map(s =>
+      element_at(element_at(col("lut"), s + 1),
+        unpackExpr(col("pq_packed"), s, bits) + 1)).reduce(_ + _)
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("cand_id").asc)
+    val shortlist = codesOnly.join(broadcast(q), Seq("list_id"))
+      .where(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"), adc.as("adc_dist"))
+      .withColumn("__r", row_number().over(wAdc))
+      .where(col("__r") <= r)
+      .select(col("query_id"), col("cand_id"))
+
+    val qv = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"),
+      dotNative(col("embedding"), col("embedding")).as("qn2"))
+    val cand = rerank.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cv"),
+      dotNative(col("embedding"), col("embedding")).as("cn2"))
+    val exact = cand.join(
+        broadcast(shortlist.join(qv, Seq("query_id"))), Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(Similarity.pairCosine(dotNative(col("qv"), col("cv")),
+          col("qn2"), col("cn2")), 6).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id").asc)
+    exact.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Per-query MINIMUM ADC distance to any coded vector in the query's
+    * `nprobe` probed cells — the semantic-decontamination screen's
+    * kernel ([[PqIndex.semanticContamination]]): one hash join of the
+    * codes frame against broadcast probed queries, a partial-aggregated
+    * `min` (map-side combine — only one row per (query, partition)
+    * reaches the exchange), no window, no re-rank, no raw vectors.
+    * Queries whose id matches an indexed id are excluded (self-match).
+    * Queries probing only empty cells return no row — the caller's
+    * left join reads that as "nothing near": distance ∞. */
+  def adcMinDistance(codes: DataFrame, queries: DataFrame,
+                     coarse: Array[Array[Double]],
+                     codebooks: Array[Array[Array[Double]]],
+                     nprobe: Int): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val dim = coarse(0).length
+    val nlist = coarse.length
+    require(nprobe >= 1 && nprobe <= nlist, s"nprobe $nprobe outside [1, $nlist]")
+    val cb = cbLit(codebooks)
+    val coarseL = typedLit(coarse.map(_.toSeq).toSeq)
+    val bits = codeBits(codebooks(0).length)
+    val probed = withNormalized(queries, "embedding", "__vn")
+      .withColumn("__cd", cellDists(col("__vn"), coarseL, dim))
+      .withColumn("__ranked", array_sort(transform(
+        sequence(lit(0), lit(nlist - 1)),
+        j => struct(element_at(col("__cd"), j + 1).as("d"), j.as("i")))))
+      .withColumn("list_id", explode_outer(slice(
+        transform(col("__ranked"), s => s.getField("i")), 1, nprobe)))
+      .where(col("list_id").isNotNull)
+      .withColumn("list_id", coalesce(col("list_id").cast("int"), lit(-1)))
+      .withColumn("__qres", residual(col("__vn"), col("list_id"), coarseL, dim))
+    val lut = array((0 until m).map(s =>
+      subDists(col("__qres"), cb, s, dsub)): _*)
+    val q = probed.select(col("vec_id").as("query_id"), col("list_id"),
+      lut.as("lut"))
+    val adc = (0 until m).map(s =>
+      element_at(element_at(col("lut"), s + 1),
+        unpackExpr(col("pq_packed"), s, bits) + 1)).reduce(_ + _)
+    codes.select(col("vec_id").as("cand_id"), col("list_id"),
+        col("pq_packed"))
+      .join(broadcast(q), Seq("list_id"))
+      .where(col("cand_id") =!= col("query_id"))
+      .groupBy(col("query_id"))
+      .agg(min(adc).as("min_adc_dist"))
   }
 
   /** Per-vector PQ reconstruction error on the unit sphere —

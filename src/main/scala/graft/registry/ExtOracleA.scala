@@ -344,6 +344,23 @@ object ExtOracleA {
              TRUE AS recall_ge_060
            FROM embeddings WHERE vec_id < 10""",
 
+      // IVF-PQ recall witness — same contract shape.
+      "knn_ivfpq" ->
+        """SELECT count(*) AS n_queries, CAST(5 AS BIGINT) AS k,
+             TRUE AS recall_ge_060
+           FROM embeddings WHERE vec_id < 10""",
+
+      // Persisted-index equality contract: exact query count; the
+      // boolean is the indexed-path == fresh-path identity.
+      "knn_pq_indexed" ->
+        """SELECT count(*) AS n_queries, TRUE AS paths_identical
+           FROM embeddings WHERE vec_id < 10""",
+
+      // ADC contamination screen: re-sent vectors all flag.
+      "semantic_contamination_pq" ->
+        """SELECT count(*) AS n_queries, TRUE AS all_contaminated
+           FROM embeddings WHERE vec_id < 10""",
+
       // PQ reconstruction-error contract: exact per-label counts, the
       // unit-sphere error ceiling earned by the engine-seeded fit.
       "pq_quant_error" ->

@@ -57,6 +57,68 @@ class ProductQuantSpec extends SparkSpec {
     info(f"recall=$recall%.2f at m=16 ksub=16 refine=50")
   }
 
+  test("packed codes round-trip the array codes bit-exactly") {
+    val cb = ProductQuant.pqFit(emb)
+    val arr = ProductQuant.encode(emb, cb)
+      .select(col("vec_id"), col("pq_code")).as[(Long, Seq[Int])].collect().toMap
+    val packed = ProductQuant.encodePacked(emb, cb)
+      .select(col("vec_id"), col("pq_packed")).as[(Long, Long)].collect()
+    assert(packed.nonEmpty)
+    packed.foreach { case (id, p) =>
+      val codes = arr(id)
+      codes.indices.foreach { s =>
+        assert(((p >> (s * 4)) & 15L).toInt === codes(s),
+          s"vec $id subspace $s: packed ${(p >> (s * 4)) & 15L} != ${codes(s)}")
+      }
+    }
+  }
+
+  test("IVF-PQ: recall floor at the witness params; candidates stay in probed lists") {
+    val queries = emb.where(col("vec_id") < 10)
+    val coarse = ProductQuant.coarseFit(emb, nlist = 8)
+    assert(coarse.length === 8 && coarse.head.length === 64)
+    val cb = ProductQuant.pqFitIvf(emb, coarse)
+    val got = ProductQuant.knnIvfPq(emb, queries, k = 5, coarse, cb,
+        nprobe = 4, refine = 200)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val bf = Similarity.knnBruteForce(emb, queries, k = 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = (got & bf).size.toDouble / bf.size
+    // measured 0.80/0.86/0.70 at sf0.001/0.01/0.1 with these params
+    assert(recall >= 0.6, s"IVF-PQ recall $recall < 0.6 at 4/8 probes")
+    info(f"recall=$recall%.2f at nlist=8 nprobe=4 refine=200 m=16 ksub=16")
+
+    // Probe honesty: with k = corpus, every returned candidate must lie
+    // in one of the query's 4 probed cells (computed independently here
+    // from the same coarse centroids).
+    val n = emb.count().toInt
+    val all = ProductQuant.knnIvfPq(emb, queries, k = n, coarse, cb,
+        nprobe = 4, refine = n)
+      .select("query_id", "cand_id").as[(Long, Long)].collect()
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    def cellOf(id: Long): Int = {
+      val raw = vecs(id).map(_.toDouble).toArray
+      val nrm = math.sqrt(raw.map(x => x * x).sum)
+      val v = if (nrm == 0.0) raw else raw.map(_ / nrm)
+      (0 until 8).minBy(c => v.indices.map(j => {
+        val d = v(j) - coarse(c)(j); d * d
+      }).sum)
+    }
+    val probedCells = queries.select("vec_id").as[Long].collect().map { qid =>
+      val raw = vecs(qid).map(_.toDouble).toArray
+      val nrm = math.sqrt(raw.map(x => x * x).sum)
+      val v = if (nrm == 0.0) raw else raw.map(_ / nrm)
+      qid -> (0 until 8).sortBy(c => v.indices.map(j => {
+        val d = v(j) - coarse(c)(j); d * d
+      }).sum).take(4).toSet
+    }.toMap
+    all.foreach { case (qid, cid) =>
+      assert(probedCells(qid).contains(cellOf(cid)),
+        s"candidate $cid of query $qid outside its probed cells")
+    }
+  }
+
   test("reconstruction error: bounded by the sphere, improves with ksub") {
     val cb16 = ProductQuant.pqFit(emb, ksub = 16)
     val cb4 = ProductQuant.pqFit(emb, ksub = 4)
