@@ -181,6 +181,18 @@ object ScaleProbe {
       graft.ext.ProductQuant.knnPq(emb,
         emb.where(org.apache.spark.sql.functions.col("vec_id") < 10),
         k = 5, cb)
+    }),
+    // IVF-PQ at the witness params: both fits in build time, then the
+    // probed-cell ADC join + re-rank. Expected SUB-linear in the
+    // corpus vs knn_pq_operator's full ADC scan: each query touches
+    // nprobe/nlist of the codes.
+    "knn_ivfpq_operator" -> ((s, dir) => {
+      val emb = graft.sources.Tables.table(s, dir, "embeddings")
+      val coarse = graft.ext.ProductQuant.coarseFit(emb, nlist = 8)
+      val cb = graft.ext.ProductQuant.pqFitIvf(emb, coarse)
+      graft.ext.ProductQuant.knnIvfPq(emb,
+        emb.where(org.apache.spark.sql.functions.col("vec_id") < 10),
+        k = 5, coarse, cb, nprobe = 4, refine = 200)
     }))
 
   private def materialize(df: DataFrame): Long =

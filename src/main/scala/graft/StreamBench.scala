@@ -198,9 +198,74 @@ object StreamBench {
       (stats, extra)
     }
 
+    // ---- semantic screen loop ------------------------------------------
+    // The embedding sibling at the same realistic-volume discipline: the
+    // IVF-PQ index is pre-seeded with the full corpus' codes, then each
+    // trigger streams a corpus-sized batch — odd triggers re-send indexed
+    // embeddings under new ids (the all-contaminated screen path), even
+    // triggers send decorrelated vectors (half-rotated dims with
+    // alternating signs — expected cosine ≈ 0 to everything indexed, so
+    // mostly the survivor-ingest path; plain negation would NOT work:
+    // cos(u,−v) = −cos(u,v) flags every anti-correlated pair) — so both
+    // legs carry real volume while the codes table grows on even
+    // triggers.
+    val (screenStats, screenExtra) = {
+      val sf = sys.env.getOrElse("SPARK_GRAFT_STREAM_DOCS_DIR",
+        "/root/testdata/sf0.1")
+      val screenTriggers =
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_VEC_TRIGGERS", "6").toInt
+      val base = graft.sources.Tables.table(spark, sf, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val vecsPerTrigger = math.min(
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_VECS", base.length.toString)
+          .toInt, base.length)
+      val maxId = base.map(_._1).max + 1L
+      val indexRoot = tmp("sb-sc-index")
+      val reportRoot = tmp("sb-sc-report")
+      graft.ext.PqIndex.create(
+        graft.sources.Tables.table(spark, sf, "embeddings"), indexRoot)
+      val input = MemoryStream[(Long, Array[Float])]
+      val stream = input.toDF().toDF("vec_id", "embedding")
+      val q = graft.streaming.StreamingSemanticDecontamination.screenWriter(
+        stream, indexRoot, reportRoot, nprobe = 4, tau2 = 1.0,
+        checkpoint = tmp("sb-sc-ckpt"),
+        trigger = org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("0 seconds")).start()
+      val filesPerTrigger = Seq.newBuilder[Int]
+      val stats = (1 to screenTriggers).map { i =>
+        filesPerTrigger += graft.ext.PqIndex
+          .codes(spark, indexRoot).inputFiles.length
+        // per-trigger rotation offset: without it, even trigger 4 would
+        // replay trigger 2's exact transform — duplicates of already-
+        // ingested survivors, collapsing the fresh leg into the dup leg
+        val batch = base.take(vecsPerTrigger).map { case (id, e) =>
+          val d = e.length
+          val v = if (i % 2 == 1) e
+            else Array.tabulate(d)(j =>
+              (if (j % 2 == 0) 1f else -1f) * e((j + d / 2 + i) % d))
+          (id + i * maxId, v)
+        }
+        input.addData(batch.toSeq)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        TriggerStat(batch.length.toLong, (System.nanoTime() - t0) / 1e6)
+      }
+      q.stop()
+      val files = filesPerTrigger.result()
+      val indexRows = graft.ext.PqIndex.codes(spark, indexRoot).count()
+      val flagged = graft.sources.VersionedTable.read(spark, reportRoot)
+        .where(col("contaminated")).count()
+      val extra = s""","vecs_per_trigger":$vecsPerTrigger,"index_rows_final":$indexRows,"flagged_total":$flagged,"index_files_first":${files.headOption.getOrElse(-1)},"index_files_last":${files.lastOption.getOrElse(-1)}"""
+      (stats, extra)
+    }
+
     val json = s"""{${report("sessionize", sessStats)},${report(
         "hourly_kpis", kpiStats)},${report("decontamination", decontStats,
-        decontExtra)},"triggers":$triggers,"rows_per_trigger":$rowsPerTrigger}"""
+        decontExtra)},${report("semantic_screen", screenStats,
+        screenExtra)},"triggers":$triggers,"rows_per_trigger":$rowsPerTrigger}"""
     val w = new java.io.PrintWriter("BENCH_STREAMING.json", "UTF-8")
     try w.println(json) finally w.close()
     println(json)

@@ -80,8 +80,23 @@ object PqIndex {
           .select(col("vec_id"), col("list_id"), col("pq_packed")), root)
   }
 
-  /** The stored (coarse, codebooks) model. */
+  private val modelCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Double]], Array[Array[Array[Double]]])]()
+
+  /** The stored (coarse, codebooks) model. Cached per JVM by root: the
+    * model is FROZEN at create (the whole point — see object doc), so
+    * the cache can never serve a stale fit; it saves the per-call
+    * collect for loops that screen/ingest every trigger. */
   def readModel(spark: SparkSession,
+                root: String): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val cached = modelCache.get(root)
+    if (cached != null) return cached
+    val loaded = loadModel(spark, root)
+    modelCache.putIfAbsent(root, loaded)
+    loaded
+  }
+
+  private def loadModel(spark: SparkSession,
                 root: String): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val rows = spark.read.parquet(modelPath(root).toString)
       .select(col("kind"), col("sub"), col("code"), col("dims"))

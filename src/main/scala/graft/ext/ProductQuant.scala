@@ -3,7 +3,8 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions.dotNative
+import graft.functions.PqFunctions.{pqCodeNative, pqLutNative}
+import graft.functions.VectorFunctions.{adcNative, dotNative}
 
 /** Product quantization for embedding search at corpus scale (Jégou,
   * Douze, Schmid, "Product Quantization for Nearest Neighbor Search",
@@ -256,11 +257,6 @@ object ProductQuant {
     }.reduce(_ bitwiseOR _)
   }
 
-  /** Sub-code `s` back out of a packed code. */
-  private def unpackExpr(packed: Column, s: Int, bits: Int): Column =
-    shiftright(packed, s * bits).bitwiseAND(lit((1L << bits) - 1))
-      .cast("int")
-
   /** Append `pq_code` (array<int>, length m — the inspectable
     * representation) to `vecs`. Encodes the L2-NORMALIZED vector so
     * ADC distance ranks by cosine. Pure projection, no shuffle. */
@@ -276,14 +272,10 @@ object ProductQuant {
   /** Append `pq_packed` (ONE long) — the storage/scan representation
     * the scoring paths use. Same codes as [[encode]], bit-packed. */
   def encodePacked(vecs: DataFrame, codebooks: Array[Array[Array[Double]]],
-                   vecCol: String = "embedding"): DataFrame = {
-    val cb = cbLit(codebooks)
-    val bits = codeBits(codebooks(0).length)
+                   vecCol: String = "embedding"): DataFrame =
     withNormalized(vecs, vecCol, "__vn")
-      .withColumn("pq_packed", packExpr(codeExprs(col("__vn"), cb,
-        codebooks.length, codebooks(0)(0).length), bits))
+      .withColumn("pq_packed", pqCodeNative(col("__vn"), codebooks))
       .drop("__vn")
-  }
 
   /** ADC ANN with exact re-rank: top-`k` cosine neighbors per query,
     * found by scanning PQ CODES (m lookups/pair) for the `refine`-sized
@@ -309,25 +301,20 @@ object ProductQuant {
             codebooks: Array[Array[Array[Double]]],
             refine: Int = 0): DataFrame = {
     val m = codebooks.length
-    val dsub = codebooks(0)(0).length
     val ksub = codebooks(0).length
-    val bits = codeBits(ksub)
-    val cb = cbLit(codebooks)
     val r = if (refine > 0) refine else 10 * k
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val codesOnly = encodePacked(corpus.repartition(par), codebooks)
       .select(col("vec_id").as("cand_id"), col("pq_packed"))
     // Per-query LUT: lut[s][j] = ‖q̂_s − c_{s,j}‖², exact on the query
     // side ("asymmetric" — only candidates are quantized).
-    val lut = array((0 until m).map(s =>
-      subDists(col("__vn"), cb, s, dsub)): _*)
+    val lut = pqLutNative(col("__vn"), codebooks)
     val q = withNormalized(queries, "embedding", "__vn")
       .select(col("vec_id").as("query_id"), lut.as("lut"))
-    // ADC score: m (unpack, lookup) pairs per (candidate, query) row —
-    // the candidate side is one packed long, 8 bytes flat.
-    val adc = (0 until m).map(s =>
-      element_at(element_at(col("lut"), s + 1),
-        unpackExpr(col("pq_packed"), s, bits) + 1)).reduce(_ + _)
+    // ADC score: ONE codegen'd loop of shifts/masks/array reads per
+    // (candidate, query) row (functions/AdcDistExpr) — the composable
+    // element_at form ran interpreted and dominated pair scoring.
+    val adc = adcNative(col("lut"), col("pq_packed"), m, ksub)
     val wAdc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("cand_id").asc)
@@ -394,13 +381,6 @@ object ProductQuant {
       rerank = corpus)
   }
 
-  /** Cell distances of a normalized vector to every coarse centroid, as
-    * one array column (tree O(1): a transform over the single coarse
-    * literal). */
-  private def cellDists(vn: Column, coarseL: Column, dim: Int): Column =
-    transform(coarseL, c => aggregate(sequence(lit(1), lit(dim)), lit(0.0),
-      (acc, i) => { val d = element_at(vn, i) - element_at(c, i); acc + d * d }))
-
   /** Residual of a normalized vector vs an assigned cell id (both
     * materialized columns). */
   private def residual(vn: Column, cellId: Column, coarseL: Column,
@@ -415,29 +395,23 @@ object ProductQuant {
   def encodeIvfPacked(vecs: DataFrame, coarse: Array[Array[Double]],
                       codebooks: Array[Array[Array[Double]]],
                       vecCol: String = "embedding"): DataFrame = {
-    val m = codebooks.length
-    val dsub = codebooks(0)(0).length
     val dim = coarse(0).length
-    val cb = cbLit(codebooks)
     val coarseL = typedLit(coarse.map(_.toSeq).toSeq)
-    val bits = codeBits(codebooks(0).length)
     withNormalized(vecs, vecCol, "__vn")
-      .withColumn("__cd", cellDists(col("__vn"), coarseL, dim))
+      // the coarse assignment IS a 1-subspace PQ code: argmin over
+      // nlist full-dim centroids, compiled to one loop
       // coalesce makes list_id NON-NULLABLE: the scoring join would
       // otherwise infer isnotnull(list_id) and push it below the
-      // exchange with the whole normalize->cellDists->argmin chain
-      // SUBSTITUTED inline (alias substitution in predicate pushdown),
-      // re-evaluating it per row per element — measured 40 s instead
-      // of 2 s on the sf0.1 corpus. A non-nullable key yields no
-      // inferred filter at all. (-1 is unreachable: __cd is never
-      // empty.)
+      // exchange with the whole assignment chain SUBSTITUTED inline
+      // (alias substitution in predicate pushdown), re-evaluating it
+      // per row per element — measured 40 s instead of 2 s on the
+      // sf0.1 corpus. A non-nullable key yields no inferred filter at
+      // all. (-1 is unreachable given non-null embeddings.)
       .withColumn("list_id", coalesce(
-        (array_position(col("__cd"), array_min(col("__cd"))) - 1).cast("int"),
-        lit(-1)))
+        pqCodeNative(col("__vn"), Array(coarse)).cast("int"), lit(-1)))
       .withColumn("__res", residual(col("__vn"), col("list_id"), coarseL, dim))
-      .withColumn("pq_packed",
-        packExpr(codeExprs(col("__res"), cb, m, dsub), bits))
-      .drop("__vn", "__cd", "__res")
+      .withColumn("pq_packed", pqCodeNative(col("__res"), codebooks))
+      .drop("__vn", "__res")
   }
 
   /** ADC search against an already-encoded codes frame ((vec_id,
@@ -451,21 +425,18 @@ object ProductQuant {
                    nprobe: Int, refine: Int,
                    rerank: DataFrame): DataFrame = {
     val m = codebooks.length
-    val dsub = codebooks(0)(0).length
     val dim = coarse(0).length
     val nlist = coarse.length
     require(nprobe >= 1 && nprobe <= nlist, s"nprobe $nprobe outside [1, $nlist]")
     val r = if (refine > 0) refine else 10 * k
-    val cb = cbLit(codebooks)
     val coarseL = typedLit(coarse.map(_.toSeq).toSeq)
-    val bits = codeBits(codebooks(0).length)
     val codesOnly = codes.select(col("vec_id").as("cand_id"),
       col("list_id"), col("pq_packed"))
 
     // Queries: nprobe nearest cells each; one LUT per (query, cell) on
     // the query's residual AGAINST THAT CELL.
     val probed = withNormalized(queries, "embedding", "__vn")
-      .withColumn("__cd", cellDists(col("__vn"), coarseL, dim))
+      .withColumn("__cd", pqLutNative(col("__vn"), Array(coarse)))
       .withColumn("__ranked", array_sort(transform(
         sequence(lit(0), lit(nlist - 1)),
         j => struct(element_at(col("__cd"), j + 1).as("d"), j.as("i")))))
@@ -474,14 +445,11 @@ object ProductQuant {
       .where(col("list_id").isNotNull)
       .withColumn("list_id", coalesce(col("list_id").cast("int"), lit(-1)))
       .withColumn("__qres", residual(col("__vn"), col("list_id"), coarseL, dim))
-    val lut = array((0 until m).map(s =>
-      subDists(col("__qres"), cb, s, dsub)): _*)
     val q = probed.select(col("vec_id").as("query_id"), col("list_id"),
-      lut.as("lut"))
+      pqLutNative(col("__qres"), codebooks).as("lut"))
 
-    val adc = (0 until m).map(s =>
-      element_at(element_at(col("lut"), s + 1),
-        unpackExpr(col("pq_packed"), s, bits) + 1)).reduce(_ + _)
+    val adc = adcNative(col("lut"), col("pq_packed"), m,
+      codebooks(0).length)
     val wAdc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("cand_id").asc)
@@ -525,15 +493,12 @@ object ProductQuant {
                      codebooks: Array[Array[Array[Double]]],
                      nprobe: Int): DataFrame = {
     val m = codebooks.length
-    val dsub = codebooks(0)(0).length
     val dim = coarse(0).length
     val nlist = coarse.length
     require(nprobe >= 1 && nprobe <= nlist, s"nprobe $nprobe outside [1, $nlist]")
-    val cb = cbLit(codebooks)
     val coarseL = typedLit(coarse.map(_.toSeq).toSeq)
-    val bits = codeBits(codebooks(0).length)
     val probed = withNormalized(queries, "embedding", "__vn")
-      .withColumn("__cd", cellDists(col("__vn"), coarseL, dim))
+      .withColumn("__cd", pqLutNative(col("__vn"), Array(coarse)))
       .withColumn("__ranked", array_sort(transform(
         sequence(lit(0), lit(nlist - 1)),
         j => struct(element_at(col("__cd"), j + 1).as("d"), j.as("i")))))
@@ -542,13 +507,10 @@ object ProductQuant {
       .where(col("list_id").isNotNull)
       .withColumn("list_id", coalesce(col("list_id").cast("int"), lit(-1)))
       .withColumn("__qres", residual(col("__vn"), col("list_id"), coarseL, dim))
-    val lut = array((0 until m).map(s =>
-      subDists(col("__qres"), cb, s, dsub)): _*)
     val q = probed.select(col("vec_id").as("query_id"), col("list_id"),
-      lut.as("lut"))
-    val adc = (0 until m).map(s =>
-      element_at(element_at(col("lut"), s + 1),
-        unpackExpr(col("pq_packed"), s, bits) + 1)).reduce(_ + _)
+      pqLutNative(col("__qres"), codebooks).as("lut"))
+    val adc = adcNative(col("lut"), col("pq_packed"), m,
+      codebooks(0).length)
     codes.select(col("vec_id").as("cand_id"), col("list_id"),
         col("pq_packed"))
       .join(broadcast(q), Seq("list_id"))
@@ -566,12 +528,12 @@ object ProductQuant {
                           codebooks: Array[Array[Array[Double]]],
                           vecCol: String = "embedding"): DataFrame = {
     val m = codebooks.length
-    val dsub = codebooks(0)(0).length
-    val cb = cbLit(codebooks)
+    val ksub = codebooks(0).length
     val perSub = (0 until m).map(s =>
-      array_min(subDists(col("__vn"), cb, s, dsub)))
+      array_min(slice(col("__lut"), s * ksub + 1, ksub)))
     withNormalized(vecs, vecCol, "__vn")
+      .withColumn("__lut", pqLutNative(col("__vn"), codebooks))
       .withColumn("pq_err2", greatest(perSub.reduce(_ + _), lit(0.0)))
-      .drop("__vn")
+      .drop("__vn", "__lut")
   }
 }

@@ -81,6 +81,87 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native PQ asymmetric-distance computation: Σ_s lut[s·ksub + code_s]
+  * where code_s = (packed >>> s·bits) & (2^bits − 1) — the inner loop of
+  * every ADC scan ([[graft.ext.ProductQuant]]), executed per
+  * (candidate × query) pair.
+  *
+  * Why a custom Expression (same §7.4 path (b) rationale as
+  * [[DotProductExpr]]): the composable form — m nested
+  * `element_at(element_at(lut,·), unpack(·))` subtrees — evaluates
+  * INTERPRETED (8-ish tree-node dispatches and two boxings per lookup);
+  * at ~5M pairs × m=16 per streaming trigger that interpreter overhead
+  * IS the trigger time. This compiles to one tight loop of shifts,
+  * masks, and array reads inside WholeStageCodegen. Accumulation is
+  * left-to-right over s — the same order as the fold it replaces, so
+  * results are bit-identical.
+  *
+  * Null semantics: null lut or packed → null; a null lut ELEMENT → null
+  * (matching `element_at`'s propagation in the fold form). An
+  * out-of-range code (lut shorter than m·ksub) throws — that is a
+  * caller bug (mismatched m/ksub vs the packing), not data. */
+case class AdcDistExpr(lut: Expression, packed: Expression,
+                       m: Int, ksub: Int)
+  extends BinaryExpression {
+
+  private val bits: Int =
+    math.max(1, 32 - Integer.numberOfLeadingZeros(ksub - 1))
+  private val mask: Long = (1L << bits) - 1
+
+  override def left: Expression = lut
+  override def right: Expression = packed
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (lut.dataType, packed.dataType) match {
+      case (ArrayType(DoubleType, _), org.apache.spark.sql.types.LongType) =>
+        if (m >= 1 && ksub >= 2 && m * bits <= 64)
+          TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"graft_adc m=$m ksub=$ksub do not fit one packed long")
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_adc expects (array<double>, bigint), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_adc"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val l = a.asInstanceOf[ArrayData]
+    val p = b.asInstanceOf[java.lang.Long].longValue()
+    var s = 0.0
+    var i = 0
+    while (i < m) {
+      val idx = i * ksub + ((p >>> (i * bits)) & mask).toInt
+      if (l.isNullAt(idx)) return null
+      s += l.getDouble(idx)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, p) => {
+      val sum = ctx.freshName("adcSum")
+      val i = ctx.freshName("adcI")
+      val idx = ctx.freshName("adcIdx")
+      s"""
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $m; $i++) {
+         |  int $idx = $i * $ksub + (int) (($p >>> ($i * $bits)) & ${mask}L);
+         |  if ($l.isNullAt($idx)) { ${ev.isNull} = true; break; }
+         |  $sum += $l.getDouble($idx);
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcDistExpr =
+    copy(lut = newLeft, packed = newRight)
+}
+
 /** Column-level entry points for the native vector expressions. */
 object VectorFunctions {
 
@@ -88,4 +169,10 @@ object VectorFunctions {
     * are bit-identical to the higher-order fold `Similarity.dotN`. */
   def dotNative(a: Column, b: Column): Column =
     Bridge.column(DotProductExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Compiled PQ ADC distance (see [[AdcDistExpr]]): `lutFlat` is the
+    * row-major m×ksub table, `packed` the bit-packed code word. */
+  def adcNative(lutFlat: Column, packed: Column, m: Int, ksub: Int): Column =
+    Bridge.column(AdcDistExpr(Bridge.expression(lutFlat),
+      Bridge.expression(packed), m, ksub))
 }
