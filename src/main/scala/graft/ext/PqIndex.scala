@@ -66,11 +66,22 @@ object PqIndex {
     val cb = ProductQuant.pqFitIvf(corpus, coarse, m, ksub, dim, seed)
     if (!fs.exists(mp)) {
       import spark.implicits._
+      // calibration stat alongside the model: the p99 reconstruction
+      // error of the corpus under THIS model — the additive margin
+      // [[tau2For]] derives screen thresholds from (an indexed
+      // vector's ADC distance to its own code is exactly its
+      // reconstruction error, so a dup-screen threshold must clear
+      // it). One approx-percentile pass at build time, never again.
+      val errP99 = ProductQuant
+        .ivfReconstructionError(corpus, coarse, cb)
+        .agg(expr("percentile_approx(pq_err2, 0.99, 10000)"))
+        .head.getDouble(0)
       val rows =
         coarse.zipWithIndex.map { case (c, j) =>
           ("coarse", 0, j, c.toSeq) } ++
         cb.zipWithIndex.flatMap { case (sub, s) =>
-          sub.zipWithIndex.map { case (c, j) => ("cb", s, j, c.toSeq) } }
+          sub.zipWithIndex.map { case (c, j) => ("cb", s, j, c.toSeq) } } ++
+        Seq(("stats", 0, 0, Seq(errP99)))
       rows.toSeq.toDF("kind", "sub", "code", "dims")
         .coalesce(1).write.mode("errorifexists").parquet(mp.toString)
     }
@@ -111,6 +122,29 @@ object PqIndex {
     require(coarse.nonEmpty && cb.forall(_.nonEmpty),
       s"PqIndex model at $root is empty or torn")
     (coarse, cb)
+  }
+
+  /** Calibrated screen threshold for [[semanticContamination]]:
+    * tau² = (2 − 2·cosThreshold) + err2_p99. On the unit sphere an
+    * exact near-dup at cosine ≥ t sits within squared distance
+    * 2 − 2t of its indexed twin, and ADC measures that distance
+    * against the twin's CODE, off by at most the twin's reconstruction
+    * error — adding the build-time p99 of that error makes the screen
+    * recall-oriented by construction: ≥99 % of exact re-sends flag at
+    * ANY t, with the 2 − 2t term as near-dup slack. Replaces hand-
+    * tuned magic thresholds; requires an index created with the stats
+    * row (this round's [[create]]). */
+  def tau2For(spark: SparkSession, root: String,
+              cosThreshold: Double): Double = {
+    require(cosThreshold >= -1.0 && cosThreshold <= 1.0,
+      s"cosThreshold $cosThreshold outside [-1, 1]")
+    val stats = spark.read.parquet(modelPath(root).toString)
+      .where(col("kind") === "stats")
+      .select(col("dims")).collect()
+    require(stats.nonEmpty, s"PqIndex at $root has no stats row — " +
+      "rebuilt indexes record err2_p99 at create; pass an explicit " +
+      "tau2 for legacy indexes")
+    (2.0 - 2.0 * cosThreshold) + stats.head.getSeq[Double](0).head
   }
 
   /** Codes frame (vec_id, list_id, pq_packed) — latest version, or a

@@ -519,6 +519,30 @@ object ProductQuant {
       .agg(min(adc).as("min_adc_dist"))
   }
 
+  /** IVF-PQ reconstruction error: ‖v̂ − (c_cell + decode(code(r)))‖² =
+    * Σ_s min_j ‖r_s − c_{s,j}‖² over the RESIDUAL codebooks — the
+    * error the ADC screen actually incurs per indexed vector (a
+    * re-sent duplicate's ADC distance to its own code IS this value).
+    * Appends `pq_err2`. */
+  def ivfReconstructionError(vecs: DataFrame,
+                             coarse: Array[Array[Double]],
+                             codebooks: Array[Array[Array[Double]]],
+                             vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val dim = coarse(0).length
+    val coarseL = typedLit(coarse.map(_.toSeq).toSeq)
+    val perSub = (0 until m).map(s =>
+      array_min(slice(col("__lut"), s * ksub + 1, ksub)))
+    withNormalized(vecs, vecCol, "__vn")
+      .withColumn("__cell", coalesce(
+        pqCodeNative(col("__vn"), Array(coarse)).cast("int"), lit(-1)))
+      .withColumn("__res", residual(col("__vn"), col("__cell"), coarseL, dim))
+      .withColumn("__lut", pqLutNative(col("__res"), codebooks))
+      .withColumn("pq_err2", greatest(perSub.reduce(_ + _), lit(0.0)))
+      .drop("__vn", "__cell", "__res", "__lut")
+  }
+
   /** Per-vector PQ reconstruction error on the unit sphere —
     * ‖v̂ − decode(code(v̂))‖² = Σ_s min_j ‖v̂_s − c_{s,j}‖², the quality
     * stat a pipeline thresholds before committing to m/ksub (the PQ

@@ -440,4 +440,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("GreaterThanOrEqual(o_orderdate"),
       s"Q22's recency predicate should push to the orders scan:\n${p.take(1500)}")
   }
+
+  test("PQ ADC scoring: native kernels in plan, no vectors in the scoring join") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 10)
+    val cb = graft.ext.ProductQuant.pqFit(emb)
+    val p = plan(graft.ext.ProductQuant.knnPq(emb, queries, k = 5, cb))
+    // the compiled kernels, not their interpreted HOF twins, do the work
+    assert(p.contains("graft_pq_code"), s"encode not native:\n${p.take(2000)}")
+    assert(p.contains("graft_pq_lut"), s"LUT not native:\n${p.take(2000)}")
+    assert(p.contains("graft_adc"), s"ADC not native:\n${p.take(2000)}")
+    // the ADC shortlist window must see scalar rows only: no embedding
+    // (vector) column may ride its exchange
+    val windowSection = p.split("\\n").dropWhile(l => !l.contains("Window"))
+      .take(12).mkString("\n")
+    assert(!windowSection.contains("embedding"),
+      s"vectors ride the shortlist exchange:\n$windowSection")
+  }
+
+  test("IVF-PQ: no inferred isnotnull filter re-derives the cell assignment") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 10)
+    val coarse = graft.ext.ProductQuant.coarseFit(emb, nlist = 8)
+    val cb = graft.ext.ProductQuant.pqFitIvf(emb, coarse)
+    val p = plan(graft.ext.ProductQuant.knnIvfPq(emb, queries, k = 5,
+      coarse, cb, nprobe = 4, refine = 200))
+    // the round-11 pushdown trap: a nullable join key gets an inferred
+    // isnotnull(list_id) pushed below the exchange with the WHOLE
+    // assignment chain substituted in — visible as graft_pq_code inside
+    // a Filter/PushedFilters on the corpus scan side. The coalesced
+    // non-nullable key must leave scans filter-free of the kernel.
+    val scanFilters = p.split("\\n").filter(l =>
+      l.contains("PushedFilters") || l.trim.startsWith("Condition"))
+    assert(!scanFilters.exists(_.contains("graft_pq_code")),
+      s"cell assignment leaked into a pushed filter:\n${scanFilters.mkString("\n")}")
+    assert(!p.contains("NestedLoop"), "IVF-PQ join degraded to nested loop")
+  }
 }
