@@ -327,4 +327,50 @@ object TextAnalysis {
         sum(col("bpe")).as("bpe_tokens"),
         sum(col("est4")).as("char_est_tokens"))
       .orderBy(col("lang"))
+
+  /** Feature hashing (Weinberger et al., "Feature Hashing for Large
+    * Scale Multitask Learning", ICML'09 — the HashingVectorizer /
+    * Vowpal Wabbit trick): each token lands in bucket `h % dim` with
+    * sign `(h div dim) even ? +1 : −1`, h = the md5-hex32 portable
+    * hash ([[Sampling.hashBucket]]'s family, reproducible in any
+    * engine). No vocabulary, no fit, no driver state — the property
+    * that makes it THE text→vector bridge at 100 TB: a pure
+    * per-token computation followed by one combiner-friendly
+    * aggregation, embarrassingly parallel and identical on every
+    * executor forever (signed hashing keeps collision noise
+    * zero-mean).
+    *
+    * Returns the SPARSE form (doc_id, bucket, weight) — what survives
+    * the single (doc_id, bucket) shuffle; densify with
+    * [[hashingVectorizer]]. The explode is `explode_outer` +
+    * `isNotNull` (the InferFiltersFromGenerate re-evaluation trap —
+    * see the verify notes). */
+  def hashedFeatures(docs: DataFrame, dim: Int = 64): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("t"))
+      .where(col("t").isNotNull)
+      .withColumn("hv",
+        conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long"))
+    tok
+      .withColumn("bucket", (col("hv") % dim).cast("int"))
+      .withColumn("s",
+        when(expr(s"hv div $dim") % 2 === 0, 1.0).otherwise(-1.0))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("s")).as("weight"))
+  }
+
+  /** Dense `dim`-float embedding per doc from [[hashedFeatures]] —
+    * schema-compatible with the `embeddings` table, so every ANN /
+    * PQ / semantic-dedup operator composes directly on text. Docs
+    * with no tokens embed as the zero vector (the norm-0 guard
+    * downstream handles them). */
+  def hashingVectorizer(docs: DataFrame, dim: Int = 64): DataFrame =
+    hashedFeatures(docs, dim)
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket"), col("weight")))).as("__m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("__m"), i), lit(0.0)).cast("float"))
+          .as("embedding"))
 }

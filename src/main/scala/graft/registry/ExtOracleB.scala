@@ -23,6 +23,35 @@ object ExtOracleB {
            GROUP BY 1 ORDER BY 1"""
       },
 
+      "hashed_features" -> {
+        // portable md5-hex32: first 8 hex chars of md5(token) as a
+        // 32-bit integer (the Sampling.hashBucket family)
+        val hex32 = foldSum(
+          "list_transform(generate_series(1, 8), i -> " +
+            "CAST(CASE WHEN ascii(substr(mh, i, 1)) <= 57 " +
+            "THEN ascii(substr(mh, i, 1)) - 48 " +
+            "ELSE ascii(substr(mh, i, 1)) - 87 END AS BIGINT) " +
+            "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+          "CAST(0 AS BIGINT)")
+        s"""WITH tok AS (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tkn
+             FROM documents WHERE doc_id < 20),
+           m AS (SELECT doc_id, md5(tkn) AS mh FROM tok),
+           h AS (SELECT doc_id, $hex32 AS hv FROM m),
+           b AS (SELECT doc_id, hv % 64 AS bucket,
+               CASE WHEN (hv // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+             FROM h)
+           SELECT doc_id, bucket, sum(s) AS weight FROM b
+           GROUP BY 1, 2 ORDER BY 1, 2"""
+      },
+
+      // text->hash-vector->PQ composition: engine-seeded end to end, so
+      // the witness is the count + in-plan recall contract.
+      "text_knn_hashed" ->
+        """SELECT count(*) AS n_queries, CAST(5 AS BIGINT) AS k,
+             TRUE AS recall_ge_060
+           FROM documents WHERE doc_id < 10""",
+
       "embedding_quant_error" ->
         """WITH s AS (SELECT vec_id, label, embedding,
              list_max(list_transform(embedding,

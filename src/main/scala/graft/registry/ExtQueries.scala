@@ -290,6 +290,43 @@ object ExtQueries {
         .orderBy(col("label"))
     }),
 
+    // Feature hashing (Weinberger ICML'09 — the no-vocabulary text →
+    // vector bridge): token md5-hex32 → signed bucket, one
+    // combiner-friendly (doc, bucket) aggregation. Sparse rows for the
+    // first 20 docs, exact vs DuckDB (portable md5 hash family).
+    "hashed_features" -> ((s, dir) =>
+      TextAnalysis.hashedFeatures(
+          t(s, dir, "documents").where(col("doc_id") < 20))
+        .select(col("doc_id"), col("bucket").cast("long").as("bucket"),
+          col("weight"))
+        .orderBy(col("doc_id"), col("bucket"))),
+
+    // The bridge composed end-to-end: documents → hashingVectorizer →
+    // PQ ANN, all one lazy plan — text semantic search with no
+    // embedding model in the loop. Contract witness (hashed vectors
+    // and PQ fits are engine-seeded): exact query count + recall@5 of
+    // the PQ path vs in-plan brute force over the SAME hashed vectors.
+    "text_knn_hashed" -> ((s, dir) => {
+      val vecs = TextAnalysis.hashingVectorizer(t(s, dir, "documents"))
+        .withColumnRenamed("doc_id", "vec_id")
+      val queries = vecs.where(col("vec_id") < 10)
+      val cb = ProductQuant.pqFit(vecs)
+      val pq = ProductQuant.knnPq(vecs, queries, k = 5, cb)
+      // force: the corpus is DERIVED (the vectorizer) and doc-count
+      // sized — the guard's eager count would execute the plan early
+      val bf = Similarity.knnBruteForce(vecs, queries, k = 5, force = true)
+      val hits = pq.select(col("query_id"), col("cand_id"))
+        .join(bf.select(col("query_id"), col("cand_id")),
+          Seq("query_id", "cand_id"))
+        .agg(count(lit(1)).as("__hits"))
+      queries.agg(count(lit(1)).as("n_queries"))
+        .crossJoin(broadcast(hits))
+        .select(col("n_queries"), lit(5L).as("k"),
+          (col("__hits").cast("double") >=
+            lit(0.6) * col("n_queries").cast("double") * 5.0)
+            .as("recall_ge_060"))
+    }),
+
     // Multimodal plumbing: binary payload + partition-local feature extract.
     "media_feature_stats" -> ((s, dir) =>
       Multimodal.mediaFeatureStats(t(s, dir, "documents"))),

@@ -80,7 +80,10 @@ class BoundedBufferSpec extends SparkSpec {
           "(<= n_tokens/k), the same per-row bound as the doc itself"),
       "DedupIndex.scala" -> (1,
         "per-doc cut-interval list (streaming twin of SpanDedup's): " +
-          "bounded by the batch doc's own size"))
+          "bounded by the batch doc's own size"),
+      "TextAnalysis.scala" -> (1,
+        "hashingVectorizer densify: grouped by doc_id over bucket in " +
+          "[0, dim) — the list can never exceed dim (=64) entries"))
     val call = "collect_(list|set)\\s*\\(".r
     val found = Files.walk(Paths.get("src/main/scala")).iterator().asScala
       .filter(p => p.toString.endsWith(".scala"))
