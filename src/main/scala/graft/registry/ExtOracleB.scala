@@ -5,7 +5,92 @@ import OracleFrag._
 /** DuckDB twins for the extension queries (second half — sampling,
   * attribution, sessionization, skew-census families). */
 object ExtOracleB {
+  /** Shared CTE prefix for the Bernoulli NB family: tokenized docs with
+    * the word-presence label and the hashBucket 80/20 split, the one
+    * token aggregation fit (add-1 smoothing, SAME op order as
+    * QualityClassifier — int+double division, then the logs), and the
+    * held-out per-doc weight sums. */
+  private val nbCtes: String = {
+    val hex32 = foldSum(
+      "list_transform(generate_series(1, 8), i -> " +
+        "CAST(CASE WHEN ascii(substr(mh, i, 1)) <= 57 " +
+        "THEN ascii(substr(mh, i, 1)) - 48 " +
+        "ELSE ascii(substr(mh, i, 1)) - 87 END AS BIGINT) " +
+        "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+      "CAST(0 AS BIGINT)")
+    s"""WITH d0 AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
+             md5(CAST(doc_id AS VARCHAR)) AS mh FROM documents),
+       lab AS (SELECT doc_id, w,
+           CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END AS y,
+           $hex32 % 100 AS bucket FROM d0),
+       tr AS (SELECT * FROM lab WHERE bucket < 80),
+       te AS (SELECT * FROM lab WHERE bucket >= 80),
+       cls AS (SELECT CAST(sum(y) AS BIGINT) AS n1,
+           CAST(count(*) - sum(y) AS BIGINT) AS n0 FROM tr),
+       pres AS (SELECT doc_id, y, unnest(list_distinct(w)) AS token
+           FROM tr),
+       dft AS (SELECT token, CAST(sum(y) AS BIGINT) AS df1,
+           CAST(count(*) - sum(y) AS BIGINT) AS df0
+         FROM pres GROUP BY 1),
+       wts AS (SELECT token, df1, df0, n1, n0,
+           ln((df1 + 1.0) / (n1 + 2.0))
+             - ln(1 - (df1 + 1.0) / (n1 + 2.0)) AS w1,
+           ln((df0 + 1.0) / (n0 + 2.0))
+             - ln(1 - (df0 + 1.0) / (n0 + 2.0)) AS w0,
+           ln(1 - (df1 + 1.0) / (n1 + 2.0)) AS a1,
+           ln(1 - (df0 + 1.0) / (n0 + 2.0)) AS a0
+         FROM dft, cls),
+       cst AS (SELECT
+           ln(CAST(n1 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+             + sum(a1) AS c1,
+           ln(CAST(n0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+             + sum(a0) AS c0
+         FROM wts GROUP BY n1, n0),
+       tepres AS (SELECT doc_id, unnest(list_distinct(w)) AS token
+           FROM te),
+       sums AS (SELECT p.doc_id, sum(wt.w1) AS s1, sum(wt.w0) AS s0
+         FROM tepres p JOIN wts wt USING (token) GROUP BY 1),
+       sc AS (SELECT te.doc_id, te.y,
+           (c1 + coalesce(s1, 0.0)) - (c0 + coalesce(s0, 0.0)) AS lo
+         FROM te LEFT JOIN sums USING (doc_id), cst)"""
+  }
+
   val oracle: Map[String, String] = Map(
+      "nb_token_weights" ->
+        s"""$nbCtes
+           SELECT token, df1, df0, round(w1, 6) AS w1, round(w0, 6) AS w0
+           FROM wts ORDER BY token""",
+
+      "nb_doc_logodds" ->
+        s"""$nbCtes
+           SELECT doc_id, CAST(y AS BIGINT) AS label,
+             round(lo, 6) AS logodds,
+             CAST(CASE WHEN lo > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+           FROM sc ORDER BY doc_id""",
+
+      "nb_quality_eval" ->
+        s"""$nbCtes,
+           agg AS (SELECT
+               CAST(count(*) AS BIGINT) AS n_test,
+               CAST(sum(CASE WHEN (lo > 0) = (y = 1) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_correct,
+               CAST(sum(CASE WHEN lo > 0 AND y = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN lo > 0 AND y = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN lo <= 0 AND y = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS fn,
+               CAST(greatest(sum(y), count(*) - sum(y)) AS BIGINT)
+                 AS n_majority
+             FROM sc)
+           SELECT n_test, n_correct, tp, fp, fn,
+             round(CAST(n_correct AS DOUBLE) / CAST(n_test AS DOUBLE), 6)
+               AS accuracy,
+             round(CAST(n_majority AS DOUBLE) / CAST(n_test AS DOUBLE), 6)
+               AS baseline_accuracy
+           FROM agg""",
+
       "mixture_counts" -> {
         val hex32 = foldSum(
           "list_transform(generate_series(1, 8), i -> " +

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, ProductQuant, Similarity, SpanDedup, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, ProductQuant, QualityClassifier, Sampling, Similarity, SpanDedup, TextAnalysis}
 import graft.operators.{Cleaning, Kpis, Validation}
 import graft.Pipeline
 
@@ -327,6 +327,49 @@ object ExtQueries {
             .as("recall_ge_060"))
     }),
 
+    // Model-based quality filtering (the CCNet/fastText-style gate):
+    // Bernoulli NB fit in ONE token aggregation on an 80/20
+    // deterministic split, label = word-presence of 'spark' (the one
+    // signal the shared-vocabulary synthetic corpus admits — and the
+    // one Bernoulli NB provably separates, since it scores absence
+    // too). The fitted per-token weights, exact vs DuckDB's
+    // reimplementation of the same closed form.
+    "nb_token_weights" -> ((s, dir) => {
+      val m = QualityClassifier.fitBernoulliNb(nbLabeled(s, dir)
+        .where(col("split") === "train"), "label")
+      m.tokenWeights.select(col("token"), col("df1"), col("df0"),
+          round(col("w1"), 6).as("w1"), round(col("w0"), 6).as("w0"))
+        .orderBy(col("token"))
+    }),
+
+    // The scorer on the held-out 20%: per-doc Bernoulli log-odds and
+    // prediction, exact vs DuckDB end to end (fit + score is one
+    // closed form — same divisions, same logs, same op order).
+    "nb_doc_logodds" -> ((s, dir) => {
+      val d = nbLabeled(s, dir)
+      val m = QualityClassifier.fitBernoulliNb(
+        d.where(col("split") === "train"), "label")
+      QualityClassifier.scoreBernoulliNb(
+          d.where(col("split") === "test"), m)
+        .select(col("doc_id"), col("label"),
+          round(col("logodds"), 6).as("logodds"),
+          col("pred").cast("long").as("pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The earned-learning witness: held-out confusion counts +
+    // accuracy vs the majority-class baseline, all exact integers /
+    // deterministic ratios (margins are O(1) in log-odds, so the
+    // prediction threshold is numerically safe across engines).
+    "nb_quality_eval" -> ((s, dir) => {
+      val d = nbLabeled(s, dir)
+      val m = QualityClassifier.fitBernoulliNb(
+        d.where(col("split") === "train"), "label")
+      QualityClassifier.evaluate(
+        QualityClassifier.scoreBernoulliNb(
+          d.where(col("split") === "test"), m), "label")
+    }),
+
     // Multimodal plumbing: binary payload + partition-local feature extract.
     "media_feature_stats" -> ((s, dir) =>
       Multimodal.mediaFeatureStats(t(s, dir, "documents"))),
@@ -528,4 +571,13 @@ object ExtQueries {
           keys = Seq("hour"), saltFrom = Seq("user_id"), salts = 32)
         .orderBy(col("hour")))
   )
+
+  /** Shared fixture for the NB quality-filter family: documents with
+    * the word-presence label and the deterministic 80/20 split. */
+  private def nbLabeled(s: SparkSession, dir: String): DataFrame =
+    Sampling.deterministicSplit(
+      t(s, dir, "documents").withColumn("label",
+        array_contains(TextAnalysis.tokens(col("text")), "spark")
+          .cast("long")),
+      col("doc_id"), Seq("train" -> 80, "test" -> 20))
 }
