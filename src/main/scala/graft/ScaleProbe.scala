@@ -182,6 +182,30 @@ object ScaleProbe {
         emb.where(org.apache.spark.sql.functions.col("vec_id") < 10),
         k = 5, cb)
     }),
+    // The learned quality gate end to end (fit on the 80% split +
+    // score the full corpus — the registered rows witness the same
+    // math on the held-out slice). Label is a substring test so the
+    // probe's word-salting preserves it per replica; vocabulary grows
+    // by k (disjoint salted token spaces), so this also measures the
+    // vocab-sized broadcast growing with the corpus. Expected linear:
+    // one token aggregation + broadcast-join scoring.
+    "nb_quality_operator" -> ((s, dir) => {
+      val docs = graft.sources.Tables.table(s, dir, "documents")
+        .withColumn("label", col("text").contains("spark").cast("long"))
+      val split = graft.ext.Sampling.deterministicSplit(
+        docs, col("doc_id"), Seq("train" -> 80, "test" -> 20))
+      val m = graft.ext.QualityClassifier.fitBernoulliNb(
+        split.where(col("split") === "train"), "label")
+      graft.ext.QualityClassifier.scoreBernoulliNb(
+          docs.select("doc_id", "text"), m)
+        .select("doc_id", "logodds", "pred")
+    }),
+    // The text→vector bridge over the whole corpus (the registered
+    // hashed_features row witnesses 20 docs). Expected linear: pure
+    // per-token map + two combiner-friendly aggregations.
+    "hashing_vectorizer_operator" -> ((s, dir) =>
+      graft.ext.TextAnalysis.hashingVectorizer(
+        graft.sources.Tables.table(s, dir, "documents"))),
     // IVF-PQ at the witness params: both fits in build time, then the
     // probed-cell ADC join + re-rank. Expected SUB-linear in the
     // corpus vs knn_pq_operator's full ADC scan: each query touches
