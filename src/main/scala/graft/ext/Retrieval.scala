@@ -1,0 +1,123 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 full-text retrieval over the `documents` table — the lexical
+  * search/ranking half of a training-data pipeline (contamination candidate
+  * retrieval, eval-set leakage triage, dedup-cluster inspection), and the
+  * classic IR complement of [[TextAnalysis.tfIdf]].
+  *
+  * The reference has no retrieval at all (its only string ops are lowercase +
+  * whitelist membership — reference: dags/etl/schema_check.py:176-181); this
+  * is a SURVEY.md §7.3.7-family extension built entirely from codegen'd
+  * built-ins (no UDFs).
+  *
+  * Scoring is the Lucene/standard BM25 variant (Robertson et al., TREC-3;
+  * idf kept positive via the +1 inside the log):
+  *
+  *   score(q, d) = Σ_{t ∈ q∩d} ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+  *                   · tf_td·(k1+1) / (tf_td + k1·(1 − b + b·dl_d/avgdl))
+  *
+  * Query term frequency is deliberately not weighted (each DISTINCT query
+  * term counts once) — the common short-query simplification; queries here
+  * are a handful of terms, not documents.
+  *
+  * Scale posture (the inverted-index shape, not a cross join):
+  *  - ONE corpus scan builds per-(doc, token) counts with map-side combine;
+  *    doc lengths and per-token document frequencies RE-aggregate from that
+  *    grouped frame (narrow rows), never from the text again.
+  *  - The query term set is broadcast (queries are small by definition), so
+  *    postings probe as a broadcast hash join — only rows whose token
+  *    matches a query term survive, i.e. exactly the postings lists an
+  *    inverted index would touch. The corpus-sized tf frame never shuffles
+  *    for the probe.
+  *  - df joins token-keyed (vocabulary-sized); corpus totals (N, avgdl)
+  *    ride a broadcast one-row frame like [[TextAnalysis.tfIdf]]'s count.
+  *  - Top-k uses the bounded TopKByDouble aggregate: only O(queries × k)
+  *    (score, doc) tuples cross the final exchange — no window sort over
+  *    every candidate.
+  *
+  * Determinism: scores round to 6 dp (the repo's cross-engine float
+  * convention — ln is not bit-standardized but 6 dp sits far above libm
+  * ulp disagreement) and ranking orders by (rounded score desc, doc_id asc),
+  * so ties break identically in any engine.
+  */
+object Retrieval {
+
+  /** Per-(query, document) BM25 scores for every document sharing at least
+    * one term with the query. `queries` must have (query_id: long,
+    * query_text: string). Output: (query_id, doc_id, n_terms, score) where
+    * n_terms is the count of distinct query terms the document matched.
+    */
+  def bm25Scores(docs: DataFrame, queries: DataFrame,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val tf = docs.repartition(par)
+      .select(col("doc_id"),
+        explode_outer(TextAnalysis.tokens(col("text"))).as("token"))
+      .where(col("token").isNotNull) // outer: avoids InferFiltersFromGenerate
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val qterms = queries
+      .select(col("query_id"),
+        explode_outer(TextAnalysis.tokens(col("query_text"))).as("token"))
+      .where(col("token").isNotNull)
+      .distinct()
+    tf.join(broadcast(qterms), "token") // postings probe: corpus side never shuffles
+      .join(dfreq, "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(k1 + 1.0))
+          / (col("tf") + lit(k1) * (lit(1.0 - b)
+            + lit(b) * col("dl").cast("double") / col("avgdl"))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("contrib")), 6).as("score"))
+  }
+
+  /** Top-k documents per query by BM25, rank 1-based, deterministic
+    * tie-break (score desc, doc_id asc) — via the bounded top-k aggregate
+    * (only queries × k tuples cross the exchange). */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Scores(docs, queries, k1, b)
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate.topKBy(
+        col("score"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode_outer(col("top")).as(Seq("pos", "e")))
+      .where(col("e").isNotNull)
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("doc_id"), col("e.v").as("score"))
+
+  /** Corpus-level index statistics (N, avgdl, vocabulary size, postings
+    * count) — the sizing numbers a retrieval deployment is planned from,
+    * and an exactly-oracled integer surface for the BM25 inputs. */
+  def bm25CorpusStats(docs: DataFrame): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val tf = docs.repartition(par)
+      .select(col("doc_id"),
+        explode_outer(TextAnalysis.tokens(col("text"))).as("token"))
+      .where(col("token").isNotNull)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val postings = tf.agg(count(lit(1)).as("n_postings"),
+      countDistinct(col("token")).as("vocab"))
+    dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("total_tokens"),
+        round(sum(col("dl")).cast("double") / count(lit(1)), 6).as("avgdl"))
+      .crossJoin(broadcast(postings))
+      .select(col("n_docs"), col("total_tokens"), col("avgdl"),
+        col("vocab"), col("n_postings"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, SpanDedup, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Retrieval, Similarity, SpanDedup, TextAnalysis}
 import graft.operators.{Cleaning, Kpis, Validation}
 import graft.Pipeline
 
@@ -844,6 +844,40 @@ object Ext3Queries {
           col("doc_id"), col("lang"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"), max(col("keep_ppm")).as("keep_ppm"))
-        .orderBy(col("lang")))
+        .orderBy(col("lang"))),
+
+    // BM25 full-text retrieval (ext/Retrieval — Robertson/Lucene variant):
+    // the corpus index statistics first — exact integers + the avgdl the
+    // scoring divides by.
+    "bm25_corpus_stats" -> ((s, dir) =>
+      Retrieval.bm25CorpusStats(t(s, dir, "documents"))),
+
+    // Per-(query, doc) BM25 scores for a fixed 3-query set (one query has
+    // an out-of-vocabulary term — it must simply contribute nothing, not
+    // null the score), restricted to doc_id < 25 for the output ONLY:
+    // df/dl/avgdl are corpus-wide statistics and must be computed before
+    // any output filter. Exact vs DuckDB's reimplementation of the same
+    // closed form (same literal params, same op order, round 6).
+    "bm25_scores_sample" -> ((s, dir) =>
+      Retrieval.bm25Scores(t(s, dir, "documents"), bm25Queries(s))
+        .where(col("doc_id") < 25)
+        .orderBy(col("query_id"), col("doc_id"))),
+
+    // Top-5 docs per query via the bounded TopKByDouble aggregate (only
+    // queries × k tuples cross the final exchange — no window sort over
+    // every matching document). Rank ties break (score desc, doc_id asc)
+    // on the ROUNDED score in both engines.
+    "bm25_top_docs" -> ((s, dir) =>
+      Retrieval.bm25TopK(t(s, dir, "documents"), bm25Queries(s), k = 5)
+        .orderBy(col("query_id"), col("rank")))
   )
+
+  /** Fixed BM25 query set: in-vocabulary multi-term, high-df mixed, and a
+    * query carrying an out-of-vocabulary term ('quux' appears nowhere).
+    * Mirrored literally in the ExtOracleB VALUES clause. */
+  private def bm25Queries(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((0L, "spark window agg"), (1L, "customer order join fast"),
+      (2L, "vector stream quux")).toDF("query_id", "query_text")
+  }
 }

@@ -1000,5 +1000,122 @@ object ExtOracleB {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / total,
                6) AS cum_share
            FROM top, t ORDER BY n_rows DESC, skey""",
+
+      // --- Dimensionality reduction (ext/DimReduce) ---------------------
+      // Deterministic signed random projection: DuckDB regenerates the
+      // ±1 matrix from the same md5("rp_i_j") parity and the same exact
+      // integer-micros inner sum — bit-identical end to end.
+      "embedding_rp" -> {
+        val hex32 = foldSum(
+          "list_transform(generate_series(1, 8), i -> " +
+            "CAST(CASE WHEN ascii(substr(mh, i, 1)) <= 57 " +
+            "THEN ascii(substr(mh, i, 1)) - 48 " +
+            "ELSE ascii(substr(mh, i, 1)) - 87 END AS BIGINT) " +
+            "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+          "CAST(0 AS BIGINT)")
+        s"""WITH ij AS (SELECT i, j
+               FROM (SELECT unnest(generate_series(0, 63)) AS i)
+               CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)),
+           sm AS (SELECT i, j, md5('rp_' || CAST(i AS VARCHAR) || '_'
+               || CAST(j AS VARCHAR)) AS mh FROM ij),
+           sg AS (SELECT i, j,
+               CASE WHEN ($hex32) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+             FROM sm),
+           e AS (SELECT vec_id, u.i - 1 AS i,
+               CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000.0)
+                 AS BIGINT) AS vm
+             FROM embeddings,
+               LATERAL unnest(generate_series(1, len(embedding))) u(i)
+             WHERE vec_id < 10)
+           SELECT vec_id, CAST(j AS BIGINT) AS out_dim,
+             CAST(sum(sgn * vm) AS BIGINT) AS p_micros
+           FROM e JOIN sg USING (i)
+           GROUP BY 1, 2 ORDER BY vec_id, out_dim"""
+      },
+
+      // Second moments: each 8×8-block Gram entry is the plain product
+      // average, recomputed from the raw vectors.
+      "embedding_gram" ->
+        """WITH pr AS (SELECT i, j
+             FROM (SELECT unnest(generate_series(0, 7)) AS i)
+             CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j)
+             WHERE j >= i)
+           SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+             round(sum(CAST(embedding[i + 1] AS DOUBLE)
+               * CAST(embedding[j + 1] AS DOUBLE)) / count(*), 6) AS g
+           FROM embeddings CROSS JOIN pr
+           GROUP BY 1, 2 ORDER BY 1, 2""",
+
+      // PCA fit is engine-seeded (Jacobi on the moments row): the oracle
+      // supplies the exact per-component row count; the variance-match
+      // and monotonicity contracts must be earned in-plan.
+      "pca_variance" ->
+        """SELECT CAST(j AS BIGINT) AS component,
+             (SELECT count(*) FROM embeddings) AS n_vecs,
+             TRUE AS var_matches_eig, TRUE AS eigs_monotone
+           FROM (SELECT unnest(generate_series(0, 7)) AS j)
+           ORDER BY component""",
+
+      // JL band witness: exact pair count; the band fraction (measured
+      // 0.98-0.99 across SFs, floor 0.9) is computed in-plan.
+      "rp_distance_band" ->
+        """SELECT count(*) AS n_pairs, TRUE AS band_frac_ge_090
+           FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+           WHERE a.vec_id < 100 AND b.vec_id < 100""",
+
+      // --- BM25 retrieval (ext/Retrieval) -------------------------------
+      // Shared index CTEs: tf from the repo token regex, dl/df/totals
+      // re-aggregated from tf, the fixed 3-query VALUES set (mirrors
+      // Ext3Queries.bm25Queries literally), and the scored frame with the
+      // SAME literal params / op order as the Spark side (k1=1.2, b=0.75;
+      // constant subexpressions fold to identical doubles in both engines).
+      "bm25_corpus_stats" ->
+        s"""$bm25Ctes
+           SELECT (SELECT count(*) FROM dl) AS n_docs,
+             (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS total_tokens,
+             (SELECT round(CAST(sum(dl) AS DOUBLE) / count(*), 6) FROM dl)
+               AS avgdl,
+             (SELECT count(*) FROM dfq) AS vocab,
+             (SELECT count(*) FROM tf) AS n_postings""",
+
+      "bm25_scores_sample" ->
+        s"""$bm25Ctes
+           SELECT query_id, doc_id, n_terms, score FROM scored
+           WHERE doc_id < 25 ORDER BY query_id, doc_id""",
+
+      "bm25_top_docs" ->
+        s"""$bm25Ctes,
+           r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, doc_id) AS rank FROM scored)
+           SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+           FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
     )
+
+  /** BM25 index + scoring CTE chain shared by the three retrieval oracles. */
+  private def bm25Ctes: String =
+    """WITH t AS (SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+         FROM documents),
+       tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+       dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+       tot AS (SELECT count(*) AS n_docs,
+           CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       q AS (SELECT * FROM (VALUES
+           (CAST(0 AS BIGINT), 'spark window agg'),
+           (CAST(1 AS BIGINT), 'customer order join fast'),
+           (CAST(2 AS BIGINT), 'vector stream quux'))
+         v(query_id, query_text)),
+       qt AS (SELECT DISTINCT query_id, token FROM
+           (SELECT query_id, unnest(regexp_extract_all(lower(query_text),
+              '[a-z0-9]+')) AS token FROM q)),
+       scored AS (SELECT qt.query_id, tf.doc_id,
+           count(*) AS n_terms,
+           round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf * (1.2 + 1.0))
+             / (tf + 1.2 * ((1.0 - 0.75)
+                 + 0.75 * CAST(dl AS DOUBLE) / avgdl))), 6) AS score
+         FROM tf JOIN qt USING (token) JOIN dfq USING (token)
+           JOIN dl USING (doc_id) CROSS JOIN tot
+         GROUP BY 1, 2)"""
 }

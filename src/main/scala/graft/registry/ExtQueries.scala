@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, ProductQuant, QualityClassifier, Sampling, Similarity, SpanDedup, TextAnalysis}
+import graft.ext.{Dedup, DimReduce, Multimodal, ProductQuant, QualityClassifier, Sampling, Similarity, SpanDedup, TextAnalysis}
+import graft.functions.VectorMoments
 import graft.operators.{Cleaning, Kpis, Validation}
 import graft.Pipeline
 
@@ -569,7 +570,85 @@ object ExtQueries {
       graft.operators.Skew.saltedCount(
           t(s, dir, "events").withColumn("hour", hour(col("ts"))),
           keys = Seq("hour"), saltFrom = Seq("user_id"), salts = 32)
-        .orderBy(col("hour")))
+        .orderBy(col("hour"))),
+
+    // Deterministic signed random projection 64→16 (ext/DimReduce,
+    // Achlioptas/JL): the sign matrix regenerates from the portable md5
+    // family, and the inner sum rides EXACT integer micros — so every
+    // projected coordinate is bit-reproducible in DuckDB. First 10
+    // vectors, long form, oracled on the exact micros (the scaled double
+    // can straddle a round-6 boundary across engines — see the Scaladoc).
+    "embedding_rp" -> ((s, dir) =>
+      DimReduce.randomProjection(
+          t(s, dir, "embeddings").where(col("vec_id") < 10),
+          k = 16, dim = 64)
+        .select(col("vec_id"), col("out_dim"), col("p_micros"))
+        .orderBy(col("vec_id"), col("out_dim"))),
+
+    // One-pass second moments (functions/VectorMoments): the 8×8
+    // top-left block of E[v·vᵀ], unpacked from the SINGLE 33 KB
+    // sufficient-statistics row the PCA fit consumes — the oracle
+    // recomputes each entry as a plain SQL product average.
+    "embedding_gram" -> ((s, dir) => {
+      val m = t(s, dir, "embeddings")
+        .agg(VectorMoments.vecMoments(col("embedding")).as("m"))
+      val idx = typedLit(for (i <- 0 until 8; j <- i until 8)
+        yield Seq(i.toLong, j.toLong, VectorMoments.triIndex(64, i, j).toLong))
+      m.select(explode(idx).as("e"), col("m"))
+        .select(col("e")(0).as("i"), col("e")(1).as("j"),
+          round(element_at(col("m"), (col("e")(2) + 1).cast("int"))
+            / element_at(col("m"), 1), 6).as("g"))
+        .orderBy(col("i"), col("j"))
+    }),
+
+    // PCA fit from ONE VectorMoments row + driver Jacobi (d×d, corpus-
+    // independent — the bounded-fit discipline). The contract is EARNED
+    // in-plan: the population variance of each projected coordinate,
+    // computed from the data, must equal the model's eigenvalue; the
+    // monotone column checks the shipped eigenvalue ordering.
+    "pca_variance" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = DimReduce.pcaFit(emb, k = 8)
+      val eigs = typedLit(model.eigenvalues.take(8).toSeq)
+      val mono = (0 until 7).forall(i =>
+        model.eigenvalues(i) >= model.eigenvalues(i + 1))
+      DimReduce.projectPca(emb, model)
+        .select(posexplode_outer(col("embedding")).as(Seq("jx", "x")))
+        .where(col("x").isNotNull) // computed-array explode trap
+        .groupBy(col("jx"))
+        .agg(count(lit(1)).as("n_vecs"), var_pop(col("x")).as("v"))
+        .select(col("jx").cast("long").as("component"), col("n_vecs"),
+          (abs(col("v") - element_at(eigs, col("jx") + 1)) <=
+            lit(1e-3) * greatest(element_at(eigs, col("jx") + 1), lit(1e-9)))
+            .as("var_matches_eig"),
+          lit(mono).as("eigs_monotone"))
+        .orderBy(col("component"))
+    }),
+
+    // The JL lemma, earned on the real table: consecutive-id pairs'
+    // squared distances after the 64→32 signed projection must stay
+    // within [0.3, 1.7]× the original for ≥90% of pairs (measured
+    // 0.98–0.99 across SFs). n_pairs is exact from the oracle; the band
+    // fraction is computed in-plan from both embeddings.
+    "rp_distance_band" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").where(col("vec_id") < 100)
+      val proj = DimReduce.rpVectorizer(emb, k = 32, dim = 64)
+      def d2(a: String, b: String) =
+        aggregate(zip_with(col(a), col(b), (x, y) =>
+          (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))),
+          lit(0.0), (acc, x) => acc + x)
+      def pairs(df: DataFrame, out: String) =
+        df.select(col("vec_id").as("ia"), col("embedding").as(out + "a"))
+          .join(df.select((col("vec_id") - 1).as("ia"),
+            col("embedding").as(out + "b")), "ia")
+      pairs(emb, "o").join(pairs(proj, "r"), "ia")
+        .select(d2("oa", "ob").as("d2o"), d2("ra", "rb").as("d2r"))
+        .agg(count(lit(1)).as("n_pairs"),
+          (sum(when(col("d2r") >= col("d2o") * 0.3
+              && col("d2r") <= col("d2o") * 1.7, 1L).otherwise(0L))
+            >= count(lit(1)) * lit(0.9)).as("band_frac_ge_090"))
+    })
   )
 
   /** Shared fixture for the NB quality-filter family: documents with
