@@ -217,7 +217,33 @@ object ScaleProbe {
       graft.ext.ProductQuant.knnIvfPq(emb,
         emb.where(org.apache.spark.sql.functions.col("vec_id") < 10),
         k = 5, coarse, cb, nprobe = 4, refine = 200)
-    }))
+    }),
+    // BM25 over the growing corpus with the FIXED registered query set —
+    // the production shape (corpus grows, query workload doesn't). The
+    // probe's word-salting confines term matches to replica 0, so what
+    // scales is the dominant cost: the index-statistics aggregations
+    // (tf/dl/df) over the whole corpus. Expected linear.
+    "bm25_operator" -> ((s, dir) => {
+      val q = s.createDataFrame(Seq(
+        (0L, "spark window agg"), (1L, "customer order join fast"),
+        (2L, "vector stream quux"))).toDF("query_id", "query_text")
+      graft.ext.Retrieval.bm25TopK(
+        graft.sources.Tables.table(s, dir, "documents"), q, k = 5)
+    }),
+    // PCA end to end: the vec_moments pass + Jacobi land in BUILD
+    // seconds (the fit materializes eagerly; the scan is corpus-linear,
+    // the driver solve is corpus-FREE), projection in exec. A build
+    // column growing faster than linear = the bounded-fit claim broke.
+    "pca_project_operator" -> ((s, dir) => {
+      val emb = graft.sources.Tables.table(s, dir, "embeddings")
+      val model = graft.ext.DimReduce.pcaFit(emb, k = 16)
+      graft.ext.DimReduce.projectPca(emb, model)
+    }),
+    // Fit-free signed projection over the corpus: pure per-row map,
+    // the cheapest possible reducer. Expected linear, near-zero build.
+    "rp_project_operator" -> ((s, dir) =>
+      graft.ext.DimReduce.rpVectorizer(
+        graft.sources.Tables.table(s, dir, "embeddings"), k = 16, dim = 64)))
 
   private def materialize(df: DataFrame): Long =
     df.queryExecution.toRdd.count()

@@ -179,6 +179,48 @@ object DimReduce {
           .cast("float")))
   }
 
+  /** Whitened PCA projection: out_j = Wⱼ·(v − μ) / √λⱼ — decorrelated,
+    * unit-variance coordinates (the normalization step before cosine/L2
+    * ANN when raw dimensions have wildly unequal scales). Components with
+    * λ ≤ `minVar` are dropped rather than amplified (dividing by √~0
+    * turns numerical noise into dominant coordinates). */
+  def projectPcaWhitened(df: DataFrame, model: PcaModel,
+                         vecCol: String = "embedding",
+                         minVar: Double = 1e-12): DataFrame = {
+    val keep = model.eigenvalues.take(model.k).count(_ > minVar)
+    val scaled = model.components.take(keep).zipWithIndex.map { case (w, j) =>
+      val s = 1.0 / math.sqrt(model.eigenvalues(j))
+      w.map(_ * s)
+    }
+    projectPca(df, model.copy(components = scaled), vecCol)
+  }
+
+  /** Per-group second-moment diagnostics from ONE grouped [[VectorMoments]]
+    * pass: vector count, ‖μ‖², and the covariance trace (total variance)
+    * per group — the embedding-quality drift monitor (a collapsing
+    * group's trace → 0; a shifting group moves ‖μ‖²). Unpacks the
+    * sufficient-statistics row with codegen'd HOFs; both outputs are
+    * plain arithmetic on exact sums, so an external engine reproduces
+    * them to 6 dp from the raw vectors. */
+  def groupMomentStats(df: DataFrame, groupCol: String, dim: Int,
+                       vecCol: String = "embedding"): DataFrame = {
+    val m = col("__m")
+    val n = element_at(m, 1)
+    // mean_norm2 = Σ (sᵢ/n)²; var_trace = Σ (gᵢᵢ/n − (sᵢ/n)²)
+    // gᵢᵢ rides at triIndex(dim, i, i) = 1 + dim + i·dim − i(i−1)/2
+    def mu(i: Column) = element_at(m, (i + lit(2)).cast("int")) / n
+    def gii(i: Column) = element_at(m,
+      (lit(1 + dim) + i * lit(dim) - i * (i - lit(1)) / lit(2) + lit(1))
+        .cast("int")) / n
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.VectorMoments.vecMoments(col(vecCol)).as("__m"))
+      .select(col(groupCol), n.cast("long").as("n_vecs"),
+        round(aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
+          (acc, i) => acc + mu(i) * mu(i)), 6).as("mean_norm2"),
+        round(aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
+          (acc, i) => acc + (gii(i) - mu(i) * mu(i))), 6).as("var_trace"))
+  }
+
   /** Deterministic sign for random-projection cell (i, j): the portable
     * md5-hex32 family (Sampling.hashBucket / TextAnalysis.hashedFeatures)
     * over the key "rp_i_j" — reproducible in any engine with md5. */

@@ -1056,6 +1056,30 @@ object ExtOracleB {
            FROM (SELECT unnest(generate_series(0, 7)) AS j)
            ORDER BY component""",
 
+      // Whitened PCA: engine-seeded fit; exact per-component counts, the
+      // unit-variance contract earned in-plan.
+      "pca_whitened_variance" ->
+        """SELECT CAST(j AS BIGINT) AS component,
+             (SELECT count(*) FROM embeddings) AS n_vecs,
+             TRUE AS unit_variance
+           FROM (SELECT unnest(generate_series(0, 7)) AS j)
+           ORDER BY component""",
+
+      // Per-label moments: same sums recomputed from the raw vectors,
+      // same op order (element sums / n, squares multiplied out — never
+      // pow(), which is not bit-identical to x*x across libms).
+      "label_moment_stats" ->
+        """WITH e AS (SELECT label, u.i AS i,
+               CAST(embedding[u.i] AS DOUBLE) AS v
+             FROM embeddings,
+               LATERAL unnest(generate_series(1, len(embedding))) u(i)),
+           d AS (SELECT label, i, sum(v) AS s, sum(v * v) AS g,
+               count(*) AS n FROM e GROUP BY 1, 2)
+           SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+             round(sum((s / n) * (s / n)), 6) AS mean_norm2,
+             round(sum(g / n - (s / n) * (s / n)), 6) AS var_trace
+           FROM d GROUP BY label ORDER BY label""",
+
       // JL band witness: exact pair count; the band fraction (measured
       // 0.98-0.99 across SFs, floor 0.9) is computed in-plan.
       "rp_distance_band" ->

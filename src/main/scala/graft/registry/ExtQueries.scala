@@ -625,6 +625,29 @@ object ExtQueries {
         .orderBy(col("component"))
     }),
 
+    // Whitened PCA: the in-plan contract sharpens to var_pop == 1 for
+    // EVERY kept component — decorrelated unit-variance output, the
+    // normalization step before L2/cosine ANN.
+    "pca_whitened_variance" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = DimReduce.pcaFit(emb, k = 8)
+      DimReduce.projectPcaWhitened(emb, model)
+        .select(posexplode_outer(col("embedding")).as(Seq("jx", "x")))
+        .where(col("x").isNotNull) // computed-array explode trap
+        .groupBy(col("jx"))
+        .agg(count(lit(1)).as("n_vecs"), var_pop(col("x")).as("v"))
+        .select(col("jx").cast("long").as("component"), col("n_vecs"),
+          (abs(col("v") - lit(1.0)) <= lit(1e-3)).as("unit_variance"))
+        .orderBy(col("component"))
+    }),
+
+    // Per-label second-moment drift monitor: vector count, ‖μ‖², and
+    // covariance trace per label from ONE grouped vec_moments pass —
+    // exact vs DuckDB recomputing the same sums from the raw vectors.
+    "label_moment_stats" -> ((s, dir) =>
+      DimReduce.groupMomentStats(t(s, dir, "embeddings"), "label", dim = 64)
+        .orderBy(col("label"))),
+
     // The JL lemma, earned on the real table: consecutive-id pairs'
     // squared distances after the 64→32 signed projection must stay
     // within [0.3, 1.7]× the original for ≥90% of pairs (measured

@@ -82,6 +82,33 @@ class DimReduceSpec extends SparkSpec {
     }
   }
 
+  test("projectPcaWhitened: unit variance per kept component; " +
+    "near-zero eigenvalues dropped, not amplified") {
+    val rnd = new scala.util.Random(13)
+    // 3rd coordinate is CONSTANT → eigenvalue 0 → must be dropped at k=3
+    val df = vecs(Seq.fill(100)(
+      Seq(rnd.nextGaussian().toFloat * 3f, rnd.nextGaussian().toFloat, 0.5f)))
+    val model = DimReduce.pcaFit(df, k = 3)
+    val proj = DimReduce.projectPcaWhitened(df, model)
+    val rows = proj.select(posexplode_outer(col("embedding")).as(Seq("j", "x")))
+      .where(col("x").isNotNull)
+      .groupBy("j").agg(var_pop(col("x")).as("v"))
+      .orderBy("j").select("v").as[Double].collect()
+    assert(rows.length === 2) // the zero-variance direction is gone
+    rows.foreach(v => assert(math.abs(v - 1.0) < 1e-3, s"var $v != 1"))
+  }
+
+  test("groupMomentStats: hand-computed per-group mean/trace") {
+    val df = Seq(
+      (0L, Seq(1f, 3f), "a"), (1L, Seq(3f, 5f), "a"), // μ=(2,4), var=(1,1)
+      (2L, Seq(10f, 0f), "b"))                        // μ=(10,0), var=(0,0)
+      .toDF("vec_id", "embedding", "label")
+    val got = DimReduce.groupMomentStats(df, "label", dim = 2)
+      .orderBy("label").as[(String, Long, Double, Double)].collect()
+    assert(got(0) === (("a", 2L, 20.0, 2.0)))  // ‖μ‖²=4+16, trace=1+1
+    assert(got(1) === (("b", 1L, 100.0, 0.0)))
+  }
+
   test("rpSign is the portable md5 family (spot pins)") {
     // recompute two cells by hand through MessageDigest to pin the key
     // format "rp_i_j" — any change breaks the DuckDB oracle silently
