@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fitted Bernoulli NB model, kept as LAZY frames so fit+score compose
@@ -137,5 +138,42 @@ object QualityClassifier {
           col("n_test").cast("double"), 6).as("accuracy"),
         round(col("n_majority").cast("double") /
           col("n_test").cast("double"), 6).as("baseline_accuracy"))
+  }
+
+  /** ROC-AUC of a scored frame via the rank-sum (Mann–Whitney U)
+    * identity — threshold-free classifier quality, the number a
+    * calibration sweep optimizes before picking the gate's cutoff:
+    *
+    *   AUC = (Σ_{y=1} avgRank(score) − n₁(n₁+1)/2) / (n₁·n₀)
+    *
+    * with ties carrying their AVERAGE rank (minRank + (tieCount−1)/2),
+    * so tied scores contribute exactly ½ per tied (pos, neg) pair — the
+    * standard U-statistic convention. Ranks are taken on the score
+    * ROUNDED to 6 dp: the raw double can differ by an ulp across
+    * engines, silently turning a tie into an ordering and shifting both
+    * rank columns — the rounded value is what the oracle already proves
+    * bit-identical (`nb_doc_logodds`).
+    *
+    * Scale note: ranking is a global sort of the SCORED EVAL SET (the
+    * held-out split a gate is calibrated on), not the corpus; avg-ranks
+    * are half-integers, so their sums are exact in doubles up to 2⁵³.
+    */
+  def aucRoc(scored: DataFrame, labelCol: String,
+             scoreCol: String = "logodds"): DataFrame = {
+    val sc = round(col(scoreCol), 6)
+    val y = col(labelCol).cast("long")
+    // rank() = min rank within a tie group; + (tieCount−1)/2 = avg rank
+    val avgRank = rank().over(Window.orderBy(sc)).cast("double") +
+      (count(lit(1)).over(Window.partitionBy(sc)).cast("double") - 1.0) / 2.0
+    scored
+      .select(y.as("__y"), avgRank.as("__ar"))
+      .agg(sum(col("__y")).as("n_pos"),
+        (count(lit(1)) - sum(col("__y"))).as("n_neg"),
+        sum(when(col("__y") === 1, col("__ar")).otherwise(0.0)).as("__rs"))
+      .select(col("n_pos"), col("n_neg"),
+        round((col("__rs") - col("n_pos").cast("double")
+            * (col("n_pos") + 1).cast("double") / 2.0)
+          / (col("n_pos").cast("double") * col("n_neg").cast("double")), 6)
+          .as("auc"))
   }
 }

@@ -328,6 +328,53 @@ object TextAnalysis {
         sum(col("est4")).as("char_est_tokens"))
       .orderBy(col("lang"))
 
+  /** Jensen–Shannon divergence between per-group token distributions —
+    * the data-mix diagnostic a training pipeline watches when blending
+    * sources/languages (Lin 1991): 0 = identical unigram distributions,
+    * ln 2 ≈ 0.693 = disjoint. JS (not KL) because real corpora always
+    * have tokens unique to one side, where KL is infinite and JS is
+    * finite by construction (0·ln 0 ≡ 0; the mixture m = (p+q)/2 is
+    * positive wherever either side is).
+    *
+    * For every group pair (a < b): p(w) = cₐ(w)/Tₐ and q(w) = c_b(w)/T_b
+    * over the PAIR'S UNION vocabulary (each side's full mass lives
+    * there, so p and q are genuine distributions — no smoothing needed).
+    *
+    * Shape: ONE corpus scan → (group, token) counts; the pair frame is
+    * groups² rows (languages/sources — single digits); the union-vocab
+    * expansion is a pair-count × vocab-sized join, never corpus-sized;
+    * one final hash aggregate per pair. At 100 TB the corpus is touched
+    * once and everything downstream is vocabulary-scale. */
+  def tokenDivergence(docs: DataFrame,
+                      groupCol: String = "lang"): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val counts = docs.repartition(par)
+      .select(col(groupCol).as("g"),
+        explode_outer(tokens(col("text"))).as("token"))
+      .where(col("token").isNotNull)
+      .groupBy(col("g"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("g")).agg(sum(col("c")).as("t"))
+    val pairs = totals.select(col("g").as("ga"), col("t").as("ta"))
+      .crossJoin(totals.select(col("g").as("gb"), col("t").as("tb")))
+      .where(col("ga") < col("gb"))
+    val u = pairs.join(counts,
+        col("g") === col("ga") || col("g") === col("gb"))
+      .groupBy(col("ga"), col("gb"), col("ta"), col("tb"), col("token"))
+      .agg(sum(when(col("g") === col("ga"), col("c")).otherwise(0L)).as("ca"),
+        sum(when(col("g") === col("gb"), col("c")).otherwise(0L)).as("cb"))
+    val p = col("ca").cast("double") / col("ta").cast("double")
+    val q = col("cb").cast("double") / col("tb").cast("double")
+    val m = (p + q) / 2.0
+    u.groupBy(col("ga").as("group_a"), col("gb").as("group_b"))
+      .agg(count(lit(1)).as("vocab_union"),
+        round(sum(
+          when(col("ca") > 0, p * log(p / m)).otherwise(0.0) * 0.5 +
+            when(col("cb") > 0, q * log(q / m)).otherwise(0.0) * 0.5), 6)
+          .as("js_div"))
+      .orderBy(col("group_a"), col("group_b"))
+  }
+
   /** Feature hashing (Weinberger et al., "Feature Hashing for Large
     * Scale Multitask Learning", ICML'09 — the HashingVectorizer /
     * Vowpal Wabbit trick): each token lands in bucket `h % dim` with

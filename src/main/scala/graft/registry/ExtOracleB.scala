@@ -91,6 +91,44 @@ object ExtOracleB {
                AS baseline_accuracy
            FROM agg""",
 
+      "nb_quality_auc" ->
+        s"""$nbCtes,
+           r AS (SELECT y, round(lo, 6) AS s FROM sc),
+           rk AS (SELECT y, rank() OVER (ORDER BY s)
+               + (count(*) OVER (PARTITION BY s) - 1) / 2.0 AS ar FROM r)
+           SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(count(*) - sum(y) AS BIGINT) AS n_neg,
+             round((sum(CASE WHEN y = 1 THEN ar ELSE 0.0 END)
+                 - sum(y) * (sum(y) + 1) / 2.0)
+               / (sum(y) * (count(*) - sum(y))), 6) AS auc
+           FROM rk""",
+
+      "token_divergence" ->
+        """WITH tk AS (SELECT lang AS g,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+             FROM documents),
+           c AS (SELECT g, token, count(*) AS c FROM tk GROUP BY 1, 2),
+           tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS t FROM c GROUP BY 1),
+           pairs AS (SELECT a.g AS ga, a.t AS ta, b.g AS gb, b.t AS tb
+             FROM tot a, tot b WHERE a.g < b.g),
+           u AS (SELECT ga, gb, ta, tb, token,
+               CAST(sum(CASE WHEN c.g = ga THEN c.c ELSE 0 END) AS BIGINT)
+                 AS ca,
+               CAST(sum(CASE WHEN c.g = gb THEN c.c ELSE 0 END) AS BIGINT)
+                 AS cb
+             FROM pairs JOIN c ON c.g = ga OR c.g = gb
+             GROUP BY 1, 2, 3, 4, 5),
+           s AS (SELECT ga, gb, ca, cb,
+               CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE) AS p,
+               CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE) AS q FROM u)
+           SELECT ga AS group_a, gb AS group_b, count(*) AS vocab_union,
+             round(sum(
+               CASE WHEN ca > 0 THEN p * ln(p / ((p + q) / 2.0))
+                    ELSE 0.0 END * 0.5
+               + CASE WHEN cb > 0 THEN q * ln(q / ((p + q) / 2.0))
+                      ELSE 0.0 END * 0.5), 6) AS js_div
+           FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+
       "mixture_counts" -> {
         val hex32 = foldSum(
           "list_transform(generate_series(1, 8), i -> " +

@@ -371,6 +371,25 @@ object ExtQueries {
           d.where(col("split") === "test"), m), "label")
     }),
 
+    // Threshold-free quality of the learned gate: ROC-AUC via the
+    // rank-sum identity on the held-out split, ranks on the ROUNDED
+    // logodds (ulp-safe ties), average-rank tie convention — exact vs
+    // DuckDB running the same window arithmetic.
+    "nb_quality_auc" -> ((s, dir) => {
+      val d = nbLabeled(s, dir)
+      val m = QualityClassifier.fitBernoulliNb(
+        d.where(col("split") === "train"), "label")
+      QualityClassifier.aucRoc(
+        QualityClassifier.scoreBernoulliNb(
+          d.where(col("split") === "test"), m), "label")
+    }),
+
+    // Data-mix diagnostic: Jensen–Shannon divergence between every
+    // language pair's unigram distributions (0 = identical, ln 2 =
+    // disjoint) — one corpus scan, vocabulary-scale everything after.
+    "token_divergence" -> ((s, dir) =>
+      TextAnalysis.tokenDivergence(t(s, dir, "documents"), "lang")),
+
     // Multimodal plumbing: binary payload + partition-local feature extract.
     "media_feature_stats" -> ((s, dir) =>
       Multimodal.mediaFeatureStats(t(s, dir, "documents"))),

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{QualityClassifier, TextAnalysis}
+
+/** Rank-sum ROC-AUC (QualityClassifier.aucRoc) and Jensen–Shannon token
+  * divergence (TextAnalysis.tokenDivergence): hand-computed closed forms,
+  * tie and edge semantics. */
+class EvalMetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scored(rows: (Long, Double)*) =
+    rows.zipWithIndex.map { case ((y, s), i) => (i.toLong, y, s) }
+      .toDF("doc_id", "label", "logodds")
+
+  test("aucRoc: perfect separation = 1, anti-separation = 0") {
+    val perfect = scored((0L, -2.0), (0L, -1.0), (1L, 1.0), (1L, 2.0))
+    val r = QualityClassifier.aucRoc(perfect, "label").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) === ((2L, 2L, 1.0)))
+    val inverted = scored((1L, -2.0), (1L, -1.0), (0L, 1.0), (0L, 2.0))
+    assert(QualityClassifier.aucRoc(inverted, "label")
+      .collect()(0).getDouble(2) === 0.0)
+  }
+
+  test("aucRoc: all-tied scores give 0.5 (average-rank convention)") {
+    val tied = scored((1L, 0.5), (0L, 0.5), (1L, 0.5), (0L, 0.5))
+    assert(QualityClassifier.aucRoc(tied, "label")
+      .collect()(0).getDouble(2) === 0.5)
+  }
+
+  test("aucRoc: hand-computed mixed case with a cross-class tie") {
+    // scores: pos {3, 2}, neg {2, 1}; ranks on sorted [1,2,2,3] =
+    // [1, 2.5, 2.5, 4]; rank-sum(pos) = 4 + 2.5 = 6.5
+    // AUC = (6.5 - 2*3/2) / (2*2) = 3.5/4 = 0.875
+    val df = scored((1L, 3.0), (1L, 2.0), (0L, 2.0), (0L, 1.0))
+    val r = QualityClassifier.aucRoc(df, "label").collect()(0)
+    assert(r.getDouble(2) === 0.875)
+  }
+
+  test("aucRoc ranks on the ROUNDED score (ulp ties stay ties)") {
+    // two scores that differ below 1e-6 must tie
+    val df = scored((1L, 1.0000000001), (0L, 1.0), (1L, 2.0), (0L, 0.0))
+    val r = QualityClassifier.aucRoc(df, "label").collect()(0)
+    // ranks on rounded [0,1,1,2] = [1, 2.5, 2.5, 4]; pos sum = 2.5+4=6.5
+    assert(r.getDouble(2) === 0.875)
+  }
+
+  private def docs(rows: (String, String)*) =
+    rows.zipWithIndex.map { case ((g, t), i) => (i.toLong, t, g) }
+      .toDF("doc_id", "text", "lang")
+
+  test("tokenDivergence: identical distributions diverge 0") {
+    val d = docs(("a", "x y z"), ("b", "x y z"), ("b", "z y x"))
+    val r = TextAnalysis.tokenDivergence(d).collect()(0)
+    assert(r.getString(0) === "a" && r.getString(1) === "b")
+    assert(r.getLong(2) === 3L && r.getDouble(3) === 0.0)
+  }
+
+  test("tokenDivergence: disjoint vocabularies diverge ln 2") {
+    val d = docs(("a", "x x y"), ("b", "u v w"))
+    val r = TextAnalysis.tokenDivergence(d).collect()(0)
+    assert(r.getLong(2) === 5L)
+    assert(math.abs(r.getDouble(3) - math.log(2.0)) < 1e-6)
+  }
+
+  test("tokenDivergence: hand-computed partial overlap, all pairs emitted") {
+    // a: {x:1, y:1}  p = (.5, .5, 0) ; b: {x:1, z:1}  q = (.5, 0, .5)
+    // m = (.5, .25, .25); JS = .5*[.5 ln1 + .5 ln2] + .5*[.5 ln1 + .5 ln2]
+    //    = .5 ln 2 ≈ 0.346574
+    val d = docs(("a", "x y"), ("b", "x z"), ("c", "x y"))
+    val rows = TextAnalysis.tokenDivergence(d)
+      .as[(String, String, Long, Double)].collect()
+    assert(rows.length === 3) // (a,b) (a,c) (b,c)
+    val ab = rows.find(r => r._1 == "a" && r._2 == "b").get
+    assert(math.abs(ab._4 - 0.5 * math.log(2.0)) < 1e-6)
+    val ac = rows.find(r => r._1 == "a" && r._2 == "c").get
+    assert(ac._4 === 0.0) // identical
+  }
+}
