@@ -195,6 +195,34 @@ object DimReduce {
     projectPca(df, model.copy(components = scaled), vecCol)
   }
 
+  /** Mahalanobis distance² of every vector from the corpus distribution:
+    * d²(v) = (v − μ)ᵀ C⁻¹ (v − μ) — the covariance-aware outlier score
+    * (an embedding far along a LOW-variance direction is anomalous even
+    * when its L2 norm is ordinary). Computed as the squared norm of the
+    * FULL-RANK whitened projection (C⁻¹ = W Λ⁻¹ Wᵀ), so it reuses the
+    * one-pass moments fit + bounded Jacobi machinery — no matrix
+    * inversion, no extra scan.
+    *
+    * Built-in calibration check (the trace identity): with the
+    * population covariance of the SAME data, Σᵢ d²ᵢ = n · rank exactly —
+    * so avg(d²) must equal the effective rank, and a registered witness
+    * can earn that contract in-plan. `minVar` drops degenerate
+    * directions (they contribute 0/0); the returned frame carries the
+    * kept rank so callers compare against it. */
+  def mahalanobisScores(df: DataFrame, model: PcaModel,
+                        vecCol: String = "embedding",
+                        minVar: Double = 1e-12): DataFrame = {
+    require(model.k == model.dim,
+      s"mahalanobis needs a FULL-rank model (k=dim): k=${model.k} dim=${model.dim}")
+    val kept = model.eigenvalues.take(model.k).count(_ > minVar)
+    projectPcaWhitened(df, model, vecCol, minVar)
+      .withColumn("d2",
+        aggregate(col(vecCol), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double")))
+      .withColumn("mahal_rank", lit(kept))
+      .drop(vecCol)
+  }
+
   /** Per-group second-moment diagnostics from ONE grouped [[VectorMoments]]
     * pass: vector count, ‖μ‖², and the covariance trace (total variance)
     * per group — the embedding-quality drift monitor (a collapsing

@@ -233,6 +233,55 @@ object TextAnalysis {
         round(exp(col("nll")), 6).as("ppl"))
   }
 
+  /** Bigram-LM perplexity — the sequence-aware upgrade of
+    * [[unigramPerplexity]] (production perplexity gates are n-gram LMs,
+    * cf. CCNet's KenLM): train add-α-smoothed bigram conditionals ON the
+    * corpus, score each doc by `ppl = exp(−Σ m·ln p(w₂|w₁) / Σ m)` with
+    * `p(w₂|w₁) = (c(w₁w₂)+α) / (c₁(w₁)+α·V)`, V = corpus unigram
+    * vocabulary and c₁(w₁) = how often w₁ starts a bigram. A doc whose
+    * token ORDER is scrambled keeps its unigram ppl but its bigram ppl
+    * explodes — exactly the gibberish signal unigrams cannot see.
+    *
+    * Shape mirrors the unigram scorer: bigrams are built INSIDE the
+    * projection (a HOF over the token array — no positional self-join),
+    * then one (doc, bigram) aggregation with map-side combine; the
+    * model re-aggregates FROM that grouped frame; the score join is
+    * bigram-vocabulary-sized. Docs with < 2 tokens have no bigrams and
+    * are absent, like the unigram scorer's zero-token exclusion. */
+  def bigramPerplexity(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"need positive smoothing alpha: $alpha")
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    // token array MATERIALIZED per row before element reads: passing the
+    // raw regexp expression into the HOF re-evaluates the whole extract
+    // per element_at (the ProductQuant withNormalized lesson)
+    val bigrams = transform(sequence(lit(1), size(col("__t")) - 1),
+      i => concat(element_at(col("__t"), i), lit(" "),
+        element_at(col("__t"), i + 1)))
+    val dt = docs.repartition(par)
+      .withColumn("__t", tokens(col("text")))
+      .where(size(col("__t")) >= 2)
+      .select(col("doc_id"), explode_outer(bigrams).as("bg"))
+      .where(col("bg").isNotNull) // computed-array explode trap
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("m"))
+    val c2 = dt.groupBy(col("bg")).agg(sum(col("m")).as("c2"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val vocab = docs.select(explode_outer(tokens(col("text"))).as("tok"))
+      .where(col("tok").isNotNull)
+      .agg(countDistinct(col("tok")).as("V"))
+    dt.join(c2.select(col("bg"), col("w1"), col("c2")), "bg")
+      .join(c1, "w1")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).cast("long").as("n_bigrams"),
+        (-sum(col("m") * log((col("c2") + lit(alpha)) /
+            (col("c1") + lit(alpha) * col("V"))))
+          / sum(col("m"))).as("nll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(exp(col("nll")), 6).as("ppl"))
+  }
+
   /** Document fingerprinting: md5 over the whitespace-normalized lowercased
     * token stream — the canonical-form hash used for exact dedup at scale
     * (one groupBy on a 32-char key instead of full-text comparison). */

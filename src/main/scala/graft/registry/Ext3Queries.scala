@@ -96,6 +96,31 @@ object Ext3Queries {
       TextAnalysis.unigramPerplexity(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // Bigram-LM perplexity (the sequence-aware sibling — scrambled token
+    // order keeps unigram ppl but explodes here): self-trained add-0.5
+    // conditional bigram model, exact vs DuckDB end to end.
+    "doc_perplexity_bigram" -> ((s, dir) =>
+      TextAnalysis.bigramPerplexity(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // Mahalanobis outlier scoring from the moments/whitening stack
+    // (d² = ‖whitened(v)‖²): the TRACE IDENTITY is the earned contract —
+    // with the population covariance of the same data, avg(d²) must equal
+    // the effective rank EXACTLY (up to eigen numerics), and the tail
+    // above χ²-ish 2×rank must be small. n_vecs is oracle-exact.
+    "mahalanobis_calibration" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = graft.ext.DimReduce.pcaFit(emb, k = 64)
+      graft.ext.DimReduce.mahalanobisScores(emb, model)
+        .agg(count(lit(1)).as("n_vecs"),
+          max(col("mahal_rank")).cast("long").as("rank"),
+          (abs(avg(col("d2")) - max(col("mahal_rank"))) < 0.01)
+            .as("avg_d2_matches_rank"),
+          (sum(when(col("d2") > lit(2.0) * col("mahal_rank"), 1L)
+              .otherwise(0L))
+            < count(lit(1)) * 0.01).as("tail_frac_lt_001"))
+    }),
+
     // Token-count histogram: docs per 10-token bucket — the length
     // distribution a packing/truncation policy is tuned against.
     "token_histogram" -> ((s, dir) =>

