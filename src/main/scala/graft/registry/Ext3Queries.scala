@@ -871,6 +871,28 @@ object Ext3Queries {
         .agg(count(lit(1)).as("n_kept"), max(col("keep_ppm")).as("keep_ppm"))
         .orderBy(col("lang"))),
 
+    // Persisted lexical decontamination screen (ext/LexicalIndex — the
+    // fifth index family): eval set = docs 0-9 indexed once as a
+    // VersionedTable, batch = docs 0-29 screened with their 16 rarest
+    // index terms. EXACT oracle end to end (DuckDB reruns the identical
+    // BM25 chain). Every eval doc re-sent in the batch retrieves ITSELF
+    // as best match (asserted in LexicalIndexSpec); discrimination
+    // against clean docs is corpus-dependent — this shared-vocabulary
+    // synthetic corpus is the honest worst case (clean docs genuinely
+    // share most terms; the spec shows separation on disjoint-vocab
+    // docs) — so the gate here verifies machinery, not a magic cutoff.
+    "lexical_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = graft.ext.PqIndex.fingerprintedRoot(s,
+        "/tmp/graft_dedup_index/" +
+          dir.replaceAll("[^A-Za-z0-9]", "_") + "/lex",
+        dir + "/documents.parquet")
+      graft.ext.LexicalIndex.create(docs.where(col("doc_id") < 10), root)
+      graft.ext.LexicalIndex.screen(s, docs.where(col("doc_id") < 30),
+          root, threshold = 6.0)
+        .orderBy(col("doc_id"))
+    }),
+
     // BM25 full-text retrieval (ext/Retrieval — Robertson/Lucene variant):
     // the corpus index statistics first — exact integers + the avgdl the
     // scoring divides by.

@@ -1152,6 +1152,46 @@ object ExtOracleB {
            FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
            WHERE a.vec_id < 100 AND b.vec_id < 100""",
 
+      // Lexical decontamination screen: DuckDB reruns the identical
+      // index-build + rarest-term probe + BM25 chain (same literal
+      // params / op order as LexicalIndex.screen).
+      "lexical_contamination" ->
+        """WITH ev AS (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+             FROM documents WHERE doc_id < 10),
+           idx AS (SELECT doc_id, token, count(*) AS tf FROM ev
+             GROUP BY 1, 2),
+           dl AS (SELECT doc_id AS eval_doc_id, sum(tf) AS dl FROM idx
+             GROUP BY 1),
+           tot AS (SELECT count(*) AS n_docs,
+               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+           dfq AS (SELECT token, count(*) AS df FROM idx GROUP BY 1),
+           bt AS (SELECT DISTINCT doc_id, token FROM
+             (SELECT doc_id,
+                unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+              FROM documents WHERE doc_id < 30)),
+           pr AS (SELECT doc_id, token, df FROM
+             (SELECT bt.doc_id, bt.token, dfq.df,
+                row_number() OVER (PARTITION BY bt.doc_id
+                  ORDER BY dfq.df, bt.token) AS r
+              FROM bt JOIN dfq USING (token)) WHERE r <= 16),
+           sc AS (SELECT pr.doc_id, idx.doc_id AS eval_doc_id,
+               count(*) AS npt,
+               round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * (1.2 + 1.0))
+                 / (tf + 1.2 * ((1.0 - 0.75)
+                     + 0.75 * CAST(dl AS DOUBLE) / avgdl))), 6) AS score
+             FROM pr JOIN idx USING (token)
+               JOIN dl ON idx.doc_id = dl.eval_doc_id CROSS JOIN tot
+             GROUP BY 1, 2),
+           best AS (SELECT doc_id, eval_doc_id, npt, score,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, eval_doc_id) AS r FROM sc)
+           SELECT doc_id, eval_doc_id,
+             CAST(npt AS BIGINT) AS n_probe_terms, score,
+             score >= 6.0 AS contaminated
+           FROM best WHERE r = 1 ORDER BY doc_id""",
+
       // --- BM25 retrieval (ext/Retrieval) -------------------------------
       // Shared index CTEs: tf from the repo token regex, dl/df/totals
       // re-aggregated from tf, the fixed 3-query VALUES set (mirrors
