@@ -243,7 +243,33 @@ object ScaleProbe {
     // the cheapest possible reducer. Expected linear, near-zero build.
     "rp_project_operator" -> ((s, dir) =>
       graft.ext.DimReduce.rpVectorizer(
-        graft.sources.Tables.table(s, dir, "embeddings"), k = 16, dim = 64)))
+        graft.sources.Tables.table(s, dir, "embeddings"), k = 16, dim = 64)),
+    // BPE learning end to end (8 rounds): the corpus scan reduces to the
+    // word-type table once; each round is a vocab-sized aggregation.
+    // The probe's word-salting grows the vocabulary ~k-fold (disjoint
+    // token spaces), so this measures the rounds scaling with VOCAB —
+    // the quantity that actually grows — plus the one corpus scan.
+    "bpe_learn_operator" -> ((s, dir) =>
+      graft.ext.Bpe.mergesFrame(
+        graft.sources.Tables.table(s, dir, "documents"), rounds = 8)),
+    // Lexical decontamination screen: frozen eval index (the BASE sf0.1
+    // corpus' first 500 docs — fixed across factors, as a benchmark set
+    // is), the growing corpus streamed against it. The probe's word
+    // salting makes replicas >0 OOV against the index, so what scales is
+    // the probe-side tokenize + df-join + (replica-0 only) scoring.
+    // Expected linear in the batch; build = index create, first factor
+    // only (same root across factors — the index is frozen by design).
+    "lexical_screen_operator" -> ((s, dir) => {
+      val root =
+        s"${System.getProperty("java.io.tmpdir")}/graft_lex_probe_index"
+      graft.ext.LexicalIndex.create(
+        graft.sources.Tables.table(s,
+          sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+          "documents").where(col("doc_id") < 500), root)
+      graft.ext.LexicalIndex.screen(s,
+        graft.sources.Tables.table(s, dir, "documents"), root,
+        threshold = 6.0)
+    }))
 
   private def materialize(df: DataFrame): Long =
     df.queryExecution.toRdd.count()

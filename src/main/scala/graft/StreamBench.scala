@@ -262,10 +262,60 @@ object StreamBench {
       (stats, extra)
     }
 
+    // ---- lexical screen loop -------------------------------------------
+    // The BM25 sibling: a FROZEN eval-set index (first 10% of the corpus
+    // — a realistic benchmark-suite size), each trigger streaming the
+    // whole corpus against it. Odd triggers word-salt every token (all
+    // probe terms OOV — the cheap clean path: docs drop out at the df
+    // join); even triggers send the corpus verbatim (every doc shares
+    // vocabulary with the eval set: the full probe+score path, with the
+    // eval subset flagging as self-dups). The index never grows — a
+    // rising trigger-time trend here would be a regression, not load.
+    val (lexStats, lexExtra) = {
+      val sf = sys.env.getOrElse("SPARK_GRAFT_STREAM_DOCS_DIR",
+        "/root/testdata/sf0.1")
+      val lexTriggers =
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_LEX_TRIGGERS", "6").toInt
+      val docs = graft.sources.Tables.table(spark, sf, "documents")
+        .select(col("doc_id"), col("text"))
+      val base = docs.orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val evalN = math.max(base.length / 10, 1)
+      val maxId = base.map(_._1).max + 1L
+      val indexRoot = tmp("sb-lx-index")
+      val reportRoot = tmp("sb-lx-report")
+      graft.ext.LexicalIndex.create(
+        docs.where(col("doc_id") < evalN), indexRoot)
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingLexicalScreen.screenWriter(
+        input.toDF().toDF("doc_id", "text"), indexRoot, reportRoot,
+        threshold = 6.0, checkpoint = tmp("sb-lx-ckpt"),
+        trigger = org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("0 seconds")).start()
+      val stats = (1 to lexTriggers).map { i =>
+        val batch = base.map { case (id, text) =>
+          val t = if (i % 2 == 1)
+            text.split(" ").map(_ + s"r$i").mkString(" ")
+          else text
+          (id + i * maxId, t)
+        }
+        input.addData(batch.toSeq)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        TriggerStat(batch.length.toLong, (System.nanoTime() - t0) / 1e6)
+      }
+      q.stop()
+      val flagged = graft.sources.VersionedTable.read(spark, reportRoot)
+        .where(col("contaminated")).count()
+      val extra = s""","docs_per_trigger":${base.length},"eval_index_docs":$evalN,"flagged_total":$flagged"""
+      (stats, extra)
+    }
+
     val json = s"""{${report("sessionize", sessStats)},${report(
         "hourly_kpis", kpiStats)},${report("decontamination", decontStats,
         decontExtra)},${report("semantic_screen", screenStats,
-        screenExtra)},"triggers":$triggers,"rows_per_trigger":$rowsPerTrigger}"""
+        screenExtra)},${report("lexical_screen", lexStats,
+        lexExtra)},"triggers":$triggers,"rows_per_trigger":$rowsPerTrigger}"""
     val w = new java.io.PrintWriter("BENCH_STREAMING.json", "UTF-8")
     try w.println(json) finally w.close()
     println(json)

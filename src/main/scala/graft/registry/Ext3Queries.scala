@@ -871,6 +871,24 @@ object Ext3Queries {
         .agg(count(lit(1)).as("n_kept"), max(col("keep_ppm")).as("keep_ppm"))
         .orderBy(col("lang"))),
 
+    // Distributed BPE vocabulary learning (ext/Bpe, Sennrich 2016): 8
+    // merge rounds over the word-TYPE table (vocabulary-sized after one
+    // corpus scan). The separator-encoded literal-replace merge makes
+    // the whole learner bit-reproducible in SQL — the oracle replays
+    // all 8 rounds as chained CTEs and must land on the SAME rules.
+    "bpe_merges" -> ((s, dir) =>
+      graft.ext.Bpe.mergesFrame(t(s, dir, "documents"), rounds = 8)
+        .orderBy(col("round"))),
+
+    // The learned vocabulary applied back to the corpus: per-language
+    // token counts, total subword symbols, and fertility — each word
+    // TYPE segmented once, occurrences broadcast-joined against it.
+    "bpe_segmentation_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ext.Bpe.segmentationStats(docs,
+        graft.ext.Bpe.learnMerges(docs, rounds = 8))
+    }),
+
     // Persisted lexical decontamination screen (ext/LexicalIndex — the
     // fifth index family): eval set = docs 0-9 indexed once as a
     // VersionedTable, batch = docs 0-29 screened with their 16 rarest

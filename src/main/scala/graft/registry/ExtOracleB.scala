@@ -1152,6 +1152,27 @@ object ExtOracleB {
            FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
            WHERE a.vec_id < 100 AND b.vec_id < 100""",
 
+      // BPE learning replayed round by round as chained CTEs: pair
+      // counts weighted by word-type frequency, argmax with (count
+      // desc, lhs, rhs) tie-break, literal separator-encoded replace —
+      // the same left-to-right non-overlap semantics as the JVM.
+      "bpe_merges" -> (bpeCtes(8) + bpeMergesSelect(8)),
+
+      "bpe_segmentation_stats" ->
+        (bpeCtes(8) + s""",
+           seg AS (SELECT word,
+               CAST(len(string_split(seq, '_')) - 1 AS BIGINT) AS n_sym
+             FROM w8),
+           occ AS (SELECT lang,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+             FROM documents)
+           SELECT lang, count(*) AS n_tokens,
+             CAST(sum(n_sym) AS BIGINT) AS total_symbols,
+             round(CAST(sum(n_sym) AS DOUBLE) / count(*), 6)
+               AS symbols_per_token
+           FROM occ JOIN seg USING (word)
+           GROUP BY lang ORDER BY lang"""),
+
       // Lexical decontamination screen: DuckDB reruns the identical
       // index-build + rarest-term probe + BM25 chain (same literal
       // params / op order as LexicalIndex.screen).
@@ -1219,6 +1240,42 @@ object ExtOracleB {
            SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
            FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
     )
+
+  /** BPE round-replay CTE chain: w0 = char-seeded word types; for each
+    * round r, p_r = weighted adjacent-pair counts of w_{r−1}, b_r = the
+    * argmax pair, w_r = w_{r−1} with the literal merge applied. */
+  private def bpeCtes(rounds: Int): String = {
+    val head =
+      """WITH wt AS (SELECT word, count(*) AS n FROM
+           (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+              AS word FROM documents) GROUP BY 1),
+         w0 AS (SELECT word,
+             regexp_replace(word, '(.)', '_\1', 'g') AS seq, n FROM wt)"""
+    // MATERIALIZED + single-reference joins: DuckDB inlines plain CTEs,
+    // and a chain of rounds each referencing its predecessor multiple
+    // times would expand EXPONENTIALLY (observed: "too many open files"
+    // from thousands of inlined base scans at 8 rounds).
+    val blocks = (1 to rounds).map { r =>
+      val p = r - 1
+      s""",
+         b$r AS MATERIALIZED (SELECT s[i] AS lhs, s[i + 1] AS rhs,
+             CAST(sum(n) AS BIGINT) AS pc
+           FROM (SELECT string_split(seq, '_') AS s, n FROM w$p),
+             LATERAL unnest(generate_series(2, len(s) - 1)) t(i)
+           GROUP BY 1, 2
+           ORDER BY pc DESC, lhs, rhs LIMIT 1),
+         w$r AS MATERIALIZED (SELECT word,
+             replace(seq, '_' || b.lhs || '_' || b.rhs,
+               '_' || b.lhs || b.rhs) AS seq, n
+           FROM w$p, b$r b)"""
+    }.mkString
+    head + blocks
+  }
+
+  private def bpeMergesSelect(rounds: Int): String =
+    (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, lhs, rhs, pc AS pair_count FROM b$r")
+      .mkString("\n", "\nUNION ALL ", "\nORDER BY round")
 
   /** BM25 index + scoring CTE chain shared by the three retrieval oracles. */
   private def bm25Ctes: String =
