@@ -282,6 +282,50 @@ object TextAnalysis {
         round(exp(col("nll")), 6).as("ppl"))
   }
 
+  /** Top-k collocations by pointwise mutual information — the classic
+    * phrase-mining pass (Church & Hanks 1990): PMI(a,b) =
+    * ln( (c₂(ab)/T₂) / ((c₁(a)/T₁)·(c₁(b)/T₁)) ), ranked on the ROUNDED
+    * value (deterministic cross-engine ties), restricted to pairs seen
+    * ≥ `minCount` times (PMI is notoriously noisy on rare pairs). Same
+    * shapes as [[bigramPerplexity]]: corpus-scan aggregations, then
+    * vocabulary-scale joins. */
+  def collocationsPmi(docs: DataFrame, minCount: Long = 5L,
+                      topK: Int = 20): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val bigrams = transform(sequence(lit(1), size(col("__t")) - 1),
+      i => concat(element_at(col("__t"), i), lit(" "),
+        element_at(col("__t"), i + 1)))
+    val c2 = docs.repartition(par)
+      .withColumn("__t", tokens(col("text")))
+      .where(size(col("__t")) >= 2)
+      .select(explode_outer(bigrams).as("bg"))
+      .where(col("bg").isNotNull)
+      .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val c1 = docs.select(explode_outer(tokens(col("text"))).as("w"))
+      .where(col("w").isNotNull)
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val t2 = c2.agg(sum(col("c2")).as("T2"))
+    val t1 = c1.agg(sum(col("c1")).as("T1"))
+    val scored = c2.where(col("c2") >= minCount)
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(c1.select(col("w").as("w1"), col("c1").as("ca")), "w1")
+      .join(c1.select(col("w").as("w2"), col("c1").as("cb")), "w2")
+      .crossJoin(broadcast(t2)).crossJoin(broadcast(t1))
+      .withColumn("pmi", round(
+        log((col("c2").cast("double") / col("T2"))
+          / ((col("ca").cast("double") / col("T1"))
+            * (col("cb").cast("double") / col("T1")))), 6))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc))
+        .cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("rank"), col("w1"), col("w2"), col("c2"), col("pmi"))
+      .orderBy(col("rank"))
+  }
+
   /** Document fingerprinting: md5 over the whitespace-normalized lowercased
     * token stream — the canonical-form hash used for exact dedup at scale
     * (one groupBy on a 32-char key instead of full-text comparison). */

@@ -871,6 +871,11 @@ object Ext3Queries {
         .agg(count(lit(1)).as("n_kept"), max(col("keep_ppm")).as("keep_ppm"))
         .orderBy(col("lang"))),
 
+    // PMI collocations (Church & Hanks): top-20 bigram associations,
+    // rare pairs (< 5 occurrences) excluded, rank on the rounded PMI.
+    "collocations_pmi" -> ((s, dir) =>
+      TextAnalysis.collocationsPmi(t(s, dir, "documents"))),
+
     // Distributed BPE vocabulary learning (ext/Bpe, Sennrich 2016): 8
     // merge rounds over the word-TYPE table (vocabulary-sized after one
     // corpus scan). The separator-encoded literal-replace merge makes

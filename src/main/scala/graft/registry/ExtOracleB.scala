@@ -1152,6 +1152,33 @@ object ExtOracleB {
            FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
            WHERE a.vec_id < 100 AND b.vec_id < 100""",
 
+      "collocations_pmi" ->
+        """WITH tok AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+           FROM documents),
+           bg AS (SELECT unnest(list_transform(
+               generate_series(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i + 1])) AS bg
+             FROM tok WHERE len(w) >= 2),
+           c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1),
+           c1 AS (SELECT unnest(w) AS wd FROM tok),
+           c1c AS (SELECT wd, count(*) AS c1 FROM c1 GROUP BY 1),
+           t2 AS (SELECT CAST(sum(c2) AS BIGINT) AS T2 FROM c2),
+           t1 AS (SELECT CAST(sum(c1) AS BIGINT) AS T1 FROM c1c),
+           sc AS (SELECT string_split(bg, ' ')[1] AS w1,
+               string_split(bg, ' ')[2] AS w2, c2,
+               round(ln((CAST(c2 AS DOUBLE) / T2)
+                 / ((CAST(ca.c1 AS DOUBLE) / T1)
+                   * (CAST(cb.c1 AS DOUBLE) / T1))), 6) AS pmi
+             FROM c2 JOIN c1c ca ON ca.wd = string_split(bg, ' ')[1]
+               JOIN c1c cb ON cb.wd = string_split(bg, ' ')[2]
+               CROSS JOIN t2 CROSS JOIN t1
+             WHERE c2 >= 5),
+           r AS (SELECT *, row_number() OVER
+               (ORDER BY pmi DESC, w1, w2) AS rank FROM sc)
+           SELECT CAST(rank AS BIGINT) AS rank, w1, w2, c2, pmi
+           FROM r WHERE rank <= 20 ORDER BY rank""",
+
       // BPE learning replayed round by round as chained CTEs: pair
       // counts weighted by word-type frequency, argmax with (count
       // desc, lhs, rhs) tie-break, literal separator-encoded replace —

@@ -46,6 +46,28 @@ class EvalMetricsSpec extends SparkSpec {
     assert(r.getDouble(2) === 0.875)
   }
 
+  test("collocationsPmi: hand-computed PMI and min-count gate") {
+    // "a b" ×5 (collocated), "x"/"y" tokens also appear separately
+    val d = (0 until 5).map(i => (i.toLong, "a b x y"))
+      .toDF("doc_id", "text")
+    // bigrams per doc: (a b), (b x), (x y) ×5 → all pass minCount=5
+    val r = TextAnalysis.collocationsPmi(d, minCount = 5, topK = 10)
+      .as[(Long, String, String, Long, Double)].collect()
+    assert(r.length === 3)
+    val t2 = 15.0; val t1 = 20.0
+    val exp = math.log((5.0 / t2) / ((5.0 / t1) * (5.0 / t1)))
+    r.foreach { case (_, _, _, c2, pmi) =>
+      assert(c2 === 5L)
+      assert(math.abs(pmi - exp) < 1e-6) // all pairs same counts → same PMI
+    }
+    // ties broke (w1, w2) ascending
+    assert(r.map(x => (x._2, x._3)).toSeq ===
+      Seq(("a", "b"), ("b", "x"), ("x", "y")))
+    // raising minCount above 5 filters everything
+    assert(TextAnalysis.collocationsPmi(d, minCount = 6, topK = 10)
+      .count() === 0)
+  }
+
   private def docs(rows: (String, String)*) =
     rows.zipWithIndex.map { case ((g, t), i) => (i.toLong, t, g) }
       .toDF("doc_id", "text", "lang")
