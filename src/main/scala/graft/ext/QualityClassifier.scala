@@ -158,6 +158,28 @@ object QualityClassifier {
     * held-out split a gate is calibrated on), not the corpus; avg-ranks
     * are half-integers, so their sums are exact in doubles up to 2⁵³.
     */
+  /** Calibration (reliability) table: score → σ(logodds) probability,
+    * bucketed to deciles; per bucket the count, mean predicted
+    * probability, and empirical positive rate. A well-calibrated gate
+    * has mean_prob ≈ frac_pos per bucket — the diagram a production
+    * threshold is actually read off. Exact arithmetic mirrors in SQL
+    * (σ is one exp; probabilities round to 6 dp BEFORE bucketing so the
+    * decile assignment can't straddle engines). */
+  def calibrationTable(scored: DataFrame, labelCol: String,
+                       scoreCol: String = "logodds"): DataFrame = {
+    val p = round(lit(1.0) / (lit(1.0) + exp(-col(scoreCol))), 6)
+    val y = col(labelCol).cast("long")
+    scored
+      .select(least(floor(p * 10).cast("long"), lit(9L)).as("bucket"),
+        p.as("p"), y.as("y"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("p")), 6).as("mean_prob"),
+        round(sum(col("y")).cast("double") / count(lit(1)), 6)
+          .as("frac_pos"))
+      .orderBy(col("bucket"))
+  }
+
   def aucRoc(scored: DataFrame, labelCol: String,
              scoreCol: String = "logodds"): DataFrame = {
     val sc = round(col(scoreCol), 6)

@@ -103,6 +103,16 @@ object ExtOracleB {
                / (sum(y) * (count(*) - sum(y))), 6) AS auc
            FROM rk""",
 
+      "nb_calibration" ->
+        s"""$nbCtes,
+           pb AS (SELECT round(1.0 / (1.0 + exp(-lo)), 6) AS p, y FROM sc),
+           bk AS (SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bucket,
+               p, y FROM pb)
+           SELECT bucket, count(*) AS n,
+             round(avg(p), 6) AS mean_prob,
+             round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos
+           FROM bk GROUP BY bucket ORDER BY bucket""",
+
       "token_divergence" ->
         """WITH tk AS (SELECT lang AS g,
                unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token

@@ -384,6 +384,19 @@ object ExtQueries {
           d.where(col("split") === "test"), m), "label")
     }),
 
+    // Reliability diagram of the learned gate: σ(logodds) probabilities
+    // bucketed to deciles, mean predicted vs empirical positive rate —
+    // probabilities round BEFORE bucketing so decile assignment cannot
+    // straddle engines. Exact vs DuckDB.
+    "nb_calibration" -> ((s, dir) => {
+      val d = nbLabeled(s, dir)
+      val m = QualityClassifier.fitBernoulliNb(
+        d.where(col("split") === "train"), "label")
+      QualityClassifier.calibrationTable(
+        QualityClassifier.scoreBernoulliNb(
+          d.where(col("split") === "test"), m), "label")
+    }),
+
     // Data-mix diagnostic: Jensen–Shannon divergence between every
     // language pair's unigram distributions (0 = identical, ln 2 =
     // disjoint) — one corpus scan, vocabulary-scale everything after.

@@ -46,6 +46,18 @@ class EvalMetricsSpec extends SparkSpec {
     assert(r.getDouble(2) === 0.875)
   }
 
+  test("calibrationTable: buckets, probs, and empirical rates") {
+    // logodds 0 → p=0.5 (bucket 5); large +/- saturate to buckets 9/0
+    val df = scored((1L, 0.0), (0L, 0.0), (1L, 20.0), (0L, -20.0))
+    val r = QualityClassifier.calibrationTable(df, "label")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(r.map(_._1).toSeq === Seq(0L, 5L, 9L))
+    val b0 = r(0); val b5 = r(1); val b9 = r(2)
+    assert(b0._2 === 1L && b0._3 === 0.0 && b0._4 === 0.0)
+    assert(b5._2 === 2L && b5._3 === 0.5 && b5._4 === 0.5)
+    assert(b9._2 === 1L && b9._3 === 1.0 && b9._4 === 1.0)
+  }
+
   test("collocationsPmi: hand-computed PMI and min-count gate") {
     // "a b" ×5 (collocated), "x"/"y" tokens also appear separately
     val d = (0 until 5).map(i => (i.toLong, "a b x y"))
