@@ -70,15 +70,27 @@ object Bpe {
 
   /** Learn `rounds` merges from the corpus. Each round is one
     * vocabulary-scale aggregation + a single-row collect; stops early
-    * if no pair is left (all words fully merged). */
+    * if no pair is left (all words fully merged).
+    *
+    * One cache, ever: the seed word-type table. Each round's frame is
+    * the seed plus the merge rules so far as CHAINED literal replaces
+    * (exactly [[segmented]]'s shape) — re-running ≤r cheap string
+    * replaces over a vocabulary-sized cached table beats the round-10
+    * scheme of re-caching every round, which cost an extra
+    * materialization JOB (`wt.count()`) per merge on top of K cache
+    * copies of the same-sized table. */
   def learnMerges(docs: DataFrame, rounds: Int): Seq[Merge] = {
     require(rounds >= 1 && rounds <= 64, s"unreasonable BPE rounds: $rounds")
-    var wt = wordTypes(docs).select(seed(col("word")).as("seq"), col("n"))
+    val base = wordTypes(docs).select(seed(col("word")).as("seq"), col("n"))
       .cache()
     val out = Seq.newBuilder[Merge]
+    var learned = List.empty[(String, String)] // reversed rule chain
     var r = 1
     var done = false
     while (r <= rounds && !done) {
+      val seq = learned.reverse.foldLeft(col("seq"))((s, m) =>
+        replace(s, lit(s"_${m._1}_${m._2}"), lit(s"_${m._1}${m._2}")))
+      val wt = base.select(seq.as("seq"), col("n"))
       val best = pairCounts(wt)
         .orderBy(col("pc").desc, col("lhs").asc, col("rhs").asc)
         .limit(1).collect()
@@ -87,16 +99,11 @@ object Bpe {
         val (a, b, c) = (best(0).getString(0), best(0).getString(1),
           best(0).getLong(2))
         out += Merge(r, a, b, c)
-        val prev = wt
-        wt = wt.select(
-          replace(col("seq"), lit(s"_${a}_$b"), lit(s"_$a$b")).as("seq"),
-          col("n")).cache()
-        wt.count() // materialize before unpersisting the parent
-        prev.unpersist()
+        learned ::= (a, b)
       }
       r += 1
     }
-    wt.unpersist()
+    base.unpersist()
     out.result()
   }
 

@@ -282,6 +282,31 @@ object TextAnalysis {
         round(exp(col("nll")), 6).as("ppl"))
   }
 
+  /** Vocabulary growth curve (the Heaps'-law sizing pass): distinct-token
+    * count within each document-id prefix of the corpus — the curve a
+    * tokenizer/vocab budget is planned from ("how fast does vocabulary
+    * still grow at our scale?"). ONE corpus scan: each token reduces to
+    * its FIRST document (min doc_id), then the curve is a cumulative
+    * count over the prefix grid — never one distinct-aggregation per
+    * grid point. */
+  def vocabGrowth(docs: DataFrame, prefixes: Seq[Long]): DataFrame = {
+    require(prefixes.nonEmpty && prefixes == prefixes.sorted,
+      s"prefix grid must be ascending: $prefixes")
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val firstSeen = docs.repartition(par)
+      .select(col("doc_id"),
+        explode_outer(tokens(col("text"))).as("token"))
+      .where(col("token").isNotNull)
+      .groupBy(col("token")).agg(min(col("doc_id")).as("first_doc"))
+    val grid = typedLit(prefixes)
+    firstSeen
+      .select(explode(grid).as("prefix_docs"), col("first_doc"))
+      .where(col("first_doc") < col("prefix_docs"))
+      .groupBy(col("prefix_docs"))
+      .agg(count(lit(1)).as("vocab"))
+      .orderBy(col("prefix_docs"))
+  }
+
   /** Top-k collocations by pointwise mutual information — the classic
     * phrase-mining pass (Church & Hanks 1990): PMI(a,b) =
     * ln( (c₂(ab)/T₂) / ((c₁(a)/T₁)·(c₁(b)/T₁)) ), ranked on the ROUNDED

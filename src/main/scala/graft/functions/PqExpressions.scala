@@ -37,6 +37,19 @@ abstract class PqKernelExpr extends UnaryExpression {
   def dsub: Int
   def codebook: Array[Double] // flat (sub, code, dim), length m·ksub·dsub
 
+  // A null ELEMENT yields null even when the array itself cannot be
+  // null, so nullability must include containsNull — and when elements
+  // cannot be null the generated code must not reference ev.isNull:
+  // nullSafeCodeGen's non-nullable branch never declares it, janino
+  // rejects the undeclared name, and the whole projection silently drops
+  // to the interpreter (the round-11 text_knn_hashed fallback).
+  protected def elemsNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+  override def nullable: Boolean =
+    !childrenResolved || child.nullable || elemsNullable
+
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
       case ArrayType(DoubleType, _) =>
@@ -90,6 +103,9 @@ case class PqLutExpr(child: Expression, codebook: Array[Double],
       val t = ctx.freshName("lutT")
       val d = ctx.freshName("lutD")
       val x = ctx.freshName("lutX")
+      val nullCheck = if (elemsNullable)
+        s"if ($v.isNullAt($s * $dsub + $t)) { ${ev.isNull} = true; break lutLoop; }"
+      else ""
       s"""
          |double[] $out = new double[${m * ksub}];
          |lutLoop: {
@@ -97,7 +113,7 @@ case class PqLutExpr(child: Expression, codebook: Array[Double],
          |    for (int $j = 0; $j < $ksub; $j++) {
          |      double $d = 0.0;
          |      for (int $t = 0; $t < $dsub; $t++) {
-         |        if ($v.isNullAt($s * $dsub + $t)) { ${ev.isNull} = true; break lutLoop; }
+         |        $nullCheck
          |        double $x = $v.getDouble($s * $dsub + $t)
          |          - $cb[($s * $ksub + $j) * $dsub + $t];
          |        $d += $x * $x;
@@ -167,6 +183,9 @@ case class PqCodeExpr(child: Expression, codebook: Array[Double],
       val x = ctx.freshName("pqX")
       val best = ctx.freshName("pqBest")
       val bestD = ctx.freshName("pqBestD")
+      val nullCheck = if (elemsNullable)
+        s"if ($v.isNullAt($s * $dsub + $t)) { ${ev.isNull} = true; break codeLoop; }"
+      else ""
       s"""
          |long $packed = 0L;
          |codeLoop: {
@@ -176,7 +195,7 @@ case class PqCodeExpr(child: Expression, codebook: Array[Double],
          |    for (int $j = 0; $j < $ksub; $j++) {
          |      double $d = 0.0;
          |      for (int $t = 0; $t < $dsub; $t++) {
-         |        if ($v.isNullAt($s * $dsub + $t)) { ${ev.isNull} = true; break codeLoop; }
+         |        $nullCheck
          |        double $x = $v.getDouble($s * $dsub + $t)
          |          - $cb[($s * $ksub + $j) * $dsub + $t];
          |        $d += $x * $x;

@@ -41,6 +41,19 @@ case class DotProductExpr(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_dot"
 
+  // A null ELEMENT also yields null, so nullability must include the
+  // arrays' containsNull — and when elements CANNOT be null, the
+  // generated code must not reference ev.isNull at all: nullSafeCodeGen's
+  // non-nullable branch never declares it, janino rejects the undeclared
+  // name, and the whole projection silently drops to the interpreter
+  // (the round-11 text_knn_hashed fallback).
+  private def elemsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  })
+  override def nullable: Boolean =
+    !childrenResolved || left.nullable || right.nullable || elemsNullable
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -65,11 +78,16 @@ case class DotProductExpr(left: Expression, right: Expression)
       val n = ctx.freshName("dotN")
       val sum = ctx.freshName("dotSum")
       val i = ctx.freshName("dotI")
+      // emitted only when an element CAN be null: ev.isNull is undeclared
+      // otherwise, and the dead branch would cost a test per element
+      val nullCheck = if (elemsNullable)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $sum = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $nullCheck
          |  $sum += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
          |${ev.value} = $sum;
@@ -127,6 +145,15 @@ case class AdcDistExpr(lut: Expression, packed: Expression,
 
   override def prettyName: String = "graft_adc"
 
+  // same containsNull contract as DotProductExpr: a null lut ELEMENT
+  // yields null, and codegen must not touch ev.isNull when it can't
+  private def lutElemsNullable: Boolean = lut.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+  override def nullable: Boolean =
+    !childrenResolved || lut.nullable || packed.nullable || lutElemsNullable
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val l = a.asInstanceOf[ArrayData]
     val p = b.asInstanceOf[java.lang.Long].longValue()
@@ -146,11 +173,14 @@ case class AdcDistExpr(lut: Expression, packed: Expression,
       val sum = ctx.freshName("adcSum")
       val i = ctx.freshName("adcI")
       val idx = ctx.freshName("adcIdx")
+      val nullCheck = if (lutElemsNullable)
+        s"if ($l.isNullAt($idx)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |double $sum = 0.0;
          |for (int $i = 0; $i < $m; $i++) {
          |  int $idx = $i * $ksub + (int) (($p >>> ($i * $bits)) & ${mask}L);
-         |  if ($l.isNullAt($idx)) { ${ev.isNull} = true; break; }
+         |  $nullCheck
          |  $sum += $l.getDouble($idx);
          |}
          |${ev.value} = $sum;

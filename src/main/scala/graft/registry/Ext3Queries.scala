@@ -871,6 +871,13 @@ object Ext3Queries {
         .agg(count(lit(1)).as("n_kept"), max(col("keep_ppm")).as("keep_ppm"))
         .orderBy(col("lang"))),
 
+    // Vocabulary growth curve (Heaps'-law sizing): distinct tokens per
+    // doc-id prefix, from ONE scan (token → first doc, then cumulative
+    // counts over the grid — never a distinct-agg per point).
+    "vocab_growth" -> ((s, dir) =>
+      TextAnalysis.vocabGrowth(t(s, dir, "documents"),
+        Seq(100L, 200L, 300L, 400L, 500L))),
+
     // PMI collocations (Church & Hanks): top-20 bigram associations,
     // rare pairs (< 5 occurrences) excluded, rank on the rounded PMI.
     "collocations_pmi" -> ((s, dir) =>

@@ -1162,6 +1162,17 @@ object ExtOracleB {
            FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
            WHERE a.vec_id < 100 AND b.vec_id < 100""",
 
+      "vocab_growth" ->
+        """WITH fs AS (SELECT token, min(doc_id) AS first_doc FROM
+             (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                '[a-z0-9]+')) AS token FROM documents)
+             GROUP BY 1),
+           g AS (SELECT unnest([100, 200, 300, 400, 500]) AS prefix_docs)
+           SELECT CAST(prefix_docs AS BIGINT) AS prefix_docs,
+             count(*) AS vocab
+           FROM fs JOIN g ON fs.first_doc < g.prefix_docs
+           GROUP BY 1 ORDER BY 1""",
+
       "collocations_pmi" ->
         """WITH tok AS (SELECT doc_id,
              regexp_extract_all(lower(text), '[a-z0-9]+') AS w

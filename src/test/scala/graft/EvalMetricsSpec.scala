@@ -84,6 +84,14 @@ class EvalMetricsSpec extends SparkSpec {
     rows.zipWithIndex.map { case ((g, t), i) => (i.toLong, t, g) }
       .toDF("doc_id", "text", "lang")
 
+  test("vocabGrowth: cumulative distinct tokens per prefix") {
+    val d = Seq((0L, "a b"), (1L, "b c"), (2L, "c d e"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.vocabGrowth(d, Seq(1L, 2L, 3L))
+      .as[(Long, Long)].collect()
+    assert(r.toSeq === Seq((1L, 2L), (2L, 3L), (3L, 5L)))
+  }
+
   test("tokenDivergence: identical distributions diverge 0") {
     val d = docs(("a", "x y z"), ("b", "x y z"), ("b", "z y x"))
     val r = TextAnalysis.tokenDivergence(d).collect()(0)

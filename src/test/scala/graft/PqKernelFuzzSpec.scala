@@ -133,6 +133,38 @@ class PqKernelFuzzSpec extends SparkSpec {
     assert(out.isNullAt(0) && out.isNullAt(1))
   }
 
+  test("kernels COMPILE over non-nullable arrays (no interpreter fallback)") {
+    // GenerateUnsafeProjection.generate throws on janino failure — no
+    // CodeGeneratorWithInterpretedFallback rescue — so this pins the
+    // round-11 bug where ev.isNull was referenced but undeclared for
+    // containsNull=false inputs (derived vectors, e.g. the hashing
+    // vectorizer) and every consuming projection fell back interpreted.
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType}
+    import graft.functions.{AdcDistExpr, DotProductExpr, PqCodeExpr, PqLutExpr}
+    val cb = randomCb(2, 4, 2)
+    val flat = cb.flatMap(_.flatMap(_.toSeq))
+    val arrD = BoundReference(0, ArrayType(DoubleType, containsNull = false),
+      nullable = false)
+    val arrF = BoundReference(0, ArrayType(FloatType, containsNull = false),
+      nullable = false)
+    for (sub <- Seq(false, true)) {
+      GenerateUnsafeProjection.generate(Seq(
+        PqLutExpr(arrD, flat, 2, 4, 2),
+        PqCodeExpr(arrD, flat, 2, 4, 2),
+        DotProductExpr(arrF, arrF),
+        AdcDistExpr(BoundReference(0, ArrayType(DoubleType, containsNull = false),
+          nullable = false), BoundReference(1, LongType, nullable = false), 2, 4)),
+        subexpressionEliminationEnabled = sub)
+    }
+    // and the nullable variants still declare + compile
+    val arrDN = BoundReference(0, ArrayType(DoubleType, containsNull = true),
+      nullable = true)
+    GenerateUnsafeProjection.generate(Seq(
+      PqLutExpr(arrDN, flat, 2, 4, 2), PqCodeExpr(arrDN, flat, 2, 4, 2)))
+  }
+
   test("the packed form IS what encodePacked produces (end-to-end tie)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(50)
