@@ -6,7 +6,7 @@ object Bench {
     * lets gate evaluations separate code regressions from hypervisor
     * co-tenant noise (BASELINE.md documents 3-4x uniform inflation under
     * steal). Zeroes on non-Linux. */
-  private def cpuJiffies(): (Long, Long) =
+  private[graft] def cpuJiffies(): (Long, Long) =
     try {
       val src = scala.io.Source.fromFile("/proc/stat")
       try {
@@ -15,7 +15,7 @@ object Bench {
       } finally src.close()
     } catch { case _: Throwable => (0L, 0L) }
 
-  private def loadAvg(): Double =
+  private[graft] def loadAvg(): Double =
     try {
       val src = scala.io.Source.fromFile("/proc/loadavg")
       try src.getLines().next().split("\\s+")(0).toDouble finally src.close()

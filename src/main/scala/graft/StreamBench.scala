@@ -59,6 +59,11 @@ object StreamBench {
   }
 
   def main(args: Array[String]): Unit = {
+    // run-condition meta, as in Bench: trigger latencies inflate
+    // uniformly 1.5-4x under hypervisor steal or co-tenant load, and an
+    // artifact without its measurement conditions can't be adjudicated
+    val load0 = Bench.loadAvg()
+    val (steal0, jiffies0) = Bench.cpuJiffies()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -311,11 +316,16 @@ object StreamBench {
       (stats, extra)
     }
 
+    val (steal1, jiffies1) = Bench.cpuJiffies()
+    val stealPct =
+      if (jiffies1 > jiffies0)
+        100.0 * (steal1 - steal0) / (jiffies1 - jiffies0)
+      else 0.0
     val json = s"""{${report("sessionize", sessStats)},${report(
         "hourly_kpis", kpiStats)},${report("decontamination", decontStats,
         decontExtra)},${report("semantic_screen", screenStats,
         screenExtra)},${report("lexical_screen", lexStats,
-        lexExtra)},"triggers":$triggers,"rows_per_trigger":$rowsPerTrigger}"""
+        lexExtra)},"triggers":$triggers,"rows_per_trigger":$rowsPerTrigger,"load_avg_start":$load0,"load_avg_end":${Bench.loadAvg()},"steal_pct":${f2(stealPct)}}"""
     val w = new java.io.PrintWriter("BENCH_STREAMING.json", "UTF-8")
     try w.println(json) finally w.close()
     println(json)

@@ -49,6 +49,35 @@ object LexicalIndex {
     ()
   }
 
+  /** The screen-side derived statistics of a frozen index — postings,
+    * per-eval-doc lengths, document frequencies — bundled so a STREAM
+    * computes them ONCE and screens every micro-batch against the cached
+    * copies, instead of re-aggregating the index per trigger (the
+    * round-11 lexical_screen bench showed the per-trigger rebuild
+    * dominating: the index is frozen, its stats are loop invariants). */
+  final case class ScreenIndex(postings: DataFrame, dl: DataFrame,
+                               dfreq: DataFrame, totals: DataFrame) {
+    /** Cache the three index-sized frames (totals is derived from the
+      * cached dl, one row). Returns this for chaining. */
+    def persist(): ScreenIndex = {
+      postings.persist(); dl.persist(); dfreq.persist(); this
+    }
+    def unpersist(): Unit = {
+      postings.unpersist(); dl.unpersist(); dfreq.unpersist(); ()
+    }
+  }
+
+  /** Derive [[ScreenIndex]] stats from the persisted index at `root`. */
+  def indexStats(spark: SparkSession, root: String): ScreenIndex = {
+    val idx = VersionedTable.read(spark, root)
+    val dl = idx.groupBy(col("doc_id").as("eval_doc_id"))
+      .agg(sum(col("tf")).as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val dfreq = idx.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    ScreenIndex(idx, dl, dfreq, totals)
+  }
+
   /** Screen a batch of documents against the index: per batch doc, the
     * best-matching eval doc by BM25 over the doc's `probeTerms` rarest
     * index terms, and the contamination flag. Deterministic tie-break:
@@ -60,14 +89,18 @@ object LexicalIndex {
     * lexically). */
   def screen(spark: SparkSession, batch: DataFrame, root: String,
              threshold: Double, probeTerms: Int = 16,
-             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+             k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    screenWith(indexStats(spark, root), batch, threshold, probeTerms, k1, b)
+
+  /** [[screen]] against precomputed (typically cached) index stats —
+    * the per-trigger form of the streaming screen. The index side of
+    * every join is broadcast EXPLICITLY: the production shape is a small
+    * frozen eval index against an unbounded training stream, so the
+    * batch side must never shuffle on token. */
+  def screenWith(si: ScreenIndex, batch: DataFrame,
+                 threshold: Double, probeTerms: Int = 16,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(probeTerms > 0 && threshold > 0, "bad screen params")
-    val idx = VersionedTable.read(spark, root)
-    val dl = idx.groupBy(col("doc_id").as("eval_doc_id"))
-      .agg(sum(col("tf")).as("dl"))
-    val totals = dl.agg(count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val dfreq = idx.groupBy(col("token")).agg(count(lit(1)).as("df"))
     // batch probe terms: distinct doc terms ∩ index vocab, rarest first
     val wRare = Window.partitionBy(col("doc_id"))
       .orderBy(col("df").asc, col("token").asc)
@@ -76,15 +109,15 @@ object LexicalIndex {
         explode_outer(array_distinct(TextAnalysis.tokens(col("text"))))
           .as("token"))
       .where(col("token").isNotNull)
-      .join(dfreq, "token") // inner: OOV terms cannot match postings
+      .join(broadcast(si.dfreq), "token") // inner: OOV terms match nothing
       .withColumn("__r", row_number().over(wRare))
       .where(col("__r") <= probeTerms)
       .drop("__r")
     val scored = probes
-      .join(idx.select(col("doc_id").as("eval_doc_id"), col("token"),
-        col("tf")), "token")
-      .join(dl, "eval_doc_id")
-      .crossJoin(broadcast(totals))
+      .join(broadcast(si.postings.select(col("doc_id").as("eval_doc_id"),
+        col("token"), col("tf"))), "token")
+      .join(broadcast(si.dl), "eval_doc_id")
+      .crossJoin(broadcast(si.totals))
       .withColumn("contrib",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
           / (col("df") + lit(0.5)))

@@ -60,14 +60,17 @@ object StreamingLexicalScreen {
   }
 
   /** One batch through the screen — public so specs can replay it as
-    * foreachBatch would. Returns the batch's report (computed fresh
-    * every time; committed at most once). */
-  def screenBatch(batch: DataFrame, batchId: Long, indexRoot: String,
-                  reportRoot: String, threshold: Double,
-                  probeTerms: Int = 16): DataFrame = {
+    * foreachBatch would. Returns the batch's report (committed at most
+    * once). The report is computed ONCE (persisted before the commit
+    * write, so a caller's count/collect hits the cache instead of
+    * re-running the whole BM25 scoring); callers that are done with it
+    * should `unpersist()` — [[screenWriter]] does. */
+  def screenBatch(batch: DataFrame, batchId: Long,
+                  si: LexicalIndex.ScreenIndex, reportRoot: String,
+                  threshold: Double, probeTerms: Int): DataFrame = {
     val spark = batch.sparkSession
-    val report = LexicalIndex.screen(spark, batch, indexRoot, threshold,
-      probeTerms)
+    val report = LexicalIndex.screenWith(si, batch, threshold, probeTerms)
+      .persist()
     val reportLatest = VersionedTable.versions(spark, reportRoot)
       .lastOption.getOrElse(0L)
     val pre = markedReportPre(spark, reportRoot, batchId) match {
@@ -81,13 +84,26 @@ object StreamingLexicalScreen {
     report
   }
 
-  /** Wire a document stream (doc_id, text) into the screen. */
+  /** [[screenBatch]] with per-call index stats — spec/one-shot form;
+    * the streaming writer computes the stats once for the whole run. */
+  def screenBatch(batch: DataFrame, batchId: Long, indexRoot: String,
+                  reportRoot: String, threshold: Double,
+                  probeTerms: Int = 16): DataFrame =
+    screenBatch(batch, batchId,
+      LexicalIndex.indexStats(batch.sparkSession, indexRoot),
+      reportRoot, threshold, probeTerms)
+
+  /** Wire a document stream (doc_id, text) into the screen. The frozen
+    * index's derived stats (postings, lengths, document frequencies)
+    * are loop invariants: computed and cached ONCE here, reused by
+    * every micro-batch — not re-aggregated per trigger. */
   def screenWriter(docs: DataFrame, indexRoot: String, reportRoot: String,
                    threshold: Double, checkpoint: String,
                    probeTerms: Int = 16,
                    onBatch: (Long, Long) => Unit = (_, _) => (),
                    trigger: Trigger = Trigger.AvailableNow())
-      : DataStreamWriter[Row] =
+      : DataStreamWriter[Row] = {
+    val si = LexicalIndex.indexStats(docs.sparkSession, indexRoot).persist()
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -95,8 +111,9 @@ object StreamingLexicalScreen {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val r = screenBatch(batch.select(col("doc_id"), col("text")),
-            batchId, indexRoot, reportRoot, threshold, probeTerms)
-          onBatch(batchId, r.count())
+            batchId, si, reportRoot, threshold, probeTerms)
+          try onBatch(batchId, r.count()) finally { r.unpersist(); () }
         }
       }
+  }
 }
