@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Retrieval, Similarity, SpanDedup, TextAnalysis}
+import graft.ext.{Dedup, ImportanceSampling, Multimodal, Retrieval, Similarity, SpanDedup, TextAnalysis}
 import graft.operators.{Cleaning, Kpis, Validation}
 import graft.Pipeline
 
@@ -946,7 +946,27 @@ object Ext3Queries {
     // on the ROUNDED score in both engines.
     "bm25_top_docs" -> ((s, dir) =>
       Retrieval.bm25TopK(t(s, dir, "documents"), bm25Queries(s), k = 5)
-        .orderBy(col("query_id"), col("rank")))
+        .orderBy(col("query_id"), col("rank"))),
+
+    // DSIR importance resampling (ext/ImportanceSampling, Xie et al.
+    // 2023): hashed unigram+bigram models (64 buckets, add-1), target =
+    // source 'src0', weights for the first 25 docs — the exact
+    // log-ratio closed form, oracled end to end.
+    "dsir_weights" -> ((s, dir) =>
+      ImportanceSampling.importanceWeights(t(s, dir, "documents"),
+          col("source") === "src0", dim = 64)
+        .where(col("doc_id") < 25)
+        .orderBy(col("doc_id"))),
+
+    // The mixture-shift report over the top-20% selection: per source,
+    // corpus count vs selected count — the diagnostic showing the
+    // resampling tilts the mix toward the target domain. Selection
+    // ranks (rounded weight desc, doc_id) via the DISTRIBUTED global
+    // row number (range chunks + bounded offsets), no single-partition
+    // window anywhere in the plan.
+    "dsir_mixture_shift" -> ((s, dir) =>
+      ImportanceSampling.mixtureShift(t(s, dir, "documents"),
+        col("source") === "src0", frac = 0.2, dim = 64))
   )
 
   /** Fixed BM25 query set: in-vocabulary multi-term, high-df mixed, and a

@@ -1287,7 +1287,75 @@ object ExtOracleB {
                    ORDER BY score DESC, doc_id) AS rank FROM scored)
            SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
            FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+
+      // DSIR importance weights: hashed unigram+bigram models (64
+      // buckets, add-1 smoothing), target = source 'src0', weight =
+      // Σ cnt·(ln p̂_t − ln p̂_r) rounded 6 dp — the same closed form,
+      // models over the WHOLE corpus, output filtered at the end.
+      "dsir_weights" ->
+        s"""$dsirCtes
+           SELECT d.doc_id, coalesce(w.weight, 0.0) AS weight
+           FROM documents d LEFT JOIN wts w USING (doc_id)
+           WHERE d.doc_id < 25 ORDER BY d.doc_id""",
+
+      // Mixture-shift over the top-20% selection: rank on (rounded
+      // weight desc, doc_id), k = ceil(0.2·n).
+      "dsir_mixture_shift" ->
+        s"""$dsirCtes,
+           aw AS (SELECT d.doc_id, d.source,
+               coalesce(w.weight, 0.0) AS weight
+             FROM documents d LEFT JOIN wts w USING (doc_id)),
+           n AS (SELECT CAST(ceil(0.2 * count(*)) AS BIGINT) AS k
+             FROM documents),
+           r AS (SELECT *, row_number() OVER
+               (ORDER BY weight DESC, doc_id) AS rnk FROM aw)
+           SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN rnk <= k THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_selected,
+             round(avg(weight), 4) AS mean_weight
+           FROM r CROSS JOIN n GROUP BY source ORDER BY source""",
     )
+
+  /** DSIR shared CTEs: hashed unigram+bigram counts per doc (md5-hex32
+    * % 64 buckets), the two add-1 multinomials (target = src0, raw =
+    * whole corpus) folded into ONE bucket table, and per-doc weights. */
+  // lazy: referenced from `oracle`, which is declared first — a plain
+  // val here would still be null during the map's initialization
+  private lazy val dsirCtes: String = {
+    val hex32 = foldSum(
+      "list_transform(generate_series(1, 8), i -> " +
+        "CAST(CASE WHEN ascii(substr(mh, i, 1)) <= 57 " +
+        "THEN ascii(substr(mh, i, 1)) - 48 " +
+        "ELSE ascii(substr(mh, i, 1)) - 87 END AS BIGINT) " +
+        "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+      "CAST(0 AS BIGINT)")
+    s"""WITH tok AS (SELECT doc_id, source,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+           FROM documents),
+       uni AS (SELECT doc_id, source, unnest(w) AS g FROM tok),
+       bi AS (SELECT doc_id, source, unnest(list_transform(
+             generate_series(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i + 1])) AS g
+           FROM tok WHERE len(w) >= 2),
+       grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+       hashed AS (SELECT doc_id, source, $hex32 % 64 AS bucket
+           FROM (SELECT doc_id, source, md5(g) AS mh FROM grams)),
+       feats AS (SELECT doc_id, source, bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+         FROM hashed GROUP BY 1, 2, 3),
+       bkt AS (SELECT bucket,
+           sum(CASE WHEN source = 'src0' THEN cnt ELSE 0 END) AS ct,
+           sum(cnt) AS cr
+         FROM feats GROUP BY 1),
+       tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM bkt),
+       lr AS (SELECT bucket,
+           ln((ct + 1.0) / (tt + 1.0 * 64))
+             - ln((cr + 1.0) / (tr + 1.0 * 64)) AS lr
+         FROM bkt CROSS JOIN tot),
+       wts AS (SELECT doc_id,
+           round(sum(cnt * lr), 6) AS weight
+         FROM feats JOIN lr USING (bucket) GROUP BY 1)"""
+  }
 
   /** BPE round-replay CTE chain: w0 = char-seeded word types; for each
     * round r, p_r = weighted adjacent-pair counts of w_{r−1}, b_r = the
