@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorAggregates.vecSum
+
+/** Distributed Lloyd k-means over an embedding corpus — clustering as a
+  * first-class, exactly-reproducible operator (the curriculum/mixing and
+  * SemDeDup-style curation passes all start from one of these fits).
+  *
+  * Scale shape (the [[Bpe]] discipline applied to Lloyd): every round is
+  * ONE corpus scan — nearest-centroid assignment is a pure projection
+  * over inlined centroid literals ([[Similarity.ivfListId]], bounded at
+  * k×dim values), and the centroid update is a single hash aggregate
+  * through the [[graft.functions.VectorAggregates.vecSum]] typed buffer
+  * (map-side combine; k rows × dim doubles cross the exchange; only the
+  * k-row result reaches the driver). Driver state is the k×dim centroid
+  * table — never corpus-sized. For k beyond plan-literal comfort
+  * (≳ [[Similarity.IvfFitNlistCap]]) the same two-regime answer as
+  * [[SemanticDedup]] applies: coarse-quantize first; this operator keeps
+  * the caller-chosen-k regime.
+  *
+  * Exact cross-engine reproducibility (what makes the fit ORACLE-able,
+  * not just spec-checked):
+  *  - deterministic init: the k lowest-vec_id embeddings;
+  *  - centroids ROUND to `dp` decimals after init and after every
+  *    update — float sums are merge-order-dependent at ~1e-15, and
+  *    rounding re-synchronizes both engines before the values feed the
+  *    next round's distances;
+  *  - assignment distances run in one fixed op order (−2·v·c + |c|²,
+  *    left-fold dot — [[Similarity.dotN]]) over identical rounded
+  *    centroids, so argmins are bit-identical; ties break to the lowest
+  *    centroid id;
+  *  - an emptied cluster keeps its previous centroid (both engines).
+  */
+object Clustering {
+
+  /** Lloyd fit: `rounds` full rounds from the deterministic init.
+    * Returns the k×dim centroid table (rounded to `dp`). */
+  def lloydFit(vecs: DataFrame, k: Int, rounds: Int,
+               dp: Int = 6): Array[Array[Double]] = {
+    require(k >= 2 && k <= 4096, s"unreasonable k: $k")
+    require(rounds >= 0 && rounds <= 64, s"unreasonable rounds: $rounds")
+    // ALL rounding happens through Spark's own `round` (HALF_UP with
+    // Spark's exact decimal semantics) inside the plans, never a
+    // driver-side reimplementation — the oracle pairs Spark round with
+    // DuckDB round across the whole library, and a subtly different
+    // BigDecimal construction here would desynchronize the fits at
+    // exact .5 ulp boundaries.
+    var cent: Array[Array[Double]] = vecs.orderBy(col("vec_id")).limit(k)
+      .select(transform(col("embedding"),
+        x => round(x.cast("double"), dp)).as("c"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(cent.length == k, s"corpus has fewer than k=$k vectors")
+    for (_ <- 1 to rounds) {
+      val means = vecs
+        .select(Similarity.ivfListId(col("embedding"), cent).as("cluster"),
+          col("embedding"))
+        .groupBy(col("cluster"))
+        .agg(vecSum(col("embedding")).as("s"), count(lit(1)).as("n"))
+        .select(col("cluster"),
+          transform(col("s"), x => round(x / col("n"), dp)).as("m"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toMap
+      cent = cent.zipWithIndex.map { case (prev, cid) =>
+        means.getOrElse(cid, prev) // emptied cluster keeps its centroid
+      }
+    }
+    cent
+  }
+
+  /** Per-vector assignment under a fitted model: (vec_id, cluster). */
+  def assignments(vecs: DataFrame,
+                  centroids: Array[Array[Double]]): DataFrame =
+    vecs.select(col("vec_id"),
+      Similarity.ivfListId(col("embedding"), centroids).as("cluster"))
+
+  /** Per-cluster fit diagnostics: size and inertia (Σ‖v−c‖², the k-picking
+    * elbow number), inertia rounded to 4 dp. Distances accumulate per-dim
+    * in index order — the cross-engine-stable form. */
+  def clusterStats(vecs: DataFrame,
+                   centroids: Array[Array[Double]]): DataFrame = {
+    val dim = centroids(0).length
+    val distSq: Column = {
+      val cl = typedLit(centroids.map(_.toSeq).toSeq)
+      // (a−b)·(a−b), not pow(a−b, 2): pow is only ≤1-ulp-correct and the
+      // two engines' libm may round differently; multiplication is exact
+      aggregate(sequence(lit(1), lit(dim)), lit(0.0), (acc, i) => {
+        val d = element_at(col("embedding"), i).cast("double") -
+          element_at(element_at(cl, col("cluster") + 1), i)
+        acc + d * d
+      })
+    }
+    assignments(vecs, centroids)
+      .join(vecs.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("cluster"), distSq.as("d2"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), round(sum(col("d2")), 4).as("inertia"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Final centroid table as a frame: (cluster, dim, centroid). */
+  def centroidsFrame(vecs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    lloydFit(vecs, k, rounds).zipWithIndex.flatMap { case (c, cid) =>
+      c.zipWithIndex.map { case (x, d) => (cid.toLong, d.toLong, x) }
+    }.toSeq.toDF("cluster", "dim", "centroid")
+  }
+}

@@ -966,7 +966,34 @@ object Ext3Queries {
     // window anywhere in the plan.
     "dsir_mixture_shift" -> ((s, dir) =>
       ImportanceSampling.mixtureShift(t(s, dir, "documents"),
-        col("source") === "src0", frac = 0.2, dim = 64))
+        col("source") === "src0", frac = 0.2, dim = 64)),
+
+    // Distributed Lloyd k-means (ext/Clustering): k=4, 3 rounds from the
+    // deterministic lowest-vec_id init, centroids rounded 6 dp per
+    // round. EXACT oracle — DuckDB replays the identical fit round by
+    // round (the BPE discipline applied to Lloyd).
+    "kmeans_centroids" -> ((s, dir) =>
+      graft.ext.Clustering.centroidsFrame(t(s, dir, "embeddings"),
+          k = 4, rounds = 3)
+        .orderBy(col("cluster"), col("dim"))),
+
+    // Per-vector assignment under the same fit (first 60 ids) + the
+    // per-cluster size/inertia diagnostics (the elbow numbers).
+    "kmeans_assignments" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cent = graft.ext.Clustering.lloydFit(emb, k = 4, rounds = 3)
+      graft.ext.Clustering.assignments(emb, cent)
+        .where(col("vec_id") < 60)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+        .orderBy(col("vec_id"))
+    }),
+    "kmeans_cluster_stats" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cent = graft.ext.Clustering.lloydFit(emb, k = 4, rounds = 3)
+      graft.ext.Clustering.clusterStats(emb, cent)
+        .select(col("cluster").cast("long").as("cluster"), col("n"),
+          col("inertia"))
+    })
   )
 
   /** Fixed BM25 query set: in-vocabulary multi-term, high-df mixed, and a

@@ -1314,7 +1314,83 @@ object ExtOracleB {
                AS n_selected,
              round(avg(weight), 4) AS mean_weight
            FROM r CROSS JOIN n GROUP BY source ORDER BY source""",
+
+      // Distributed Lloyd k-means, replayed round by round (the bpeCtes
+      // discipline): same init, same −2·v·c+|c|² assignment order, same
+      // per-round 6 dp centroid rounding.
+      "kmeans_centroids" ->
+        s"""${kmeansCtes(4, 3)}
+           SELECT CAST(cid AS BIGINT) AS cluster,
+             CAST(dim - 1 AS BIGINT) AS dim, c[dim] AS centroid
+           FROM c3, LATERAL unnest(generate_series(1, 64)) t(dim)
+           ORDER BY cluster, dim""",
+
+      "kmeans_assignments" ->
+        s"""${kmeansCtes(4, 3)},
+           a AS (SELECT vec_id, cid FROM (
+               SELECT v.vec_id, c.cid, row_number() OVER
+                   (PARTITION BY v.vec_id ORDER BY ${kmeansScore()} ASC,
+                    c.cid ASC) AS rn
+               FROM v CROSS JOIN c3 c) WHERE rn = 1)
+           SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a
+           WHERE vec_id < 60 ORDER BY vec_id""",
+
+      "kmeans_cluster_stats" ->
+        s"""${kmeansCtes(4, 3)},
+           a AS (SELECT vec_id, e, cid FROM (
+               SELECT v.vec_id, v.e, c.cid, row_number() OVER
+                   (PARTITION BY v.vec_id ORDER BY ${kmeansScore()} ASC,
+                    c.cid ASC) AS rn
+               FROM v CROSS JOIN c3 c) WHERE rn = 1)
+           SELECT CAST(a.cid AS BIGINT) AS cluster,
+             count(*) AS n,
+             round(sum(list_sum(list_transform(generate_series(1, 64),
+               i -> (a.e[i] - c.c[i]) * (a.e[i] - c.c[i])))), 4) AS inertia
+           FROM a JOIN c3 c ON c.cid = a.cid
+           GROUP BY 1 ORDER BY 1""",
     )
+
+  /** Shared k-means scoring expression: −2·v·c + |c|² with left-to-right
+    * products — [[graft.ext.Similarity.ivfListId]]'s exact op order
+    * (|v|² is constant per row and drops out of the argmin). */
+  private def kmeansScore(): String =
+    "-2.0 * list_sum(list_transform(generate_series(1, 64), " +
+      "i -> v.e[i] * c.c[i])) " +
+      "+ list_sum(list_transform(c.c, x -> x * x))"
+
+  /** k-means round-replay CTE chain: v = double-cast embeddings, c0 =
+    * the k lowest-vec_id embeddings rounded 6 dp, then per round r an
+    * assignment CTE (argmin of [[kmeansScore]], ties to the lowest cid)
+    * and a centroid-update CTE (per-dim mean rounded 6 dp; an emptied
+    * cluster keeps its previous centroid via the left join). */
+  private def kmeansCtes(k: Int, rounds: Int): String = {
+    val head =
+      s"""WITH v AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+         c0 AS MATERIALIZED (SELECT
+             row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+             list_transform(e, x -> round(x, 6)) AS c
+           FROM v ORDER BY vec_id LIMIT $k)"""
+    val blocks = (1 to rounds).map { r =>
+      val p = r - 1
+      s""",
+         a$r AS MATERIALIZED (SELECT vec_id, e, cid FROM (
+             SELECT v.vec_id, v.e, c.cid, row_number() OVER
+                 (PARTITION BY v.vec_id ORDER BY ${kmeansScore()} ASC,
+                  c.cid ASC) AS rn
+             FROM v CROSS JOIN c$p c) WHERE rn = 1),
+         c$r AS MATERIALIZED (SELECT p.cid,
+             CASE WHEN m.c2 IS NULL THEN p.c ELSE m.c2 END AS c
+           FROM c$p p LEFT JOIN (
+             SELECT cid, list(mv ORDER BY dim) AS c2 FROM (
+               SELECT cid, dim, round(avg(val), 6) AS mv FROM (
+                 SELECT cid, unnest(e) AS val,
+                   generate_subscripts(e, 1) AS dim FROM a$r)
+               GROUP BY 1, 2) GROUP BY cid) m ON m.cid = p.cid)"""
+    }.mkString
+    head + blocks
+  }
 
   /** DSIR shared CTEs: hashed unigram+bigram counts per doc (md5-hex32
     * % 64 buckets), the two add-1 multinomials (target = src0, raw =
