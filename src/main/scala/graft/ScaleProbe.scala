@@ -150,7 +150,13 @@ object ScaleProbe {
     "doc_span_dup_ratio", "tfidf_top_tokens", "knn_lsh_or",
     "context_packing", "training_pipeline_counts",
     "bucketed_join_revenue", "incremental_kpis_bucketed",
-    "tpch_q5_planned")
+    "tpch_q5_planned",
+    // round-11 additions: the heaps-law sizing scan, DSIR's two-model
+    // score+rank (its md5 n-gram fan-out is THE cost), and the full
+    // k-means fit+diagnostics (registered form re-fits, so the probe
+    // measures rounds × corpus scans)
+    "vocab_growth", "dsir_mixture_shift", "kmeans_cluster_stats",
+    "collocations_pmi")
 
   /** Probe-only operators: production paths whose REGISTERED query form
     * carries a deliberately-quadratic exact-witness side (the

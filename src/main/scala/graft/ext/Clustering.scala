@@ -101,6 +101,63 @@ object Clustering {
       .orderBy(col("cluster"))
   }
 
+  /** Euclidean distance from the embedding column to one centroid
+    * literal — per-dim (a−b)·(a−b) in index order (exact, unlike pow),
+    * then one correctly-rounded sqrt: bit-identical in any engine. */
+  private def distTo(c: Array[Double]): Column = {
+    val cl = typedLit(c.toSeq)
+    sqrt(aggregate(sequence(lit(1), lit(c.length)), lit(0.0), (acc, i) => {
+      val d = element_at(col("embedding"), i).cast("double") -
+        element_at(cl, i)
+      acc + d * d
+    }))
+  }
+
+  /** Per-cluster simplified silhouette (Hruschka et al.'s
+    * centroid-based variant — a = distance to own centroid, b = nearest
+    * OTHER centroid, s = (b−a)/max(a,b), 0 when both are 0): size and
+    * mean silhouette rounded 6 dp. One scan, pure projection over k×dim
+    * literals — the O(n·k) diagnostic, never the O(n²) pairwise
+    * original (which is the same trade SemDeDup makes). */
+  def silhouette(vecs: DataFrame,
+                 centroids: Array[Array[Double]]): DataFrame = {
+    val dists = array(centroids.map(distTo).toIndexedSeq: _*)
+    val a = element_at(col("__d"), col("cluster") + 1)
+    // own-cluster slot nulled; array_min skips nulls
+    val b = array_min(zip_with(col("__d"),
+      typedLit(centroids.indices.map(_.toLong)),
+      (d, i) => when(i === col("cluster").cast("long"), lit(null)
+        .cast("double")).otherwise(d)))
+    assignments(vecs, centroids)
+      .join(vecs.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("cluster"), dists.as("__d"))
+      .select(col("cluster"),
+        when(greatest(a, b) > 0.0, (b - a) / greatest(a, b))
+          .otherwise(lit(0.0)).as("s"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), round(avg(col("s")), 6).as("silhouette"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Elbow curve: total inertia after `rounds` Lloyd rounds for each k —
+    * one independent fit per k, each one aggregate row. */
+  def elbowFrame(vecs: DataFrame, ks: Seq[Int], rounds: Int): DataFrame =
+    ks.map { k =>
+      val cent = lloydFit(vecs, k, rounds)
+      val dim = cent(0).length
+      val cl = typedLit(cent.map(_.toSeq).toSeq)
+      val d2 = aggregate(sequence(lit(1), lit(dim)), lit(0.0), (acc, i) => {
+        val d = element_at(col("embedding"), i).cast("double") -
+          element_at(element_at(cl, col("cluster") + 1), i)
+        acc + d * d
+      })
+      assignments(vecs, cent)
+        .join(vecs.select(col("vec_id"), col("embedding")), "vec_id")
+        .select(d2.as("d2"))
+        .agg(round(sum(col("d2")), 4).as("inertia"))
+        .select(lit(k.toLong).as("k"), col("inertia"))
+    }.reduce(_ unionByName _)
+
   /** Final centroid table as a frame: (cluster, dim, centroid). */
   def centroidsFrame(vecs: DataFrame, k: Int, rounds: Int): DataFrame = {
     val spark = vecs.sparkSession

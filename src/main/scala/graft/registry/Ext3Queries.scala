@@ -993,7 +993,23 @@ object Ext3Queries {
       graft.ext.Clustering.clusterStats(emb, cent)
         .select(col("cluster").cast("long").as("cluster"), col("n"),
           col("inertia"))
-    })
+    }),
+
+    // Simplified (centroid-based) silhouette over the same fit — the
+    // O(n·k) cluster-quality diagnostic, per-cluster mean.
+    "kmeans_silhouette" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cent = graft.ext.Clustering.lloydFit(emb, k = 4, rounds = 3)
+      graft.ext.Clustering.silhouette(emb, cent)
+        .select(col("cluster").cast("long").as("cluster"), col("n"),
+          col("silhouette"))
+    }),
+
+    // Elbow curve: total inertia at k ∈ {2,4,8}, three independent fits
+    // — the k-picking diagnostic, each fit exactly replayed by DuckDB.
+    "kmeans_elbow" -> ((s, dir) =>
+      graft.ext.Clustering.elbowFrame(t(s, dir, "embeddings"),
+        Seq(2, 4, 8), rounds = 3).orderBy(col("k")))
   )
 
   /** Fixed BM25 query set: in-vocabulary multi-term, high-df mixed, and a

@@ -1348,7 +1348,51 @@ object ExtOracleB {
                i -> (a.e[i] - c.c[i]) * (a.e[i] - c.c[i])))), 4) AS inertia
            FROM a JOIN c3 c ON c.cid = a.cid
            GROUP BY 1 ORDER BY 1""",
+
+      // Simplified silhouette over the k=4 fit: a = dist to own
+      // centroid, b = nearest other, s = (b−a)/max(a,b).
+      "kmeans_silhouette" ->
+        s"""${kmeansCtes(4, 3)},
+           a AS (SELECT vec_id, e, cid FROM (
+               SELECT v.vec_id, v.e, c.cid, row_number() OVER
+                   (PARTITION BY v.vec_id ORDER BY ${kmeansScore()} ASC,
+                    c.cid ASC) AS rn
+               FROM v CROSS JOIN c3 c) WHERE rn = 1),
+           d AS (SELECT a.vec_id, a.cid, c.cid AS ocid,
+               sqrt(list_sum(list_transform(generate_series(1, 64),
+                 i -> (a.e[i] - c.c[i]) * (a.e[i] - c.c[i])))) AS dist
+             FROM a CROSS JOIN c3 c),
+           ab AS (SELECT vec_id, cid,
+               max(CASE WHEN ocid = cid THEN dist END) AS av,
+               min(CASE WHEN ocid <> cid THEN dist END) AS bv
+             FROM d GROUP BY 1, 2),
+           s AS (SELECT cid, CASE WHEN greatest(av, bv) > 0
+               THEN (bv - av) / greatest(av, bv) ELSE 0.0 END AS s
+             FROM ab)
+           SELECT CAST(cid AS BIGINT) AS cluster, count(*) AS n,
+             round(avg(s), 6) AS silhouette
+           FROM s GROUP BY 1 ORDER BY 1""",
+
+      // Elbow: three independent replayed fits sharing one WITH.
+      "kmeans_elbow" ->
+        s"""$kmeansV${kmeansChain(2, 3, "x2")}${kmeansChain(4, 3, "x4")}${kmeansChain(8, 3, "x8")}
+           SELECT * FROM (
+             ${Seq(2 -> "x2", 4 -> "x4", 8 -> "x8").map { case (k, p) =>
+                 kmeansInertiaSel(p, k) }.mkString(" UNION ALL ")})
+           ORDER BY k""",
     )
+
+  /** Final-assignment total inertia for one prefixed chain. */
+  private def kmeansInertiaSel(p: String, k: Int): String =
+    s"""(SELECT CAST($k AS BIGINT) AS k, round(sum(d2), 4) AS inertia
+         FROM (SELECT list_sum(list_transform(generate_series(1, 64),
+             i -> (a.e[i] - c.c[i]) * (a.e[i] - c.c[i]))) AS d2
+           FROM (SELECT vec_id, e, cid FROM (
+               SELECT v.vec_id, v.e, c.cid, row_number() OVER
+                   (PARTITION BY v.vec_id ORDER BY ${kmeansScore()} ASC,
+                    c.cid ASC) AS rn
+               FROM v CROSS JOIN ${p}c3 c) WHERE rn = 1) a
+             JOIN ${p}c3 c ON c.cid = a.cid))"""
 
   /** Shared k-means scoring expression: −2·v·c + |c|² with left-to-right
     * products — [[graft.ext.Similarity.ivfListId]]'s exact op order
@@ -1358,39 +1402,48 @@ object ExtOracleB {
       "i -> v.e[i] * c.c[i])) " +
       "+ list_sum(list_transform(c.c, x -> x * x))"
 
-  /** k-means round-replay CTE chain: v = double-cast embeddings, c0 =
-    * the k lowest-vec_id embeddings rounded 6 dp, then per round r an
+  /** The shared double-cast embedding view every k-means chain reads.
+    * (lazy: referenced from `oracle`, declared first — cf. dsirCtes) */
+  private lazy val kmeansV: String =
+    """WITH v AS (SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       FROM embeddings)"""
+
+  /** One k-means round-replay chain (CTE names prefixed `p` so several
+    * fits can share one WITH — the elbow query runs three): c0 = the k
+    * lowest-vec_id embeddings rounded 6 dp, then per round r an
     * assignment CTE (argmin of [[kmeansScore]], ties to the lowest cid)
     * and a centroid-update CTE (per-dim mean rounded 6 dp; an emptied
     * cluster keeps its previous centroid via the left join). */
-  private def kmeansCtes(k: Int, rounds: Int): String = {
-    val head =
-      s"""WITH v AS (SELECT vec_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-           FROM embeddings),
-         c0 AS MATERIALIZED (SELECT
+  private def kmeansChain(k: Int, rounds: Int, p: String = ""): String = {
+    val init =
+      s""",
+         ${p}c0 AS MATERIALIZED (SELECT
              row_number() OVER (ORDER BY vec_id) - 1 AS cid,
              list_transform(e, x -> round(x, 6)) AS c
            FROM v ORDER BY vec_id LIMIT $k)"""
     val blocks = (1 to rounds).map { r =>
-      val p = r - 1
+      val q = r - 1
       s""",
-         a$r AS MATERIALIZED (SELECT vec_id, e, cid FROM (
+         ${p}a$r AS MATERIALIZED (SELECT vec_id, e, cid FROM (
              SELECT v.vec_id, v.e, c.cid, row_number() OVER
                  (PARTITION BY v.vec_id ORDER BY ${kmeansScore()} ASC,
                   c.cid ASC) AS rn
-             FROM v CROSS JOIN c$p c) WHERE rn = 1),
-         c$r AS MATERIALIZED (SELECT p.cid,
+             FROM v CROSS JOIN ${p}c$q c) WHERE rn = 1),
+         ${p}c$r AS MATERIALIZED (SELECT p.cid,
              CASE WHEN m.c2 IS NULL THEN p.c ELSE m.c2 END AS c
-           FROM c$p p LEFT JOIN (
+           FROM ${p}c$q p LEFT JOIN (
              SELECT cid, list(mv ORDER BY dim) AS c2 FROM (
                SELECT cid, dim, round(avg(val), 6) AS mv FROM (
                  SELECT cid, unnest(e) AS val,
-                   generate_subscripts(e, 1) AS dim FROM a$r)
+                   generate_subscripts(e, 1) AS dim FROM ${p}a$r)
                GROUP BY 1, 2) GROUP BY cid) m ON m.cid = p.cid)"""
     }.mkString
-    head + blocks
+    init + blocks
   }
+
+  private def kmeansCtes(k: Int, rounds: Int): String =
+    kmeansV + kmeansChain(k, rounds)
 
   /** DSIR shared CTEs: hashed unigram+bigram counts per doc (md5-hex32
     * % 64 buckets), the two add-1 multinomials (target = src0, raw =
