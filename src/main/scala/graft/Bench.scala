@@ -50,16 +50,31 @@ object Bench {
     * perturbed the box, or visible steal ≥ 0.5%) would poison every
     * later deviation comparison with co-tenant noise — the recurring
     * "re-pin the calm reference" verdict item, ended structurally here.
-    * `force` (SPARK_GRAFT_BENCH_FORCE_REF=1) overrides the noise gate
-    * only, for deliberate re-pins. Returns the action for the artifact:
-    * written | subset_skip | failed_skip | refused_noisy. */
+    * A run against a DIFFERENT sf than the committed reference never
+    * replaces it either (round 11: a calm sf0.01 iteration run silently
+    * committed itself over the sf0.1 reference — calm, full, green, and
+    * still the wrong number). `force` (SPARK_GRAFT_BENCH_FORCE_REF=1)
+    * overrides the noise and sf gates, for deliberate re-pins. Returns
+    * the action for the artifact: written | subset_skip | failed_skip |
+    * sf_mismatch_skip | refused_noisy. */
   def refDecision(subset: Boolean, nFailed: Int, load0: Double,
-                  stealPct: Double, force: Boolean): String =
+                  stealPct: Double, force: Boolean,
+                  sfMatch: Boolean = true): String =
     if (subset) "subset_skip"
     else if (nFailed > 0) "failed_skip"
+    else if (!sfMatch && !force) "sf_mismatch_skip"
     else if (force || (load0 >= 0 && load0 < 2.0 && stealPct < 0.5))
       "written"
     else "refused_noisy"
+
+  /** The sf recorded in the COMMITTED reference, for the sf gate; None
+    * when no committed reference exists (first pin: any sf may write). */
+  private def committedRefSf(path: String): Option[String] =
+    try {
+      val json = scala.sys.process.Process(
+        Seq("git", "show", s"HEAD:$path")).!!
+      "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(json).map(_.group(1))
+    } catch { case _: Throwable => None }
 
   /** The previous run's per-query map, for the deviation guard: prefer
     * the last COMMITTED BENCH_FULL.json (the repo's defensible number),
@@ -342,13 +357,20 @@ object Bench {
     // runs never replace the committed full map, and a NOISY window's
     // numbers land in BENCH_FULL.dirty.json instead — visible for
     // inspection, never the next run's deviation reference.
+    val refSf = committedRefSf(fullPath)
     val refAction = refDecision(only.nonEmpty, failed.size, load0, stealPct,
-      sys.env.get("SPARK_GRAFT_BENCH_FORCE_REF").contains("1"))
+      sys.env.get("SPARK_GRAFT_BENCH_FORCE_REF").contains("1"),
+      sfMatch = refSf.forall(_ == sfDir))
     val fullTarget = refAction match {
       case "written" => Some(fullPath)
       case "refused_noisy" =>
         System.err.println(s"[bench] NOISY window (load0=${f2(load0)}, " +
           s"steal=${f2(stealPct)}%): reference kept; full map -> " +
+          s"$fullPath.dirty.json (force with SPARK_GRAFT_BENCH_FORCE_REF=1)")
+        Some(s"$fullPath.dirty.json")
+      case "sf_mismatch_skip" =>
+        System.err.println(s"[bench] sf mismatch (reference ${refSf.get}, " +
+          s"this run $sfDir): reference kept; full map -> " +
           s"$fullPath.dirty.json (force with SPARK_GRAFT_BENCH_FORCE_REF=1)")
         Some(s"$fullPath.dirty.json")
       case _ => None

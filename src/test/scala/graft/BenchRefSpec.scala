@@ -35,4 +35,26 @@ class BenchRefSpec extends AnyFunSuite {
     assert(Bench.refDecision(subset = false, nFailed = 2,
       load0 = 9.0, stealPct = 3.0, force = true) === "failed_skip")
   }
+
+  test("a different-sf run never replaces the reference") {
+    // round 11: a calm, complete sf0.01 iteration run overwrote the
+    // committed sf0.1 reference — every gate above passed, wrong number
+    assert(Bench.refDecision(subset = false, nFailed = 0,
+      load0 = 0.4, stealPct = 0.1, force = false,
+      sfMatch = false) === "sf_mismatch_skip")
+    // force is the deliberate re-pin escape hatch (e.g. moving the
+    // reference to a new canonical sf)
+    assert(Bench.refDecision(subset = false, nFailed = 0,
+      load0 = 0.4, stealPct = 0.1, force = true,
+      sfMatch = false) === "written")
+    // sf gate still never overrides subset/failed
+    assert(Bench.refDecision(subset = true, nFailed = 0,
+      load0 = 0.4, stealPct = 0.1, force = true,
+      sfMatch = false) === "subset_skip")
+    // the mismatch must out-rank the noise verdict: a noisy wrong-sf
+    // run reports the sf problem, not the noise
+    assert(Bench.refDecision(subset = false, nFailed = 0,
+      load0 = 9.0, stealPct = 3.0, force = false,
+      sfMatch = false) === "sf_mismatch_skip")
+  }
 }
