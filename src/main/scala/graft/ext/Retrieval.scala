@@ -120,4 +120,70 @@ object Retrieval {
       .select(col("n_docs"), col("total_tokens"), col("avgdl"),
         col("vocab"), col("n_postings"))
   }
+
+  /** Top-k documents per query by EXACT hashed-feature dot product — the
+    * dense half of hybrid retrieval when text rides the
+    * [[TextAnalysis.hashedFeatures]] signed-hashing space. Feature weights
+    * are integer-valued (sums of ±1), so the dot product is computed in
+    * LONG space: bit-exact in any engine, no float rounding anywhere.
+    * Candidates are exactly the docs sharing ≥ 1 feature bucket with the
+    * query (the sparse join — corpus features never shuffle for the
+    * probe; the query side is broadcast). Output: (query_id, rank,
+    * doc_id, dot), rank 1-based by (dot desc, doc_id asc). */
+  def hashedDenseTopK(docs: DataFrame, queries: DataFrame, k: Int,
+                      dim: Int = 64): DataFrame = {
+    require(k >= 1 && k <= 1000, s"unreasonable k: $k")
+    val corpusF = TextAnalysis.hashedFeatures(docs, dim)
+      .select(col("doc_id"), col("bucket"),
+        col("weight").cast("long").as("w"))
+    val queryF = TextAnalysis.hashedFeatures(
+      queries.select(col("query_id").as("doc_id"),
+        col("query_text").as("text")), dim)
+      .select(col("doc_id").as("query_id"), col("bucket"),
+        col("weight").cast("long").as("qw"))
+    corpusF.join(broadcast(queryF), "bucket")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w") * col("qw")).as("dot"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate.topKBy(
+        col("dot").cast("double"), col("doc_id"), k).as("top"))
+      .select(col("query_id"),
+        posexplode_outer(col("top")).as(Seq("pos", "e")))
+      .where(col("e").isNotNull)
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("doc_id"), col("e.v").cast("long").as("dot"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR 2009) of a
+    * lexical and a dense ranked list: rrf(d) = Σ_lists 1/(c + rank_d),
+    * a document absent from one list contributes nothing for it. Rank
+    * fusion needs no score calibration between the two retrievers —
+    * the reason RRF is the default hybrid-search combiner. Inputs are
+    * (query_id, rank, doc_id, …) frames (e.g. [[bm25TopK]] and
+    * [[hashedDenseTopK]]); both are top-k-bounded, so the fusion frame
+    * is at most 2k rows per query — the final per-query rank window is
+    * over that tiny frame, partitioned by query. Absent ranks surface
+    * as 0 (never null) so the output is total and engine-portable. */
+  def rrfFuse(lex: DataFrame, dense: DataFrame, c: Int = 60): DataFrame = {
+    require(c >= 1, s"rrf constant must be positive: $c")
+    val l = lex.select(col("query_id"), col("doc_id"),
+      col("rank").as("lex_rank"))
+    val d = dense.select(col("query_id"), col("doc_id"),
+      col("rank").as("dense_rank"))
+    val fused = l.join(d, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        col("lex_rank"), col("dense_rank"),
+        round(coalesce(lit(1.0) / (lit(c) + col("lex_rank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(c) + col("dense_rank")), lit(0.0)),
+          6).as("rrf_score"))
+    val byQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    fused
+      .withColumn("fused_rank", row_number().over(byQuery).cast("long"))
+      .select(col("query_id"), col("fused_rank"), col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("dense_rank"), lit(0L)).as("dense_rank"),
+        col("rrf_score"))
+  }
 }

@@ -1009,7 +1009,34 @@ object Ext3Queries {
     // — the k-picking diagnostic, each fit exactly replayed by DuckDB.
     "kmeans_elbow" -> ((s, dir) =>
       graft.ext.Clustering.elbowFrame(t(s, dir, "embeddings"),
-        Seq(2, 4, 8), rounds = 3).orderBy(col("k")))
+        Seq(2, 4, 8), rounds = 3).orderBy(col("k"))),
+
+    // Per-user EWMA (operators/Ewma, α=1/2): a sequential recurrence no
+    // algebraic aggregate expresses — each user's (ts, event_id)-ordered
+    // value sequence folded in one codegen'd pass, in EXACT integer
+    // micro-space (quantize once, floor-halve each step — no rounding
+    // boundary anywhere). EXACT oracle: DuckDB replays the recurrence
+    // step by step as a recursive CTE (the Lloyd/BPE round-replay
+    // discipline applied to a per-row fold).
+    "user_value_ewma" -> ((s, dir) =>
+      graft.operators.Ewma.perEntity(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "value")),
+
+    // Hybrid retrieval: BM25 top-10 ∪ exact hashed-dense top-10 fused by
+    // reciprocal-rank fusion (ext/Retrieval.rrfFuse — RRF needs no score
+    // calibration between retrievers). Both branches are top-k-bounded
+    // aggregates; the dense dot products are LONG-space exact; the
+    // fusion frame is ≤ 20 rows/query. Oracled end to end: DuckDB
+    // reruns BM25, the signed-hash dot products, both rank windows, and
+    // the fusion arithmetic.
+    "hybrid_rrf_top_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qs = bm25Queries(s)
+      Retrieval.rrfFuse(
+          Retrieval.bm25TopK(docs, qs, k = 10),
+          Retrieval.hashedDenseTopK(docs, qs, k = 10))
+        .orderBy(col("query_id"), col("fused_rank"))
+    })
   )
 
   /** Fixed BM25 query set: in-vocabulary multi-term, high-df mixed, and a

@@ -1380,6 +1380,86 @@ object ExtOracleB {
              ${Seq(2 -> "x2", 4 -> "x4", 8 -> "x8").map { case (k, p) =>
                  kmeansInertiaSel(p, k) }.mkString(" UNION ALL ")})
            ORDER BY k""",
+
+      // Per-user EWMA: the integer-micro recurrence replayed STEP BY
+      // STEP as a recursive CTE — quantize once (round(x·10⁶)), then
+      // s' = floor((s·(m−1) + x̃)/m) with m = 2: every intermediate is
+      // an exact integer in double range, so no rounding boundary
+      // exists (the round-6dp-per-step form drifted 3/150 users).
+      "user_value_ewma" ->
+        """WITH RECURSIVE e AS (SELECT user_id,
+             CAST(round(value * 1000000.0) AS BIGINT) AS xm,
+             CAST(row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS BIGINT) AS rn
+           FROM events),
+           n AS (SELECT user_id, max(rn) AS n_events FROM e GROUP BY 1),
+           r AS (
+             SELECT user_id, rn AS i, xm AS s FROM e WHERE rn = 1
+             UNION ALL
+             SELECT e.user_id, e.rn,
+               CAST(floor((r.s * 1 + e.xm) / 2.0) AS BIGINT)
+             FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.i + 1)
+           SELECT n.user_id, n.n_events, r.s / 1000000.0 AS ewma
+           FROM r JOIN n ON r.user_id = n.user_id AND r.i = n.n_events
+           ORDER BY n.user_id""",
+
+      // Hybrid retrieval: the full BM25 chain (bm25Ctes), the signed-
+      // hash dense dot products in BIGINT space, both top-10 rank
+      // windows, and the RRF arithmetic — rerun end to end.
+      "hybrid_rrf_top_docs" -> {
+        val hex32 = foldSum(
+          "list_transform(generate_series(1, 8), i -> " +
+            "CAST(CASE WHEN ascii(substr(mh, i, 1)) <= 57 " +
+            "THEN ascii(substr(mh, i, 1)) - 48 " +
+            "ELSE ascii(substr(mh, i, 1)) - 87 END AS BIGINT) " +
+            "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+          "CAST(0 AS BIGINT)")
+        s"""$bm25Ctes,
+           lr AS (SELECT query_id, doc_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+             FROM scored),
+           lk AS (SELECT * FROM lr WHERE lex_rank <= 10),
+           hm AS (SELECT doc_id, md5(token) AS mh FROM t),
+           hh AS (SELECT doc_id, $hex32 AS hv FROM hm),
+           hb AS (SELECT doc_id, hv % 64 AS bucket,
+               CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END AS s
+             FROM hh),
+           hf AS (SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS w
+             FROM hb GROUP BY 1, 2),
+           qm AS (SELECT query_id, md5(token) AS mh FROM
+             (SELECT query_id, unnest(regexp_extract_all(lower(query_text),
+                '[a-z0-9]+')) AS token FROM q)),
+           qh AS (SELECT query_id, $hex32 AS hv FROM qm),
+           qb AS (SELECT query_id, hv % 64 AS bucket,
+               CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END AS s
+             FROM qh),
+           qf AS (SELECT query_id, bucket, CAST(sum(s) AS BIGINT) AS qw
+             FROM qb GROUP BY 1, 2),
+           dd AS (SELECT qf.query_id, hf.doc_id,
+               CAST(sum(hf.w * qf.qw) AS BIGINT) AS dot
+             FROM hf JOIN qf USING (bucket) GROUP BY 1, 2),
+           dr AS (SELECT query_id, doc_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY dot DESC, doc_id) AS BIGINT) AS dense_rank
+             FROM dd),
+           dk AS (SELECT * FROM dr WHERE dense_rank <= 10),
+           f AS (SELECT coalesce(lk.query_id, dk.query_id) AS query_id,
+               coalesce(lk.doc_id, dk.doc_id) AS doc_id,
+               lk.lex_rank, dk.dense_rank,
+               round(coalesce(1.0 / (60 + lk.lex_rank), 0.0)
+                 + coalesce(1.0 / (60 + dk.dense_rank), 0.0), 6)
+                 AS rrf_score
+             FROM lk FULL OUTER JOIN dk
+               ON lk.query_id = dk.query_id AND lk.doc_id = dk.doc_id),
+           fr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf_score DESC, doc_id) AS fused_rank FROM f)
+           SELECT query_id, CAST(fused_rank AS BIGINT) AS fused_rank,
+             doc_id, CAST(coalesce(lex_rank, 0) AS BIGINT) AS lex_rank,
+             CAST(coalesce(dense_rank, 0) AS BIGINT) AS dense_rank,
+             rrf_score
+           FROM fr ORDER BY query_id, fused_rank"""
+      },
     )
 
   /** Final-assignment total inertia for one prefixed chain. */

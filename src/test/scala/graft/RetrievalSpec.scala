@@ -83,4 +83,38 @@ class RetrievalSpec extends SparkSpec {
     // for the doc-length join — that join is doc-keyed on aggregated rows
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("hashedDenseTopK: exact integer dots, tie-break by doc_id, k cap") {
+    // d0 repeats the query text twice -> every query-bucket weight
+    // doubles -> dot = 2·|q|²; d5 is the query verbatim -> dot = |q|²;
+    // d9 and d7 are identical -> identical dots, doc_id breaks the tie
+    val d = Seq((0L, "a b a b"), (5L, "a b"), (9L, "a"), (7L, "a"))
+      .toDF("doc_id", "text")
+    val q = Seq((0L, "a b")).toDF("query_id", "query_text")
+    val top = Retrieval.hashedDenseTopK(d, q, k = 3)
+      .orderBy("rank").select("rank", "doc_id", "dot")
+      .as[(Long, Long, Long)].collect()
+    assert(top.length === 3) // k caps the 4 candidates
+    assert(top(0)._2 === 0L && top(0)._3 === 4L)
+    assert(top(1)._2 === 5L && top(1)._3 === 2L)
+    assert(top(2)._2 === 7L) // tie with d9 at dot 1 -> lower id first
+  }
+
+  test("rrfFuse: both-list docs outrank single-list docs; absent rank " +
+    "surfaces as 0") {
+    val lex = Seq((0L, 1L, 10L), (0L, 2L, 11L))
+      .toDF("query_id", "rank", "doc_id")
+    val dense = Seq((0L, 1L, 10L), (0L, 2L, 12L))
+      .toDF("query_id", "rank", "doc_id")
+    val f = Retrieval.rrfFuse(lex, dense)
+      .select("fused_rank", "doc_id", "lex_rank", "dense_rank", "rrf_score")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    // doc 10: rank 1 in both = 2/61; docs 11/12: 1/62 each, id tie-break
+    assert(f.map(r => (r._1, r._2)).toSeq ===
+      Seq((1L, 10L), (2L, 11L), (3L, 12L)))
+    assert(f(0)._5 === BigDecimal(2.0 / 61.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(f(1)._3 === 2L && f(1)._4 === 0L) // doc 11: lex-only
+    assert(f(2)._3 === 0L && f(2)._4 === 2L) // doc 12: dense-only
+  }
 }
