@@ -156,7 +156,18 @@ object ScaleProbe {
     // k-means fit+diagnostics (registered form re-fits, so the probe
     // measures rounds × corpus scans)
     "vocab_growth", "dsir_mixture_shift", "kmeans_cluster_stats",
-    "collocations_pmi")
+    "collocations_pmi",
+    // hybrid retrieval: word-salting confines query-TERM matches to
+    // replica 0, so the probe measures what actually scales — the
+    // index-build corpus scan (tf/dl/df + hashed features), fixed query
+    // set — which is the production shape (corpus grows, queries don't).
+    // EWMA: k× users at constant per-user sequence length — the fold
+    // must scale with the user count, embarrassingly.
+    "hybrid_rrf_top_docs", "user_value_ewma",
+    // triangles: replicas carry disjoint supplier spaces, so the
+    // co-supply graph is k disjoint copies — edge build, wedge join,
+    // and closing probe must all scale by k
+    "supplier_triangles")
 
   /** Probe-only operators: production paths whose REGISTERED query form
     * carries a deliberately-quadratic exact-witness side (the

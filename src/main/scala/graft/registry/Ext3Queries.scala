@@ -1022,6 +1022,23 @@ object Ext3Queries {
       graft.operators.Ewma.perEntity(t(s, dir, "events"),
         "user_id", "ts", "event_id", "value")),
 
+    // Triangle count + global clustering coefficient (ext/Triangles,
+    // degree-orientation — Suri & Vassilvitskii) over the supplier
+    // co-supply graph: suppliers sharing >= 5 orders. All-integer until
+    // the final rounded ratio; the wedge fan-out is bounded by ORIENTED
+    // out-degree, so the hub supplier never squares its raw degree.
+    "supplier_triangles" -> ((s, dir) => {
+      val sp = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
+        .distinct()
+      val co = sp.select(col("o"), col("sk").as("src"))
+        .join(sp.select(col("o"), col("sk").as("dst")), "o")
+        .where(col("src") < col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        .where(col("w") >= 5)
+      graft.ext.Triangles.triangleStats(co.select(col("src"), col("dst")))
+    }),
+
     // Hybrid retrieval: BM25 top-10 ∪ exact hashed-dense top-10 fused by
     // reciprocal-rank fusion (ext/Retrieval.rrfFuse — RRF needs no score
     // calibration between retrievers). Both branches are top-k-bounded

@@ -1403,6 +1403,39 @@ object ExtOracleB {
            FROM r JOIN n ON r.user_id = n.user_id AND r.i = n.n_events
            ORDER BY n.user_id""",
 
+      // Triangle counting, same degree-orientation replayed: orient low
+      // (deg, id) -> high, wedge self-join on the center, closing-edge
+      // probe; wedges = Σ C(deg, 2) in exact integers.
+      "supplier_triangles" ->
+        """WITH sp AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+             FROM lineitem),
+           co AS (SELECT x.s AS a, y.s AS b, count(*) AS w
+             FROM sp x JOIN sp y ON x.o = y.o AND x.s < y.s GROUP BY 1, 2),
+           e AS (SELECT a, b FROM co WHERE w >= 5),
+           d AS (SELECT node, count(*) AS deg FROM
+             (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+             GROUP BY 1),
+           o AS (SELECT
+               CASE WHEN da.deg < db.deg
+                      OR (da.deg = db.deg AND e.a < e.b)
+                    THEN e.a ELSE e.b END AS u,
+               CASE WHEN da.deg < db.deg
+                      OR (da.deg = db.deg AND e.a < e.b)
+                    THEN e.b ELSE e.a END AS v
+             FROM e JOIN d da ON da.node = e.a
+               JOIN d db ON db.node = e.b),
+           tri AS (SELECT count(*) AS t
+             FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v
+               JOIN e ON e.a = o1.v AND e.b = o2.v),
+           wd AS (SELECT count(*) AS n_nodes,
+               CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+             FROM d)
+           SELECT n_nodes, (SELECT count(*) FROM e) AS n_edges,
+             n_wedges, t AS n_triangles,
+             CASE WHEN n_wedges = 0 THEN 0.0
+                  ELSE round(3.0 * t / n_wedges, 6) END AS clustering
+           FROM wd CROSS JOIN tri""",
+
       // Hybrid retrieval: the full BM25 chain (bm25Ctes), the signed-
       // hash dense dot products in BIGINT space, both top-10 rank
       // windows, and the RRF arithmetic — rerun end to end.
