@@ -35,15 +35,15 @@ object Triangles {
       .where(col("a") < col("b"))
       .distinct()
 
-  /** One-row global report: (n_nodes, n_edges, n_wedges, n_triangles,
-    * clustering) where n_wedges = Σ_v C(deg v, 2) (paths of length 2,
-    * open or closed) and clustering = 3·triangles / wedges (0 when the
-    * graph has no wedge). */
-  def triangleStats(edges: DataFrame): DataFrame = {
-    val und = undirect(edges)
-    val deg = und.select(col("a").as("node"))
+  /** Node degrees of the normalized graph: (node, deg). */
+  private def degrees(und: DataFrame): DataFrame =
+    und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+
+  /** Every triangle exactly once as its three corners (u, x, y): u is
+    * the unique node with two OUTGOING oriented edges, x < y. */
+  private def triangleCorners(und: DataFrame, deg: DataFrame): DataFrame = {
     val withDeg = und
       .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
@@ -60,8 +60,17 @@ object Triangles {
     // lineage, so a direct column-reference join would be self-join
     // ambiguous
     val closing = und.select(col("a").as("x"), col("b").as("y"))
-    val tris = cand
-      .join(closing, Seq("x", "y"))
+    cand.join(closing, Seq("x", "y")).select(col("u"), col("x"), col("y"))
+  }
+
+  /** One-row global report: (n_nodes, n_edges, n_wedges, n_triangles,
+    * clustering) where n_wedges = Σ_v C(deg v, 2) (paths of length 2,
+    * open or closed) and clustering = 3·triangles / wedges (0 when the
+    * graph has no wedge). */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val und = undirect(edges)
+    val deg = degrees(und)
+    val tris = triangleCorners(und, deg)
       .agg(count(lit(1)).as("n_triangles"))
     val degStats = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
@@ -74,5 +83,26 @@ object Triangles {
         when(col("n_wedges") === 0, lit(0.0))
           .otherwise(round(lit(3.0) * col("n_triangles") / col("n_wedges"),
             6)).as("clustering"))
+  }
+
+  /** Per-node view: (node, deg, n_triangles, local_clustering) — each
+    * triangle credits its three corners; local clustering =
+    * 2·t_v / (deg_v·(deg_v − 1)), 0 for degree-<2 nodes. The Watts-
+    * Strogatz per-node cohesion signal (ego-net density). */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val und = undirect(edges)
+    val deg = degrees(und)
+    val perNode = triangleCorners(und, deg)
+      .select(explode_outer(array(col("u"), col("x"), col("y")))
+        .as("node"))
+      .where(col("node").isNotNull)
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .na.fill(0L, Seq("n_triangles"))
+      .select(col("node"), col("deg"), col("n_triangles"),
+        when(col("deg") < 2, lit(0.0))
+          .otherwise(round(lit(2.0) * col("n_triangles")
+            / (col("deg") * (col("deg") - 1)), 6))
+          .as("local_clustering"))
   }
 }

@@ -1039,6 +1039,33 @@ object Ext3Queries {
       graft.ext.Triangles.triangleStats(co.select(col("src"), col("dst")))
     }),
 
+    // Per-node local clustering (Watts-Strogatz ego-net density) over
+    // the same co-supply graph: triangles credit their three corners,
+    // coeff = 2·t/(deg·(deg−1)). Output bounded to node < 25 AFTER the
+    // graph-wide computation.
+    "supplier_local_clustering" -> ((s, dir) => {
+      val sp = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
+        .distinct()
+      val co = sp.select(col("o"), col("sk").as("src"))
+        .join(sp.select(col("o"), col("sk").as("dst")), "o")
+        .where(col("src") < col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        .where(col("w") >= 5)
+      graft.ext.Triangles.localClustering(
+          co.select(col("src"), col("dst")))
+        .where(col("node") < 25)
+        .orderBy(col("node"))
+    }),
+
+    // Equi-depth order-price histogram (operators/Histogram): 10 buckets
+    // of near-equal row count via the DISTRIBUTED exact global rank —
+    // never ntile's single-partition window. Boundaries are order
+    // statistics: engine-exact, no rounding discipline needed.
+    "price_equidepth_hist" -> ((s, dir) =>
+      graft.operators.Histogram.equiDepth(t(s, dir, "orders"),
+        "o_totalprice", "o_orderkey", k = 10)),
+
     // Hybrid retrieval: BM25 top-10 ∪ exact hashed-dense top-10 fused by
     // reciprocal-rank fusion (ext/Retrieval.rrfFuse — RRF needs no score
     // calibration between retrievers). Both branches are top-k-bounded

@@ -1436,6 +1436,51 @@ object ExtOracleB {
                   ELSE round(3.0 * t / n_wedges, 6) END AS clustering
            FROM wd CROSS JOIN tri""",
 
+      // Local clustering over the same co-supply graph: triangles credit
+      // their three corners via unnest, coeff = 2·t/(deg·(deg−1)).
+      "supplier_local_clustering" ->
+        """WITH sp AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+             FROM lineitem),
+           co AS (SELECT x.s AS a, y.s AS b, count(*) AS w
+             FROM sp x JOIN sp y ON x.o = y.o AND x.s < y.s GROUP BY 1, 2),
+           e AS (SELECT a, b FROM co WHERE w >= 5),
+           d AS (SELECT node, count(*) AS deg FROM
+             (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+             GROUP BY 1),
+           o AS (SELECT
+               CASE WHEN da.deg < db.deg
+                      OR (da.deg = db.deg AND e.a < e.b)
+                    THEN e.a ELSE e.b END AS u,
+               CASE WHEN da.deg < db.deg
+                      OR (da.deg = db.deg AND e.a < e.b)
+                    THEN e.b ELSE e.a END AS v
+             FROM e JOIN d da ON da.node = e.a
+               JOIN d db ON db.node = e.b),
+           tr AS (SELECT o1.u AS u, o1.v AS x, o2.v AS y
+             FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v
+               JOIN e ON e.a = o1.v AND e.b = o2.v),
+           tc AS (SELECT node, count(*) AS n_triangles FROM
+             (SELECT unnest([u, x, y]) AS node FROM tr) GROUP BY 1)
+           SELECT d.node, d.deg,
+             coalesce(tc.n_triangles, 0) AS n_triangles,
+             CASE WHEN d.deg < 2 THEN 0.0
+                  ELSE round(2.0 * coalesce(tc.n_triangles, 0)
+                    / (d.deg * (d.deg - 1)), 6) END AS local_clustering
+           FROM d LEFT JOIN tc USING (node)
+           WHERE d.node < 25 ORDER BY d.node""",
+
+      // Equi-depth histogram: bucket = (rank−1)·k // n over the total
+      // (value, key) order; boundaries are exact order statistics.
+      "price_equidepth_hist" ->
+        """WITH r AS (SELECT o_totalprice AS v,
+             CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+               AS BIGINT) AS rk
+           FROM orders),
+           n AS (SELECT count(*) AS n FROM orders)
+           SELECT CAST((rk - 1) * 10 // n AS BIGINT) AS bucket,
+             count(*) AS n_rows, min(v) AS lo, max(v) AS hi
+           FROM r CROSS JOIN n GROUP BY 1 ORDER BY 1""",
+
       // Hybrid retrieval: the full BM25 chain (bm25Ctes), the signed-
       // hash dense dot products in BIGINT space, both top-10 rank
       // windows, and the RRF arithmetic — rerun end to end.

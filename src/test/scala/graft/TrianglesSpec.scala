@@ -37,4 +37,25 @@ class TrianglesSpec extends SparkSpec {
     val r = stats(Seq((7L, 9L)))
     assert(r === ((2L, 1L, 0L, 0L, 0.0)))
   }
+
+  test("local clustering: per-node credit and the deg<2 guard") {
+    // 1-2-3 triangle with pendant 4 on 3: nodes 1,2 close their only
+    // wedge (1.0); node 3 closes 1 of C(3,2)=3 (0.333333); node 4 deg 1
+    val m = Triangles.localClustering(
+        Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(m(1L) === ((2L, 1L, 1.0)))
+    assert(m(2L) === ((2L, 1L, 1.0)))
+    assert(m(3L) === ((3L, 1L, 0.333333)))
+    assert(m(4L) === ((1L, 0L, 0.0)))
+  }
+
+  test("local clustering on the star: center 0, leaves deg<2 guard") {
+    val m = Triangles.localClustering(
+        Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(m === Map(1L -> 0.0, 2L -> 0.0, 3L -> 0.0, 4L -> 0.0))
+  }
 }
