@@ -83,7 +83,12 @@ class BoundedBufferSpec extends SparkSpec {
           "bounded by the batch doc's own size"),
       "TextAnalysis.scala" -> (1,
         "hashingVectorizer densify: grouped by doc_id over bucket in " +
-          "[0, dim) — the list can never exceed dim (=64) entries"))
+          "[0, dim) — the list can never exceed dim (=64) entries"),
+      "Ewma.scala" -> (2, // one call site + its scaladoc mention
+        "perEntity sequence gather: bounded by the per-entity sequence " +
+          "length (user/device/symbol keys — the operator's documented " +
+          "domain; an unbounded key belongs to StreamingEwma's O(1) " +
+          "state instead)"))
     val call = "collect_(list|set)\\s*\\(".r
     val found = Files.walk(Paths.get("src/main/scala")).iterator().asScala
       .filter(p => p.toString.endsWith(".scala"))
