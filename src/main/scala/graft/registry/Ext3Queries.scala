@@ -1039,6 +1039,19 @@ object Ext3Queries {
       graft.ext.Triangles.triangleStats(co.select(col("src"), col("dst")))
     }),
 
+    // Phrase-blocklist screen (ext/Blocklist — the content-policy stage):
+    // consecutive-token phrase matches via ONE bounded-window corpus
+    // pass + anchor-token candidate join, never scan × |blocklist|.
+    // Two hot phrases, one trigram, one OOV (the zero path) — mirrored
+    // literally in the oracle's VALUES.
+    "blocklist_screen" -> ((s, dir) => {
+      import s.implicits._
+      val phrases = Seq((0L, "table hash"), (1L, "customer join"),
+        (2L, "stream table hash"), (3L, "quux forbidden phrase"))
+        .toDF("phrase_id", "phrase")
+      graft.ext.Blocklist.screenReport(t(s, dir, "documents"), phrases)
+    }),
+
     // Per-node local clustering (Watts-Strogatz ego-net density) over
     // the same co-supply graph: triangles credit their three corners,
     // coeff = 2·t/(deg·(deg−1)). Output bounded to node < 25 AFTER the

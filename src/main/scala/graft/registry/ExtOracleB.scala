@@ -1436,6 +1436,35 @@ object ExtOracleB {
                   ELSE round(3.0 * t / n_wedges, 6) END AS clustering
            FROM wd CROSS JOIN tri""",
 
+      // Blocklist screen: bounded n-gram windows (longest phrase = 3
+      // tokens), match = window equals the phrase or extends it past a
+      // token boundary; zero-hit phrases kept by the left join.
+      "blocklist_screen" ->
+        """WITH ph AS (SELECT * FROM (VALUES
+             (CAST(0 AS BIGINT), 'table hash'),
+             (CAST(1 AS BIGINT), 'customer join'),
+             (CAST(2 AS BIGINT), 'stream table hash'),
+             (CAST(3 AS BIGINT), 'quux forbidden phrase'))
+           v(phrase_id, phrase)),
+           t AS (SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+             FROM documents),
+           g AS (SELECT doc_id,
+               array_to_string(w[p:p+2], ' ') AS gram
+             FROM t, LATERAL unnest(generate_series(1, len(w))) u(p)
+             WHERE len(w) >= 1),
+           m AS (SELECT ph.phrase_id, g.doc_id FROM g JOIN ph
+             ON g.gram = ph.phrase
+               OR starts_with(g.gram, ph.phrase || ' ')),
+           c AS (SELECT phrase_id, count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_occurrences
+             FROM m GROUP BY 1)
+           SELECT ph.phrase_id, ph.phrase,
+             coalesce(c.n_docs, 0) AS n_docs,
+             coalesce(c.n_occurrences, 0) AS n_occurrences
+           FROM ph LEFT JOIN c USING (phrase_id)
+           ORDER BY ph.phrase_id""",
+
       // Local clustering over the same co-supply graph: triangles credit
       // their three corners via unnest, coeff = 2·t/(deg·(deg−1)).
       "supplier_local_clustering" ->
