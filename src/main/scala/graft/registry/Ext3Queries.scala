@@ -1039,6 +1039,41 @@ object Ext3Queries {
       graft.ext.Triangles.triangleStats(co.select(col("src"), col("dst")))
     }),
 
+    // Content-defined chunking (ext/Chunking.chunkContentDefined): the
+    // rolling-hash boundary discipline; exact chunk rows for a doc
+    // sample. Dual formulation vs the oracle (Spark: in-array
+    // filter/slice; DuckDB: row-wise flags + windowed cumsum) — both
+    // must land on identical chunk ids, sizes, and md5 identities.
+    "cdc_chunks" -> ((s, dir) =>
+      graft.ext.Chunking.chunkContentDefined(
+          t(s, dir, "documents").where(col("doc_id") < 20),
+          "text", Seq("doc_id"))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // The property CDC exists for, measured: prepend one token to EVERY
+    // document and count surviving chunk identities. Fixed-size
+    // chunking loses every chunk to the offset shift; CDC boundaries
+    // re-synchronize at the first content boundary (ChunkingSpec pins
+    // the fixed-vs-CDC comparison; the floor here is earned in-plan).
+    "cdc_stability" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pert = docs.withColumn("text", concat(lit("zz9 "), col("text")))
+      val o = graft.ext.Chunking.chunkContentDefined(docs, "text",
+        Seq("doc_id")).select(col("doc_id"), col("chunk_hash")).distinct()
+      val p = graft.ext.Chunking.chunkContentDefined(pert, "text",
+        Seq("doc_id")).select(col("doc_id"), col("chunk_hash")).distinct()
+      val shared = o.join(p, Seq("doc_id", "chunk_hash"))
+        .agg(count(lit(1)).as("n_shared"))
+      o.agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"))
+        .crossJoin(broadcast(shared))
+        .withColumn("shared_ratio",
+          round(col("n_shared").cast("double") / col("n_chunks"), 6))
+        .select(col("n_docs"), col("n_chunks"), col("n_shared"),
+          col("shared_ratio"),
+          (col("shared_ratio") >= 0.5).as("resync_ge_050"))
+    }),
+
     // Phrase-blocklist screen (ext/Blocklist — the content-policy stage):
     // consecutive-token phrase matches via ONE bounded-window corpus
     // pass + anchor-token candidate join, never scan × |blocklist|.

@@ -1436,6 +1436,31 @@ object ExtOracleB {
                   ELSE round(3.0 * t / n_wedges, 6) END AS clustering
            FROM wd CROSS JOIN tri""",
 
+      // CDC chunk dump for the doc sample (dual formulation — see
+      // cdcChunkCtes).
+      "cdc_chunks" ->
+        s"""WITH ${cdcChunkCtes("o", "text")}
+           SELECT doc_id, chunk_id, n_tokens, chunk_hash FROM og
+           WHERE doc_id < 20 ORDER BY doc_id, chunk_id""",
+
+      // CDC stability under a one-token prefix insertion: distinct
+      // (doc, chunk_hash) identities shared between the original and
+      // perturbed chunkings.
+      "cdc_stability" ->
+        s"""WITH ${cdcChunkCtes("o", "text")},
+           ${cdcChunkCtes("q", "'zz9 ' || text")},
+           od AS (SELECT DISTINCT doc_id, chunk_hash FROM og),
+           qd AS (SELECT DISTINCT doc_id, chunk_hash FROM qg),
+           sh AS (SELECT count(*) AS n_shared
+             FROM od JOIN qd USING (doc_id, chunk_hash)),
+           base AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT)
+               AS n_docs, count(*) AS n_chunks FROM od)
+           SELECT n_docs, n_chunks, n_shared,
+             round(CAST(n_shared AS DOUBLE) / n_chunks, 6) AS shared_ratio,
+             round(CAST(n_shared AS DOUBLE) / n_chunks, 6) >= 0.5
+               AS resync_ge_050
+           FROM base CROSS JOIN sh""",
+
       // Blocklist screen: bounded n-gram windows (longest phrase = 3
       // tokens), match = window equals the phrase or extends it past a
       // token boundary; zero-hit phrases kept by the left join.
@@ -1710,6 +1735,42 @@ object ExtOracleB {
       .mkString("\n", "\nUNION ALL ", "\nORDER BY round")
 
   /** BM25 index + scoring CTE chain shared by the three retrieval oracles. */
+  /** CDC chunk CTEs (prefix `p`, document text expression `textExpr`):
+    * row-wise boundary flags (md5-hex32 of the 3-token window ending at
+    * pos, ≡ 0 mod 16, never after the last token) + windowed cumsum →
+    * `${p}g` = (doc_id, chunk_id, n_tokens, chunk_hash). The row-wise
+    * formulation deliberately differs from Spark's in-array one — the
+    * gate cross-checks both land on identical chunk identities. */
+  private def cdcChunkCtes(p: String, textExpr: String): String = {
+    val hex32 = foldSum(
+      "list_transform(generate_series(1, 8), i -> " +
+        "CAST(CASE WHEN ascii(substr(mh, i, 1)) <= 57 " +
+        "THEN ascii(substr(mh, i, 1)) - 48 " +
+        "ELSE ascii(substr(mh, i, 1)) - 87 END AS BIGINT) " +
+        "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+      "CAST(0 AS BIGINT)")
+    s"""${p}t AS (SELECT doc_id,
+           regexp_extract_all(lower($textExpr), '[a-z0-9]+') AS w
+         FROM documents),
+       ${p}pos AS (SELECT doc_id, w, u.i AS pos
+         FROM ${p}t, LATERAL unnest(generate_series(1, len(w))) u(i)),
+       ${p}m AS (SELECT doc_id, w, pos,
+           md5(array_to_string(w[pos-2:pos], ' ')) AS mh FROM ${p}pos),
+       ${p}b AS (SELECT doc_id, pos, w[pos] AS token,
+           CASE WHEN pos >= 3 AND pos <= len(w) - 1
+                 AND ($hex32) % 16 = 0 THEN 1 ELSE 0 END AS bf
+         FROM ${p}m),
+       ${p}c AS (SELECT doc_id, pos, token,
+           CAST(coalesce(sum(bf) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS chunk_id
+         FROM ${p}b),
+       ${p}g AS (SELECT doc_id, chunk_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_hash
+         FROM ${p}c GROUP BY 1, 2)"""
+  }
+
   private def bm25Ctes: String =
     """WITH t AS (SELECT doc_id,
            unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token

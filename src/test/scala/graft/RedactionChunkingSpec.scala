@@ -105,6 +105,47 @@ class ChunkingSpec extends SparkSpec {
     assert(h(1L) === h(2L))
     assert(h(1L) !== h(3L))
   }
+
+  test("CDC: chunks partition the token stream; short docs are one chunk") {
+    val text = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val rows = Chunking.chunkContentDefined(
+        Seq((1L, text), (2L, "a b"), (3L, "")).toDF("doc_id", "text"),
+        "text", Seq("doc_id"))
+      .orderBy("doc_id", "chunk_id").collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    // doc 1: chunks cover all 200 tokens, ids are 0..k contiguous
+    val d1 = byDoc(1L)
+    assert(d1.map(_.getAs[Long]("n_tokens")).sum === 200L)
+    assert(d1.map(_.getAs[Long]("chunk_id")).toSeq ===
+      (0L until d1.length).toSeq)
+    assert(d1.length > 3) // divisor 16 over 200 tokens must cut somewhere
+    // doc 2: below the window -> exactly one whole-doc chunk
+    assert(byDoc(2L).map(r => (r.getAs[Long]("chunk_id"),
+      r.getAs[Long]("n_tokens"))).toSeq === Seq((0L, 2L)))
+    // doc 3: no tokens -> no chunks
+    assert(!byDoc.contains(3L))
+  }
+
+  test("CDC re-synchronizes after a prefix edit; fixed-size loses all") {
+    val text = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val pert = Seq((1L, "zz9 " + text)).toDF("doc_id", "text")
+    def hashes(df: org.apache.spark.sql.DataFrame,
+               cdc: Boolean): Set[String] = {
+      val c = if (cdc) Chunking.chunkContentDefined(df, "text", Seq("doc_id"))
+      else Chunking.chunkByTokens(df, "text", Seq("doc_id"), 16, 16)
+      c.select("chunk_hash").as[String].collect().toSet
+    }
+    val cdcShared = hashes(docs, cdc = true)
+      .intersect(hashes(pert, cdc = true)).size
+    val cdcTotal = hashes(docs, cdc = true).size
+    val fixShared = hashes(docs, cdc = false)
+      .intersect(hashes(pert, cdc = false)).size
+    // fixed-size: every window shifts by one token -> zero survivors;
+    // CDC: only the pre-first-boundary chunk changes
+    assert(fixShared === 0)
+    assert(cdcShared === cdcTotal - 1)
+  }
 }
 
 class QualityFlagsSpec extends SparkSpec {
