@@ -167,7 +167,12 @@ object ScaleProbe {
     // triangles: replicas carry disjoint supplier spaces, so the
     // co-supply graph is k disjoint copies — edge build, wedge join,
     // and closing probe must all scale by k
-    "supplier_triangles")
+    "supplier_triangles",
+    // blocklist: word-salting confines matches to replica 0 — the probe
+    // measures the bounded-window scan + anchor join, the part that
+    // grows with the corpus (blocklists don't). CDC stability: two full
+    // chunkings + an identity join, token-linear per replica.
+    "blocklist_screen", "cdc_stability")
 
   /** Probe-only operators: production paths whose REGISTERED query form
     * carries a deliberately-quadratic exact-witness side (the
