@@ -113,6 +113,30 @@ object StreamBench {
       stats
     }
 
+    // ---- per-key EWMA (flatMapGroupsWithState, O(1) state) -------------
+    val ewmaStats = {
+      val input = MemoryStream[graft.streaming.StreamingEwma.EwmaInput]
+      val out = graft.streaming.StreamingEwma.smoothed(input.toDS())
+      val q = out.writeStream.format("noop")
+        .option("checkpointLocation", tmp("sb-ewma")).outputMode("append")
+        .start()
+      val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val stats = (0 until triggers).map { b =>
+        val rows = (0 until rowsPerTrigger).map { i =>
+          val u = (i % users).toLong
+          graft.streaming.StreamingEwma.EwmaInput(u,
+            new Timestamp(base + b * 60000L + (i / users) * 1000L),
+            b.toLong * rowsPerTrigger + i, (i % 100).toDouble)
+        }
+        input.addData(rows)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        TriggerStat(rowsPerTrigger, (System.nanoTime() - t0) / 1e6)
+      }
+      q.stop()
+      stats
+    }
+
     // ---- hourly windowed kpis -----------------------------------------
     val kpiStats = {
       val input = MemoryStream[(Timestamp, Long, String, Double)]
@@ -322,6 +346,7 @@ object StreamBench {
         100.0 * (steal1 - steal0) / (jiffies1 - jiffies0)
       else 0.0
     val json = s"""{${report("sessionize", sessStats)},${report(
+        "ewma", ewmaStats)},${report(
         "hourly_kpis", kpiStats)},${report("decontamination", decontStats,
         decontExtra)},${report("semantic_screen", screenStats,
         screenExtra)},${report("lexical_screen", lexStats,
