@@ -1039,6 +1039,15 @@ object Ext3Queries {
       graft.ext.Triangles.triangleStats(co.select(col("src"), col("dst")))
     }),
 
+    // Per-entity OLS trend (operators/Trend): slope/intercept of value
+    // against sequence position, all sums in EXACT decimal integer
+    // space (x = small sequence index, y quantized once to micros) —
+    // summation order cannot matter; only the final divisions are
+    // floats, literal-op-order-mirrored in the oracle.
+    "user_value_trend" -> ((s, dir) =>
+      graft.operators.Trend.perEntity(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "value")),
+
     // Content-defined chunking (ext/Chunking.chunkContentDefined): the
     // rolling-hash boundary discipline; exact chunk rows for a doc
     // sample. Dual formulation vs the oracle (Spark: in-array

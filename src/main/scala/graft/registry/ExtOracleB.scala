@@ -1436,6 +1436,42 @@ object ExtOracleB {
                   ELSE round(3.0 * t / n_wedges, 6) END AS clustering
            FROM wd CROSS JOIN tri""",
 
+      // Per-entity OLS trend: HUGEINT-exact sums, slope/intercept
+      // produced at micro resolution by half-up INTEGER division (no
+      // float is ever rounded), then one /10⁶ on identical integers.
+      "user_value_trend" ->
+        """WITH e AS (SELECT user_id,
+             CAST(row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS HUGEINT) AS x,
+             CAST(CAST(round(value * 1000000.0) AS BIGINT) AS HUGEINT)
+               AS ym
+           FROM events),
+           a AS (SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+               sum(x) AS sx, sum(ym) AS sy, sum(x * ym) AS sxy,
+               sum(x * x) AS sxx
+             FROM e GROUP BY 1),
+           c AS (SELECT user_id, n, sx, sy,
+               n * sxy - sx * sy AS num, n * sxx - sx * sx AS denom
+             FROM a),
+           m AS (SELECT user_id, n, sx, sy, num, denom,
+               sy * denom - num * sx AS inum FROM c),
+           r AS (SELECT user_id, n,
+               CASE WHEN n < 2 THEN CAST(0 AS HUGEINT)
+                 ELSE (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                   * ((2 * abs(num) + denom) // (2 * denom)) END
+                 AS slope_mic,
+               CASE WHEN n < 2 THEN
+                   (CASE WHEN sy < 0 THEN -1 ELSE 1 END)
+                     * ((2 * abs(sy) + n) // (2 * n))
+                 ELSE (CASE WHEN inum < 0 THEN -1 ELSE 1 END)
+                   * ((2 * abs(inum) + n * denom) // (2 * (n * denom)))
+                 END AS int_mic
+             FROM m)
+           SELECT user_id, CAST(n AS BIGINT) AS n_events,
+             CAST(slope_mic AS DOUBLE) / 1000000.0 AS slope,
+             CAST(int_mic AS DOUBLE) / 1000000.0 AS intercept
+           FROM r ORDER BY user_id""",
+
       // CDC chunk dump for the doc sample (dual formulation — see
       // cdcChunkCtes).
       "cdc_chunks" ->
