@@ -172,7 +172,13 @@ object ScaleProbe {
     // measures the bounded-window scan + anchor join, the part that
     // grows with the corpus (blocklists don't). CDC stability: two full
     // chunkings + an identity join, token-linear per replica.
-    "blocklist_screen", "cdc_stability")
+    "blocklist_screen", "cdc_stability",
+    // equi-depth histogram: the distributed-global-rank claim measured
+    // (range exchange + per-chunk offsets — the ntile-free shape);
+    // local clustering: the wedge join under k disjoint graph copies;
+    // trend: one window + one algebraic aggregate, embarrassingly linear
+    "price_equidepth_hist", "supplier_local_clustering",
+    "user_value_trend")
 
   /** Probe-only operators: production paths whose REGISTERED query form
     * carries a deliberately-quadratic exact-witness side (the
