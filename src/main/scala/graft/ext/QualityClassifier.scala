@@ -140,24 +140,6 @@ object QualityClassifier {
           col("n_test").cast("double"), 6).as("baseline_accuracy"))
   }
 
-  /** ROC-AUC of a scored frame via the rank-sum (Mann–Whitney U)
-    * identity — threshold-free classifier quality, the number a
-    * calibration sweep optimizes before picking the gate's cutoff:
-    *
-    *   AUC = (Σ_{y=1} avgRank(score) − n₁(n₁+1)/2) / (n₁·n₀)
-    *
-    * with ties carrying their AVERAGE rank (minRank + (tieCount−1)/2),
-    * so tied scores contribute exactly ½ per tied (pos, neg) pair — the
-    * standard U-statistic convention. Ranks are taken on the score
-    * ROUNDED to 6 dp: the raw double can differ by an ulp across
-    * engines, silently turning a tie into an ordering and shifting both
-    * rank columns — the rounded value is what the oracle already proves
-    * bit-identical (`nb_doc_logodds`).
-    *
-    * Scale note: ranking is a global sort of the SCORED EVAL SET (the
-    * held-out split a gate is calibrated on), not the corpus; avg-ranks
-    * are half-integers, so their sums are exact in doubles up to 2⁵³.
-    */
   /** Calibration (reliability) table: score → σ(logodds) probability,
     * bucketed to deciles; per bucket the count, mean predicted
     * probability, and empirical positive rate. A well-calibrated gate
@@ -180,6 +162,29 @@ object QualityClassifier {
       .orderBy(col("bucket"))
   }
 
+  /** ROC-AUC of a scored frame via the rank-sum (Mann–Whitney U)
+    * identity — threshold-free classifier quality, the number a
+    * calibration sweep optimizes before picking the gate's cutoff:
+    *
+    *   AUC = (Σ_{y=1} avgRank(score) − n₁(n₁+1)/2) / (n₁·n₀)
+    *
+    * with ties carrying their AVERAGE rank (minRank + (tieCount−1)/2),
+    * so tied scores contribute exactly ½ per tied (pos, neg) pair — the
+    * standard U-statistic convention. Ranks are taken on the score
+    * ROUNDED to 6 dp: the raw double can differ by an ulp across
+    * engines, silently turning a tie into an ordering and shifting both
+    * rank columns — the rounded value is what the oracle already proves
+    * bit-identical (`nb_doc_logodds`).
+    *
+    * A SINGLE-CLASS held-out split (n_pos or n_neg = 0) has no defined
+    * AUC — the U-statistic divides by n₁·n₀ — so the ratio is guarded
+    * to an EXPLICIT null (mirrored in the oracle SQL) rather than the
+    * engine-specific NaN/Inf a raw zero division would produce.
+    *
+    * Scale note: ranking is a global sort of the SCORED EVAL SET (the
+    * held-out split a gate is calibrated on), not the corpus; avg-ranks
+    * are half-integers, so their sums are exact in doubles up to 2⁵³.
+    */
   def aucRoc(scored: DataFrame, labelCol: String,
              scoreCol: String = "logodds"): DataFrame = {
     val sc = round(col(scoreCol), 6)
@@ -193,9 +198,11 @@ object QualityClassifier {
         (count(lit(1)) - sum(col("__y"))).as("n_neg"),
         sum(when(col("__y") === 1, col("__ar")).otherwise(0.0)).as("__rs"))
       .select(col("n_pos"), col("n_neg"),
-        round((col("__rs") - col("n_pos").cast("double")
-            * (col("n_pos") + 1).cast("double") / 2.0)
-          / (col("n_pos").cast("double") * col("n_neg").cast("double")), 6)
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round((col("__rs") - col("n_pos").cast("double")
+              * (col("n_pos") + 1).cast("double") / 2.0)
+            / (col("n_pos").cast("double") * col("n_neg").cast("double")), 6))
+          .otherwise(lit(null).cast("double"))
           .as("auc"))
   }
 }

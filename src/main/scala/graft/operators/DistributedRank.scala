@@ -29,8 +29,21 @@ object DistributedRank {
                       order: Column*): DataFrame = {
     require(order.nonEmpty, "need at least one order column")
     val parts = df.sparkSession.sparkContext.defaultParallelism
+    // Materialize the range exchange ONCE before both consumers read it.
+    // `spark_partition_id()` over `repartitionByRange` is only stable
+    // within a single execution of the exchange — RangePartitioner
+    // samples its boundaries with an rdd.id-derived seed, so if the
+    // offsets aggregate and the join branch each re-executed the subtree
+    // (exchange reuse disabled, or non-identical canonicalized plans)
+    // they could assign DIFFERENT __chunk ids to the same row and the
+    // ranks would silently be wrong. localCheckpoint freezes the
+    // partition assignment (the same reason the classic RDD
+    // `sortBy(...).zipWithIndex()` caches between its two jobs); the
+    // materialization is executor-local and is the price a global rank
+    // already implies — the full sort exchange writes these bytes anyway.
     val chunked = df.repartitionByRange(parts, order: _*)
       .withColumn("__chunk", spark_partition_id())
+      .localCheckpoint(true)
     val wC = Window.orderBy(col("__chunk"))
     val offsets = chunked.groupBy(col("__chunk")).count()
       .withColumn("__off", coalesce(sum(col("count"))

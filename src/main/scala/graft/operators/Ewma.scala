@@ -48,6 +48,14 @@ object Ewma {
       invAlpha == math.rint(invAlpha) &&
       java.lang.Long.bitCount(invAlpha.toLong) == 1,
       s"alpha must be a negative power of two for exact scaling: $alpha")
+    // Lower bound on alpha = upper bound on m: the fold's
+    // floor((s·(m−1) + x̃)/m) runs in double division, exact only while
+    // the numerator stays below 2⁵²; with m ≤ 2¹⁶ and micro-quantized
+    // values up to ~2³⁵ (≈ 34k value units), s·(m−1)+x̃ < 2⁵¹+2³⁵ — safely
+    // inside. Past this bound the batch fold would lose ulps while the
+    // streaming twin's long multiply stays exact: a SILENT divergence.
+    require(alpha >= 1.0 / 65536,
+      s"alpha below 2^-16 overflows the exact integer fold: $alpha")
     val m = invAlpha.toLong
     val seq = events
       .groupBy(col(userCol))

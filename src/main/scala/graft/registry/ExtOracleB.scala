@@ -98,9 +98,11 @@ object ExtOracleB {
                + (count(*) OVER (PARTITION BY s) - 1) / 2.0 AS ar FROM r)
            SELECT CAST(sum(y) AS BIGINT) AS n_pos,
              CAST(count(*) - sum(y) AS BIGINT) AS n_neg,
-             round((sum(CASE WHEN y = 1 THEN ar ELSE 0.0 END)
-                 - sum(y) * (sum(y) + 1) / 2.0)
-               / (sum(y) * (count(*) - sum(y))), 6) AS auc
+             CASE WHEN sum(y) > 0 AND count(*) - sum(y) > 0 THEN
+               round((sum(CASE WHEN y = 1 THEN ar ELSE 0.0 END)
+                   - sum(y) * (sum(y) + 1) / 2.0)
+                 / (sum(y) * (count(*) - sum(y))), 6)
+             ELSE NULL END AS auc
            FROM rk""",
 
       "nb_calibration" ->

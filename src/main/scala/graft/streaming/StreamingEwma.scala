@@ -53,6 +53,11 @@ object StreamingEwma {
       invAlpha == math.rint(invAlpha) &&
       java.lang.Long.bitCount(invAlpha.toLong) == 1,
       s"alpha must be a negative power of two for exact scaling: $alpha")
+    // Same bound as the batch twin (Ewma.perEntity): m ≤ 2¹⁶ keeps the
+    // long multiply s·(m−1) overflow-free and the batch twin's double
+    // floor-division exact — past it the two folds diverge silently.
+    require(alpha >= 1.0 / 65536,
+      s"alpha below 2^-16 overflows the exact integer fold: $alpha")
     val m = invAlpha.toLong
     val spark = input.sparkSession
     import spark.implicits._

@@ -46,6 +46,18 @@ class EvalMetricsSpec extends SparkSpec {
     assert(r.getDouble(2) === 0.875)
   }
 
+  test("aucRoc: single-class split yields explicit null, not NaN/Inf") {
+    // AUC is undefined when either class is absent (U divides by n₁·n₀);
+    // the guard must produce a REAL null — a raw zero division would
+    // give engine-specific NaN/Inf and the oracle gate would compare
+    // garbage to garbage instead of failing loudly.
+    for (cls <- Seq(0L, 1L)) {
+      val df = scored((cls, 1.0), (cls, 2.0), (cls, 3.0))
+      val r = QualityClassifier.aucRoc(df, "label").collect()(0)
+      assert(r.isNullAt(2), s"all-$cls split must null the AUC")
+    }
+  }
+
   test("calibrationTable: buckets, probs, and empirical rates") {
     // logodds 0 → p=0.5 (bucket 5); large +/- saturate to buckets 9/0
     val df = scored((1L, 0.0), (0L, 0.0), (1L, 20.0), (0L, -20.0))

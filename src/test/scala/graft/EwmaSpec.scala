@@ -67,4 +67,16 @@ class EwmaSpec extends SparkSpec {
       Ewma.perEntity(e, "user_id", "ts", "event_id", "value", alpha = 0.3)
     }
   }
+
+  test("alpha below 2^-16 is rejected (exact-fold overflow bound)") {
+    val e = Seq((1L, ts(1), 1L, 1.0)).toDF("user_id", "ts", "event_id",
+      "value")
+    intercept[IllegalArgumentException] {
+      Ewma.perEntity(e, "user_id", "ts", "event_id", "value",
+        alpha = math.pow(2.0, -17))
+    }
+    // the boundary itself is allowed
+    Ewma.perEntity(e, "user_id", "ts", "event_id", "value",
+      alpha = math.pow(2.0, -16)).collect()
+  }
 }
