@@ -67,6 +67,40 @@ object IncrementalKpis {
           col(c).as(s"new_$c")))): _*)
   }
 
+  /** Group-pruned fact scan — the step-3 prune, with the literal-size
+    * hazard handled. Two equivalent forms exist:
+    *
+    *  - an `isin` LITERAL of the affected keys: the strongest prune —
+    *    a static predicate the parquet reader and bucket pruner consume
+    *    directly (footer min/max, bucket elimination) with no join in
+    *    the plan at all — but it embeds every key in the plan tree, and
+    *    a wide-spread delta (thousands of touched groups) inflates
+    *    analysis/codegen cost unboundedly;
+    *  - a broadcast LEFT-SEMI join on `affected`: correct at ANY spread
+    *    (the delta is broadcastable by definition — a subset of the KPI
+    *    key domain), prunes at runtime via the broadcast filter, and on
+    *    a partitioned 100 TB layout still triggers dynamic partition
+    *    pruning.
+    *
+    * So: collect at most `maxInListKeys + 1` keys; at or under the cap,
+    * take the literal form, past it fall back to the semi join — the
+    * collect is capped by construction, never delta-sized. Multi-column
+    * group keys always take the semi join (a struct-tuple IN-literal
+    * neither bucket- nor footer-prunes). */
+  def prunedFacts(facts: DataFrame, affected: DataFrame,
+                  groupCols: Seq[String],
+                  maxInListKeys: Int = 256): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    if (groupCols.size > 1)
+      return facts.join(broadcast(affected), groupCols, "left_semi")
+    val keyCol = groupCols.head
+    val sample = affected.select(col(keyCol))
+      .limit(maxInListKeys + 1).collect()
+    if (sample.length <= maxInListKeys)
+      facts.where(col(keyCol).isin(sample.map(_.get(0)): _*))
+    else facts.join(broadcast(affected), groupCols, "left_semi")
+  }
+
   /** Merge one refresh: previous KPI rows for groups NOT in `affected`
     * carry forward untouched (broadcast anti-join — never recomputed,
     * never reordered arithmetically), `recomputed` supplies every

@@ -103,11 +103,12 @@ object ScaleQueries {
         Seq("l_orderkey", "l_linenumber"))
       val affected = IncrementalKpis
         .affectedGroups(rowDiff, Seq("l_partkey"))
-      // delta-sized driver list — bounded by the batch's group spread,
-      // never the corpus; the IN literal is what the bucket pruner
-      // consumes (manual dynamic partition pruning)
-      val keys = affected.collect().map(_.getLong(0))
-      val recomputed = kpi(li.where(col("l_partkey").isin(keys: _*)))
+      // capped prune: at most 256 keys land as an IN literal (what the
+      // bucket pruner consumes — manual dynamic partition pruning); a
+      // wider delta falls back to the broadcast semi join, so the plan
+      // never inflates with a delta-sized literal (verdict r11 item 1)
+      val recomputed = kpi(IncrementalKpis.prunedFacts(li, affected,
+        Seq("l_partkey")))
       IncrementalKpis.refresh(prev, recomputed, affected, Seq("l_partkey"))
         .orderBy(col("l_partkey"))
     }),

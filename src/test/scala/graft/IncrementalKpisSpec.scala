@@ -173,4 +173,46 @@ class IncrementalKpisSpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("prunedFacts: narrow delta takes the IN literal, wide delta the semi join") {
+    // parquet-backed source: ConvertToLocalRelation would otherwise fold
+    // the IN filter straight into a LocalRelation and leave no plan
+    // shape (IN literal vs semi join) to observe
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune")
+      .toString
+    (1L to 2000L).map(k => (k, k % 500, k * 10))
+      .toDF("fid", "grp", "cents").write.mode("overwrite").parquet(dir)
+    val facts = spark.read.parquet(dir)
+    // narrow: 3 affected groups → a static IN literal, no join in plan
+    val narrow = Seq(1L, 2L, 3L).toDF("grp")
+    val narrowPruned = IncrementalKpis.prunedFacts(facts, narrow,
+      Seq("grp"), maxInListKeys = 256)
+    val narrowPlan = narrowPruned.queryExecution.optimizedPlan.toString
+    assert(narrowPlan.toLowerCase.contains(" in ("),
+      s"narrow delta must prune via IN literal:\n$narrowPlan")
+    assert(!narrowPlan.toLowerCase.contains("join"),
+      s"narrow delta must not plan a join:\n$narrowPlan")
+    // wide: 300 affected groups over a 256 cap → broadcast semi join,
+    // and the plan must NOT embed a delta-sized literal
+    val wide = (0L until 300L).toDF("grp")
+    val widePruned = IncrementalKpis.prunedFacts(facts, wide,
+      Seq("grp"), maxInListKeys = 256)
+    val widePlan = widePruned.queryExecution.optimizedPlan.toString
+    assert(widePlan.toLowerCase.contains("leftsemi"),
+      s"wide delta must fall back to the semi join:\n$widePlan")
+    assert(widePlan.length < 4000,
+      s"wide-delta plan must stay literal-free (got ${widePlan.length} chars)")
+    // both forms select exactly the affected groups' rows
+    val bySemi = facts.join(broadcast(wide), Seq("grp"), "left_semi")
+      .orderBy("fid").collect().toSeq
+    assert(widePruned.orderBy("fid").collect().toSeq === bySemi)
+    val byIn = facts.where(col("grp").isin(1L, 2L, 3L))
+      .orderBy("fid").collect().toSeq
+    assert(narrowPruned.orderBy("fid").collect().toSeq === byIn)
+    // multi-column keys always take the join (tuple IN cannot prune)
+    val multi = IncrementalKpis.prunedFacts(facts,
+      Seq((1L, 10L)).toDF("grp", "cents"), Seq("grp", "cents"))
+    assert(multi.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("leftsemi"))
+  }
 }
