@@ -199,11 +199,16 @@ object StreamBench {
       // Continuous micro-batch trigger: the writer's AvailableNow default
       // would terminate on the initially-empty MemoryStream before any
       // addData arrives, measuring nothing.
+      // compaction armed (VERDICT r11 #2): the unarmed loop's manifest
+      // grew 6 -> 46 files in 6 triggers — linear read amplification
+      // forever; the file-count policy rewrites the snapshot clustered
+      // on the hash key whenever the manifest passes 16 files
       val q = StreamingDecontamination.decontaminationWriter(
         stream, indexRoot, reportRoot, k = 12,
         checkpoint = tmp("sb-dc-ckpt"),
         trigger = org.apache.spark.sql.streaming.Trigger
-          .ProcessingTime("0 seconds")).start()
+          .ProcessingTime("0 seconds"),
+        compactAboveFiles = 16).start()
       val filesPerTrigger = Seq.newBuilder[Int]
       val stats = (1 to docTriggers).map { i =>
         filesPerTrigger += graft.sources.VersionedTable
@@ -220,10 +225,11 @@ object StreamBench {
         TriggerStat(batch.length.toLong, (System.nanoTime() - t0) / 1e6)
       }
       q.stop()
-      val files = filesPerTrigger.result()
+      val files = filesPerTrigger.result() :+
+        graft.sources.VersionedTable.fileCount(spark, indexRoot)
       val indexRows = graft.sources.VersionedTable
         .read(spark, indexRoot).count()
-      val extra = s""","docs_per_trigger":$docsPerTrigger,"index_rows_final":$indexRows,"index_files_first":${files.headOption.getOrElse(-1)},"index_files_last":${files.lastOption.getOrElse(-1)}"""
+      val extra = s""","docs_per_trigger":$docsPerTrigger,"index_rows_final":$indexRows,"index_files_first":${files.headOption.getOrElse(-1)},"index_files_last":${files.lastOption.getOrElse(-1)},"index_files_max":${if (files.isEmpty) -1 else files.max}"""
       (stats, extra)
     }
 
@@ -262,7 +268,8 @@ object StreamBench {
         stream, indexRoot, reportRoot, nprobe = 4, tau2 = 1.0,
         checkpoint = tmp("sb-sc-ckpt"),
         trigger = org.apache.spark.sql.streaming.Trigger
-          .ProcessingTime("0 seconds")).start()
+          .ProcessingTime("0 seconds"),
+        compactAboveFiles = 16).start()
       val filesPerTrigger = Seq.newBuilder[Int]
       val stats = (1 to screenTriggers).map { i =>
         filesPerTrigger += graft.ext.PqIndex
@@ -283,11 +290,12 @@ object StreamBench {
         TriggerStat(batch.length.toLong, (System.nanoTime() - t0) / 1e6)
       }
       q.stop()
-      val files = filesPerTrigger.result()
+      val files = filesPerTrigger.result() :+
+        graft.sources.VersionedTable.fileCount(spark, indexRoot)
       val indexRows = graft.ext.PqIndex.codes(spark, indexRoot).count()
       val flagged = graft.sources.VersionedTable.read(spark, reportRoot)
         .where(col("contaminated")).count()
-      val extra = s""","vecs_per_trigger":$vecsPerTrigger,"index_rows_final":$indexRows,"flagged_total":$flagged,"index_files_first":${files.headOption.getOrElse(-1)},"index_files_last":${files.lastOption.getOrElse(-1)}"""
+      val extra = s""","vecs_per_trigger":$vecsPerTrigger,"index_rows_final":$indexRows,"flagged_total":$flagged,"index_files_first":${files.headOption.getOrElse(-1)},"index_files_last":${files.lastOption.getOrElse(-1)},"index_files_max":${if (files.isEmpty) -1 else files.max}"""
       (stats, extra)
     }
 
@@ -340,6 +348,81 @@ object StreamBench {
       (stats, extra)
     }
 
+    // ---- trigger-scale soak (VERDICT r11 #7) ---------------------------
+    // 100+ triggers through the decontamination loop with compaction
+    // armed AND the retention policy live: every 10 triggers,
+    // VersionedTable.vacuum(keep=3) runs between triggers (the documented
+    // safe horizon with in-loop compaction), which also sweeps dead
+    // `_ingest/` replay markers — the long-horizon state that would
+    // otherwise grow one file per trigger forever. Reported: p95 over the
+    // first vs second half (flat = no hidden superlinear state), max/last
+    // manifest file counts, and the final marker count (bounded by the
+    // vacuum cadence, NOT by trigger count). Smaller batches than the
+    // throughput lane — the soak measures trend, not rate.
+    val (soakStats, soakExtra) = {
+      val soakTriggers =
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_SOAK_TRIGGERS", "100").toInt
+      if (soakTriggers <= 0) (Seq.empty[TriggerStat], "")
+      else {
+        val sf = sys.env.getOrElse("SPARK_GRAFT_STREAM_DOCS_DIR",
+          "/root/testdata/sf0.1")
+        val docsPerTrigger =
+          sys.env.getOrElse("SPARK_GRAFT_STREAM_SOAK_DOCS", "500").toInt
+        val base = graft.sources.Tables.table(spark, sf, "documents")
+          .select(col("doc_id"), col("text"))
+          .orderBy(col("doc_id")).limit(docsPerTrigger).collect()
+        val maxId = graft.sources.Tables.table(spark, sf, "documents")
+          .agg(max(col("doc_id"))).head().getLong(0) + 1L
+        val indexRoot = tmp("sb-soak-index")
+        val reportRoot = tmp("sb-soak-report")
+        graft.sources.VersionedTable.commit(
+          graft.ext.DedupIndex.spanIndex(
+            graft.sources.Tables.table(spark, sf, "documents")
+              .select(col("doc_id"), col("text"))
+              .orderBy(col("doc_id")).limit(docsPerTrigger), k = 12),
+          indexRoot)
+        val input = MemoryStream[(Long, String)]
+        val q = StreamingDecontamination.decontaminationWriter(
+          input.toDF().toDF("doc_id", "text"), indexRoot, reportRoot,
+          k = 12, checkpoint = tmp("sb-soak-ckpt"),
+          trigger = org.apache.spark.sql.streaming.Trigger
+            .ProcessingTime("0 seconds"),
+          compactAboveFiles = 16).start()
+        val filesSeen = Seq.newBuilder[Int]
+        val stats = (1 to soakTriggers).map { i =>
+          val batch = base.map { r =>
+            val text = if (i % 2 == 1)
+              r.getString(1).split(" ").map(_ + s"s$i").mkString(" ")
+            else r.getString(1)
+            (r.getLong(0) + i * maxId, text)
+          }
+          input.addData(batch.toSeq)
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          val ms = (System.nanoTime() - t0) / 1e6
+          filesSeen += graft.sources.VersionedTable.fileCount(spark, indexRoot)
+          // retention between triggers: keep >= 3 versions (compaction can
+          // put a marker's pinned pre-version two behind latest); sweeps
+          // unreferenced data files AND dead _ingest markers
+          if (i % 10 == 0)
+            graft.sources.VersionedTable.vacuum(spark, indexRoot,
+              keepVersions = 3)
+          TriggerStat(batch.length.toLong, ms)
+        }
+        q.stop()
+        val files = filesSeen.result()
+        val half = stats.size / 2
+        val firstHalf = stats.slice(1, half).map(_.ms)
+        val secondHalf = stats.drop(half).map(_.ms)
+        val markers = {
+          val dir = new java.io.File(s"$indexRoot/_ingest")
+          if (dir.isDirectory) dir.listFiles().length else 0
+        }
+        val extra = s""","docs_per_trigger":${base.length},"p95_first_half_ms":${f1(pct(firstHalf, 0.95))},"p95_second_half_ms":${f1(pct(secondHalf, 0.95))},"index_files_max":${if (files.isEmpty) -1 else files.max},"index_files_last":${files.lastOption.getOrElse(-1)},"ingest_markers_last":$markers,"versions_last":${graft.sources.VersionedTable.versions(spark, indexRoot).size}"""
+        (stats, extra)
+      }
+    }
+
     val (steal1, jiffies1) = Bench.cpuJiffies()
     val stealPct =
       if (jiffies1 > jiffies0)
@@ -350,7 +433,9 @@ object StreamBench {
         "hourly_kpis", kpiStats)},${report("decontamination", decontStats,
         decontExtra)},${report("semantic_screen", screenStats,
         screenExtra)},${report("lexical_screen", lexStats,
-        lexExtra)},"triggers":$triggers,"rows_per_trigger":$rowsPerTrigger,"load_avg_start":$load0,"load_avg_end":${Bench.loadAvg()},"steal_pct":${f2(stealPct)}}"""
+        lexExtra)},${if (soakStats.nonEmpty)
+          report("decontamination_soak", soakStats, soakExtra) + ","
+        else ""}"triggers":$triggers,"rows_per_trigger":$rowsPerTrigger,"load_avg_start":$load0,"load_avg_end":${Bench.loadAvg()},"steal_pct":${f2(stealPct)}}"""
     val w = new java.io.PrintWriter("BENCH_STREAMING.json", "UTF-8")
     try w.println(json) finally w.close()
     println(json)

@@ -147,6 +147,17 @@ object VersionedTable {
       .findAllMatchIn(json).map(_.group(1)).toSeq
   }
 
+  /** Number of data files in a committed version's manifest (latest by
+    * default) — the metadata-only signal a compaction policy reads: one
+    * small-file manifest parse, no data touched, no listing of `data/`.
+    * 0 when no version is committed yet. */
+  def fileCount(spark: SparkSession, root: String,
+                version: Option[Long] = None): Int = {
+    val vs = versions(spark, root)
+    if (vs.isEmpty) 0
+    else manifestFiles(spark, root, version.getOrElse(vs.last)).size
+  }
+
   /** Read a committed snapshot: the latest version, or `version`. Only
     * manifested files load — orphans from failed writes are invisible.
     *

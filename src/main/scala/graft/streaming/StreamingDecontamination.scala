@@ -104,9 +104,35 @@ object StreamingDecontamination {
   /** One batch through the loop — public so a redelivered batch can be
     * simulated in specs exactly as foreachBatch would replay it.
     * Returns the report committed (or re-derived, on replay) for the
-    * batch. */
+    * batch.
+    *
+    * `compactAboveFiles > 0` arms the in-loop compaction policy: after
+    * the ingest step, if the latest index manifest lists more than that
+    * many files, the snapshot is rewritten right-sized and clustered on
+    * the hash key ([[graft.sources.Compaction.compactVersioned]]) and
+    * committed as the next version. Per-trigger append commits otherwise
+    * grow the manifest by one file-set per trigger FOREVER (measured
+    * 6 → 46 files across 6 triggers), and every screen pays the
+    * file-open amplification. The trigger condition is a FILE COUNT, not
+    * an every-N-versions counter, because a file-count policy is
+    * self-stabilizing under replay: a crash between ingest and
+    * compaction re-enters with the count still high and compacts; a
+    * crash after compaction re-enters with the count low and skips —
+    * no extra marker state needed. Readers are never torn: a trigger
+    * holding a pre-compaction manifest keeps its exact file set (the
+    * [[graft.sources.Compaction]] snapshot-isolation contract), and the
+    * marker scheme's time travel keeps working because compaction adds
+    * a version without deleting any.
+    *
+    * Vacuum note: with compaction armed a batch's pinned pre-version can
+    * sit TWO versions behind latest (ingest + compaction in one
+    * trigger), so the safe between-trigger retention becomes
+    * `vacuum(keepVersions >= 3)` — keep-2 could reclaim the version an
+    * in-flight replay needs. */
   def decontaminateBatch(batch: DataFrame, batchId: Long, indexRoot: String,
-                         reportRoot: String, k: Int): DataFrame = {
+                         reportRoot: String, k: Int,
+                         compactAboveFiles: Int = 0,
+                         compactTargetRows: Long = 4000000L): DataFrame = {
     val spark = batch.sparkSession
     // replay-stable planning point: the index/report versions this batch
     // runs against are the ones recorded at first delivery, else the
@@ -144,6 +170,14 @@ object StreamingDecontamination {
         VersionedTable.commit(DedupIndex.spanIndex(batch, k), indexRoot)
       else DedupIndex.ingestSpans(indexRoot, batch, k)
     }
+    // compaction policy: metadata-only check (one manifest parse), runs
+    // AFTER ingest so the rewrite always covers this batch's spans; the
+    // hash key is the screen's join key, so clustering on it gives the
+    // rewritten files disjoint sh ranges (footer min/max pruning)
+    if (compactAboveFiles > 0 &&
+        VersionedTable.fileCount(spark, indexRoot) > compactAboveFiles)
+      graft.sources.Compaction.compactVersioned(spark, indexRoot,
+        Seq(col("sh")), compactTargetRows)
     report
   }
 
@@ -154,7 +188,9 @@ object StreamingDecontamination {
   def decontaminationWriter(docs: DataFrame, indexRoot: String,
                             reportRoot: String, k: Int, checkpoint: String,
                             onBatch: (Long, Long) => Unit = (_, _) => (),
-                            trigger: Trigger = Trigger.AvailableNow())
+                            trigger: Trigger = Trigger.AvailableNow(),
+                            compactAboveFiles: Int = 0,
+                            compactTargetRows: Long = 4000000L)
       : DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
@@ -163,7 +199,8 @@ object StreamingDecontamination {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           decontaminateBatch(batch.select(col("doc_id"), col("text")),
-            batchId, indexRoot, reportRoot, k)
+            batchId, indexRoot, reportRoot, k,
+            compactAboveFiles, compactTargetRows)
           val v = VersionedTable.versions(batch.sparkSession, indexRoot)
             .lastOption.getOrElse(0L)
           onBatch(batchId, v)

@@ -81,10 +81,19 @@ object StreamingSemanticDecontamination {
   /** One batch through the loop — public so specs can replay a batch
     * exactly as foreachBatch would. Returns the screen report
     * (vec_id, min_adc_dist, contaminated) for the batch, computed
-    * against the batch's pinned pre-ingest index version. */
+    * against the batch's pinned pre-ingest index version.
+    *
+    * `compactAboveFiles > 0` arms the same self-stabilizing file-count
+    * compaction policy as [[StreamingDecontamination.decontaminateBatch]]
+    * (see there for the replay/vacuum reasoning): past the threshold the
+    * codes snapshot is rewritten clustered on `list_id` — the screen
+    * reads only probed cells, so cell-clustered files let footer min/max
+    * stats skip every unprobed cell's bytes. */
   def screenBatch(batch: DataFrame, batchId: Long, indexRoot: String,
                   reportRoot: String, nprobe: Int, tau2: Double,
-                  ingestSurvivors: Boolean = true): DataFrame = {
+                  ingestSurvivors: Boolean = true,
+                  compactAboveFiles: Int = 0,
+                  compactTargetRows: Long = 4000000L): DataFrame = {
     val spark = batch.sparkSession
     val latest = VersionedTable.versions(spark, indexRoot).lastOption
       .getOrElse(throw new IllegalStateException(
@@ -124,6 +133,12 @@ object StreamingSemanticDecontamination {
           indexRoot, append = true)
       }
     }
+    // compaction policy: metadata-only manifest check, after ingest so
+    // the rewrite covers this batch's survivors
+    if (compactAboveFiles > 0 &&
+        VersionedTable.fileCount(spark, indexRoot) > compactAboveFiles)
+      graft.sources.Compaction.compactVersioned(spark, indexRoot,
+        Seq(col("list_id")), compactTargetRows)
     // async unpersist: consumers inside this call are done; a caller
     // re-reading the returned frame recomputes deterministically
     report.unpersist(blocking = false)
@@ -135,7 +150,9 @@ object StreamingSemanticDecontamination {
                    nprobe: Int, tau2: Double, checkpoint: String,
                    ingestSurvivors: Boolean = true,
                    onBatch: (Long, Long) => Unit = (_, _) => (),
-                   trigger: Trigger = Trigger.AvailableNow())
+                   trigger: Trigger = Trigger.AvailableNow(),
+                   compactAboveFiles: Int = 0,
+                   compactTargetRows: Long = 4000000L)
       : DataStreamWriter[Row] =
     vecs.writeStream
       .outputMode("append")
@@ -144,7 +161,8 @@ object StreamingSemanticDecontamination {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           screenBatch(batch.select(col("vec_id"), col("embedding")),
-            batchId, indexRoot, reportRoot, nprobe, tau2, ingestSurvivors)
+            batchId, indexRoot, reportRoot, nprobe, tau2, ingestSurvivors,
+            compactAboveFiles, compactTargetRows)
           val v = VersionedTable.versions(batch.sparkSession, indexRoot)
             .lastOption.getOrElse(0L)
           onBatch(batchId, v)

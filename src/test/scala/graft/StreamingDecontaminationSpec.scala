@@ -145,6 +145,64 @@ class StreamingDecontaminationSpec extends SparkSpec {
     assert(VersionedTable.versions(spark, indexRoot).size >= 3)
   }
 
+  test("in-loop compaction: bounded index files, identical screens, replay intact") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val indexRoot = tmp("graft_sdc"); val reportRoot = tmp("graft_sdcr")
+    val plainIndex = tmp("graft_sdcp"); val plainReport = tmp("graft_sdcpr")
+    val batches = Seq(
+      batch1,
+      batch2,
+      Seq((20L, "m n o p q r"), (21L, "f g h i j k")),
+      Seq((30L, "a b c d e f"), (31L, "q r s t u v")))
+    // armed loop INSIDE a running stream: compaction fires mid-stream
+    // whenever the manifest exceeds 2 files
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDecontamination.decontaminationWriter(
+      input.toDF().toDF("doc_id", "text"), indexRoot, reportRoot, K,
+      tmp("ckpt-sdc"), trigger = Trigger.ProcessingTime(0),
+      compactAboveFiles = 2, compactTargetRows = 1000000L).start()
+    try batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    // unarmed twin on separate roots: the screen CONTENT must not depend
+    // on whether/when compaction ran
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingDecontamination.decontaminateBatch(
+        b.toDF("doc_id", "text"), i.toLong, plainIndex, plainReport, K)
+    }
+    val armedReport = reportMap(VersionedTable.read(spark, reportRoot))
+    val plainFinal = reportMap(VersionedTable.read(spark, plainReport))
+    assert(armedReport === plainFinal)
+    // the policy actually fired (extra compaction versions exist) and
+    // bounded the manifest; the unarmed twin kept growing
+    val armedV = VersionedTable.versions(spark, indexRoot)
+    assert(armedV.size > batches.size,
+      s"expected compaction commits beyond the ${batches.size} ingests: $armedV")
+    val armedFiles = VersionedTable.fileCount(spark, indexRoot)
+    val plainFiles = VersionedTable.fileCount(spark, plainIndex)
+    assert(armedFiles <= 3,
+      s"armed manifest must stay bounded: $armedFiles files")
+    assert(plainFiles > armedFiles,
+      s"unarmed manifest should have kept growing: $plainFiles vs $armedFiles")
+    // index CONTENT is unchanged by the rewrites
+    assert(VersionedTable.read(spark, indexRoot).distinct().count() ===
+      VersionedTable.read(spark, plainIndex).distinct().count())
+    // pre-compaction versions keep their exact file sets: the last
+    // batch's marker pins a pre-ingest version that compaction has since
+    // superseded — its replay must still recompute the identical report
+    // through time travel (snapshot isolation inside the running loop)
+    val lastId = batches.size - 1L
+    val replayed = reportMap(StreamingDecontamination.decontaminateBatch(
+      batches.last.toDF("doc_id", "text"), lastId, indexRoot, reportRoot,
+      K, compactAboveFiles = 2, compactTargetRows = 1000000L))
+    val lastCommitted = reportMap(
+      VersionedTable.read(spark, reportRoot)
+        .exceptAll(VersionedTable.read(spark, reportRoot,
+          Some(VersionedTable.versions(spark, reportRoot).init.last))))
+    assert(replayed === lastCommitted)
+    assert(VersionedTable.versions(spark, indexRoot) === armedV,
+      "replay must not re-ingest or re-compact")
+  }
+
   test("re-sending an already-cut doc: no-op content, still audited") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val indexRoot = tmp("graft_sdx4"); val reportRoot = tmp("graft_sdr4")

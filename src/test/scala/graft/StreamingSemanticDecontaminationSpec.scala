@@ -95,4 +95,37 @@ class StreamingSemanticDecontaminationSpec extends SparkSpec {
       .select("contaminated").as[Boolean].collect()
     assert(rep.length === 5 && rep.forall(identity))
   }
+
+  test("in-loop compaction bounds codes files without changing screens") {
+    val indexRoot = tmp("graft_ssdc_idx")
+    val reportRoot = tmp("graft_ssdc_rep")
+    val plainIndex = tmp("graft_ssdc_pidx")
+    val plainReport = tmp("graft_ssdc_prep")
+    val seed = emb.where(col("vec_id") < 400)
+    PqIndex.create(seed, indexRoot)
+    PqIndex.create(seed, plainIndex)
+    val slices = (0 until 4).map(i =>
+      emb.where(col("vec_id") >= 400 + i * 10 &&
+        col("vec_id") < 410 + i * 10))
+    val armed = slices.zipWithIndex.map { case (b, i) =>
+      StreamingSemanticDecontamination.screenBatch(b, i.toLong, indexRoot,
+          reportRoot, nprobe = 4, tau2 = 1.0,
+          compactAboveFiles = 2, compactTargetRows = 1000000L)
+        .as[(Long, Option[Double], Boolean)].collect().sortBy(_._1).toSeq
+    }
+    val plain = slices.zipWithIndex.map { case (b, i) =>
+      StreamingSemanticDecontamination.screenBatch(b, i.toLong, plainIndex,
+          plainReport, nprobe = 4, tau2 = 1.0)
+        .as[(Long, Option[Double], Boolean)].collect().sortBy(_._1).toSeq
+    }
+    // screen content is independent of the layout rewrites
+    assert(armed === plain)
+    // the manifest stayed bounded while the unarmed twin grew, and the
+    // codes themselves are identical (a compaction is a pure layout move)
+    val armedFiles = VersionedTable.fileCount(spark, indexRoot)
+    assert(armedFiles <= 3, s"armed codes manifest: $armedFiles files")
+    assert(VersionedTable.fileCount(spark, plainIndex) > armedFiles)
+    assert(PqIndex.codes(spark, indexRoot).orderBy("vec_id").collect()
+      === PqIndex.codes(spark, plainIndex).orderBy("vec_id").collect())
+  }
 }
