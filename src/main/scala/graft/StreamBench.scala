@@ -269,7 +269,9 @@ object StreamBench {
         checkpoint = tmp("sb-sc-ckpt"),
         trigger = org.apache.spark.sql.streaming.Trigger
           .ProcessingTime("0 seconds"),
-        compactAboveFiles = 16).start()
+        // lower threshold than the span lane: codes commits add ~1 file
+        // per trigger, so 4 exercises the policy within the 6-trigger run
+        compactAboveFiles = 4).start()
       val filesPerTrigger = Seq.newBuilder[Int]
       val stats = (1 to screenTriggers).map { i =>
         filesPerTrigger += graft.ext.PqIndex

@@ -200,7 +200,13 @@ object DedupIndex {
   def cutSeenSpans(index: DataFrame, batch: DataFrame,
                    k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val seen = index.select(col("sh")).distinct()
+    // NO distinct on the index side: a LEFT SEMI join never duplicates
+    // its left rows, so deduplicating the (already-distinct-by-
+    // construction — spanIndex/ingestSpans both dedup) index here only
+    // added a full index-sized aggregation to EVERY streaming trigger —
+    // the soak lane measured the per-trigger time climbing with index
+    // growth from exactly this kind of avoidable O(index) pass.
+    val seen = index.select(col("sh"))
     val hits = SpanDedup.spanRows(batch, k)
       .withColumn("sh", md5(col("span")))
       .join(seen, Seq("sh"), "left_semi")

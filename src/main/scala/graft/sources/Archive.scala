@@ -19,7 +19,18 @@ object Archive {
   /** Move every file matching `glob` under `srcDir` into `dstDir`
     * (created if missing). Missing/concurrent-deleted sources are skipped,
     * mirroring the reference's 404 tolerance. Returns destination paths of
-    * the files actually moved. */
+    * the files actually moved.
+    *
+    * Object-store note: a per-FILE rename on S3A is itself a non-atomic
+    * copy+delete, so a crash can leave a file in BOTH prefixes — the
+    * same window the reference's per-key copy+delete has. The archive
+    * step is therefore designed to be RE-RUN to convergence: when the
+    * destination already holds a complete copy (same length), the
+    * source is simply deleted — without this, a half-moved file would
+    * wedge (rename refuses an existing target) and stay in staging
+    * forever. A length tie with different content is not distinguished
+    * here (archival copies the exact bytes it reads; a racing writer
+    * mutating staging files during archival is outside the contract). */
   def moveMatching(spark: SparkSession, srcDir: String, dstDir: String,
                    glob: String = "*"): Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -34,7 +45,15 @@ object Archive {
       .flatMap { st =>
         val target = new Path(dst, st.getPath.getName)
         try {
-          if (fs.rename(st.getPath, target)) Some(target.toString) else None
+          val already = try {
+            fs.getFileStatus(target).getLen == st.getLen
+          } catch { case _: java.io.FileNotFoundException => false }
+          if (already) {
+            // prior run's interrupted move: finish the delete leg
+            fs.delete(st.getPath, false)
+            Some(target.toString)
+          } else if (fs.rename(st.getPath, target)) Some(target.toString)
+          else None
         } catch { case _: java.io.FileNotFoundException => None }
       }
   }

@@ -23,9 +23,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * write is the commit point — a single file creation with
   * overwrite=false, atomic on local/HDFS semantics. Two racing commits
   * of the same version resolve to exactly ONE winner; the loser's claim
-  * fails, its staged files are removed, and it throws CLEANLY. On
-  * S3-style stores a deployment would use a conditional put / rename
-  * for the same effect; the reader-side contract (manifest = source of
+  * fails, its staged files are removed, and it throws CLEANLY. Both
+  * race points assume ATOMIC RENAME + atomic create-no-overwrite —
+  * true of file:// and HDFS, NOT of plain S3A (rename there is a
+  * non-atomic copy+delete): object-store deployments use
+  * [[commitObjectStore]], which removes the rename entirely and needs
+  * only conditional-put (S3 `If-None-Match`) for the manifest; the
+  * reader-side contract (manifest = source of
   * truth) is unchanged. Sustained multi-writer throughput (retry loops,
   * log compaction) is out of scope — the contract here is the weaker
   * "a lost race is a CLEAN failure, never a torn table".
@@ -119,6 +123,75 @@ object VersionedTable {
     v
   }
 
+  /** Object-store-safe commit: the same manifest contract with NO
+    * directory rename anywhere. [[commit]]'s claim step renames the
+    * staged directory to `data/vN` — atomic on file:// and HDFS, but on
+    * plain S3A a "rename" is a non-atomic per-object copy+delete (the
+    * reference's own archive step does copy+delete for exactly this,
+    * reference: dags/etl/load_to_redshift.py:350-388), so two racing
+    * writers could interleave a torn claim. Here the staged
+    * writer-unique directory IS the version's permanent data directory:
+    *
+    *  1. stage under `data/obj-v{N}-{nonce}` (writer-unique, never
+    *     renamed, never shared — no interleaving is possible);
+    *  2. the manifest create with overwrite=false is the ONLY commit
+    *     point and the ONLY primitive that needs atomicity.
+    *
+    * PRECONDITION (loud, not assumed): the store must give
+    * create-no-overwrite atomicity for the manifest. Local FS and HDFS
+    * do natively. S3 does since it added conditional writes
+    * (`If-None-Match` on PUT, strong consistency) — S3A exposes it via
+    * `fs.s3a.create.conditional.enabled`; on a store WITHOUT conditional
+    * put, two racing manifest creates can both "succeed" and this mode
+    * degrades to last-writer-wins on the SAME version number — a torn
+    * history, not a torn snapshot (each manifest still references only
+    * its own writer's complete file set, so readers never see a mix;
+    * what is lost is the loser's commit without its writer learning).
+    * Deployments on such stores must serialize writers externally.
+    *
+    * Readers are untouched: a manifest is a file list; whether those
+    * files live under `data/vN` or `data/obj-v5-ab12cd34` is invisible.
+    * Returns the committed version. */
+  def commitObjectStore(df: DataFrame, root: String,
+                        append: Boolean = false): Long = {
+    val spark = df.sparkSession
+    val prior = versions(spark, root)
+    val v = prior.lastOption.getOrElse(0L) + 1
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    // no leading dot: the name must survive any path-component filtering
+    // a reader's file index applies to hidden (./_) segments
+    val dataDir = new Path(root, s"data/obj-v$v-$nonce")
+    df.write.mode("errorifexists").parquet(dataDir.toString)
+    val f = fs(spark, dataDir)
+    val newFiles = f.listStatus(dataDir)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toUri.toString).sorted
+    val carried =
+      if (append && prior.nonEmpty) manifestFiles(spark, root, prior.last)
+      else Seq.empty
+    val all = carried ++ newFiles
+    val mDir = manifestDir(root)
+    f.mkdirs(mDir)
+    // the COMMIT POINT — and the only step whose atomicity is required
+    val manifest = new Path(mDir, s"v$v.json")
+    val created =
+      try {
+        val out = f.create(manifest, false)
+        try out.write(
+          all.mkString("{\"files\": [\"", "\", \"", "\"]}").getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!created) {
+      f.delete(dataDir, true)
+      throw new IllegalStateException(
+        s"lost commit race for version $v of $root (manifest already " +
+          "created by another writer); staged files removed — retrying " +
+          "commits a fresh version")
+    }
+    v
+  }
+
   /** Version numbers with a staged `data/vN` directory, ascending —
     * committed, in-flight, and crashed-writer stages alike. */
   private def stagedVersions(spark: SparkSession, root: String): Seq[Long] = {
@@ -209,7 +282,7 @@ object VersionedTable {
       val vNum: Option[Long] =
         if (name.startsWith("v") && name.drop(1).forall(_.isDigit))
           Some(name.drop(1).toLong)
-        else "^\\.stage-v(\\d+)-".r.findFirstMatchIn(name)
+        else "^(?:\\.stage|obj)-v(\\d+)-".r.findFirstMatchIn(name)
           .map(_.group(1).toLong)
       val aboveHorizon = d.isDirectory && vNum.exists(_ > latest)
       if (aboveHorizon) Seq.empty // possible in-flight commit — never sweep
