@@ -41,8 +41,20 @@ object DedupIndex {
     * ever scans corpus text, paid once per corpus. */
   def readOrBuild(spark: SparkSession, root: String,
                   build: => DataFrame): DataFrame = {
-    if (VersionedTable.versions(spark, root).isEmpty)
-      VersionedTable.commit(build, root)
+    // In-JVM: same-root builders serialize (first builds, rest read) —
+    // a shared session's concurrent queries otherwise race the
+    // check-then-commit and the loser throws instead of reading the
+    // winner. Cross-process: the commit's create-no-overwrite manifest
+    // stays the arbiter — a lost race here means another PROCESS
+    // committed first, so fall through to reading its version.
+    graft.sources.KeyedLocks.withLock(root) {
+      if (VersionedTable.versions(spark, root).isEmpty)
+        try VersionedTable.commit(build, root)
+        catch {
+          case e: IllegalStateException =>
+            if (VersionedTable.versions(spark, root).isEmpty) throw e
+        }
+    }
     VersionedTable.read(spark, root)
   }
 

@@ -38,14 +38,24 @@ object LexicalIndex {
     * (doc_id, token, tf). No-op if it already exists. */
   def create(evalDocs: DataFrame, root: String): Unit = {
     val spark = evalDocs.sparkSession
-    if (VersionedTable.versions(spark, root).nonEmpty) return
-    val tf = evalDocs
-      .select(col("doc_id"),
-        explode_outer(TextAnalysis.tokens(col("text"))).as("token"))
-      .where(col("token").isNotNull)
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    VersionedTable.commit(tf, root)
+    // same-root creators serialize in-JVM (KeyedLocks doc); a lost
+    // CROSS-process commit race means another writer built the same
+    // frozen index — absorbed, not rethrown
+    graft.sources.KeyedLocks.withLock(root) {
+      if (VersionedTable.versions(spark, root).isEmpty) {
+        val tf = evalDocs
+          .select(col("doc_id"),
+            explode_outer(TextAnalysis.tokens(col("text"))).as("token"))
+          .where(col("token").isNotNull)
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        try VersionedTable.commit(tf, root)
+        catch {
+          case e: IllegalStateException =>
+            if (VersionedTable.versions(spark, root).isEmpty) throw e
+        }
+      }
+    }
     ()
   }
 

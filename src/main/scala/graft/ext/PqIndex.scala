@@ -57,11 +57,20 @@ object PqIndex {
     * model, commit codes v1. No-op if the index already exists. */
   def create(corpus: DataFrame, root: String, nlist: Int = 8,
              m: Int = 16, ksub: Int = 16, dim: Int = 64,
-             seed: Long = 42L): Unit = {
+             seed: Long = 42L): Unit =
+    // same-root creators serialize in-JVM (a shared session's concurrent
+    // queries both reference one fingerprinted root — KeyedLocks doc);
+    // cross-process the model write keeps errorifexists + the codes
+    // commit keeps the atomic manifest, so a cross-process loser still
+    // fails clean rather than corrupting the frozen model.
+    graft.sources.KeyedLocks.withLock(root) {
     val spark = corpus.sparkSession
     val mp = modelPath(root)
     val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(mp) && VersionedTable.versions(spark, root).nonEmpty) return
+    if (fs.exists(mp) && VersionedTable.versions(spark, root).nonEmpty) {
+      // already built (the common case after the first query touches
+      // this root): nothing to do
+    } else {
     val coarse = ProductQuant.coarseFit(corpus, nlist, dim, seed)
     val cb = ProductQuant.pqFitIvf(corpus, coarse, m, ksub, dim, seed)
     if (!fs.exists(mp)) {
@@ -89,7 +98,8 @@ object PqIndex {
       VersionedTable.commit(
         ProductQuant.encodeIvfPacked(corpus, coarse, cb)
           .select(col("vec_id"), col("list_id"), col("pq_packed")), root)
-  }
+    }
+    }
 
   private val modelCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Array[Array[Double]], Array[Array[Array[Double]]])]()

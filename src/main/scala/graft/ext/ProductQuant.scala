@@ -277,6 +277,38 @@ object ProductQuant {
       .withColumn("pq_packed", pqCodeNative(col("__vn"), codebooks))
       .drop("__vn")
 
+  /** Row cap multiplier for [[tieAwareShortlist]]: one distance level
+    * may hold arbitrarily many candidates (worst case: a corpus of one
+    * repeated vector), so the rerank pool is bounded at TieCap·r rows
+    * even when r distinct levels would admit more. 16 keeps full
+    * distinct-level coverage up to 16-fold duplication. */
+  private val TieCap = 16
+
+  /** Cut an (query_id, cand_id, adc_dist) frame to the per-query ADC
+    * shortlist, TIE-AWARE: keep the candidates at the `r` smallest
+    * DISTINCT distances (dense_rank), bounded at [[TieCap]]·r rows by
+    * (adc_dist, cand_id). A plain row_number cut is wrong under
+    * duplication: a k-replica corpus gives every copy one identical
+    * code, so r rows cover only r/k distinct vectors — the x10 sweep
+    * shrank knn_pq's effective refine 10-fold exactly this way and the
+    * recall floor failed while every ADC distance was optimal. The
+    * distinct-distance cut restores x1 coverage at any replication;
+    * without ties at the boundary the two cuts admit the same rows.
+    * Both windows share one (query_id)-partitioned sort — no extra
+    * exchange. */
+  private def tieAwareShortlist(scored: DataFrame, r: Int): DataFrame = {
+    val wDist = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adc_dist").asc)
+    val wRow = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("cand_id").asc)
+    scored
+      .withColumn("__dr", dense_rank().over(wDist))
+      .withColumn("__r", row_number().over(wRow))
+      .where(col("__dr") <= r && col("__r") <= r * TieCap)
+      .select(col("query_id"), col("cand_id"))
+  }
+
   /** ADC ANN with exact re-rank: top-`k` cosine neighbors per query,
     * found by scanning PQ CODES (m lookups/pair) for the `refine`-sized
     * shortlist, then rescoring that shortlist exactly.
@@ -315,15 +347,10 @@ object ProductQuant {
     // (candidate, query) row (functions/AdcDistExpr) — the composable
     // element_at form ran interpreted and dominated pair scoring.
     val adc = adcNative(col("lut"), col("pq_packed"), m, ksub)
-    val wAdc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("adc_dist").asc, col("cand_id").asc)
-    val shortlist = codesOnly.crossJoin(broadcast(q))
-      .where(col("cand_id") =!= col("query_id"))
-      .select(col("query_id"), col("cand_id"), adc.as("adc_dist"))
-      .withColumn("__r", row_number().over(wAdc))
-      .where(col("__r") <= r)
-      .select(col("query_id"), col("cand_id"))
+    val shortlist = tieAwareShortlist(
+      codesOnly.crossJoin(broadcast(q))
+        .where(col("cand_id") =!= col("query_id"))
+        .select(col("query_id"), col("cand_id"), adc.as("adc_dist")), r)
     // Exact re-rank of the shortlist: rejoin the full candidate and
     // query vectors (shortlist is queries×refine rows — broadcast
     // side), score exact cosine with the shared op order, keep top-k.
@@ -450,15 +477,10 @@ object ProductQuant {
 
     val adc = adcNative(col("lut"), col("pq_packed"), m,
       codebooks(0).length)
-    val wAdc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("adc_dist").asc, col("cand_id").asc)
-    val shortlist = codesOnly.join(broadcast(q), Seq("list_id"))
-      .where(col("cand_id") =!= col("query_id"))
-      .select(col("query_id"), col("cand_id"), adc.as("adc_dist"))
-      .withColumn("__r", row_number().over(wAdc))
-      .where(col("__r") <= r)
-      .select(col("query_id"), col("cand_id"))
+    val shortlist = tieAwareShortlist(
+      codesOnly.join(broadcast(q), Seq("list_id"))
+        .where(col("cand_id") =!= col("query_id"))
+        .select(col("query_id"), col("cand_id"), adc.as("adc_dist")), r)
 
     val qv = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qv"),

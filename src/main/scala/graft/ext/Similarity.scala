@@ -122,6 +122,56 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Tie-aware recall@k witness for an ANN path, as one lazy plan:
+    * `(n_queries, k, recall_ge_060)` where a retrieved candidate is a
+    * hit when its EXACT (rounded) cosine clears the query's k-th
+    * brute-force cosine — the standard ANN-benchmark recall under
+    * distance ties. The set-intersection form (join retrieved against
+    * the brute-force id set) is NOT tie-safe: on a replicated corpus
+    * every copy of a true neighbor sits at the identical distance, the
+    * brute-force top-k keeps k of them by id tie-break, and an ANN path
+    * returning OTHER equally-near copies scores zero — the x10 sweep
+    * flipped knn_pq's witness exactly this way while every retrieved
+    * distance was optimal. Without ties the two forms agree (a
+    * candidate at sim > kth would itself be in the top-k set), so the
+    * sf0.01 oracle stays hash-exact. `retrieved` must carry
+    * (query_id, cand_id); exact similarities are recomputed in-plan
+    * from one corpus scan joined to the broadcast k·|queries| pair
+    * list — witness cost linear in the corpus, same as the brute-force
+    * leg it already carries. */
+  def recallWitness(retrieved: DataFrame, corpus: DataFrame,
+                    queries: DataFrame, k: Int, threshold: Double = 0.6,
+                    force: Boolean = false): DataFrame = {
+    val bf = knnBruteForce(corpus, queries, k, force = force)
+    // k-th true similarity per query: min over its top-k rows (bf emits
+    // exactly the rank <= k rows, cosine desc)
+    val kth = bf.groupBy(col("query_id"))
+      .agg(min(col("cos_sim")).as("__kth"))
+    // exact similarity of each retrieved pair, identical expression and
+    // rounding to knnBruteForce so tied values compare equal bitwise
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"),
+      dotNative(col("embedding"), col("embedding")).as("qn2"))
+    val pairs = retrieved.select(col("query_id"), col("cand_id"))
+    val scored = corpus
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+        dotNative(col("embedding"), col("embedding")).as("cn2"))
+      .join(broadcast(pairs), Seq("cand_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"),
+        round(pairCosine(dotNative(col("qv"), col("cv")),
+          col("qn2"), col("cn2")), 6).as("__sim"))
+    val hits = scored.join(broadcast(kth), Seq("query_id"))
+      .where(col("__sim") >= col("__kth"))
+      .agg(count(lit(1)).as("__hits"))
+    queries.agg(count(lit(1)).as("n_queries"))
+      .crossJoin(broadcast(hits))
+      .select(col("n_queries"), lit(k.toLong).as("k"),
+        (col("__hits").cast("double") >=
+          lit(threshold) * col("n_queries").cast("double") * k)
+          .as("recall_ge_060"))
+  }
+
   /** Embedding-cosine near-dup pairs: all (a < b) pairs with cosine >=
     * threshold. Brute-force N²/2 — the correctness baseline whose scale
     * path is [[knnLsh]]-style bucketing (compare within LSH buckets only).

@@ -157,17 +157,9 @@ object ExtQueries {
       val centroids = Similarity.ivfFit(emb, nlist = 8)
       val ivf = Similarity.knnIvfAdaptive(emb, queries, k = 5,
         centroids, budgetFrac = 0.375)
-      val bf = Similarity.knnBruteForce(emb, queries, k = 5)
-      val hits = ivf.select(col("query_id"), col("cand_id"))
-        .join(bf.select(col("query_id"), col("cand_id")),
-          Seq("query_id", "cand_id"))
-        .agg(count(lit(1)).as("__hits"))
-      queries.agg(count(lit(1)).as("n_queries"))
-        .crossJoin(broadcast(hits))
-        .select(col("n_queries"), lit(5L).as("k"),
-          (col("__hits").cast("double") >=
-            lit(0.6) * col("n_queries").cast("double") * 5.0)
-            .as("recall_ge_060"))
+      // tie-aware recall (see Similarity.recallWitness: the
+      // set-intersection form breaks under replicated-corpus ties)
+      Similarity.recallWitness(ivf, emb, queries, k = 5)
     }),
 
     // PQ-compressed ANN (ext/ProductQuant — Jégou et al. TPAMI'11): ADC
@@ -181,18 +173,19 @@ object ExtQueries {
       val emb = t(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 10)
       val cb = ProductQuant.pqFit(emb)
-      val pq = ProductQuant.knnPq(emb, queries, k = 5, cb)
-      val bf = Similarity.knnBruteForce(emb, queries, k = 5)
-      val hits = pq.select(col("query_id"), col("cand_id"))
-        .join(bf.select(col("query_id"), col("cand_id")),
-          Seq("query_id", "cand_id"))
-        .agg(count(lit(1)).as("__hits"))
-      queries.agg(count(lit(1)).as("n_queries"))
-        .crossJoin(broadcast(hits))
-        .select(col("n_queries"), lit(5L).as("k"),
-          (col("__hits").cast("double") >=
-            lit(0.6) * col("n_queries").cast("double") * 5.0)
-            .as("recall_ge_060"))
+      // Density-scaled refine: a FIXED 10·k shortlist holds recall only
+      // while the corpus stays near the gate sizes — the x10 sweep
+      // (20k distinct vectors, 10× denser distance shells at the same
+      // codebook capacity) measured recall 0.56 at refine=50 vs 0.92 at
+      // n/40. The n/40 fraction reproduces refine=50 EXACTLY at every
+      // gate SF (500/500/2000 vectors ≤ 2000 → max picks 10·k), so the
+      // DuckDB hash stays pinned; n is the catalog row-count stat (same
+      // defense as cosineNearDupPairsLshAdaptive's one count()).
+      val refine = math.max(10L * 5L, emb.count() / 40L).toInt
+      val pq = ProductQuant.knnPq(emb, queries, k = 5, cb, refine = refine)
+      // tie-aware recall: the x10 replica sweep flipped the old
+      // set-intersection witness on pure distance ties
+      Similarity.recallWitness(pq, emb, queries, k = 5)
     }),
 
     // IVF-PQ ANN (IVFADC — the full FAISS-shape composition): coarse
@@ -210,17 +203,8 @@ object ExtQueries {
       val cb = ProductQuant.pqFitIvf(emb, coarse)
       val ivfpq = ProductQuant.knnIvfPq(emb, queries, k = 5, coarse, cb,
         nprobe = 4, refine = 200)
-      val bf = Similarity.knnBruteForce(emb, queries, k = 5)
-      val hits = ivfpq.select(col("query_id"), col("cand_id"))
-        .join(bf.select(col("query_id"), col("cand_id")),
-          Seq("query_id", "cand_id"))
-        .agg(count(lit(1)).as("__hits"))
-      queries.agg(count(lit(1)).as("n_queries"))
-        .crossJoin(broadcast(hits))
-        .select(col("n_queries"), lit(5L).as("k"),
-          (col("__hits").cast("double") >=
-            lit(0.6) * col("n_queries").cast("double") * 5.0)
-            .as("recall_ge_060"))
+      // tie-aware recall (Similarity.recallWitness doc)
+      Similarity.recallWitness(ivfpq, emb, queries, k = 5)
     }),
 
     // PERSISTED IVF-PQ index (ext/PqIndex — the index lifecycle: fit
@@ -313,19 +297,10 @@ object ExtQueries {
       val queries = vecs.where(col("vec_id") < 10)
       val cb = ProductQuant.pqFit(vecs)
       val pq = ProductQuant.knnPq(vecs, queries, k = 5, cb)
-      // force: the corpus is DERIVED (the vectorizer) and doc-count
-      // sized — the guard's eager count would execute the plan early
-      val bf = Similarity.knnBruteForce(vecs, queries, k = 5, force = true)
-      val hits = pq.select(col("query_id"), col("cand_id"))
-        .join(bf.select(col("query_id"), col("cand_id")),
-          Seq("query_id", "cand_id"))
-        .agg(count(lit(1)).as("__hits"))
-      queries.agg(count(lit(1)).as("n_queries"))
-        .crossJoin(broadcast(hits))
-        .select(col("n_queries"), lit(5L).as("k"),
-          (col("__hits").cast("double") >=
-            lit(0.6) * col("n_queries").cast("double") * 5.0)
-            .as("recall_ge_060"))
+      // tie-aware recall; force: the corpus is DERIVED (the vectorizer)
+      // and doc-count sized — the guard's eager count would execute the
+      // plan early
+      Similarity.recallWitness(pq, vecs, queries, k = 5, force = true)
     }),
 
     // Model-based quality filtering (the CCNet/fastText-style gate):

@@ -119,6 +119,12 @@ object BucketedTable {
   def bucketed(spark: SparkSession, dir: String, table: String,
                bucketCol: String, numBuckets: Int): DataFrame = {
     val name = bucketedName(dir, table, bucketCol, numBuckets)
+    // Same-layout materialize/register serializes in-JVM: a shared
+    // session's concurrent queries can otherwise both observe a cold
+    // layout and interleave two saveAsTable writes into ONE path (the
+    // single-writer note above is about separate PROCESSES sharing a
+    // tmpdir; threads of one session we can and do serialize).
+    KeyedLocks.withLock(s"layout:$name") {
     val path = new File(layoutRoot, name).getAbsolutePath
     val complete = new File(path, "_SUCCESS").isFile
     // catalog entry without files (tmp reaper / crashed write): drop and
@@ -148,6 +154,7 @@ object BucketedTable {
       }
     }
     spark.table(name)
+    }
   }
 
   /** Read `table` from `dir` re-laid-out as hive-partitioned parquet on
@@ -158,9 +165,13 @@ object BucketedTable {
     val id = stableId(dir, table, s"part:$partCol", LayoutVersion.toString,
       sourceFingerprint(dir, table))
     val path = new File(layoutRoot, s"graft_p_${table}_$id").getAbsolutePath
-    if (!new File(path, "_SUCCESS").isFile) {
-      Tables.table(spark, dir, table)
-        .write.mode("overwrite").partitionBy(partCol).parquet(path)
+    // serialize same-path materialization across a shared session's
+    // threads (see bucketed)
+    KeyedLocks.withLock(s"layout:$path") {
+      if (!new File(path, "_SUCCESS").isFile) {
+        Tables.table(spark, dir, table)
+          .write.mode("overwrite").partitionBy(partCol).parquet(path)
+      }
     }
     spark.read.parquet(path)
   }
