@@ -295,6 +295,70 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Multi-probe cosine-LSH near-dup pairs (the probing idea of Lv et
+    * al., "Multi-Probe LSH", VLDB'07, on sign-bit tables): same seeded
+    * hyperplane tables and sizing as [[cosineNearDupPairsLshAdaptive]],
+    * but the candidate side additionally probes the P buckets at
+    * Hamming distance 1 from its own — a pair is generated whenever the
+    * two signatures differ in AT MOST ONE bit. Per-table catch
+    * probability at the threshold angle rises from p^P to
+    * p^P + P·p^(P-1)(1-p); on the x10 sweep corpus (20k vectors,
+    * threshold 0.4) measured pair recall vs the exact O(N²) ground
+    * truth rose 0.195 → 0.659 at the SAME table count and corpus-scan
+    * count. The price is probe-side fan-out P+1 (= O(log n) — the
+    * explode is masks over the already-computed signature, not
+    * re-hashing), so candidate volume grows by the one factor that does
+    * NOT multiply corpus scans: the cost lever OR-tables cannot reach
+    * (T tables = T scans + T shuffles). Same bucket-bounded pair
+    * generation as every dedup operator here — never all-pairs.
+    *
+    * Output schema/tie-break matches [[cosineNearDupPairsLshAdaptive]];
+    * reported bucket is the exact bucket of the lower-id vector,
+    * min across tables. Note the degenerate small-corpus regime is NOT
+    * bit-identical to the single-bucket form (it probes by design), so
+    * this operator carries its own Hamming-≤1 oracle. */
+  def cosineNearDupPairsMultiProbe(corpus: DataFrame, threshold: Double,
+                                   targetBucket: Int = 512,
+                                   seed: Long = 42L,
+                                   dim: Int = 64): DataFrame = {
+    val n = math.max(1L, corpus.count())
+    val (planes, tables) = lshAdaptiveParams(n, threshold, targetBucket)
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val v = corpus.repartition(par).select(col("vec_id"), col("embedding"),
+      dotNative(col("embedding"), col("embedding")).as("n2"))
+    // XOR masks: 0 (the exact bucket) plus each single sign bit
+    val masks = lit(0L) +: (0 until planes).map(i => lit(1L << i))
+    val perTable = (0 until tables).map { t =>
+      val pl = hyperplanes(planes, dim, seed + t)
+      val vt = v.withColumn("bucket", bucketId(col("embedding"), pl))
+      val a = vt.select(col("bucket"), col("vec_id").as("vec_a"),
+        col("embedding").as("va"), col("n2").as("n2a"))
+      // Probe side: each vector visits its bucket and the P Hamming-1
+      // neighbors. A pair differing in bit i is caught at mask e_i and
+      // only there (mask 0 catches the equal-signature pairs), so no
+      // within-table double-count exists to dedup.
+      // explode_outer + isNotNull: the computed-array explode trap
+      // (InferFiltersFromGenerate re-evaluates the array — and the
+      // signature under it — in a filter below the generate)
+      val b = vt
+        .withColumn("bucket",
+          explode_outer(array(masks.map(m => col("bucket").bitwiseXOR(m)): _*)))
+        .where(col("bucket").isNotNull)
+        .select(col("bucket"), col("vec_id").as("vec_b"),
+          col("embedding").as("vb"), col("n2").as("n2b"))
+      a.join(b, Seq("bucket")).where(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"), col("bucket"),
+          round(pairCosine(dotNative(col("va"), col("vb")),
+            col("n2a"), col("n2b")), 6).as("cos_sim"))
+        .where(col("cos_sim") >= threshold)
+    }
+    perTable.reduce(_ unionByName _)
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(min(col("bucket")).as("bucket"), max(col("cos_sim")).as("cos_sim"))
+      .select(col("vec_a"), col("vec_b"), col("bucket"), col("cos_sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** The adaptive-LSH sizing rule, pure so the spec can pin it:
     * planes = max(4, ceil(log2(n / targetBucket))) bounds expected bucket
     * occupancy; tables = smallest T with 1-(1-p^P)^T ≥ p^4 (p = co-bucket

@@ -406,6 +406,25 @@ object ExtOracleA {
            SELECT vec_a, vec_b, bucket, cos_sim FROM p
            WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""",
 
+      // Multi-probe LSH: a pair is a candidate when the two sign-bit
+      // signatures differ in AT MOST ONE bit (the 1-bit-probe rule);
+      // the reported bucket is the lower-id vector's exact bucket.
+      // DuckDB's theta-join here is quadratic — fine at gate SFs; the
+      // Spark side stays an equi-join on exploded probe keys.
+      "neardup_multiprobe" ->
+        s"""WITH v AS (SELECT vec_id, embedding AS emb,
+               ${dotSql("embedding", "embedding")} AS n2,
+               ${bucketOf("embedding")} AS bucket FROM embeddings),
+           p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               a.bucket AS bucket,
+               round(CASE WHEN sqrt(a.n2) = 0.0 OR sqrt(b.n2) = 0.0 THEN 0.0
+                          ELSE ${dotSql("a.emb", "b.emb")}
+                               / (sqrt(a.n2) * sqrt(b.n2)) END, 6) AS cos_sim
+             FROM v a JOIN v b ON a.vec_id < b.vec_id
+               AND bit_count(xor(a.bucket, b.bucket)) <= 1)
+           SELECT vec_a, vec_b, bucket, cos_sim FROM p
+           WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""",
+
       "knn_lsh" ->
         s"""WITH v AS (SELECT vec_id, embedding AS emb,
                ${bucketOf("embedding")} AS bucket FROM embeddings),

@@ -114,6 +114,16 @@ object ExtQueries {
       Similarity.cosineNearDupPairsLshAdaptive(t(s, dir, "embeddings"),
         threshold = 0.4)),
 
+    // Multi-probe variant (Lv et al. VLDB'07 shape): candidates probe
+    // the P Hamming-1 sibling buckets too, lifting threshold-boundary
+    // recall ~3.4x at the same table/scan count (measured 0.195 -> 0.659 vs
+    // exact ground truth on the x10 corpus) for an O(log n) probe
+    // fan-out — the recall lever that does not multiply corpus scans.
+    // Oracled exactly at gate SFs by the Hamming-<=1 pair join.
+    "neardup_multiprobe" -> ((s, dir) =>
+      Similarity.cosineNearDupPairsMultiProbe(t(s, dir, "embeddings"),
+        threshold = 0.4)),
+
     // LSH-bucketed ANN (sign-bit hyperplane buckets — the scale path).
     "knn_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -527,10 +537,22 @@ object ExtQueries {
     // asserts — and this row would fail loudly rather than silently.
     "top_tokens_sketch" -> ((s, dir) => {
       import graft.functions.SketchAggregates.freqItems
-      t(s, dir, "documents")
+      val toks = t(s, dir, "documents")
         .select(explode_outer(TextAnalysis.tokens(col("text"))).as("token"))
         .where(col("token").isNotNull)
-        .agg(freqItems(col("token"), 64).as("sk"))
+      // Cardinality-scaled capacity: a space-saving summary is EXACT
+      // while distinct items fit its counters, and that is what the
+      // exact-count oracle checks. 64 covers the gate SFs' 31-token
+      // vocabulary (2·31 < 64 keeps them bit-identical); the x10 salted
+      // corpus (310 distinct) overflowed it and the Misra-Gries
+      // overestimate (≤ N/64 = 42k; observed ≤ 4.3%) surfaced. The
+      // 2·distinct sizing is the HLL stat a table catalog holds — same
+      // defense as knn_pq's density-scaled refine.
+      val cap = math.max(64L,
+        2L * toks.agg(approx_count_distinct(col("token"), 0.05))
+          .head.getLong(0)).toInt
+      toks
+        .agg(freqItems(col("token"), cap).as("sk"))
         .select(explode(col("sk")).as("e"))
         .select(col("e.item").as("token"), col("e.est").as("est_count"))
         .orderBy(col("est_count").desc, col("token"))

@@ -37,6 +37,31 @@ class AdaptiveLshSpec extends SparkSpec {
     assert(adaptive.toSeq === fixed.toSeq)
   }
 
+  test("multi-probe: exactly the Hamming<=1 pairs, superset of exact-bucket") {
+    val emb = graft.sources.Tables.table(spark, sf, "embeddings")
+    val mp = Similarity.cosineNearDupPairsMultiProbe(emb, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute recomputation of the 1-bit-probe contract: every exact pair
+    // >= threshold whose P=4 signatures differ in at most one bit
+    val pl = Similarity.hyperplanes(4, 64)
+    val buckets = emb.select(col("vec_id"),
+      Similarity.bucketId(col("embedding"), pl).as("b"))
+    val exact = Similarity.cosineNearDupPairs(emb, 0.4, force = true)
+      .join(buckets.select(col("vec_id").as("vec_a"), col("b").as("ba")),
+        Seq("vec_a"))
+      .join(buckets.select(col("vec_id").as("vec_b"), col("b").as("bb")),
+        Seq("vec_b"))
+    val expected = exact
+      .where(bit_count(col("ba").bitwiseXOR(col("bb"))) <= 1)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+      .toSet
+    assert(mp === expected)
+    // superset of the single-bucket form (equal signatures => Hamming 0)
+    val single = Similarity.cosineNearDupPairsLshAdaptive(emb, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single.subsetOf(mp), s"missing ${(single -- mp).take(5)}")
+  }
+
   test("OR-tables recover pairs a single high-plane table loses") {
     // Force the adaptive regime on the small corpus by shrinking the
     // bucket target: P grows past 4, recall would drop; with the
