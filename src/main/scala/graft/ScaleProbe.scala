@@ -178,7 +178,11 @@ object ScaleProbe {
     // local clustering: the wedge join under k disjoint graph copies;
     // trend: one window + one algebraic aggregate, embarrassingly linear
     "price_equidepth_hist", "supplier_local_clustering",
-    "user_value_trend")
+    "user_value_trend",
+    // multi-probe LSH: the probe-side fan-out is P+1 = O(log n), so the
+    // pair-gen must stay near-linear like its single-bucket sibling
+    // while carrying ~3.4x its recall
+    "neardup_multiprobe")
 
   /** Probe-only operators: production paths whose REGISTERED query form
     * carries a deliberately-quadratic exact-witness side (the

@@ -316,7 +316,19 @@ object Similarity {
     * reported bucket is the exact bucket of the lower-id vector,
     * min across tables. Note the degenerate small-corpus regime is NOT
     * bit-identical to the single-bucket form (it probes by design), so
-    * this operator carries its own Hamming-≤1 oracle. */
+    * this operator carries its own Hamming-≤1 oracle.
+    *
+    * Scale law, measured (SCALEPROBE x30 tail 1.55 vs the sibling's
+    * 1.03): this operator holds threshold recall ROUGHLY CONSTANT
+    * (~0.66 designed and measured at x10; the shared table sizing
+    * lands within one table of the 0.6-target rule at every probed
+    * factor) while the single-bucket form lets recall fall toward the
+    * p⁴ floor (~0.16) as P grows — constant recall across a growing
+    * corpus at a fixed threshold costs super-linear candidate volume
+    * by the LSH ρ-law (see the ~N^1.66 derivation on
+    * [[lshAdaptiveParams]]). Pick per use: screening where misses are
+    * cheap → the sibling; dedup/decontamination where recall is the
+    * contract → this one, budgeted accordingly. */
   def cosineNearDupPairsMultiProbe(corpus: DataFrame, threshold: Double,
                                    targetBucket: Int = 512,
                                    seed: Long = 42L,
