@@ -182,7 +182,12 @@ object ScaleProbe {
     // multi-probe LSH: the probe-side fan-out is P+1 = O(log n), so the
     // pair-gen must stay near-linear like its single-bucket sibling
     // while carrying ~3.4x its recall
-    "neardup_multiprobe")
+    "neardup_multiprobe",
+    // corpus-wide kNN graph: candidate volume is nprobe/nlist of N² per
+    // the IVF budget, and the registered form carries its 10-query
+    // brute-force recall witness (linear); the graph itself must scale
+    // with the self-join's cell-bounded candidates
+    "knn_graph")
 
   /** Probe-only operators: production paths whose REGISTERED query form
     * carries a deliberately-quadratic exact-witness side (the

@@ -337,6 +337,14 @@ object ExtOracleA {
              TRUE AS recall_ge_060
            FROM embeddings WHERE vec_id < 10""",
 
+      // Corpus-wide kNN graph — witness contract: exact vector count
+      // (real oracle data); completeness (every vector, exactly k
+      // edges) and the probe-subset recall floor earned in-plan.
+      "knn_graph" ->
+        """SELECT count(*) AS n_vectors, CAST(3 AS BIGINT) AS k,
+             TRUE AS all_have_k, TRUE AS recall_ge_060
+           FROM embeddings""",
+
       // PQ recall witness — same contract shape as knn_ivf: count from
       // real oracle data, the recall floor earned in-plan.
       "knn_pq" ->

@@ -172,6 +172,46 @@ object ExtQueries {
       Similarity.recallWitness(ivf, emb, queries, k = 5)
     }),
 
+    // Corpus-wide kNN GRAPH (every vector's k nearest, IVF-cell
+    // self-join — dataset cartography / graph-dedup primitive; no
+    // broadcast of the query side because the query side IS the
+    // corpus). Engine-seeded (k-means cells), so the witness frame is
+    // the contract: exact vector count; every vector present with
+    // exactly k edges; tie-aware recall@k of a deterministic 10-vector
+    // probe subset vs in-plan brute force >= 0.6.
+    "knn_graph" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      // Cell size bounded, nlist from the corpus-count catalog stat
+      // (same principle as adaptive LSH's targetBucket): at FIXED nlist
+      // the self-join's candidate volume is n²·nprobe/nlist — the x30
+      // probe measured exactly that (tail 3.17, 499 s); with ~512-vector
+      // cells it is n·nprobe·512, linear until the fit cap. Gate SFs
+      // (500/2000 vectors) stay at the nlist=8 floor — bit-identical.
+      val n = emb.count()
+      val nlist = math.min(Similarity.IvfFitNlistCap.toLong,
+        math.max(8L, n / 512L)).toInt
+      val centroids = Similarity.ivfFit(emb, nlist = nlist)
+      val graph = Similarity.knnGraphIvf(emb, k = 3, centroids, nprobe = 3)
+      val queries = emb.where(col("vec_id") < 10)
+      val recall = Similarity.recallWitness(
+        graph.where(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"),
+            col("neighbor_id").as("cand_id")),
+        emb, queries, k = 3)
+      val degrees = graph.groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("__deg"))
+        .agg(count(lit(1)).as("__n_with_edges"),
+          min(col("__deg")).as("__min_deg"), max(col("__deg")).as("__max_deg"))
+      emb.agg(count(lit(1)).as("n_vectors"))
+        .crossJoin(broadcast(degrees))
+        .crossJoin(broadcast(recall.select(col("recall_ge_060"))))
+        .select(col("n_vectors"), lit(3L).as("k"),
+          (col("__n_with_edges") === col("n_vectors") &&
+            col("__min_deg") === 3L && col("__max_deg") === 3L)
+            .as("all_have_k"),
+          col("recall_ge_060"))
+    }),
+
     // PQ-compressed ANN (ext/ProductQuant — Jégou et al. TPAMI'11): ADC
     // over 16-subspace × 16-code codebooks (the candidate scan touches 8
     // bytes/vector instead of 256) + exact re-rank of the 10·k shortlist.
