@@ -59,7 +59,9 @@ object CoreOracle {
 
     "revenue_by_nation" ->
       """SELECT n_name,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) // 100
+           AS DOUBLE) / 100.0 AS revenue,
          count(DISTINCT o_orderkey) AS n_orders
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
@@ -94,7 +96,9 @@ object CoreOracle {
 
     "multi_join_revenue" ->
       """SELECT s_nationkey,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) // 100
+           AS DOUBLE) / 100.0 AS revenue,
          count(*) AS n_items
          FROM lineitem
          JOIN supplier ON l_suppkey = s_suppkey
@@ -104,7 +108,9 @@ object CoreOracle {
 
     "revenue_by_nation_merge" ->
       """SELECT n_name,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) // 100
+           AS DOUBLE) / 100.0 AS revenue,
          count(DISTINCT o_orderkey) AS n_orders
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey

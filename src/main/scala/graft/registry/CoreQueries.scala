@@ -1,6 +1,6 @@
 package graft.registry
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -10,6 +10,30 @@ import graft.Pipeline
 
 /** Reference-parity operators (SURVEY.md §2.1-2.8). */
 object CoreQueries {
+
+  /** Exact-integer revenue aggregate: sum(price · (1 − discount)) with
+    * the accumulation in integer 1e-4-dollar units — price is
+    * cents-exact and discount percent-exact in the data (verified:
+    * round(x·100) recovers integers to 1e-9), so cents × (100 − pct)
+    * is an EXACT int64 product and the sum is order-independent. The
+    * float form round(sum(p·(1−d)), 2) crossed its 2dp rounding
+    * boundary under 10× accumulation-order drift (round-12 x10 sweep);
+    * this form is hash-exact at any factor while the CENTS stay below
+    * 2^53 (≈ $9·10^13 per group; the integer sum itself is bounded by
+    * 2^63). The 2dp rounding ALSO happens in integer space —
+    * `(sum + 50) div 100`, half-up on the nonnegative sums — because
+    * `round(double, 2)` is engine-divergent on exact half cases: Spark
+    * rounds the SHORTEST-DECIMAL rendering (BigDecimal.valueOf) and
+    * DuckDB the binary value, and the x10 sweep hit a literal `.925`
+    * quotient that split .93 vs .92. The final cents→double division
+    * is the same exact integer over 100.0 in both engines — identical
+    * bits, no rounding step left to diverge. DuckDB oracles mirror the
+    * identical op order. */
+  private def revenueExact: Column = expr(
+    """cast((sum(cast(round(l_extendedprice * 100) as bigint)
+      |  * (100 - cast(round(l_discount * 100) as bigint))) + 50) div 100
+      |  as double) / 100.0""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // J1+A1+A2 (reference: dags/etl/kpi_processor.py:69-72): fact ⋈ broadcast
@@ -120,7 +144,7 @@ object CoreQueries {
         .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        .agg(revenueExact.as("revenue"),
              countDistinct(col("o_orderkey")).as("n_orders"))
         .orderBy(col("n_name"))
     }),
@@ -138,7 +162,7 @@ object CoreQueries {
         .join(t(s, dir, "nation").hint("SHUFFLE_MERGE"),
           col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        .agg(revenueExact.as("revenue"),
              countDistinct(col("o_orderkey")).as("n_orders"))
         .orderBy(col("n_name"))
     }),
@@ -183,8 +207,7 @@ object CoreQueries {
             t(s, dir, "part").where(col("p_size") === 1),
             "l_partkey", "p_partkey")))
       joined.groupBy(col("s_nationkey"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"), count(lit(1)).as("n_items"))
+        .agg(revenueExact.as("revenue"), count(lit(1)).as("n_items"))
         .orderBy(col("s_nationkey"))
     }),
 
