@@ -123,7 +123,10 @@ object Similarity {
   }
 
   /** Tie-aware recall@k witness for an ANN path, as one lazy plan:
-    * `(n_queries, k, recall_ge_060)` where a retrieved candidate is a
+    * `(n_queries, k, recall_ge_0NN)` — the witness column's name is
+    * derived from `threshold` (e.g. 0.6 → `recall_ge_060`, 0.7 →
+    * `recall_ge_070`) so a non-default caller's column never misstates
+    * the predicate it encodes — where a retrieved candidate is a
     * hit when its EXACT (rounded) cosine clears the query's k-th
     * brute-force cosine — the standard ANN-benchmark recall under
     * distance ties. The set-intersection form (join retrieved against
@@ -169,7 +172,7 @@ object Similarity {
       .select(col("n_queries"), lit(k.toLong).as("k"),
         (col("__hits").cast("double") >=
           lit(threshold) * col("n_queries").cast("double") * k)
-          .as("recall_ge_060"))
+          .as(f"recall_ge_${(threshold * 100).round}%03d"))
   }
 
   /** Embedding-cosine near-dup pairs: all (a < b) pairs with cosine >=

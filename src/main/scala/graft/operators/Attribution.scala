@@ -43,7 +43,15 @@ object Attribution {
   }
 
   /** Per-channel rollup: conversions and converted value credited to each
-    * touch type under the chosen model ("last" | "first"). */
+    * touch type under the chosen model ("last" | "first").
+    *
+    * `attributed_value` accumulates in integer CENTS (each value rounded
+    * to cents per row, summed exactly, divided by 100 at the end) — the
+    * same recipe as the micros/cents sums below and the registry's
+    * money rollups: order-independent, so hash-identical across any
+    * partitioning or replication. For cents-exact inputs (money columns
+    * are) this equals the float `round(sum(v), 2)` everywhere that form
+    * is well-defined; sub-cent input precision is quantized per row. */
   def report(events: DataFrame, userCol: String, tsCol: String,
              typeCol: String, convType: String, valueCol: String,
              tieCol: String, model: String = "last"): DataFrame = {
@@ -56,7 +64,8 @@ object Attribution {
     attributed(events, userCol, tsCol, typeCol, convType, tieCol)
       .groupBy(coalesce(touch, lit("organic")).as("channel"))
       .agg(count(lit(1)).as("n_conversions"),
-        round(sum(col(valueCol)), 2).as("attributed_value"))
+        (sum(round(col(valueCol) * 100).cast("long")).cast("double") / 100.0)
+          .as("attributed_value"))
       .orderBy(col("channel"))
   }
 

@@ -24,7 +24,24 @@ import org.apache.spark.sql.functions._
   */
 object DistributedRank {
 
-  /** Append 1-based global rank `rankCol` (Long) by `order`. */
+  /** Append 1-based global rank `rankCol` (Long) by `order`.
+    *
+    * CONTRACT — eager, stored, lineage-truncated: the call materializes
+    * the full range exchange AT CALL TIME via `localCheckpoint(true)`
+    * (see the in-body rationale — both the offsets aggregate and the
+    * join branch must read ONE execution of the exchange or ranks can
+    * silently be wrong). Consequences callers must plan for: (1) this
+    * is not a lazy plan fragment — composing it inside a larger lazy
+    * pipeline pays the input scan here, not at the pipeline's action;
+    * (2) the checkpointed blocks live in executor storage until the
+    * returned frame's RDD is GC'd (the ContextCleaner frees them — a
+    * long session calling this in a loop should drop references to the
+    * returned frames promptly); (3) localCheckpoint truncates lineage,
+    * so the job cannot recompute lost blocks on executor failure —
+    * on an unreliable cluster use a reliable `checkpoint` directory
+    * instead, at the cost of a distributed-FS write. The checkpoint is
+    * NOT optional here: this is intrinsically the two-consumer case the
+    * freeze exists for. */
   def globalRowNumber(df: DataFrame, rankCol: String,
                       order: Column*): DataFrame = {
     require(order.nonEmpty, "need at least one order column")

@@ -86,7 +86,22 @@ object IncrementalKpis {
     * take the literal form, past it fall back to the semi join — the
     * collect is capped by construction, never delta-sized. Multi-column
     * group keys always take the semi join (a struct-tuple IN-literal
-    * neither bucket- nor footer-prunes). */
+    * neither bucket- nor footer-prunes).
+    *
+    * NULL group keys: rows of `facts` with a null key are dropped by
+    * BOTH branches — `isin` literals never match null, and the semi
+    * join's equality predicate is null-rejecting — so the two forms
+    * agree; a null-keyed AFFECTED row likewise prunes nothing. Callers
+    * whose fact tables carry null group keys must route those rows
+    * separately (they can never be "affected" by a keyed delta).
+    *
+    * Cost note: when the delta exceeds the cap, the `affected` plan
+    * executes twice — once for the capped probe, once inside the semi
+    * join. `affected` is a key-projection of a diff (small by
+    * contract), but a caller holding an EXPENSIVE affected plan should
+    * persist it before calling; this function does not cache on the
+    * caller's behalf (a library-held persist has no sound unpersist
+    * point once the returned plan is lazy). */
   def prunedFacts(facts: DataFrame, affected: DataFrame,
                   groupCols: Seq[String],
                   maxInListKeys: Int = 256): DataFrame = {

@@ -120,13 +120,14 @@ object CoreOracle {
          GROUP BY n_name ORDER BY n_name""",
 
     "weekly_order_revenue" ->
-      """SELECT CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start,
-         count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+      s"""SELECT CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start,
+         count(*) AS n_orders,
+         ${Money.sumMoneyExactSql("o_totalprice")} AS revenue
          FROM orders GROUP BY 1 ORDER BY 1""",
 
     "cust_order_stats" ->
-      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
-         coalesce(round(sum(o_totalprice), 2), 0.0) AS total_spend
+      s"""SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+         coalesce(${Money.sumMoneyExactSql("o_totalprice")}, 0.0) AS total_spend
          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
          GROUP BY c_custkey, c_name ORDER BY c_custkey""",
 
@@ -169,9 +170,10 @@ object CoreOracle {
       """SELECT o_custkey, o_orderkey,
          row_number() OVER (PARTITION BY o_custkey
                             ORDER BY o_orderdate, o_orderkey) AS rn,
-         round(sum(o_totalprice) OVER (
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DOUBLE) / 100.0 AS running_spend
          FROM orders ORDER BY o_custkey, rn""",
 
     "user_event_paths" ->
@@ -349,14 +351,14 @@ object CoreOracle {
          FROM r GROUP BY 1 ORDER BY 1""",
 
     "returns_rollup" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS n,
-         round(sum(l_extendedprice), 2) AS total_price
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         ${Money.sumMoneyExactSql("l_extendedprice")} AS total_price
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
 
     "cube_status_priority" ->
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-         round(sum(o_totalprice), 2) AS total_price
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         ${Money.sumMoneyExactSql("o_totalprice")} AS total_price
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
 
@@ -467,8 +469,8 @@ object CoreOracle {
          ORDER BY p_partkey""",
 
     "range_join_ship_windows" ->
-      """SELECT o_orderkey AS window_key, count(*) AS n_shipments,
-         round(sum(l_quantity), 2) AS total_qty
+      s"""SELECT o_orderkey AS window_key, count(*) AS n_shipments,
+         ${Money.sumIntExactSql("l_quantity")} AS total_qty
          FROM orders JOIN lineitem
            ON l_shipdate >= o_orderdate
           AND l_shipdate < o_orderdate + INTERVAL 7 DAY

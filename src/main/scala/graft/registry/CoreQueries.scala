@@ -29,10 +29,8 @@ object CoreQueries {
     * is the same exact integer over 100.0 in both engines — identical
     * bits, no rounding step left to diverge. DuckDB oracles mirror the
     * identical op order. */
-  private def revenueExact: Column = expr(
-    """cast((sum(cast(round(l_extendedprice * 100) as bigint)
-      |  * (100 - cast(round(l_discount * 100) as bigint))) + 50) div 100
-      |  as double) / 100.0""".stripMargin)
+  private def revenueExact: Column =
+    Money.revenueExact("l_extendedprice", "l_discount")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -216,7 +214,7 @@ object CoreQueries {
       t(s, dir, "orders")
         .groupBy(date_trunc("week", col("o_orderdate")).as("week_start"))
         .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("revenue"))
+          Money.sumMoneyExact("o_totalprice").as("revenue"))
         .orderBy(col("week_start"))),
 
     // Left outer join + null-tolerant aggregation (SURVEY.md §2.3 breadth).
@@ -225,7 +223,7 @@ object CoreQueries {
         .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
         .groupBy(col("c_custkey"), col("c_name"))
         .agg(count(col("o_orderkey")).as("n_orders"),
-             coalesce(round(sum(col("o_totalprice")), 2), lit(0.0)).as("total_spend"))
+             coalesce(Money.sumMoneyExact("o_totalprice"), lit(0.0)).as("total_spend"))
         .orderBy(col("c_custkey"))),
 
     // Semi join (EXISTS): customers with at least one large order.
@@ -280,8 +278,12 @@ object CoreQueries {
       t(s, dir, "orders").select(
         col("o_custkey"), col("o_orderkey"),
         row_number().over(w).cast("long").as("rn"),
-        round(sum(col("o_totalprice"))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+        // cents-exact running sum (Money recipe, windowed form): the
+        // frame sums exact integer cents, so no accumulation-order or
+        // half-case divergence exists at any replication factor
+        (sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") / 100.0)
           .as("running_spend"))
         .orderBy(col("o_custkey"), col("rn"))
     }),
@@ -478,7 +480,7 @@ object CoreQueries {
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("l_extendedprice")), 2).as("total_price"))
+          Money.sumMoneyExact("l_extendedprice").as("total_price"))
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
@@ -487,7 +489,7 @@ object CoreQueries {
       t(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("o_totalprice")), 2).as("total_price"))
+          Money.sumMoneyExact("o_totalprice").as("total_price"))
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
 
@@ -668,7 +670,7 @@ object CoreQueries {
         .pointInTimeWindow(points, "l_shipdate", windows, "w_start", "w_end")
         .groupBy(col("window_key"))
         .agg(count(lit(1)).as("n_shipments"),
-          round(sum(col("l_quantity")), 2).as("total_qty"))
+          Money.sumIntExact("l_quantity").as("total_qty"))
         .orderBy(col("window_key"))
     })
   )

@@ -25,8 +25,7 @@ object Ext3Queries {
           expectedItems = 400000L)
         .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
         .agg(count(lit(1)).as("n_items"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-            .as("revenue"))
+          Money.revenueExact("l_extendedprice", "l_discount").as("revenue"))
         .orderBy(col("order_year"))
     }),
 
@@ -45,8 +44,7 @@ object Ext3Queries {
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
         .agg(count(lit(1)).as("n_items"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-            .as("revenue"))
+          Money.revenueExact("l_extendedprice", "l_discount").as("revenue"))
         .orderBy(col("order_year"))
     }),
 
@@ -60,8 +58,7 @@ object Ext3Queries {
           expectedItems = 400000L)
         .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
         .agg(count(lit(1)).as("n_items"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-            .as("revenue"))
+          Money.revenueExact("l_extendedprice", "l_discount").as("revenue"))
         .orderBy(col("order_year"))
     }),
 
@@ -347,13 +344,19 @@ object Ext3Queries {
         .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       t(s, dir, "events")
         .withColumn("__hold",
-          (unix_micros(lead(col("ts"), 1).over(w).cast("timestamp"))
+          unix_micros(lead(col("ts"), 1).over(w).cast("timestamp"))
             - unix_micros(col("ts").cast("timestamp")))
-            .cast("double"))
         .where(col("__hold").isNotNull) // last sample holds nothing
         .groupBy(col("user_id"))
+        // cents × micros per row is exact int64 (≥10³ headroom); the
+        // weighted sum accumulates in decimal(38,0) (int128-like,
+        // mirroring DuckDB's native hugeint sum) so BOTH engines divide
+        // the identical exact numerator — the float weighted sum was
+        // the one order-dependent step left in this query
         .agg(count(lit(1)).as("n_intervals"),
-          round(sum(col("value") * col("__hold")) / sum(col("__hold")), 6)
+          round((sum((expr("cast(round(value * 100) as bigint)")
+              * col("__hold")).cast("decimal(38,0)")).cast("double") / 100.0)
+            / sum(col("__hold")).cast("double"), 6)
             .as("twap"))
         .orderBy(col("user_id"))
     }),
@@ -436,7 +439,7 @@ object Ext3Queries {
           "user_id", salts = 8)
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("total_value"))
+          Money.sumMoneyExact("value").as("total_value"))
         .orderBy(col("c_mktsegment"))
     }),
 
@@ -465,7 +468,7 @@ object Ext3Queries {
           s, evRoot, custRoot, "user_id")._1
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("total_value"))
+          Money.sumMoneyExact("value").as("total_value"))
         .orderBy(col("c_mktsegment"))
     }),
 
@@ -482,7 +485,7 @@ object Ext3Queries {
           "user_id")._1
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("total_value"))
+          Money.sumMoneyExact("value").as("total_value"))
         .orderBy(col("c_mktsegment"))
     }),
 

@@ -549,12 +549,14 @@ object ExtOracleB {
 
       "twap_by_user" ->
         """WITH h AS (SELECT user_id, value,
-             CAST(epoch_us(lead(ts, 1) OVER (PARTITION BY user_id
+             epoch_us(lead(ts, 1) OVER (PARTITION BY user_id
                  ORDER BY ts, event_id))
-               - epoch_us(ts) AS DOUBLE) AS hold
+               - epoch_us(ts) AS hold
            FROM events)
            SELECT user_id, count(*) AS n_intervals,
-             round(sum(value * hold) / sum(hold), 6) AS twap
+             round((CAST(sum(CAST(round(value * 100) AS BIGINT) * hold)
+                 AS DOUBLE) / 100.0)
+               / CAST(sum(hold) AS DOUBLE), 6) AS twap
            FROM h WHERE hold IS NOT NULL
            GROUP BY user_id ORDER BY user_id""",
 
@@ -616,22 +618,22 @@ object ExtOracleB {
 
       "salted_join_segments" ->
         // the salt is internal plumbing: the oracle is the PLAIN join
-        """SELECT c_mktsegment, count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+        s"""SELECT c_mktsegment, count(*) AS n_events,
+           ${Money.sumMoneyExactSql("value")} AS total_value
            FROM events e JOIN customer c ON e.user_id = c.c_custkey
            GROUP BY 1 ORDER BY 1""",
 
       "adaptive_join_segments" ->
         // strategy choice is internal plumbing: same plain-join oracle
-        """SELECT c_mktsegment, count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+        s"""SELECT c_mktsegment, count(*) AS n_events,
+           ${Money.sumMoneyExactSql("value")} AS total_value
            FROM events e JOIN customer c ON e.user_id = c.c_custkey
            GROUP BY 1 ORDER BY 1""",
 
       "catalog_join_segments" ->
         // the catalog is internal plumbing too: same plain-join oracle
-        """SELECT c_mktsegment, count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+        s"""SELECT c_mktsegment, count(*) AS n_events,
+           ${Money.sumMoneyExactSql("value")} AS total_value
            FROM events e JOIN customer c ON e.user_id = c.c_custkey
            GROUP BY 1 ORDER BY 1""",
 
@@ -749,7 +751,7 @@ object ExtOracleB {
       "attribution_last_touch" ->
         // strictly-preceding frame: a touch at the conversion's own
         // timestamp counts only when the tie-break orders it earlier
-        """WITH a AS (SELECT event_type, value,
+        s"""WITH a AS (SELECT event_type, value,
              last_value(CASE WHEN event_type <> 'purchase'
                              THEN event_type END IGNORE NULLS)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -758,7 +760,7 @@ object ExtOracleB {
            FROM events)
            SELECT coalesce(touch_type, 'organic') AS channel,
              count(*) AS n_conversions,
-             round(sum(value), 2) AS attributed_value
+             ${Money.sumMoneyExactSql("value")} AS attributed_value
            FROM a WHERE event_type = 'purchase'
            GROUP BY 1 ORDER BY 1""",
 

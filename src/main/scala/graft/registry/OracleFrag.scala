@@ -116,9 +116,9 @@ private[registry] object OracleFrag {
     * twins — any divergence means the bloom dropped a match). A def for
     * the same init-order reason as SkewFixture's fixture SQL. */
   def urgentRevenueOracle: String =
-    """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+    s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
        count(*) AS n_items,
-       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+       ${Money.revenueExactSql("l_extendedprice", "l_discount")} AS revenue
        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
        WHERE o.o_orderpriority = '1-URGENT'
        GROUP BY 1 ORDER BY 1"""

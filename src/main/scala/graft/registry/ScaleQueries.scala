@@ -35,8 +35,7 @@ object ScaleQueries {
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("revenue"),
+          Money.revenueExact("l_extendedprice", "l_discount").as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy(col("o_orderpriority"))
     }),
@@ -59,7 +58,7 @@ object ScaleQueries {
         .where(col("event_type").isin("purchase", "signup"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("value_sum"))
+          Money.sumMoneyExact("value").as("value_sum"))
         .orderBy(col("event_type"))),
 
     // Incremental KPI refresh × bucketed layout (the round-10 verdict's
@@ -152,8 +151,8 @@ object ScaleQueries {
       joined.where(col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
-          2).as("revenue"))
+        .agg(Money.revenueExact("l_extendedprice", "l_discount")
+          .as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
@@ -281,8 +280,8 @@ object ScaleQueries {
   val oracle: Map[String, String] = Map(
 
     "bucketed_join_revenue" ->
-      """SELECT o_orderpriority,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      s"""SELECT o_orderpriority,
+           ${Money.revenueExactSql("l_extendedprice", "l_discount")} AS revenue,
            count(*) AS n_lines
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
@@ -292,8 +291,8 @@ object ScaleQueries {
          WHERE o_orderkey IN (500, 1000) ORDER BY o_orderkey""",
 
     "partitioned_events_prune" ->
-      """SELECT event_type, count(*) AS n_events,
-           round(sum(value), 2) AS value_sum
+      s"""SELECT event_type, count(*) AS n_events,
+           ${Money.sumMoneyExactSql("value")} AS value_sum
          FROM events WHERE event_type IN ('purchase', 'signup')
          GROUP BY event_type ORDER BY event_type""",
 
@@ -310,8 +309,8 @@ object ScaleQueries {
     // identical to tpch_q5_local_supplier: planning must never change
     // the answer
     "tpch_q5_planned" ->
-      """SELECT n_name,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      s"""SELECT n_name,
+         ${Money.revenueExactSql("l_extendedprice", "l_discount")} AS revenue
          FROM customer, orders, lineitem, supplier, nation, region
          WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
            AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey

@@ -53,15 +53,16 @@ object TpchCanon {
         .where(col("l_shipdate") <= lit("2000-09-02"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          Money.sumIntExact("l_quantity").as("sum_qty"),
+          Money.sumMoneyExact("l_extendedprice").as("sum_base_price"),
+          Money.revenueExact("l_extendedprice", "l_discount")
             .as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
-            * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-          round(avg(col("l_quantity")), 6).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 6).as("avg_price"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          Money.chargeExact("l_extendedprice", "l_discount", "l_tax")
+            .as("sum_charge"),
+          Money.avgIntExact("l_quantity").as("avg_qty"),
+          Money.avgMoneyExact("l_extendedprice").as("avg_price"),
+          expr("""round(cast(sum(cast(round(l_discount * 100) as bigint))
+            as double) / 100.0 / count(*), 6)""").as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
@@ -90,7 +91,7 @@ object TpchCanon {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(Money.revenueExact("l_extendedprice", "l_discount")
           .as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
         .limit(10)
@@ -126,7 +127,7 @@ object TpchCanon {
           && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(Money.revenueExact("l_extendedprice", "l_discount")
           .as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
@@ -149,7 +150,7 @@ object TpchCanon {
         .join(li, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
           col("o_orderdate"), col("o_totalprice"))
-        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .agg(Money.sumIntExact("l_quantity").as("sum_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderdate"),
           col("o_orderkey"))
         .limit(100)
@@ -165,7 +166,8 @@ object TpchCanon {
     "tpch_q17_small_qty_revenue" -> ((s, dir) => {
       t(s, dir, "lineitem").createOrReplaceTempView("graft_li_q17")
       t(s, dir, "part").createOrReplaceTempView("graft_part_q17")
-      s.sql("""SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      s.sql("""SELECT cast((2 * sum(cast(round(l_extendedprice * 100) as bigint))
+                 + 7) div 14 as double) / 100.0 AS avg_yearly
                FROM graft_li_q17 l JOIN graft_part_q17 p
                  ON p.p_partkey = l.l_partkey
                WHERE p.p_brand = 'Brand#23' AND p.p_size < 15
@@ -292,7 +294,7 @@ object TpchCanon {
         .where(col("l_shipdate") >= lit("1997-01-01")
           && col("l_shipdate") < lit("1997-04-01"))
         .groupBy(col("l_suppkey").as("supplier_no"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(Money.revenueExact("l_extendedprice", "l_discount")
           .as("total_revenue"))
       val top = rev.withColumn("mx",
           max(col("total_revenue")).over(
@@ -307,14 +309,15 @@ object TpchCanon {
 
   val oracle: Map[String, String] = Map(
     "tpch_q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-         round(sum(l_quantity), 2) AS sum_qty,
-         round(sum(l_extendedprice), 2) AS sum_base_price,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-         round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-         round(avg(l_quantity), 6) AS avg_qty,
-         round(avg(l_extendedprice), 6) AS avg_price,
-         round(avg(l_discount), 6) AS avg_disc,
+      s"""SELECT l_returnflag, l_linestatus,
+         ${Money.sumIntExactSql("l_quantity")} AS sum_qty,
+         ${Money.sumMoneyExactSql("l_extendedprice")} AS sum_base_price,
+         ${Money.revenueExactSql("l_extendedprice", "l_discount")} AS sum_disc_price,
+         ${Money.chargeExactSql("l_extendedprice", "l_discount", "l_tax")} AS sum_charge,
+         ${Money.avgIntExactSql("l_quantity")} AS avg_qty,
+         ${Money.avgMoneyExactSql("l_extendedprice")} AS avg_price,
+         round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+           / 100.0 / count(*), 6) AS avg_disc,
          count(*) AS count_order
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -322,8 +325,8 @@ object TpchCanon {
          ORDER BY l_returnflag, l_linestatus""",
 
     "tpch_q3_shipping_priority" ->
-      """SELECT l_orderkey, o_orderdate, o_orderpriority,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         ${Money.revenueExactSql("l_extendedprice", "l_discount")} AS revenue
          FROM customer
          JOIN orders ON c_custkey = o_custkey
          JOIN lineitem ON l_orderkey = o_orderkey
@@ -335,8 +338,8 @@ object TpchCanon {
          LIMIT 10""",
 
     "tpch_q5_local_supplier" ->
-      """SELECT n_name,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      s"""SELECT n_name,
+         ${Money.revenueExactSql("l_extendedprice", "l_discount")} AS revenue
          FROM customer, orders, lineitem, supplier, nation, region
          WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
            AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -348,8 +351,8 @@ object TpchCanon {
          ORDER BY revenue DESC, n_name""",
 
     "tpch_q18_large_customers" ->
-      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-         round(sum(l_quantity), 2) AS sum_qty
+      s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+         ${Money.sumIntExactSql("l_quantity")} AS sum_qty
          FROM customer
          JOIN orders ON c_custkey = o_custkey
          JOIN lineitem ON o_orderkey = l_orderkey
@@ -361,7 +364,8 @@ object TpchCanon {
          LIMIT 100""",
 
     "tpch_q17_small_qty_revenue" ->
-      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      """SELECT CAST((2 * sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+           + 7) // 14 AS DOUBLE) / 100.0 AS avg_yearly
          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
          WHERE p.p_brand = 'Brand#23' AND p.p_size < 15
            AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
@@ -427,9 +431,9 @@ object TpchCanon {
          ORDER BY p.p_partkey, s.s_suppkey""",
 
     "tpch_q15_top_supplier" ->
-      """WITH revenue AS (
+      s"""WITH revenue AS (
            SELECT l_suppkey AS supplier_no,
-             round(sum(l_extendedprice * (1 - l_discount)), 2)
+             ${Money.revenueExactSql("l_extendedprice", "l_discount")}
                AS total_revenue
            FROM lineitem
            WHERE l_shipdate >= TIMESTAMP '1997-01-01'

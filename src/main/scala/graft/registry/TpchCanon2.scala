@@ -95,7 +95,7 @@ object TpchCanon2 {
           && col("l_shipdate") < lit("1998-01-01")
           && col("l_discount") >= 0.04 && col("l_discount") <= 0.06
           && col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .agg(Money.priceTimesDiscExact("l_extendedprice", "l_discount")
           .as("revenue"))),
 
     // Q7: volume shipping between two nations, both directions. The two
@@ -112,7 +112,7 @@ object TpchCanon2 {
         .where(col("l_shipdate") >= lit("1996-01-01")
           && col("l_shipdate") <= lit("1997-12-31"))
         .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
-          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+          Money.revenueUnits("l_extendedprice", "l_discount").as("volume"))
         .join(t(s, dir, "supplier")
           .select(col("s_suppkey"), col("s_nationkey")),
           col("l_suppkey") === col("s_suppkey"))
@@ -126,7 +126,7 @@ object TpchCanon2 {
         .where(col("supp_nation") =!= col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("l_year"))
-        .agg(round(sum(col("volume")), 2).as("revenue"))
+        .agg(Money.sumUnitsToMoney("volume").as("revenue"))
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     }),
 
@@ -144,7 +144,7 @@ object TpchCanon2 {
         .select(col("n_nationkey").as("s_nk"), col("n_name").as("nation"))
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
-          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+          Money.revenueUnits("l_extendedprice", "l_discount").as("volume"))
         .join(t(s, dir, "part").where(col("p_type") === "ECONOMY")
           .select(col("p_partkey")),
           col("l_partkey") === col("p_partkey"))
@@ -162,9 +162,12 @@ object TpchCanon2 {
           col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(suppNat), col("s_nationkey") === col("s_nk"))
         .groupBy(year(col("o_orderdate")).as("o_year"))
+        // both sums are exact int64 unit totals, so the quotient is the
+        // SAME double in both engines before the 6dp round
         .agg(round(
           sum(when(col("nation") === "NATION_3", col("volume"))
-            .otherwise(0.0)) / sum(col("volume")), 6).as("mkt_share"))
+            .otherwise(0L)).cast("double")
+            / sum(col("volume")).cast("double"), 6).as("mkt_share"))
         .orderBy(col("o_year"))
     }),
 
@@ -215,7 +218,7 @@ object TpchCanon2 {
       t(s, dir, "lineitem")
         .where(col("l_returnflag") === "R")
         .select(col("l_orderkey"),
-          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+          Money.revenueUnits("l_extendedprice", "l_discount").as("rev"))
         .join(t(s, dir, "orders")
           .where(col("o_orderdate") >= lit("1996-10-01")
             && col("o_orderdate") < lit("1997-01-01"))
@@ -227,7 +230,7 @@ object TpchCanon2 {
           col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
           col("n_name"))
-        .agg(round(sum(col("rev")), 2).as("revenue"))
+        .agg(Money.sumUnitsToMoney("rev").as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)),
 
@@ -241,8 +244,10 @@ object TpchCanon2 {
     // repo's accepted bounded-cross pattern, as in tfIdf's corpus count);
     // ReuseExchange unifies the duplicated aggregate branch so the fact
     // is scanned once — pinned in PlanShapeSpec. Both sides of the
-    // comparison round to 2 dp so an ulp-level double-sum difference
-    // between engines cannot flip a boundary row. The DuckDB oracle keeps
+    // comparison are exact integer CENTS (the Money recipe) — the
+    // grouped value is a cents sum, the 0.001 threshold is a half-up
+    // integer division — so no double-sum ulp or round-half case exists
+    // to flip a boundary row in either engine. The DuckDB oracle keeps
     // the spec's scalar-subquery text — same fixpoint, different plan.
     "tpch_q11_important_stock" -> ((s, dir) => {
       val vals = t(s, dir, "lineitem")
@@ -254,12 +259,14 @@ object TpchCanon2 {
           .where(col("n_name") === "NATION_5").select(col("n_nationkey"))),
           col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("l_partkey").as("partkey"))
-        .agg(sum(col("l_extendedprice")).as("value0"))
+        .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+          .as("value0"))
       val threshold = vals
-        .agg(round(sum(col("value0")) * 0.001, 2).as("threshold"))
+        .agg(expr("(sum(value0) + 500) div 1000").as("threshold"))
       vals.crossJoin(broadcast(threshold))
-        .where(round(col("value0"), 2) > col("threshold"))
-        .select(col("partkey"), round(col("value0"), 2).as("value"))
+        .where(col("value0") > col("threshold"))
+        .select(col("partkey"),
+          (col("value0").cast("double") / 100.0).as("value"))
         .orderBy(col("value").desc, col("partkey"))
     }),
 
@@ -362,8 +369,8 @@ object TpchCanon2 {
           (col("p_brand") === "Brand#24"
             && col("l_quantity").between(20, 30)
             && col("p_size").between(1, 15)))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
-          2).as("revenue"))
+        .agg(Money.revenueExact("l_extendedprice", "l_discount")
+          .as("revenue"))
     }),
 
     // Q22: global sales opportunity — wealthy-but-inactive customers.
@@ -374,7 +381,8 @@ object TpchCanon2 {
       t(s, dir, "customer").createOrReplaceTempView("graft_cust_q22")
       t(s, dir, "orders").createOrReplaceTempView("graft_ord_q22")
       s.sql("""SELECT cntrycode, count(*) AS numcust,
-                 round(sum(c_acctbal), 2) AS totacctbal
+                 cast(sum(cast(round(c_acctbal * 100) as bigint)) as double)
+                   / 100.0 AS totacctbal
                FROM (SELECT c_nationkey AS cntrycode, c_acctbal
                      FROM graft_cust_q22
                      WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
@@ -405,7 +413,7 @@ object TpchCanon2 {
          ORDER BY o_orderpriority""",
 
     "tpch_q6_forecast_revenue" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      s"""SELECT ${Money.priceTimesDiscExactSql("l_extendedprice", "l_discount")} AS revenue
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
            AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -413,11 +421,11 @@ object TpchCanon2 {
            AND l_quantity < 24""",
 
     "tpch_q7_volume_shipping" ->
-      """SELECT supp_nation, cust_nation, l_year,
-           round(sum(volume), 2) AS revenue
+      s"""SELECT supp_nation, cust_nation, l_year,
+           ${Money.sumUnitsToMoneySql("volume")} AS revenue
          FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                  CAST(year(l_shipdate) AS INTEGER) AS l_year,
-                 l_extendedprice * (1 - l_discount) AS volume
+                 ${Money.revenueUnitsSql("l_extendedprice", "l_discount")} AS volume
                FROM supplier, lineitem, orders, customer,
                     nation n1, nation n2
                WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
@@ -432,11 +440,12 @@ object TpchCanon2 {
          ORDER BY supp_nation, cust_nation, l_year""",
 
     "tpch_q8_market_share" ->
-      """SELECT o_year,
-           round(sum(CASE WHEN nation = 'NATION_3' THEN volume
-                          ELSE 0 END) / sum(volume), 6) AS mkt_share
+      s"""SELECT o_year,
+           round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+                          ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
          FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-                 l_extendedprice * (1 - l_discount) AS volume,
+                 ${Money.revenueUnitsSql("l_extendedprice", "l_discount")} AS volume,
                  n2.n_name AS nation
                FROM part, supplier, lineitem, orders, customer,
                     nation n1, nation n2, region
@@ -471,8 +480,8 @@ object TpchCanon2 {
          ORDER BY nation, o_year""",
 
     "tpch_q10_returned_items" ->
-      """SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      s"""SELECT c_custkey, c_name,
+           ${Money.revenueExactSql("l_extendedprice", "l_discount")} AS revenue,
            c_acctbal, n_name
          FROM customer, orders, lineitem, nation
          WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -485,15 +494,15 @@ object TpchCanon2 {
 
     "tpch_q11_important_stock" ->
       """WITH val AS (
-           SELECT l_partkey AS partkey, sum(l_extendedprice) AS value
+           SELECT l_partkey AS partkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value0
            FROM lineitem, supplier, nation
            WHERE l_suppkey = s_suppkey
              AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
            GROUP BY l_partkey)
-         SELECT partkey, round(value, 2) AS value
+         SELECT partkey, CAST(value0 AS DOUBLE) / 100.0 AS value
          FROM val
-         WHERE round(value, 2) > (SELECT round(sum(value) * 0.001, 2)
-                                  FROM val)
+         WHERE value0 > (SELECT (sum(value0) + 500) // 1000 FROM val)
          ORDER BY value DESC, partkey""",
 
     "tpch_q12_ship_class_priority" ->
@@ -541,7 +550,7 @@ object TpchCanon2 {
          ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
 
     "tpch_q19_disjunct_revenue" ->
-      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      s"""SELECT ${Money.revenueExactSql("l_extendedprice", "l_discount")} AS revenue
          FROM lineitem, part
          WHERE (p_partkey = l_partkey AND p_brand = 'Brand#12'
                 AND l_quantity BETWEEN 1 AND 11
@@ -555,7 +564,8 @@ object TpchCanon2 {
 
     "tpch_q22_sales_opportunity" ->
       """SELECT cntrycode, count(*) AS numcust,
-           round(sum(c_acctbal), 2) AS totacctbal
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS totacctbal
          FROM (SELECT c_nationkey AS cntrycode, c_acctbal
                FROM customer
                WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)

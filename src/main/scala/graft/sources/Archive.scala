@@ -26,11 +26,14 @@ object Archive {
     * same window the reference's per-key copy+delete has. The archive
     * step is therefore designed to be RE-RUN to convergence: when the
     * destination already holds a complete copy (same length), the
-    * source is simply deleted — without this, a half-moved file would
-    * wedge (rename refuses an existing target) and stay in staging
-    * forever. A length tie with different content is not distinguished
-    * here (archival copies the exact bytes it reads; a racing writer
-    * mutating staging files during archival is outside the contract). */
+    * source is simply deleted; when it holds a PARTIAL copy (different
+    * length — the crash hit mid-copy), the incomplete target is deleted
+    * first so the retried rename actually converges — without either
+    * branch, a half-moved file would wedge (rename refuses an existing
+    * target) and stay in staging forever. A length tie with different
+    * content is not distinguished here (archival copies the exact bytes
+    * it reads; a racing writer mutating staging files during archival
+    * is outside the contract). */
   def moveMatching(spark: SparkSession, srcDir: String, dstDir: String,
                    glob: String = "*"): Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -45,15 +48,21 @@ object Archive {
       .flatMap { st =>
         val target = new Path(dst, st.getPath.getName)
         try {
-          val already = try {
-            fs.getFileStatus(target).getLen == st.getLen
-          } catch { case _: java.io.FileNotFoundException => false }
-          if (already) {
+          val targetLen = try {
+            Some(fs.getFileStatus(target).getLen)
+          } catch { case _: java.io.FileNotFoundException => None }
+          if (targetLen.contains(st.getLen)) {
             // prior run's interrupted move: finish the delete leg
             fs.delete(st.getPath, false)
             Some(target.toString)
-          } else if (fs.rename(st.getPath, target)) Some(target.toString)
-          else None
+          } else {
+            // length mismatch = a crash mid-copy left an incomplete
+            // target; remove it so the retried rename converges instead
+            // of refusing the existing path on every re-run
+            if (targetLen.isDefined) fs.delete(target, false)
+            if (fs.rename(st.getPath, target)) Some(target.toString)
+            else None
+          }
         } catch { case _: java.io.FileNotFoundException => None }
       }
   }

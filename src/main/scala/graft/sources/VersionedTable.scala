@@ -172,7 +172,14 @@ object VersionedTable {
     val all = carried ++ newFiles
     val mDir = manifestDir(root)
     f.mkdirs(mDir)
-    // the COMMIT POINT — and the only step whose atomicity is required
+    // the COMMIT POINT — and the only step whose atomicity is required.
+    // ONLY FileAlreadyExistsException is the lost-race signal: create()
+    // can succeed and write()/close() fail (disk full, transient IO),
+    // leaving a torn v{N}.json that versions() would list as the latest
+    // committed version forever. Such a failure is a FAILED commit, not
+    // a lost race — delete the partial manifest (so history stays
+    // un-torn) and rethrow; the staged data dir is also removed so a
+    // retry commits a fresh version with no orphans.
     val manifest = new Path(mDir, s"v$v.json")
     val created =
       try {
@@ -181,7 +188,14 @@ object VersionedTable {
           all.mkString("{\"files\": [\"", "\", \"", "\"]}").getBytes("UTF-8"))
         finally out.close()
         true
-      } catch { case _: java.io.IOException => false }
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case e: java.io.IOException =>
+          try f.delete(manifest, false) catch { case _: java.io.IOException => }
+          try f.delete(dataDir, true) catch { case _: java.io.IOException => }
+          throw e
+      }
     if (!created) {
       f.delete(dataDir, true)
       throw new IllegalStateException(
