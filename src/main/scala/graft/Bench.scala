@@ -126,6 +126,24 @@ object Bench {
       .getOrCreate()
     graft.sources.BucketedTable.configure(spark)
     spark.sparkContext.setLogLevel("WARN")
+    // Spill accounting (VERDICT r12 #6 — the constrained-heap lane's
+    // evidence): total task spill volumes across the whole run, so a
+    // half-heap bench can PIN "pressure absorbed by spill, zero
+    // failures" with numbers instead of the absence of errors. Near-zero
+    // overhead; reported in the run meta of every bench.
+    val spillMem = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            spillMem.addAndGet(m.memoryBytesSpilled)
+            spillDisk.addAndGet(m.diskBytesSpilled)
+          }
+        }
+      })
     // Bench-local filter for WindowExec's move-all-data-to-one-partition
     // WARN: the three unpartitioned windows in the suite (funnel stage
     // rates, concurrency bucket offsets, shard-balance offsets) are
@@ -326,7 +344,7 @@ object Bench {
     }.mkString("[", ",", "]")
     val failedJson = failed.map(q =>
       s"""{"q":"${q.name}","err":${jstr(q.err)}}""").mkString("[", ",", "]")
-    val meta = s""""sf":"$sfDir","seed":$seed,"warm_full":$warmFull,"load_avg_start":${f2(load0)},"load_avg_end":${f2(load1)},"steal_pct":${f2(stealPct)}"""
+    val meta = s""""sf":"$sfDir","seed":$seed,"warm_full":$warmFull,"load_avg_start":${f2(load0)},"load_avg_end":${f2(load1)},"steal_pct":${f2(stealPct)},"heap_max_mb":${Runtime.getRuntime.maxMemory() >> 20},"spill_mem_mb":${spillMem.get() >> 20},"spill_disk_mb":${spillDisk.get() >> 20}"""
     // Deviation guard (VERDICT r05 hygiene item 2): flag every query
     // that ran >3x slower than the last committed full map, so a noisy
     // run reads as a one-line artifact instead of a forensic pass.

@@ -65,9 +65,16 @@ object ScaleProbe {
   /** Build the k-replica blowup of `baseDir` into `outDir` (idempotent:
     * skipped when the marker file exists). */
   def generate(spark: SparkSession, baseDir: String, outDir: String,
-               k: Int): Unit = {
-    val marker = new java.io.File(s"$outDir/_GRAFT_SCALE_OK")
-    if (marker.exists()) return
+               k: Int, tables: Option[Set[String]] = None): Unit = {
+    // a table-filtered generation gets its own marker so it never
+    // satisfies (or is satisfied by) a full generation of the same dir
+    val markerName = tables match {
+      case None => "_GRAFT_SCALE_OK"
+      case Some(ts) => "_GRAFT_SCALE_OK_" + ts.toSeq.sorted.mkString("_")
+    }
+    val marker = new java.io.File(s"$outDir/$markerName")
+    if (marker.exists() ||
+      new java.io.File(s"$outDir/_GRAFT_SCALE_OK").exists()) return
     new java.io.File(outDir).mkdirs()
 
     // Offset units from the base tables (max+1 per key domain).
@@ -92,7 +99,7 @@ object ScaleProbe {
       graft.sources.Tables.table(spark, baseDir, t)
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
-    facts.foreach { t =>
+    facts.filter(t => tables.forall(_.contains(t))).foreach { t =>
       val base = graft.sources.Tables.table(spark, baseDir, t)
       val replicas = (0 until k).map { i =>
         var df = base
@@ -183,11 +190,18 @@ object ScaleProbe {
     // pair-gen must stay near-linear like its single-bucket sibling
     // while carrying ~3.4x its recall
     "neardup_multiprobe",
+    // budget-ruled sibling: (masks, tables) from multiProbeParams at
+    // the 0.6 target — the chosen-point row the r12 verdict asked for
+    "neardup_multiprobe_budgeted",
     // corpus-wide kNN graph: candidate volume is nprobe/nlist of N² per
     // the IVF budget, and the registered form carries its 10-query
     // brute-force recall witness (linear); the graph itself must scale
     // with the self-join's cell-bounded candidates
-    "knn_graph")
+    "knn_graph",
+    // NN-descent sibling (r13): bounded-cell seed + 3 descent rounds at
+    // n·36²/2 scored pairs each — linear by construction, and the one
+    // form whose recall floor holds at x10/x30 (its registered witness)
+    "knn_graph_refined")
 
   /** Probe-only operators: production paths whose REGISTERED query form
     * carries a deliberately-quadratic exact-witness side (the
@@ -296,6 +310,22 @@ object ScaleProbe {
     // the probe-side tokenize + df-join + (replica-0 only) scoring.
     // Expected linear in the batch; build = index create, first factor
     // only (same root across factors — the index is frozen by design).
+    // The descent graph operator alone (the registered row carries its
+    // linear 10-query brute-force witness): registered sizing — nlist
+    // from the corpus-count stat, clamped to the fit cap. This is the
+    // x100 witness for the past-the-cap regime (200k vectors → raw
+    // nlist 391 > cap 256 → cells ≈ 770 → per-cell OR-LSH splits keep
+    // seed buckets ≈ targetCell): expected near-linear build+exec where
+    // knnGraphIvf's cell join goes n·nprobe·(n/cap) quadratic.
+    "knn_graph_descent_operator" -> ((s, dir) => {
+      val emb = graft.sources.Tables.table(s, dir, "embeddings")
+      val n = emb.count()
+      val nlist = math.min(graft.ext.Similarity.IvfFitNlistCap.toLong,
+        math.max(8L, n / 512L)).toInt
+      val centroids = graft.ext.Similarity.ivfFit(emb, nlist = nlist)
+      graft.ext.KnnGraph.knnGraphDescent(
+        emb, k = 3, centroids, nprobe = 3, degree = 18, iters = 3)
+    }),
     "lexical_screen_operator" -> ((s, dir) => {
       val root =
         s"${System.getProperty("java.io.tmpdir")}/graft_lex_probe_index"
@@ -363,12 +393,17 @@ object ScaleProbe {
       probeExtras.toSeq.filter { case (n, _) => only.forall(_.contains(n)) }
 
     // Generate each factor's dataset (factor 1 = the base dir itself).
+    // SPARK_GRAFT_SCALE_TABLES limits generation to a fact subset (e.g.
+    // "embeddings" for vector-only probes at factors where the full
+    // blowup would be wasteful); filtered dirs get their own marker.
+    val genTables = sys.env.get("SPARK_GRAFT_SCALE_TABLES")
+      .map(_.split(",").map(_.trim).toSet)
     val dirs: Seq[(Int, String)] = factors.map {
       case 1 => 1 -> baseDir
       case k =>
         val d = s"$outRoot/x$k"
         System.err.println(s"[scaleprobe] generating ${k}x at $d ...")
-        generate(spark, baseDir, d, k)
+        generate(spark, baseDir, d, k, genTables)
         k -> d
     }
 

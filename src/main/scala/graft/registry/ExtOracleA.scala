@@ -345,6 +345,14 @@ object ExtOracleA {
              TRUE AS all_have_k, TRUE AS recall_ge_060
            FROM embeddings""",
 
+      // NN-descent kNN graph — same contract; the recall floor must
+      // additionally hold at replica scale (x10/x30), where knn_graph's
+      // coverage-bound floor goes false (KnnGraph.knnGraphDescent doc).
+      "knn_graph_refined" ->
+        """SELECT count(*) AS n_vectors, CAST(3 AS BIGINT) AS k,
+             TRUE AS all_have_k, TRUE AS recall_ge_060
+           FROM embeddings""",
+
       // PQ recall witness — same contract shape as knn_ivf: count from
       // real oracle data, the recall floor earned in-plan.
       "knn_pq" ->
@@ -432,6 +440,38 @@ object ExtOracleA {
                AND bit_count(xor(a.bucket, b.bucket)) <= 1)
            SELECT vec_a, vec_b, bucket, cos_sim FROM p
            WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""",
+
+      // Budgeted multi-probe: 2 seeded tables (42, 43), masks
+      // {0, b0, b1, b2} — a pair qualifies when ANY table's signature
+      // XOR lands in the mask set; the reported bucket is the lower-id
+      // vector's exact bucket, min across MATCHING tables (mirroring
+      // the Spark side's per-sighting bucket + min aggregate).
+      "neardup_multiprobe_budgeted" -> {
+        val tb = (v: String, t: Int) =>
+          Similarity.hyperplanes(4, 64, 42L + t).zipWithIndex.map {
+            case (p, i) =>
+              s"(CASE WHEN ${dotSql(v, planeLiteral(p))} >= 0.0 " +
+                s"THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+          }.mkString(" + ")
+        s"""WITH v AS (SELECT vec_id, embedding AS emb,
+               ${dotSql("embedding", "embedding")} AS n2,
+               ${tb("embedding", 0)} AS t0, ${tb("embedding", 1)} AS t1
+             FROM embeddings),
+           p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CASE WHEN xor(a.t0, b.t0) IN (0, 1, 2, 4)
+                     AND xor(a.t1, b.t1) IN (0, 1, 2, 4)
+                    THEN least(a.t0, a.t1)
+                    WHEN xor(a.t0, b.t0) IN (0, 1, 2, 4) THEN a.t0
+                    ELSE a.t1 END AS bucket,
+               round(CASE WHEN sqrt(a.n2) = 0.0 OR sqrt(b.n2) = 0.0 THEN 0.0
+                          ELSE ${dotSql("a.emb", "b.emb")}
+                               / (sqrt(a.n2) * sqrt(b.n2)) END, 6) AS cos_sim
+             FROM v a JOIN v b ON a.vec_id < b.vec_id
+               AND (xor(a.t0, b.t0) IN (0, 1, 2, 4)
+                 OR xor(a.t1, b.t1) IN (0, 1, 2, 4)))
+           SELECT vec_a, vec_b, bucket, cos_sim FROM p
+           WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b"""
+      },
 
       "knn_lsh" ->
         s"""WITH v AS (SELECT vec_id, embedding AS emb,

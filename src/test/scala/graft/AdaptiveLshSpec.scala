@@ -1,6 +1,7 @@
 package graft
 
 import graft.ext.Similarity
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** The adaptive OR-amplified cosine-LSH scale fix (round-10 x30 probe
@@ -60,6 +61,50 @@ class AdaptiveLshSpec extends SparkSpec {
     val single = Similarity.cosineNearDupPairsLshAdaptive(emb, 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(single.subsetOf(mp), s"missing ${(single -- mp).take(5)}")
+  }
+
+  test("budget rule: cheapest (masks, tables) point reaching the target") {
+    // Gate scale (4 planes, θ = acos(0.4)): masks are the cheap lever,
+    // so the rule exhausts them before adding tables — {exact + 3 bits}
+    // × 2 tables (cost 2·(4+4) = 16) beats 6 single-mask tables (30)
+    // and 2 all-mask tables (18).
+    assert(Similarity.multiProbeParams(500L, 0.4, 512) === ((4, 4, 2)))
+    assert(Similarity.multiProbeParams(2000L, 0.4, 512) === ((4, 4, 2)))
+    // The picked point really reaches the target at probe scale too.
+    val (pl, m, t) = Similarity.multiProbeParams(60000L, 0.4, 512)
+    val p = 1.0 - math.acos(0.4) / math.Pi
+    val q = math.pow(p, pl) + (m - 1) * math.pow(p, pl - 1) * (1.0 - p)
+    assert(1.0 - math.pow(1.0 - q, t) >= 0.6,
+      s"picked ($pl, $m, $t) misses the 0.6 target")
+  }
+
+  test("budgeted multi-probe: exactly the 2-table mask-subset pairs") {
+    val emb = graft.sources.Tables.table(spark, sf, "embeddings")
+    val bud = Similarity.cosineNearDupPairsMultiProbeBudgeted(emb, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute recomputation of the contract: every exact pair >= threshold
+    // whose signature XOR lands in {0, b0, b1, b2} in EITHER seeded table
+    val sigs = (t: Int) => {
+      val pl4 = Similarity.hyperplanes(4, 64, 42L + t)
+      emb.select(col("vec_id"),
+        Similarity.bucketId(col("embedding"), pl4).as(s"s$t"))
+    }
+    val exact = Similarity.cosineNearDupPairs(emb, 0.4, force = true)
+      .join(sigs(0).select(col("vec_id").as("vec_a"), col("s0").as("a0")),
+        Seq("vec_a"))
+      .join(sigs(0).select(col("vec_id").as("vec_b"), col("s0").as("b0")),
+        Seq("vec_b"))
+      .join(sigs(1).select(col("vec_id").as("vec_a"), col("s1").as("a1")),
+        Seq("vec_a"))
+      .join(sigs(1).select(col("vec_id").as("vec_b"), col("s1").as("b1")),
+        Seq("vec_b"))
+    val inMasks = (x: Column) => x.isin(0L, 1L, 2L, 4L)
+    val expected = exact
+      .where(inMasks(col("a0").bitwiseXOR(col("b0"))) ||
+        inMasks(col("a1").bitwiseXOR(col("b1"))))
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+      .toSet
+    assert(bud === expected)
   }
 
   test("OR-tables recover pairs a single high-plane table loses") {
