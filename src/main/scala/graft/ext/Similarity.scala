@@ -356,18 +356,26 @@ object Similarity {
     * table cannot reach the target, T grows by the honest ρ-law price
     * (see [[cosineNearDupPairsMultiProbe]]'s scale-law note).
     *
-    * Measured trade on the x10 replica corpus (20k vectors, threshold
-    * 0.4, exact O(N²) ground truth; tails from SCALEPROBE x10→x30):
+    * Measured trade (budget → recall, tail) on the x10 replica corpus
+    * (20k vectors, threshold 0.4, exact O(N²) ground-truth pair join;
+    * tails from SCALEPROBE x10→x30, seconds at {x1, x10, x30}):
     *
     *  - single bucket, sibling T rule: recall 0.195, tail 1.03
     *  - all-masks multi-probe, sibling T rule (the registered
-    *    `neardup_multiprobe`): recall 0.659, tail 1.55
-    *  - this rule at recallTarget 0.6: picks the same (P+1, T) point at
-    *    the probed factors (masks are cheapest first, and one table of
-    *    all masks is predicted q ≈ 0.53 → 2 tables at x10) — the
-    *    measured trade table above IS the menu; the rule's value is
-    *    that the target is now an argument with the cost model in code,
-    *    not a fixed behavior to reverse-engineer.
+    *    `neardup_multiprobe`): recall 0.659, tail 1.55,
+    *    {1.0, 4.5, 24.6} s
+    *  - this rule, target 0.6 (registered
+    *    `neardup_multiprobe_budgeted`): measured recall 0.659, tail
+    *    1.56, {1.6, 4.0, 22.1} s — the same recall as the fixed form,
+    *    slightly cheaper at scale, and the target is now an argument
+    *    with the cost model in code instead of a behavior to
+    *    reverse-engineer
+    *  - this rule, target 0.8: measured recall 0.834 at x10 — the
+    *    target is honored, at proportionally more tables (the ρ-law
+    *    price curve, chosen knowingly).
+    *
+    * The tail stays the constant-recall ρ-law cost at every target —
+    * the rule does not repeal it, it prices it.
     *
     * Returns (planes, probeMasks, tables). */
   def multiProbeParams(n: Long, threshold: Double,
