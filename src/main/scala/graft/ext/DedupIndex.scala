@@ -134,6 +134,43 @@ object DedupIndex {
     SpanDedup.spanRows(corpus, k).select(md5(col("span")).as("sh"))
       .distinct()
 
+  /** Batch-bloom sizing for [[prunedSeen]]: fixed, so the per-probe
+    * bloom build needs NO batch pre-count (no extra job per streaming
+    * trigger). ~4M expected keys at 2% fpp ≈ 4 MB of bits — a typical
+    * micro-batch (≤ a few hundred k spans) sits far under capacity and
+    * enjoys a lower effective fpp; a batch-mode caller far OVER it only
+    * raises the false-positive rate, which costs wasted exchange rows,
+    * never correctness. */
+  private val ProbeBloomItems = 1L << 22
+
+  /** The index side of a per-batch span probe, bloom-pruned by the
+    * BATCH's own span hashes — the r13 fix for the measured
+    * per-trigger growth (BENCH_MIXED: trigger p50 2.8 → 7.0 s as the
+    * index grew): the probe joins (`left_semi`/`left`/`left_anti`,
+    * batch on the left) planned as sort-merge, so the INDEX side —
+    * the side that grows with the corpus — was scanned AND shuffled in
+    * full on every trigger. A bloom of the batch's span hashes
+    * (runtime-filter shape, [[graft.operators.BloomJoin]]) prunes the
+    * index scan BEFORE its exchange: index rows outside the bloom
+    * match no batch span (no false negatives), so every probe's result
+    * is bit-identical, while the index-side exchange carries ≈ true
+    * hits + fpp·|index| rows and AQE collapses the join to a broadcast
+    * of those survivors. Per-trigger cost falls from
+    * scan+shuffle+sort(index) to a columnar scan with an in-codegen
+    * bloom probe — the scan itself is the remaining O(index) term (the
+    * honest floor for exact confirmation on a shared-nothing engine;
+    * a lossy gate for the scan too is [[spanContaminationBloom]]).
+    * Price: the batch spans evaluate twice (once in the bloom
+    * subquery, once in the probe) — batch-sized, the term that does
+    * NOT grow. */
+  private def prunedSeen(index: DataFrame,
+                         batchSpans: DataFrame): DataFrame =
+    graft.operators.BloomJoin.prune(
+      index.select(col("sh")), col("sh"),
+      graft.operators.BloomJoin.bloomBuild(
+        batchSpans.select(col("sh")), col("sh"),
+        expectedItems = ProbeBloomItems, fpp = 0.02))
+
   /** Per-batch-doc span contamination against the PERSISTED index: how
     * many of each doc's k-gram spans already exist anywhere in the
     * corpus. The batch side is batch-sized, the index side is a
@@ -143,10 +180,14 @@ object DedupIndex {
     * overlap, usable directly as an eval-decontamination gate. */
   def spanContamination(index: DataFrame, batch: DataFrame,
                         k: Int): DataFrame = {
-    val seen = index.select(col("sh")).distinct()
-      .withColumn("__seen", lit(1))
-    SpanDedup.spanRows(batch, k)
+    val batchSpans = SpanDedup.spanRows(batch, k)
       .withColumn("sh", md5(col("span")))
+    // distinct AFTER the bloom prune: it exists only as left-join
+    // row-duplication safety against a malformed index, and on the
+    // pruned survivors it is candidate-sized, not index-sized
+    val seen = prunedSeen(index, batchSpans).distinct()
+      .withColumn("__seen", lit(1))
+    batchSpans
       .join(seen, Seq("sh"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
@@ -191,9 +232,14 @@ object DedupIndex {
   def ingestSpans(root: String, batch: DataFrame, k: Int): Long = {
     val spark = batch.sparkSession
     val index = VersionedTable.read(spark, root)
-    val fresh = SpanDedup.spanRows(batch, k)
+    val batchSpans = SpanDedup.spanRows(batch, k)
       .select(md5(col("span")).as("sh")).distinct()
-      .join(index.select(col("sh")), Seq("sh"), "left_anti")
+    // anti-probe through the same bloom-pruned index side as the screen
+    // ([[prunedSeen]]): index rows outside the batch bloom eliminate
+    // nothing, so the anti result is unchanged while the per-trigger
+    // index exchange stays batch-sized
+    val fresh = batchSpans
+      .join(prunedSeen(index, batchSpans), Seq("sh"), "left_anti")
     VersionedTable.commit(fresh, root, append = true)
   }
 
@@ -217,11 +263,14 @@ object DedupIndex {
     // construction — spanIndex/ingestSpans both dedup) index here only
     // added a full index-sized aggregation to EVERY streaming trigger —
     // the soak lane measured the per-trigger time climbing with index
-    // growth from exactly this kind of avoidable O(index) pass.
-    val seen = index.select(col("sh"))
-    val hits = SpanDedup.spanRows(batch, k)
+    // growth from exactly this kind of avoidable O(index) pass. The
+    // index side is bloom-pruned by the batch's own span hashes
+    // ([[prunedSeen]]) so the per-trigger exchange stops growing with
+    // the corpus.
+    val batchSpans = SpanDedup.spanRows(batch, k)
       .withColumn("sh", md5(col("span")))
-      .join(seen, Seq("sh"), "left_semi")
+    val hits = batchSpans
+      .join(prunedSeen(index, batchSpans), Seq("sh"), "left_semi")
       .select(col("doc_id"), col("pos"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val prevEnd = max(col("pos") + (k - 1))

@@ -50,10 +50,24 @@ import graft.functions.VectorFunctions.dotNative
   *
   * Spark shape (one lazy plan per round, no driver data paths):
   * adjacency rows shuffle once to cap per-vertex degree
-  * ([[TopKAggregate]] — map-side combined, answer-sized exchange), once
-  * to re-attach embeddings, once for the local self-join on the shared
-  * vertex; scored pairs deduplicate on (u, w) and merge into the next
-  * round's top-`degree` aggregate. Per-round results are
+  * ([[TopKAggregate.topKByDistinct]] — map-side combined), once to
+  * attach embeddings (hash build on the corpus side, the adjacency
+  * stream never sorts), and once — COUNT-SIZED, see the in-method
+  * note — for the local self-join on the shared vertex; scored pairs
+  * flow from the join STRAIGHT into the next round's top-`degree`
+  * aggregate, duplicate sightings (bit-identical rounded cosines by
+  * construction) deduplicating INSIDE its bounded buffers. That
+  * in-aggregate dedup is a memory-safety property, not a convenience:
+  * a pair-level dropDuplicates holds an unspillable hash map while
+  * streaming its output, and with the downstream aggregate's sort
+  * fallback in the same stage the two fought over task memory — the
+  * measured x200 default-heap failure. Every memory consumer left in
+  * the hot stages (SMJ sort buffers, the aggregate's sort fallback)
+  * spills. Vectors ride the n·2·degree adjacency rows (the volume
+  * floor — scoring after a scalar pair-list re-shuffles the
+  * n·(2·degree)²/2 pairs carrying a vector instead, measured 1.8×
+  * slower at x100), and the self-join's exchange partition count grows
+  * with the corpus so per-task sort chunks stay bounded. Per-round results are
   * `localCheckpoint`ed (eager, executor-local) — the same freeze
   * rationale as [[graft.operators.DistributedRank]]: each round's frame
   * is read by THREE consumers next round (forward, reversed, merge) and
@@ -147,10 +161,13 @@ object KnnGraph {
     // cell sits AT the target, so a strict > target trigger would split
     // nearly every cell for zero volume gain (planes = 1 halves a
     // 513-row cell: volume T·256 ≈ 1·512) while paying double scans
-    // AND the cross-table scored dedup — measured 2× seed wall at
-    // x10/x30. Below the coarse-fit cap cells hover at the target and
+    // AND T× duplicate sightings through the top-k — measured 2× seed
+    // wall at x10/x30. Below the coarse-fit cap cells hover at the target and
     // stay flat; past the cap they grow as n/cap, cross 2× target, and
     // the bounded-bucket regime engages exactly where it pays.
+    // corpus count, free from the occupancy aggregate — sizes the
+    // descent self-join's exchange below
+    val n = cellSizes.sum
     val planesPerCell = cellSizes.map(sz =>
       if (sz <= 2L * targetCell) 0
       else SemanticDedup.refinePlanesFor(sz, targetCell))
@@ -192,8 +209,9 @@ object KnnGraph {
       cand(pl(home).where(col("pl") === 0))
         .join(query(pl(probes).where(col("pl") === 0)), Seq("cell")))
     // SPLIT cells (pl > 0): per-cell OR-LSH buckets across T tables;
-    // cross-table duplicates dedup before the top-k (they would occupy
-    // multiple slots) — a scored shuffle sized by the SPLIT subset.
+    // cross-table duplicate sightings dedup INSIDE topDegree's
+    // distinct-id buffers (they would otherwise occupy multiple
+    // top-k slots).
     def withBuckets(df: DataFrame): DataFrame = {
       val tableBuckets = array((0 until tables).map { t =>
         val planes = Similarity.hyperplanes(
@@ -208,6 +226,13 @@ object KnnGraph {
           posexplode_outer(tableBuckets).as(Seq("tbl", "bucket")))
         .where(col("bucket").isNotNull)
     }
+    // Cross-table duplicate sightings (same pair via both OR-tables)
+    // carry bit-identical rounded cosines, so their dedup folds into
+    // the distinct-id top-k aggregate in topDegree below — no scored
+    // pair-level dropDuplicates, whose final hash map is UNSPILLABLE
+    // while it streams its output and was exactly the co-resident that
+    // starved the aggregate's (spillable) sort fallback of task memory
+    // at the x200 8 GiB probe.
     val splitEdges = score(
       withBuckets(pl(home).where(col("pl") > 0))
         .select(col("cell"), col("tbl"), col("bucket"),
@@ -217,7 +242,6 @@ object KnnGraph {
           .select(col("cell"), col("tbl"), col("bucket"),
             col("vec_id"), col("embedding").as("qv"), col("n2").as("qn2")),
           Seq("cell", "tbl", "bucket")))
-      .dropDuplicates("vec_id", "neighbor_id")
     val seedEdges =
       if (maxPlanes == 0) flatEdges
       else flatEdges.unionByName(splitEdges)
@@ -225,43 +249,67 @@ object KnnGraph {
 
     // ---- NN-descent rounds
     for (_ <- 1 to iters) {
+      // forward + reversed sightings of an edge carry the same cosine,
+      // so the (b, p) dedup folds into the distinct-id cap aggregate
       val und = edges
         .select(col("vec_id").as("b"), col("neighbor_id").as("p"),
           col("cos_sim"))
         .unionByName(edges.select(col("neighbor_id").as("b"),
           col("vec_id").as("p"), col("cos_sim")))
-        .dropDuplicates("b", "p")
       // cap the local-join adjacency at the 2·degree best per vertex:
       // bounds pair volume at n·(2·degree)²/2 even under hub vertices
       // (reverse in-degree is unbounded in principle)
       val capped = und.groupBy(col("b"))
-        .agg(TopKAggregate.topKBy(col("cos_sim"), col("p"), 2 * degree)
-          .as("__adj"))
+        .agg(TopKAggregate.topKByDistinct(col("cos_sim"), col("p"),
+          2 * degree).as("__adj"))
         .select(col("b"), explode_outer(col("__adj")).as("__e"))
         .where(col("__e").isNotNull)
         .select(col("b"), col("__e.id").as("p"))
+      // Vectors attach to the n·2·degree ADJACENCY rows (the volume
+      // floor: every alternative that scores after a scalar pair-list
+      // must re-shuffle the n·(2·degree)²/2 pairs CARRYING a vector to
+      // meet the second endpoint — measured 1.8× slower at x100), and
+      // the shared-vertex self-join runs over ONE explicit exchange on
+      // b whose partition count is sized from the corpus count so each
+      // task's sort chunk stays ~tens of MB. The default 32-partition
+      // exchange was the x200 failure at the 8 GiB heap: 14.4M
+      // vector-carrying rows / 32 ≈ 250 MB per task-side sort, and 32
+      // concurrent tasks exhausted task memory. Both join sides project
+      // from the same repartitioned frame, so the exchange plans
+      // canonicalize identically and physical planning reuses ONE
+      // shuffle (ReusedExchange); the join inherits HashPartitioning(b,
+      // P) from both children and adds no exchange of its own.
+      val adjRowBytes = dim * 8L + 64L
+      val targetChunk = 32L << 20
+      val adjP = math.max(par.toLong,
+        math.min(4096L, n * 2 * degree * adjRowBytes / targetChunk + 1))
+        .toInt
       val adj = capped.join(
-        v.select(col("vec_id").as("p"), col("embedding"), col("n2")),
-        Seq("p"))
+          v.select(col("vec_id").as("p"), col("embedding"), col("n2"))
+            .hint("shuffle_hash"),
+          Seq("p"))
+        .repartition(adjP, col("b"))
       val x = adj.select(col("b"), col("p").as("u"),
         col("embedding").as("uv"), col("n2").as("un2"))
       val y = adj.select(col("b"), col("p").as("w"),
         col("embedding").as("wv"), col("n2").as("wn2"))
+      // the same pair arises via every shared adjacent vertex with a
+      // bit-identical rounded cosine at each sighting — so NO pair-level
+      // dropDuplicates anywhere on this stream: duplicate sightings fold
+      // into topDegree's distinct-id bounded buffers, the scored pairs
+      // flow from the self-join straight into the (map-side combined,
+      // spillable-fallback) aggregate, and no stage holds an unspillable
+      // dedup hash map beside a sorter
       val cand = x.join(y, Seq("b"))
         .where(col("u") < col("w"))
         .select(col("u"), col("w"),
           round(Similarity.pairCosine(dotNative(col("uv"), col("wv")),
             col("un2"), col("wn2")), 6).as("cos_sim"))
-        // the same pair arises via every shared adjacent vertex; its
-        // rounded cosine is bit-identical at each sighting, so the
-        // dedup is deterministic
-        .dropDuplicates("u", "w")
       val merged = edges
         .unionByName(cand.select(col("u").as("vec_id"),
           col("w").as("neighbor_id"), col("cos_sim")))
         .unionByName(cand.select(col("w").as("vec_id"),
           col("u").as("neighbor_id"), col("cos_sim")))
-        .dropDuplicates("vec_id", "neighbor_id")
       edges = topDegree(merged, degree).localCheckpoint(true)
     }
 
@@ -277,13 +325,14 @@ object KnnGraph {
         col("__e.v").as("cos_sim"))
   }
 
-  /** Best `degree` edges per vector of an (vec_id, neighbor_id,
-    * cos_sim) frame — already-deduplicated input; ties (cos DESC,
-    * id ASC). */
+  /** Best `degree` DISTINCT neighbors per vector of an (vec_id,
+    * neighbor_id, cos_sim) frame — duplicate sightings (which carry
+    * bit-identical cosines by construction) dedup inside the bounded
+    * aggregate; ties (cos DESC, id ASC). */
   private def topDegree(edges: DataFrame, degree: Int): DataFrame =
     edges.groupBy(col("vec_id"))
-      .agg(TopKAggregate.topKBy(col("cos_sim"), col("neighbor_id"), degree)
-        .as("__nb"))
+      .agg(TopKAggregate.topKByDistinct(col("cos_sim"), col("neighbor_id"),
+        degree).as("__nb"))
       .select(col("vec_id"), explode_outer(col("__nb")).as("__e"))
       .where(col("__e").isNotNull)
       .select(col("vec_id"), col("__e.id").as("neighbor_id"),

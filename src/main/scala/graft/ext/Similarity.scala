@@ -93,6 +93,25 @@ object Similarity {
           "force=true to run the brute-force baseline anyway.")
     }
 
+  /** [[guardBruteForce]] for the corpus × queries shape: the work is the
+    * PAIR PRODUCT, not the corpus size — a 10-query recall witness over
+    * a 10M-row corpus is a linear broadcast scan, while a self-join is
+    * n². The cap is therefore [[BruteForceCap]]² scored pairs, which
+    * degenerates to exactly the old per-side cap when queries = corpus.
+    * Both counts run eagerly (same caveat as [[guardBruteForce]]). */
+  private def guardBruteForcePair(corpus: DataFrame, queries: DataFrame,
+                                  what: String, scalePath: String,
+                                  force: Boolean): Unit =
+    if (!force) {
+      val n = corpus.count()
+      val m = queries.count()
+      val cap = BruteForceCap.toDouble * BruteForceCap
+      require(n.toDouble * m <= cap,
+        s"$what scores corpus × queries = $n × $m pairs " +
+          s"(cap ${cap.toLong}). Use $scalePath at corpus scale, or pass " +
+          "force=true to run the brute-force baseline anyway.")
+    }
+
   /** Exact cosine top-k: for each query vector (`queries`, small — gets
     * broadcast), the k nearest corpus vectors by cosine, deterministically
     * tie-broken (cosine desc, candidate id asc). Self-pairs excluded.
@@ -100,7 +119,8 @@ object Similarity {
     * [[knnLsh]]/[[knnIvf]], not the scale path. */
   def knnBruteForce(corpus: DataFrame, queries: DataFrame, k: Int,
                     dim: Int = 64, force: Boolean = false): DataFrame = {
-    guardBruteForce(corpus, "knnBruteForce", "knnLsh or knnIvf", force)
+    guardBruteForcePair(corpus, queries, "knnBruteForce",
+      "knnLsh or knnIvf", force)
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
       dotNative(col("embedding"), col("embedding")).as("qn2"))
     // Rebalance the candidate side: queries×dim dot products per corpus row

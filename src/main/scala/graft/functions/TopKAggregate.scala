@@ -30,6 +30,7 @@ import org.apache.spark.sql.types._
   * skipped. Result: array<struct<v double, id long>> sorted best-first.
   */
 case class TopKByDouble(valueExpr: Expression, idExpr: Expression, k: Int,
+                        distinctIds: Boolean = false,
                         mutableAggBufferOffset: Int = 0,
                         inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.ArrayBuffer[(Double, Long)]] {
@@ -60,10 +61,18 @@ case class TopKByDouble(valueExpr: Expression, idExpr: Expression, k: Int,
   }
 
   // amortized compaction: append freely, re-sort + trim whenever the
-  // buffer doubles past k — O(n log k) total, no per-row sorting
+  // buffer doubles past k — O(n log k) total, no per-row sorting.
+  // distinctIds additionally keeps ONE entry per id (the best — and
+  // when every sighting of an id carries the same value, as the kNN
+  // graph's deterministic rounded cosines do, dedup is exact): the
+  // top-k then never wastes slots on duplicate sightings, which lets
+  // pair-generating callers drop their pair-level dropDuplicates —
+  // a whole unspillable hash-aggregation map per stage — entirely.
   private def compact(buf: mutable.ArrayBuffer[(Double, Long)]): Unit =
     if (buf.length > k) {
-      val best = buf.sortWith(beats).take(k)
+      val ordered = buf.sortWith(beats)
+      val best = (if (distinctIds) ordered.distinctBy(_._2) else ordered)
+        .take(k)
       buf.clear()
       buf ++= best
     }
@@ -90,8 +99,11 @@ case class TopKByDouble(valueExpr: Expression, idExpr: Expression, k: Int,
   }
 
   override def eval(buf: mutable.ArrayBuffer[(Double, Long)]): Any = {
-    compact(buf)
-    val sorted = buf.sortWith(beats)
+    // compact() is a no-op at <= k entries, so a small buffer can still
+    // hold duplicate ids here — dedup unconditionally before emitting
+    val sorted0 = buf.sortWith(beats)
+    val sorted = (if (distinctIds) sorted0.distinctBy(_._2) else sorted0)
+      .take(k)
     new GenericArrayData(sorted.map { case (v, id) => InternalRow(v, id) })
   }
 
@@ -130,5 +142,17 @@ object TopKAggregate {
   def topKBy(value: Column, id: Column, k: Int): Column =
     Bridge.column(TopKByDouble(
       Bridge.expression(value), Bridge.expression(id), k)
+      .toAggregateExpression())
+
+  /** [[topKBy]] keeping ONE entry per id (best value wins; exact when
+    * every sighting of an id carries the same value) — the in-aggregate
+    * dedup that replaces a pair-level dropDuplicates: candidate streams
+    * with repeated sightings fold straight into the bounded buffer, so
+    * no stage ever holds an unspillable dedup hash map beside the
+    * aggregate's (spillable) sort fallback. */
+  def topKByDistinct(value: Column, id: Column, k: Int): Column =
+    Bridge.column(TopKByDouble(
+      Bridge.expression(value), Bridge.expression(id), k,
+      distinctIds = true)
       .toAggregateExpression())
 }

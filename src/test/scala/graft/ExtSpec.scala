@@ -310,16 +310,23 @@ class SimilaritySpec extends SparkSpec {
       .select(col("id").as("vec_id"),
         array(lit(1.0f), lit(0.0f)).as("embedding"))
     val probes = big.where(col("vec_id") === 0)
+    // knnBruteForce guards the corpus × queries PAIR PRODUCT (the actual
+    // work): self-kNN over the big corpus exceeds cap² and refuses...
     val e1 = intercept[IllegalArgumentException] {
-      Similarity.knnBruteForce(big, probes, k = 3, dim = 2)
+      Similarity.knnBruteForce(big, big, k = 3, dim = 2)
     }
     assert(e1.getMessage.contains("knnLsh"))
+    // ...while a bounded probe set over the same corpus is a LINEAR
+    // broadcast scan (the recall-witness shape at any replica factor)
+    // and constructs WITHOUT force
+    val witness = Similarity.knnBruteForce(big, probes, k = 3, dim = 2)
+    assert(witness.columns.contains("cos_sim"))
     val e2 = intercept[IllegalArgumentException] {
       Similarity.cosineNearDupPairs(big, threshold = 0.9, dim = 2)
     }
     assert(e2.getMessage.contains("cosineNearDupPairsLsh"))
     // force=true opts in: plan construction succeeds (lazy — not executed).
-    val forced = Similarity.knnBruteForce(big, probes, k = 3, dim = 2,
+    val forced = Similarity.knnBruteForce(big, big, k = 3, dim = 2,
       force = true)
     assert(forced.columns.contains("cos_sim"))
   }

@@ -146,4 +146,49 @@ class TopKSpec extends SparkSpec {
           s"(a regression here means rank-filter pushdown stopped): $win")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("topKByDistinct equals dropDuplicates-then-topKBy on duplicate sightings") {
+    import graft.functions.TopKAggregate.topKByDistinct
+    def viaDistinctAgg(df: org.apache.spark.sql.DataFrame, k: Int) =
+      df.groupBy($"g")
+        .agg(topKByDistinct($"v", $"id", k).as("top"))
+        .select($"g", posexplode_outer($"top").as(Seq("pos", "e")))
+        .where($"e".isNotNull)
+        .select($"g", ($"pos" + 1).as("rank"), $"e.id".as("id"),
+          $"e.v".as("v"))
+    // duplicate sightings carry the SAME value per (g, id) — the kNN
+    // graph's contract (deterministic rounded cosines) — generated by
+    // duplicating rows with multiplicity 1..4
+    val rowsGen = Gen.listOfN(40, Gen.zip(
+      Gen.choose(0, 3), Gen.choose(0L, 15L), Gen.choose(0, 5).map(_.toDouble),
+      Gen.choose(1, 4)))
+    check(Prop.forAll(rowsGen) { rows =>
+      rows.isEmpty || {
+        val base = rows.map { case (g, id, v, _) => (g, id, v) }.distinct
+        val dup = rows.flatMap { case (g, id, v, m) =>
+          base.find(r => r._1 == g && r._2 == id).toSeq
+            .flatMap(r => Seq.fill(m)(r))
+        }
+        val df = dup.toDF("g", "id", "v")
+        val got = viaDistinctAgg(df, 3).orderBy($"g", $"rank")
+          .collect().map(_.toSeq).toSeq
+        val want = viaAgg(df.dropDuplicates("g", "id"), 3)
+          .orderBy($"g", $"rank").collect().map(_.toSeq).toSeq
+        got == want
+      }
+    })
+  }
+
+  test("topKByDistinct dedups even when a group holds <= k entries") {
+    // eval()-path pin: compact() is a no-op at <= k entries, so the
+    // dedup must also run at emit time
+    val df = Seq((0, 7L, 1.0), (0, 7L, 1.0), (0, 8L, 0.5))
+      .toDF("g", "id", "v")
+    val got = df.groupBy($"g")
+      .agg(graft.functions.TopKAggregate.topKByDistinct($"v", $"id", 5)
+        .as("top"))
+      .select(explode($"top").as("e"))
+      .select($"e.id", $"e.v").as[(Long, Double)].collect().toSeq
+    assert(got === Seq((7L, 1.0), (8L, 0.5)))
+  }
 }
