@@ -323,8 +323,12 @@ object ScaleProbe {
       val nlist = math.min(graft.ext.Similarity.IvfFitNlistCap.toLong,
         math.max(8L, n / 512L)).toInt
       val centroids = graft.ext.Similarity.ivfFit(emb, nlist = nlist)
+      // degree from the measured count-scaled rule (the registered
+      // query's sizing): fixed 18's recall decays with n — see
+      // KnnGraph.degreeFor's table
       graft.ext.KnnGraph.knnGraphDescent(
-        emb, k = 3, centroids, nprobe = 3, degree = 18, iters = 3)
+        emb, k = 3, centroids, nprobe = 3,
+        degree = graft.ext.KnnGraph.degreeFor(n), iters = 3)
     }),
     "lexical_screen_operator" -> ((s, dir) => {
       val root =

@@ -90,6 +90,32 @@ import graft.functions.VectorFunctions.dotNative
   */
 object KnnGraph {
 
+  /** Corpus-count-scaled internal degree — the coded form of the
+    * Scaladoc caveat that a FIXED degree's recall decays with n on
+    * isotropic vectors (the no-structure worst case). Measured with
+    * [[graft.RecallProbe]] (30-query tie-aware recall@3, iters 3,
+    * nprobe 3, registered nlist sizing) on the sign-flip replica
+    * corpora:
+    *
+    *   n        degree 18   rule degree   recall @ rule
+    *   2 000      0.956         18            0.956
+    *   20 000     0.767         18            0.767
+    *   60 000     0.578         24            (validated ≥ floor)
+    *   200 000    0.500         30            0.678
+    *
+    * Rule: 18 below 20k, then +12 per decade of n — degree(n) =
+    * 18 + 12·log10(n/20000), ceil'd. Round work is n·(2·degree)²/2
+    * scored pairs, so the rule's price is log²(n) growth in the
+    * per-row constant — the same contract class as a B-tree's log
+    * factor, and far below the n^ρ table growth constant-recall LSH
+    * pays ([[Similarity.cosineNearDupPairsMultiProbe]]'s scale law).
+    * Callers with easier (clustered) geometry can pass an explicit
+    * smaller degree; the rule is the isotropic worst case. */
+  def degreeFor(n: Long, floor: Int = 18): Int =
+    if (n <= 20000L) floor
+    else math.max(floor,
+      math.ceil(floor + 12.0 * math.log10(n / 20000.0)).toInt)
+
   /** Build the k-nearest-neighbor graph of `corpus` (vec_id, embedding)
     * by cosine: bounded-cell seed + `iters` NN-descent rounds at
     * internal `degree`, then the top `k` edges per vector.

@@ -164,7 +164,25 @@ object Similarity {
     * leg it already carries. */
   def recallWitness(retrieved: DataFrame, corpus: DataFrame,
                     queries: DataFrame, k: Int, threshold: Double = 0.6,
-                    force: Boolean = false): DataFrame = {
+                    force: Boolean = false): DataFrame =
+    recallFraction(retrieved, corpus, queries, k, force)
+      .select(col("n_queries"), col("k"),
+        // compare on raw hit counts (not the display-rounded fraction)
+        // so boundary semantics are bit-identical to the r12 witness
+        (col("hits").cast("double") >=
+          lit(threshold) * col("n_queries").cast("double") * col("k"))
+          .as(f"recall_ge_${(threshold * 100).round}%03d"))
+
+  /** The NUMBER behind [[recallWitness]]: tie-aware recall@k as
+    * `(n_queries, k, hits, recall)` — same hit rule (a retrieved
+    * candidate whose exact rounded cosine clears the query's k-th
+    * brute-force cosine), same one-corpus-scan plan, but the fraction
+    * itself instead of a thresholded boolean, for sizing sweeps
+    * ([[graft.RecallProbe]]) where the distance to the floor is the
+    * signal. */
+  def recallFraction(retrieved: DataFrame, corpus: DataFrame,
+                     queries: DataFrame, k: Int,
+                     force: Boolean = false): DataFrame = {
     val bf = knnBruteForce(corpus, queries, k, force = force)
     // k-th true similarity per query: min over its top-k rows (bf emits
     // exactly the rank <= k rows, cosine desc)
@@ -190,9 +208,9 @@ object Similarity {
     queries.agg(count(lit(1)).as("n_queries"))
       .crossJoin(broadcast(hits))
       .select(col("n_queries"), lit(k.toLong).as("k"),
-        (col("__hits").cast("double") >=
-          lit(threshold) * col("n_queries").cast("double") * k)
-          .as(f"recall_ge_${(threshold * 100).round}%03d"))
+        col("__hits").as("hits"),
+        round(col("__hits").cast("double")
+          / (col("n_queries").cast("double") * k), 6).as("recall"))
   }
 
   /** Embedding-cosine near-dup pairs: all (a < b) pairs with cosine >=

@@ -227,12 +227,15 @@ object ExtQueries {
     // ext/KnnGraph.knnGraphDescent — bounded-cell seed (per-cell OR-LSH
     // split past 2× targetCell occupancy, so candidate volume stays
     // n·nprobe·T·512 PAST the coarse-fit cap where knnGraphIvf went
-    // quadratic) + 3 NN-descent rounds at internal degree 18 (each
-    // n·36²/2 scored pairs — linear). Measured tie-aware recall@3 on
-    // the isotropic replica corpora where knn_graph's floor goes false
-    // (7.7% coverage at x10): 0.73 at x10 (20k vectors), 0.67 at x30
-    // (60k) — floor TRUE with margin at both. Same nlist catalog-stat
-    // sizing as knn_graph so the two rows stay comparable.
+    // quadratic) + 3 NN-descent rounds at the COUNT-SCALED internal
+    // degree (KnnGraph.degreeFor — 18 through 20k vectors, +12 per
+    // decade after; round work n·(2d)²/2 scored pairs, so the rule's
+    // price is a log²(n) constant). Measured tie-aware recall@3 on the
+    // isotropic replica corpora where knn_graph's floor goes false
+    // (7.7% coverage at x10): RecallProbe 30-query sweep — 0.77 at x10
+    // (20k, d18), floor-true at x30 (60k, d24) and 0.68 at x100 (200k,
+    // d30), where FIXED d18 measured 0.58 / 0.50. Same nlist
+    // catalog-stat sizing as knn_graph so the two rows stay comparable.
     "knn_graph_refined" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val n = emb.count()
@@ -240,7 +243,8 @@ object ExtQueries {
         math.max(8L, n / 512L)).toInt
       val centroids = Similarity.ivfFit(emb, nlist = nlist)
       val graph = graft.ext.KnnGraph.knnGraphDescent(
-        emb, k = 3, centroids, nprobe = 3, degree = 18, iters = 3)
+        emb, k = 3, centroids, nprobe = 3,
+        degree = graft.ext.KnnGraph.degreeFor(n), iters = 3)
       val queries = emb.where(col("vec_id") < 10)
       val recall = Similarity.recallWitness(
         graph.where(col("vec_id") < 10)

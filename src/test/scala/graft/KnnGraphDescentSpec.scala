@@ -25,6 +25,20 @@ class KnnGraphDescentSpec extends SparkSpec {
 
   private def emb = graft.sources.Tables.table(spark, sf, "embeddings")
 
+  test("degreeFor: 18 through 20k, +12/decade after, monotone") {
+    // the measured sizing table (see KnnGraph.degreeFor's Scaladoc):
+    // gate SFs stay at the floor (bit-identical registered results),
+    // the replica factors match the validated sweep points
+    assert(KnnGraph.degreeFor(500L) === 18)
+    assert(KnnGraph.degreeFor(2000L) === 18)
+    assert(KnnGraph.degreeFor(20000L) === 18)
+    assert(KnnGraph.degreeFor(60000L) === 24)
+    assert(KnnGraph.degreeFor(200000L) === 30)
+    assert(KnnGraph.degreeFor(400000L) === 34)
+    val pts = Seq(1L, 100L, 20000L, 50000L, 100000L, 1000000L, 100000000L)
+    assert(pts.map(KnnGraph.degreeFor(_)) === pts.map(KnnGraph.degreeFor(_)).sorted)
+  }
+
   test("full-coverage descent graph equals exact brute-force top-k") {
     val centroids = Similarity.ivfFit(emb, nlist = 4)
     val graph = KnnGraph.knnGraphDescent(emb, k = 3, centroids,
