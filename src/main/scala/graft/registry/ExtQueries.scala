@@ -92,6 +92,46 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // LEAKAGE-SAFE train/eval split: the split-stage form of
+    // decontamination. A hash split keyed on doc_id scatters near-dup
+    // clusters across train AND eval — the eval set then "contains"
+    // training documents up to near-duplication, the leakage every
+    // decontamination screen downstream exists to catch. Keying the
+    // SAME deterministic split on the near-dup component representative
+    // (winnowing pairs → connected components; singletons represent
+    // themselves) puts every cluster wholly on one side BY CONSTRUCTION
+    // — and the output carries the witness: cross_split_pairs counts
+    // near-dup pairs straddling the boundary (computed from the pair
+    // frame, not assumed; must be 0). Scale shape: pair generation is
+    // the bucketed winnowing path (never all-pairs), components the
+    // bounded iterative loop, the split a pure hash projection, the
+    // witness two hash joins of the pair list against the doc-count-
+    // sized split frame.
+    "leakage_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.winnowingPairs(docs, k = 5, w = 4, minShared = 10)
+      val comps = graft.ext.Components.connectedComponents(
+        pairs, "doc_a", "doc_b")
+      val withRep = docs.select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("rep"))
+      val split = Sampling.deterministicSplit(withRep, col("rep"),
+        Seq("train" -> 80, "eval" -> 20))
+      val cross = pairs
+        .join(split.select(col("doc_id").as("doc_a"),
+          col("split").as("__sa")), Seq("doc_a"))
+        .join(split.select(col("doc_id").as("doc_b"),
+          col("split").as("__sb")), Seq("doc_b"))
+        .where(col("__sa") =!= col("__sb"))
+        .agg(count(lit(1)).as("cross_split_pairs"))
+      split.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("rep")).as("n_groups"))
+        .crossJoin(broadcast(cross))
+        .orderBy(col("split"))
+    }),
+
     // Exact cosine top-5 for 10 probe vectors (brute-force ANN baseline).
     "knn_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")

@@ -723,6 +723,30 @@ class ComponentsSpec extends SparkSpec {
     assert(cc.length === 9)
     assert(cc.forall(_._2 === 0L))
   }
+
+  test("component-keyed split keeps clusters whole where doc-keyed splits leak") {
+    import graft.ext.Sampling
+    // 40 docs; near-dup chains pair each even doc with the next odd one.
+    // Find a pair a doc_id-keyed 80/20 split STRADDLES (exists for this
+    // fixture — asserted, so the test fails loudly if a data change ever
+    // de-fangs it), then show the component-keyed split keeps every
+    // pair together while assigning the same 80/20 buckets overall.
+    val docs = (0L until 40L).toDF("doc_id")
+    val pairs = (0L until 40L by 2).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    def splitOf(keyed: org.apache.spark.sql.DataFrame) = Sampling
+      .deterministicSplit(keyed, $"rep", Seq("train" -> 80, "eval" -> 20))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val byDoc = splitOf(docs.select($"doc_id", $"doc_id".as("rep")))
+    val leaky = (0L until 40L by 2).count(i => byDoc(i) != byDoc(i + 1))
+    assert(leaky > 0, "fixture no longer exercises the leak — regenerate")
+    val comps = Components.connectedComponents(pairs, "doc_a", "doc_b")
+    val byComp = splitOf(docs.join(comps, Seq("doc_id"), "left")
+      .select($"doc_id",
+        org.apache.spark.sql.functions.coalesce($"component", $"doc_id")
+          .as("rep")))
+    assert((0L until 40L by 2).forall(i => byComp(i) == byComp(i + 1)),
+      "component-keyed split straddled a near-dup pair")
+  }
 }
 
 class MediaDecodeSpec extends SparkSpec {
