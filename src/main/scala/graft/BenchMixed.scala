@@ -92,10 +92,11 @@ object BenchMixed {
     val perTrigger = math.min(docsPerTrigger, base.length)
     val maxId = base.map(_.getLong(0)).max + 1L
     val indexRoot = tmp("bm-dc-index")
-    graft.sources.VersionedTable.commit(
+    graft.sources.VersionedStats.commitWithStats(
       graft.ext.DedupIndex.spanIndex(
         graft.sources.Tables.table(spark, sfDir, "documents")
-          .select(col("doc_id"), col("text")), k = 12), indexRoot)
+          .select(col("doc_id"), col("text")), k = 12), indexRoot,
+      keyCols = Seq("sh"))
     val input = MemoryStream[(Long, String)]
     val stream = input.toDF().toDF("doc_id", "text")
     val q = graft.streaming.StreamingDecontamination.decontaminationWriter(

@@ -38,9 +38,13 @@ object DedupIndex {
 
   /** Read the latest committed index version, or build it from the
     * corpus and commit v1 if the table is empty — the only path that
-    * ever scans corpus text, paid once per corpus. */
+    * ever scans corpus text, paid once per corpus. `statsKeys` non-empty
+    * commits through [[graft.sources.VersionedStats.commitWithStats]]
+    * so the index carries its catalog stats (row count + key sketches)
+    * from birth — the stat the span probes' prune gate reads. */
   def readOrBuild(spark: SparkSession, root: String,
-                  build: => DataFrame): DataFrame = {
+                  build: => DataFrame,
+                  statsKeys: Seq[String] = Nil): DataFrame = {
     // In-JVM: same-root builders serialize (first builds, rest read) —
     // a shared session's concurrent queries otherwise race the
     // check-then-commit and the loser throws instead of reading the
@@ -49,8 +53,11 @@ object DedupIndex {
     // committed first, so fall through to reading its version.
     graft.sources.KeyedLocks.withLock(root) {
       if (VersionedTable.versions(spark, root).isEmpty)
-        try VersionedTable.commit(build, root)
-        catch {
+        try {
+          if (statsKeys.isEmpty) VersionedTable.commit(build, root)
+          else graft.sources.VersionedStats.commitWithStats(build, root,
+            statsKeys)
+        } catch {
           case e: IllegalStateException =>
             if (VersionedTable.versions(spark, root).isEmpty) throw e
         }
@@ -134,42 +141,76 @@ object DedupIndex {
     SpanDedup.spanRows(corpus, k).select(md5(col("span")).as("sh"))
       .distinct()
 
-  /** Batch-bloom sizing for [[prunedSeen]]: fixed, so the per-probe
-    * bloom build needs NO batch pre-count (no extra job per streaming
-    * trigger). ~4M expected keys at 2% fpp ≈ 4 MB of bits — a typical
-    * micro-batch (≤ a few hundred k spans) sits far under capacity and
-    * enjoys a lower effective fpp; a batch-mode caller far OVER it only
-    * raises the false-positive rate, which costs wasted exchange rows,
-    * never correctness. */
-  private val ProbeBloomItems = 1L << 22
+  /** The batch side of a span probe: (doc_id, pos, sh) — positional
+    * k-gram hashes, span text already dropped (probes key on the hash;
+    * carrying the k-token string through the exchange would multiply
+    * its bytes by k for nothing). */
+  def spanHashFrame(batch: DataFrame, k: Int): DataFrame =
+    SpanDedup.spanRows(batch, k)
+      .select(col("doc_id"), col("pos"), md5(col("span")).as("sh"))
 
-  /** The index side of a per-batch span probe, bloom-pruned by the
-    * BATCH's own span hashes — the r13 fix for the measured
-    * per-trigger growth (BENCH_MIXED: trigger p50 2.8 → 7.0 s as the
-    * index grew): the probe joins (`left_semi`/`left`/`left_anti`,
-    * batch on the left) planned as sort-merge, so the INDEX side —
-    * the side that grows with the corpus — was scanned AND shuffled in
-    * full on every trigger. A bloom of the batch's span hashes
-    * (runtime-filter shape, [[graft.operators.BloomJoin]]) prunes the
-    * index scan BEFORE its exchange: index rows outside the bloom
-    * match no batch span (no false negatives), so every probe's result
-    * is bit-identical, while the index-side exchange carries ≈ true
-    * hits + fpp·|index| rows and AQE collapses the join to a broadcast
-    * of those survivors. Per-trigger cost falls from
-    * scan+shuffle+sort(index) to a columnar scan with an in-codegen
-    * bloom probe — the scan itself is the remaining O(index) term (the
-    * honest floor for exact confirmation on a shared-nothing engine;
-    * a lossy gate for the scan too is [[spanContaminationBloom]]).
-    * Price: the batch spans evaluate twice (once in the bloom
-    * subquery, once in the probe) — batch-sized, the term that does
-    * NOT grow. */
-  private def prunedSeen(index: DataFrame,
-                         batchSpans: DataFrame): DataFrame =
-    graft.operators.BloomJoin.prune(
-      index.select(col("sh")), col("sh"),
-      graft.operators.BloomJoin.bloomBuild(
-        batchSpans.select(col("sh")), col("sh"),
-        expectedItems = ProbeBloomItems, fpp = 0.02))
+  /** The batch's span COUNT, without materializing the span frame: one
+    * tokenize pass, no posexplode, no k-gram strings — sum over docs of
+    * max(0, n_tokens - k + 1). This is the prune gate's batch-side
+    * input; it costs a fraction of the probe's own batch pass. */
+  def spanCount(batch: DataFrame, k: Int): Long =
+    batch.select(sum(greatest(
+        size(TextAnalysis.tokens(col("text"))) - (k - 1), lit(0))
+      .cast("long")).as("n")).head().getLong(0)
+
+  /** Engage the bloom prune only when the index outweighs the batch by
+    * this factor: below it the full index exchange is cheaper than the
+    * prune's constant (an extra batch-side pass for the bloom build),
+    * and the r13 shape paid that constant UNCONDITIONALLY — measured
+    * 0.88 → 2.61 s on `span_cut_indexed` at sf0.1 where index ≈ 3× the
+    * batch, and static-index streaming lane p50 3.7 → 5.3 s with no
+    * growth term to win back. At ≥ 4× the index-side exchange saved
+    * dominates the batch-side pass paid. */
+  private val PruneIndexToBatchRatio = 4L
+
+  /** Floor for the prune bloom's sizing: below this the bloom is a few
+    * KB either way and a tighter fit buys nothing. */
+  private val MinBloomItems = 1024L
+
+  /** The index side of a per-batch span probe — the r13 bloom prune,
+    * now GATED on catalog stats (r14). The prune itself: the probe
+    * joins (`left_semi`/`left`/`left_anti`, batch on the left) plan as
+    * sort-merge, so the INDEX side — the side that grows with the
+    * corpus — is otherwise scanned AND shuffled in full on every
+    * trigger (BENCH_MIXED r12: trigger p50 2.8 → 7.0 s as the index
+    * grew). A bloom of the batch's span hashes (runtime-filter shape,
+    * [[graft.operators.BloomJoin]]) prunes the index scan BEFORE its
+    * exchange: index rows outside the bloom match no batch span (no
+    * false negatives), so every probe's result is bit-identical, while
+    * the index-side exchange carries ≈ true hits + fpp·|index| rows and
+    * AQE collapses the join to a broadcast of those survivors.
+    *
+    * The gate (r14): the prune's constant — one extra batch-side span
+    * pass for the bloom build — is paid only when `indexRows` (the
+    * stats-sidecar catalog stat, [[graft.sources.VersionedStats]]) is
+    * at least [[PruneIndexToBatchRatio]] × the batch's span count;
+    * below that, or when no catalog stat exists (`indexRows` None — an
+    * ad-hoc frame that never came from a versioned root), the probe
+    * keeps the plain shape. The bloom is sized to the MEASURED batch
+    * span count (`spanRows`), not a fixed capacity — the r13 fixed 4M
+    * sizing silently degraded toward a full index pass when a batch
+    * overran it, and over-reserved 4 MB of bits under it. Every path
+    * is bit-identical; the gate chooses plans, never answers. */
+  private def gatedSeen(index: DataFrame, batchSpans: DataFrame,
+                        indexRows: Option[Long],
+                        spanRows: => Long): DataFrame =
+    indexRows match {
+      case Some(n) =>
+        val b = spanRows
+        if (n >= PruneIndexToBatchRatio * math.max(b, 1L))
+          graft.operators.BloomJoin.prune(
+            index.select(col("sh")), col("sh"),
+            graft.operators.BloomJoin.bloomBuild(
+              batchSpans.select(col("sh")), col("sh"),
+              expectedItems = math.max(b, MinBloomItems), fpp = 0.02))
+        else index.select(col("sh"))
+      case None => index.select(col("sh"))
+    }
 
   /** Per-batch-doc span contamination against the PERSISTED index: how
     * many of each doc's k-gram spans already exist anywhere in the
@@ -178,14 +219,14 @@ object DedupIndex {
     * (IncrementalIndexSpec pins the plan). The seen_ratio is the
     * span-granular analog of [[Dedup.contaminationPairs]]' shingle
     * overlap, usable directly as an eval-decontamination gate. */
-  def spanContamination(index: DataFrame, batch: DataFrame,
-                        k: Int): DataFrame = {
-    val batchSpans = SpanDedup.spanRows(batch, k)
-      .withColumn("sh", md5(col("span")))
-    // distinct AFTER the bloom prune: it exists only as left-join
+  def spanContamination(index: DataFrame, batch: DataFrame, k: Int,
+                        indexRows: Option[Long] = None): DataFrame = {
+    val batchSpans = spanHashFrame(batch, k)
+    // distinct AFTER the prune: it exists only as left-join
     // row-duplication safety against a malformed index, and on the
     // pruned survivors it is candidate-sized, not index-sized
-    val seen = prunedSeen(index, batchSpans).distinct()
+    val seen = gatedSeen(index, batchSpans, indexRows, spanCount(batch, k))
+      .distinct()
       .withColumn("__seen", lit(1))
     batchSpans
       .join(seen, Seq("sh"), "left")
@@ -228,19 +269,36 @@ object DedupIndex {
 
   /** Append a batch's not-yet-indexed span hashes as the next version;
     * re-ingesting the same batch appends nothing (the index absorbs
-    * each batch exactly once). Returns the committed version. */
-  def ingestSpans(root: String, batch: DataFrame, k: Int): Long = {
-    val spark = batch.sparkSession
+    * each batch exactly once). The commit maintains the index's stats
+    * sidecar (row count + `sh` sketch, delta-only on append) — the
+    * catalog stat the probes' prune gate reads, so the gate costs zero
+    * scans at probe time. Returns the committed version. */
+  def ingestSpans(root: String, batch: DataFrame, k: Int): Long =
+    ingestSpansOn(root, batch.sparkSession, spanHashFrame(batch, k),
+      () => spanCount(batch, k))
+
+  /** [[ingestSpans]] on an already-built raw span-hash frame (any frame
+    * with an `sh` column) — the streaming loop computes the batch's
+    * span frame ONCE per trigger (persisted) and shares it between the
+    * cut report and this ingest, so the tokenize+explode pass runs once
+    * per trigger instead of once per probe. `spanRows` is called only
+    * when the gate has a catalog stat to compare against (a cached
+    * caller's count() is free by then). */
+  private[graft] def ingestSpansOn(root: String, spark: SparkSession,
+                                   batchSpans: DataFrame,
+                                   spanRows: () => Long): Long = {
     val index = VersionedTable.read(spark, root)
-    val batchSpans = SpanDedup.spanRows(batch, k)
-      .select(md5(col("span")).as("sh")).distinct()
-    // anti-probe through the same bloom-pruned index side as the screen
-    // ([[prunedSeen]]): index rows outside the batch bloom eliminate
+    val indexRows = graft.sources.VersionedStats.statsFor(spark, root)
+      .map(_._1)
+    // anti-probe through the same gated index side as the screen
+    // ([[gatedSeen]]): index rows outside the batch bloom eliminate
     // nothing, so the anti result is unchanged while the per-trigger
-    // index exchange stays batch-sized
-    val fresh = batchSpans
-      .join(prunedSeen(index, batchSpans), Seq("sh"), "left_anti")
-    VersionedTable.commit(fresh, root, append = true)
+    // index exchange stays batch-sized once the index outgrows batches
+    val fresh = batchSpans.select(col("sh")).distinct().join(
+      gatedSeen(index, batchSpans, indexRows, spanRows()),
+      Seq("sh"), "left_anti")
+    graft.sources.VersionedStats.commitWithStats(fresh, root,
+      keyCols = Seq("sh"), append = true)
   }
 
   /** The production shape of substring dedup at 100 TB: cut an incoming
@@ -255,8 +313,18 @@ object DedupIndex {
     * `cutDuplicatedSpans`: (doc_id, n_before, n_after, clean_md5) for
     * every batch doc. Run [[ingestSpans]] AFTER cutting so the next
     * batch also dedups against what this one contributed. */
-  def cutSeenSpans(index: DataFrame, batch: DataFrame,
-                   k: Int): DataFrame = {
+  def cutSeenSpans(index: DataFrame, batch: DataFrame, k: Int,
+                   indexRows: Option[Long] = None): DataFrame =
+    cutSeenSpansOn(index, batch, spanHashFrame(batch, k), k, indexRows,
+      () => spanCount(batch, k))
+
+  /** [[cutSeenSpans]] on an already-built raw span-hash frame — the
+    * shared-frame entry the streaming loop uses (one persisted span
+    * frame per trigger feeds both this report and [[ingestSpansOn]]). */
+  private[graft] def cutSeenSpansOn(index: DataFrame, batch: DataFrame,
+                                    batchSpans: DataFrame, k: Int,
+                                    indexRows: Option[Long],
+                                    spanRows: () => Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // NO distinct on the index side: a LEFT SEMI join never duplicates
     // its left rows, so deduplicating the (already-distinct-by-
@@ -264,13 +332,12 @@ object DedupIndex {
     // added a full index-sized aggregation to EVERY streaming trigger —
     // the soak lane measured the per-trigger time climbing with index
     // growth from exactly this kind of avoidable O(index) pass. The
-    // index side is bloom-pruned by the batch's own span hashes
-    // ([[prunedSeen]]) so the per-trigger exchange stops growing with
-    // the corpus.
-    val batchSpans = SpanDedup.spanRows(batch, k)
-      .withColumn("sh", md5(col("span")))
+    // index side is gated-bloom-pruned by the batch's own span hashes
+    // ([[gatedSeen]]) so the per-trigger exchange stops growing with
+    // the corpus once the index outweighs the batch.
     val hits = batchSpans
-      .join(prunedSeen(index, batchSpans), Seq("sh"), "left_semi")
+      .join(gatedSeen(index, batchSpans, indexRows, spanRows()),
+        Seq("sh"), "left_semi")
       .select(col("doc_id"), col("pos"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val prevEnd = max(col("pos") + (k - 1))

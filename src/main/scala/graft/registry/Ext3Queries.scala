@@ -179,9 +179,12 @@ object Ext3Queries {
         dir.replaceAll("[^A-Za-z0-9]", "_") + "/span"
       val index = graft.ext.DedupIndex.readOrBuild(s, root,
         graft.ext.DedupIndex.spanIndex(
-          split.where(col("split") === "corpus"), k = 5))
+          split.where(col("split") === "corpus"), k = 5),
+        statsKeys = Seq("sh"))
       graft.ext.DedupIndex.spanContamination(index,
-        split.where(col("split") === "batch"), k = 5)
+        split.where(col("split") === "batch"), k = 5,
+        indexRows = graft.sources.VersionedStats.statsFor(s, root)
+          .map(_._1))
     }),
 
     // The bloom-compressed probe of the same index, emitted as the
@@ -201,11 +204,19 @@ object Ext3Queries {
         dir.replaceAll("[^A-Za-z0-9]", "_") + "/span"
       val index = graft.ext.DedupIndex.readOrBuild(s, root,
         graft.ext.DedupIndex.spanIndex(
-          split.where(col("split") === "corpus"), k = 5))
+          split.where(col("split") === "corpus"), k = 5),
+        statsKeys = Seq("sh"))
+      // the catalog stat serves both the prune gate and the bloom's
+      // expectedItems (r13 ran an index count() job here for the latter)
+      val idxRows = graft.sources.VersionedStats.statsFor(s, root)
+        .map(_._1)
       val batch = split.where(col("split") === "batch")
-      val exact = graft.ext.DedupIndex.spanContamination(index, batch, k = 5)
+      val exact = graft.ext.DedupIndex.spanContamination(index, batch,
+        k = 5, indexRows = idxRows)
       val bloom = graft.ext.DedupIndex.spanContaminationBloom(index, batch,
-          k = 5, expectedItems = math.max(1L, index.count()))
+          k = 5,
+          expectedItems = math.max(1L,
+            idxRows.getOrElse(index.count())))
         .select(col("doc_id"), col("n_seen").as("__bloom_seen"))
       exact.join(bloom, Seq("doc_id"))
         .select(col("doc_id"), col("n_spans"), col("n_seen"),
@@ -226,9 +237,12 @@ object Ext3Queries {
         dir.replaceAll("[^A-Za-z0-9]", "_") + "/span"
       val index = graft.ext.DedupIndex.readOrBuild(s, root,
         graft.ext.DedupIndex.spanIndex(
-          split.where(col("split") === "corpus"), k = 5))
+          split.where(col("split") === "corpus"), k = 5),
+        statsKeys = Seq("sh"))
       graft.ext.DedupIndex.cutSeenSpans(index,
-        split.where(col("split") === "batch"), k = 5)
+        split.where(col("split") === "batch"), k = 5,
+        indexRows = graft.sources.VersionedStats.statsFor(s, root)
+          .map(_._1))
     }),
 
     // Ordered conversion funnel: users clearing view -> click -> purchase

@@ -79,8 +79,20 @@ object VersionedStats {
       if (prior.isDefined)
         spark.read.parquet(new Path(root, s"data/v$v").toString)
       else VersionedTable.read(spark, root, Some(v))
+    // AGMS takes bigint keys; non-integral key columns (e.g. a span
+    // index's md5-hex `sh`) sketch over xxhash64 of the value — equality
+    // is preserved, so join-size estimates are unchanged up to hash
+    // collisions, and the choice is PER TYPE, never per version: every
+    // sidecar of a given column merges sketches of the same family
+    // (integral columns could already have stored sidecars; hashed-key
+    // columns could not — the sketch rejected them at analysis before)
+    import org.apache.spark.sql.types._
+    def keyExpr(k: String) = scanned.schema(k).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => col(k)
+      case _ => xxhash64(col(k))
+    }
     val aggs = keyCols.map(k =>
-      JoinSizeSketch.agmsSketch(col(k), counters).as(s"__sk_$k")) ++
+      JoinSizeSketch.agmsSketch(keyExpr(k), counters).as(s"__sk_$k")) ++
       hhCols.map(k => SketchAggregates.freqItems(col(k).cast("string"),
         hhCapacity).as(s"__hh_$k")) :+
       count(lit(1)).as("__rows")

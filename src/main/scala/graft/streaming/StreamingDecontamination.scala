@@ -143,42 +143,62 @@ object StreamingDecontamination {
       .lastOption.getOrElse(0L)
     val marked = markedVersions(spark, indexRoot, batchId)
     val pre = marked.map(_._1).getOrElse(latest)
-    val report = DedupIndex.cutSeenSpans(indexAt(spark, indexRoot, pre),
-      batch, k)
-    // the marker is the FIRST write: every later step guards on a stored
-    // version against the marker's recorded pre-version
-    if (marked.isEmpty)
-      writeMarker(spark, indexRoot, batchId, pre, reportLatest0)
-    // append guard, keyed on the marker's pre-commit report version — a
-    // metadata check, never a content diff against the whole log. Legacy
-    // (index-only) markers fall back to the old content guard.
-    val doCommit = marked.map(_._2).getOrElse(Some(reportLatest0)) match {
-      case Some(reportPre) =>
-        VersionedTable.versions(spark, reportRoot)
-          .lastOption.getOrElse(0L) == reportPre
-      case None =>
-        VersionedTable.versions(spark, reportRoot).isEmpty ||
-          !report.exceptAll(VersionedTable.read(spark, reportRoot)).isEmpty
-    }
-    if (doCommit) VersionedTable.commit(report, reportRoot, append = true)
-    // ingest exactly once: the marker pins pre, so version == pre means
-    // the ingest has not happened yet (batches are serial per stream)
-    val nowLatest = VersionedTable.versions(spark, indexRoot)
-      .lastOption.getOrElse(0L)
-    if (nowLatest == pre) {
-      if (pre == 0L)
-        VersionedTable.commit(DedupIndex.spanIndex(batch, k), indexRoot)
-      else DedupIndex.ingestSpans(indexRoot, batch, k)
-    }
-    // compaction policy: metadata-only check (one manifest parse), runs
-    // AFTER ingest so the rewrite always covers this batch's spans; the
-    // hash key is the screen's join key, so clustering on it gives the
-    // rewritten files disjoint sh ranges (footer min/max pruning)
-    if (compactAboveFiles > 0 &&
-        VersionedTable.fileCount(spark, indexRoot) > compactAboveFiles)
-      graft.sources.Compaction.compactVersioned(spark, indexRoot,
-        Seq(col("sh")), compactTargetRows)
-    report
+    // the prune gate's catalog stat for the PINNED version (replay reads
+    // the same stat); None (legacy pre-seed with no sidecar) degrades to
+    // the ungated plan — same rows either way, the gate chooses plans
+    val idxRows: Option[Long] =
+      if (pre == 0L) Some(0L)
+      else graft.sources.VersionedStats.statsFor(spark, indexRoot,
+        Some(pre)).map(_._1)
+    // ONE span pass per trigger: the batch's (doc_id, pos, sh) frame is
+    // persisted and shared by the cut report's probe, the prune gate's
+    // count, and the ingest's anti-probe — r13 recomputed the
+    // tokenize+explode lineage up to four times per trigger (report
+    // probe + its bloom, ingest anti + its bloom)
+    val spans = DedupIndex.spanHashFrame(batch, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      lazy val nSpans = spans.count()
+      val report = DedupIndex.cutSeenSpansOn(indexAt(spark, indexRoot, pre),
+        batch, spans, k, idxRows, () => nSpans)
+      // the marker is the FIRST write: every later step guards on a stored
+      // version against the marker's recorded pre-version
+      if (marked.isEmpty)
+        writeMarker(spark, indexRoot, batchId, pre, reportLatest0)
+      // append guard, keyed on the marker's pre-commit report version — a
+      // metadata check, never a content diff against the whole log. Legacy
+      // (index-only) markers fall back to the old content guard.
+      val doCommit = marked.map(_._2).getOrElse(Some(reportLatest0)) match {
+        case Some(reportPre) =>
+          VersionedTable.versions(spark, reportRoot)
+            .lastOption.getOrElse(0L) == reportPre
+        case None =>
+          VersionedTable.versions(spark, reportRoot).isEmpty ||
+            !report.exceptAll(VersionedTable.read(spark, reportRoot)).isEmpty
+      }
+      if (doCommit) VersionedTable.commit(report, reportRoot, append = true)
+      // ingest exactly once: the marker pins pre, so version == pre means
+      // the ingest has not happened yet (batches are serial per stream)
+      val nowLatest = VersionedTable.versions(spark, indexRoot)
+        .lastOption.getOrElse(0L)
+      if (nowLatest == pre) {
+        if (pre == 0L)
+          graft.sources.VersionedStats.commitWithStats(
+            spans.select(col("sh")).distinct(), indexRoot,
+            keyCols = Seq("sh"))
+        else DedupIndex.ingestSpansOn(indexRoot, spark, spans,
+          () => nSpans)
+      }
+      // compaction policy: metadata-only check (one manifest parse), runs
+      // AFTER ingest so the rewrite always covers this batch's spans; the
+      // hash key is the screen's join key, so clustering on it gives the
+      // rewritten files disjoint sh ranges (footer min/max pruning)
+      if (compactAboveFiles > 0 &&
+          VersionedTable.fileCount(spark, indexRoot) > compactAboveFiles)
+        graft.sources.Compaction.compactVersioned(spark, indexRoot,
+          Seq(col("sh")), compactTargetRows)
+      report
+    } finally spans.unpersist(false)
   }
 
   /** Wire a document stream (doc_id, text) into the loop: per trigger,

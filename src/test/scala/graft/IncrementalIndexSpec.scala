@@ -209,6 +209,60 @@ class IncrementalIndexSpec extends SparkSpec {
     assert(again === bloomed)
   }
 
+  test("prune gate: engaged only when the catalog stat says the index " +
+      "outweighs the batch; results identical either way") {
+    val root = tmp("graft_spanidx_gate") + "/span"
+    DedupIndex.readOrBuild(spark, root,
+      DedupIndex.spanIndex(corpusDf, k = 3), statsKeys = Seq("sh"))
+    val index = VersionedTable.read(spark, root)
+    val stat = graft.sources.VersionedStats.statsFor(spark, root).map(_._1)
+    assert(stat.isDefined && stat.get > 0L, "readOrBuild wrote no sidecar")
+    // the real stat here (small index, comparable batch) is UNDER the
+    // 4x gate: the plan must keep the plain shape — no bloom probe
+    val plain = DedupIndex.cutSeenSpans(index, batchDf, k = 3,
+      indexRows = stat)
+    assert(!plain.queryExecution.executedPlan.toString
+      .toLowerCase.contains("might_contain"),
+      "bloom prune engaged below the index/batch gate")
+    // injected big-index stat: gate engages, bloom probe in the plan
+    val pruned = DedupIndex.cutSeenSpans(index, batchDf, k = 3,
+      indexRows = Some(1000000L))
+    assert(pruned.queryExecution.executedPlan.toString
+      .toLowerCase.contains("might_contain"),
+      "bloom prune NOT engaged above the gate")
+    // no catalog stat at all -> plain shape (the gate never guesses)
+    val unknowable = DedupIndex.cutSeenSpans(index, batchDf, k = 3)
+    assert(!unknowable.queryExecution.executedPlan.toString
+      .toLowerCase.contains("might_contain"))
+    // the gate chooses plans, never answers
+    val a = plain.collect().map(_.toSeq).toSeq
+    assert(pruned.collect().map(_.toSeq).toSeq === a)
+    assert(unknowable.collect().map(_.toSeq).toSeq === a)
+    // same contract on the contamination report
+    val ca = DedupIndex.spanContamination(index, batchDf, k = 3,
+      indexRows = stat).collect().map(_.toSeq).toSeq
+    val cb = DedupIndex.spanContamination(index, batchDf, k = 3,
+      indexRows = Some(1000000L)).collect().map(_.toSeq).toSeq
+    assert(ca === cb)
+  }
+
+  test("ingestSpans maintains the stats sidecar: rows match the table, " +
+      "delta-merged on append") {
+    val root = tmp("graft_spanidx_stats") + "/span"
+    DedupIndex.readOrBuild(spark, root,
+      DedupIndex.spanIndex(corpusDf, k = 3), statsKeys = Seq("sh"))
+    val v1Rows = graft.sources.VersionedStats.statsFor(spark, root).get._1
+    assert(v1Rows === VersionedTable.read(spark, root).count())
+    DedupIndex.ingestSpans(root, batchDf, k = 3)
+    val v2Rows = graft.sources.VersionedStats.statsFor(spark, root).get._1
+    assert(v2Rows === VersionedTable.read(spark, root).count())
+    assert(v2Rows > v1Rows) // the batch's novel spans landed in the stat
+    // re-ingest: nothing appends, the stat stays exact
+    DedupIndex.ingestSpans(root, batchDf, k = 3)
+    assert(graft.sources.VersionedStats.statsFor(spark, root).get._1
+      === v2Rows)
+  }
+
   test("span index ingest is idempotent: re-ingest appends nothing") {
     val root = tmp("graft_spanidx2") + "/span"
     DedupIndex.readOrBuild(spark, root,
