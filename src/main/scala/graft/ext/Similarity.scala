@@ -104,10 +104,22 @@ object Similarity {
                                   force: Boolean): Unit =
     if (!force) {
       val n = corpus.count()
-      val m = queries.count()
       val cap = BruteForceCap.toDouble * BruteForceCap
+      // The queries side is typically a tiny derived witness frame
+      // (e.g. `emb.where(vec_id < 10)`); a full count would execute its
+      // upstream plan as an extra construction-time job (ADVICE r13).
+      // The product check needs m only up to the failure threshold
+      // cap²/n, so the count is LIMIT-bounded at threshold+1: below the
+      // threshold the limited count IS m (identical accept/reject set
+      // to the exact check — n·(⌊cap²/n⌋+1) > cap² always), at it the
+      // guard fails exactly as before. Never more work than the full
+      // count; a scan-rooted frame stops at its first row groups.
+      val mStop = (math.min(cap / math.max(n, 1L),
+        Int.MaxValue.toDouble - 2) + 1).toInt
+      val m = queries.limit(mStop).count()
       require(n.toDouble * m <= cap,
-        s"$what scores corpus × queries = $n × $m pairs " +
+        s"$what scores corpus × queries = $n × ${
+          if (m >= mStop) s">=$m" else s"$m"} pairs " +
           s"(cap ${cap.toLong}). Use $scalePath at corpus scale, or pass " +
           "force=true to run the brute-force baseline anyway.")
     }

@@ -71,11 +71,36 @@ case class TopKByDouble(valueExpr: Expression, idExpr: Expression, k: Int,
   private def compact(buf: mutable.ArrayBuffer[(Double, Long)]): Unit =
     if (buf.length > k) {
       val ordered = buf.sortWith(beats)
+      if (distinctIds && TopKByDouble.checkDistinctContract)
+        assertDistinctContract(ordered)
       val best = (if (distinctIds) ordered.distinctBy(_._2) else ordered)
         .take(k)
       buf.clear()
       buf ++= best
     }
+
+  // Debug-only contract check (-Dgraft.topk.checkDistinctContract=true,
+  // on in the test harness): distinctIds is equivalent to
+  // dedup-then-top-k ONLY when every sighting of an id carries an
+  // identical value — a caller violating that silently gets
+  // best-value-per-id semantics. Best-effort by design: a conflicting
+  // sighting already trimmed below an earlier compaction's top-k is
+  // gone before any pair meets; the check exists to catch contract
+  // violations in tests, not to police production (where it stays off
+  // and costs nothing).
+  private def assertDistinctContract(
+      ordered: mutable.ArrayBuffer[(Double, Long)]): Unit = {
+    val firstV = mutable.LongMap.empty[Double]
+    ordered.foreach { case (v, id) =>
+      val prev = firstV.getOrElseUpdate(id, v)
+      if (java.lang.Double.compare(prev, v) != 0)
+        throw new IllegalStateException(
+          s"top_k_by(distinctIds) contract violation: id $id sighted " +
+            s"with differing values $prev and $v — distinctIds keeps " +
+            "the best value per id, which is dedup-equivalent only " +
+            "when all sightings of an id agree")
+    }
+  }
 
   override def createAggregationBuffer(): mutable.ArrayBuffer[(Double, Long)] =
     mutable.ArrayBuffer.empty
@@ -102,6 +127,8 @@ case class TopKByDouble(valueExpr: Expression, idExpr: Expression, k: Int,
     // compact() is a no-op at <= k entries, so a small buffer can still
     // hold duplicate ids here — dedup unconditionally before emitting
     val sorted0 = buf.sortWith(beats)
+    if (distinctIds && TopKByDouble.checkDistinctContract)
+      assertDistinctContract(sorted0)
     val sorted = (if (distinctIds) sorted0.distinctBy(_._2) else sorted0)
       .take(k)
     new GenericArrayData(sorted.map { case (v, id) => InternalRow(v, id) })
@@ -133,6 +160,15 @@ case class TopKByDouble(valueExpr: Expression, idExpr: Expression, k: Int,
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): TopKByDouble =
     copy(valueExpr = c(0), idExpr = c(1))
+}
+
+object TopKByDouble {
+  /** Read per call, not cached at class load: the test harness sets the
+    * property in its constructor and suite/class init order must not
+    * matter. Boolean.getBoolean is a map lookup — noise next to the
+    * sort the checked path just ran. */
+  private[functions] def checkDistinctContract: Boolean =
+    java.lang.Boolean.getBoolean("graft.topk.checkDistinctContract")
 }
 
 object TopKAggregate {

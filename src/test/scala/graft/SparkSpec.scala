@@ -7,6 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local session for specs; mirrors the Verify/Bench session config
   * (UTC, small shuffle partitions, nanos-as-long for the events table). */
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  // arm the debug contract check in top_k_by(distinctIds): any suite
+  // exercising it through a caller that feeds an id differing values
+  // fails loudly instead of silently getting best-value-per-id
+  System.setProperty("graft.topk.checkDistinctContract", "true")
+
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[2]")
     .appName("graft-test")

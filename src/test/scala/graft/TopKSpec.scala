@@ -191,4 +191,24 @@ class TopKSpec extends SparkSpec {
       .select($"e.id", $"e.v").as[(Long, Double)].collect().toSeq
     assert(got === Seq((7L, 1.0), (8L, 0.5)))
   }
+
+  test("topKByDistinct debug check rejects an id sighted with differing " +
+      "values (contract violation)") {
+    // the harness arms -Dgraft.topk.checkDistinctContract (SparkSpec):
+    // distinctIds is dedup-equivalent ONLY when all sightings of an id
+    // agree; a violating caller must fail loudly, not silently get
+    // best-value-per-id
+    val df = Seq((0, 7L, 1.0), (0, 7L, 0.9), (0, 8L, 0.5))
+      .toDF("g", "id", "v")
+    val e = intercept[org.apache.spark.SparkException] {
+      df.groupBy($"g")
+        .agg(graft.functions.TopKAggregate.topKByDistinct($"v", $"id", 5)
+          .as("top"))
+        .collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("contract violation")))
+  }
 }
