@@ -158,8 +158,29 @@ object KnnGraph {
                       iters: Int = 3,
                       targetCell: Int = 512,
                       seed: Long = 42L): DataFrame = {
-    val nlist = centroids.length
     require(k >= 1 && degree >= k, s"need 1 <= k <= degree: k=$k degree=$degree")
+    topKView(descentAdjacency(corpus, centroids, nprobe, degree, iters,
+      targetCell, seed), k)
+  }
+
+  /** The descent's INTERNAL state, exposed for persistence
+    * ([[KnnGraphIndex]]): the degree-width adjacency (vec_id,
+    * neighbor_id, cos_sim) after the seed + `iters` rounds —
+    * [[knnGraphDescent]] is exactly [[topKView]] over this frame. The
+    * asset stores THIS (not the top-k) because incremental maintenance
+    * needs the full-degree adjacency to walk: top-k rows are what a
+    * reader wants, degree rows are what descent resumes from. Same
+    * eager-materialization contract as the public builder (the rounds
+    * localCheckpoint). */
+  private[ext] def descentAdjacency(corpus: DataFrame,
+                                    centroids: Array[Array[Double]],
+                                    nprobe: Int,
+                                    degree: Int,
+                                    iters: Int,
+                                    targetCell: Int,
+                                    seed: Long): DataFrame = {
+    val nlist = centroids.length
+    require(degree >= 1, s"degree must be >= 1: $degree")
     require(nprobe >= 1 && nprobe <= nlist,
       s"nprobe must be in [1, $nlist]: $nprobe")
     require(iters >= 0, s"iters must be >= 0: $iters")
@@ -338,8 +359,15 @@ object KnnGraph {
           col("u").as("neighbor_id"), col("cos_sim")))
       edges = topDegree(merged, degree).localCheckpoint(true)
     }
+    edges
+  }
 
-    // ---- final top-k with ranks (knnGraphIvf's output contract)
+  /** Final top-k with ranks over a (vec_id, neighbor_id, cos_sim)
+    * adjacency — [[Similarity.knnGraphIvf]]'s output contract; the
+    * read path of the persisted asset ([[KnnGraphIndex.topK]]): one
+    * bounded aggregate over degree-width scalar rows, answer-sized
+    * output. */
+  def topKView(edges: DataFrame, k: Int): DataFrame =
     edges.groupBy(col("vec_id"))
       .agg(TopKAggregate.topKBy(col("cos_sim"), col("neighbor_id"), k)
         .as("__nb"))
@@ -349,13 +377,12 @@ object KnnGraph {
       .select(col("vec_id"), col("__e.id").as("neighbor_id"),
         (col("__p") + 1).cast("long").as("rank"),
         col("__e.v").as("cos_sim"))
-  }
 
   /** Best `degree` DISTINCT neighbors per vector of an (vec_id,
     * neighbor_id, cos_sim) frame — duplicate sightings (which carry
     * bit-identical cosines by construction) dedup inside the bounded
     * aggregate; ties (cos DESC, id ASC). */
-  private def topDegree(edges: DataFrame, degree: Int): DataFrame =
+  private[ext] def topDegree(edges: DataFrame, degree: Int): DataFrame =
     edges.groupBy(col("vec_id"))
       .agg(TopKAggregate.topKByDistinct(col("cos_sim"), col("neighbor_id"),
         degree).as("__nb"))

@@ -395,6 +395,23 @@ object ExtOracleA {
              TRUE AS all_have_k, TRUE AS recall_ge_060
            FROM embeddings""",
 
+      // Persisted kNN graph (read path off the committed asset) — the
+      // same contract as the fresh builds: exact vector count,
+      // completeness and the probe recall floor earned in-plan against
+      // the stored adjacency.
+      "knn_graph_indexed" ->
+        """SELECT count(*) AS n_vectors, CAST(3 AS BIGINT) AS k,
+             TRUE AS all_have_k, TRUE AS recall_ge_060
+           FROM embeddings""",
+
+      // Incrementally maintained graph: same completeness contract over
+      // the WHOLE corpus after the 10% batch ingest; the recall floor
+      // is earned by the ingested vectors themselves.
+      "knn_graph_ingested" ->
+        """SELECT count(*) AS n_vectors, CAST(3 AS BIGINT) AS k,
+             TRUE AS all_have_k, TRUE AS recall_ge_060
+           FROM embeddings""",
+
       // PQ recall witness — same contract shape as knn_ivf: count from
       // real oracle data, the recall floor earned in-plan.
       "knn_pq" ->

@@ -96,6 +96,23 @@ class ConcurrentBuildSpec extends SparkSpec {
     assert(knn.count() == 6L)
   }
 
+  test("KnnGraphIndex.create: racing creators leave one model + one version") {
+    val root = fresh("kgi")
+    import spark.implicits._
+    val dim = 8
+    val corpus = (0L until 96L)
+      .map(i => (i, Array.tabulate(dim)(d =>
+        ((i * 31 + d * 7) % 13).toFloat)))
+      .toDF("vec_id", "embedding")
+    val results = race(4)(_ => graft.ext.KnnGraphIndex.create(corpus, root))
+    val errs = results.collect { case Left(e) => e }
+    assert(errs.isEmpty, s"racing create threw: ${errs.mkString("; ")}")
+    assert(VersionedTable.versions(spark, root) == Seq(1L))
+    // the surviving asset serves the read path completely
+    val (_, p) = graft.ext.KnnGraphIndex.readModel(spark, root)
+    assert(graft.ext.KnnGraphIndex.topK(spark, root).count() == 96L * p.k)
+  }
+
   test("BucketedTable.bucketed: racing threads materialize one layout") {
     // private copy of the nation table => a layout name no other suite
     // (or earlier run) can have materialized: the race hits a COLD layout

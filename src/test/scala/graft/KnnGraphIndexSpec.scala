@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{KnnGraph, KnnGraphIndex, Similarity}
+import graft.sources.{VersionedStats, VersionedTable}
+
+/** The persisted kNN graph (ext/KnnGraphIndex): build-once read-many,
+  * read path ≡ fresh build, incremental ingest keeps the full-build
+  * contract without a rebuild. */
+class KnnGraphIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft-kgi-$tag").toFile
+    d.deleteOnExit()
+    new java.io.File(d, "root").getAbsolutePath
+  }
+
+  // deterministic mixture fixture: 4 loose clusters of 30 in dim 8 —
+  // clustered geometry so a 3-probe seed + one descent round reaches
+  // high recall at fixture scale
+  private val dim = 8
+  private def vec(i: Long): Array[Float] = {
+    val c = (i % 4).toInt
+    Array.tabulate(dim) { d =>
+      val base = if (d % 4 == c) 4.0f else 0.5f
+      base + ((i * 31 + d * 7) % 11).toFloat / 10f
+    }
+  }
+  private def corpusDf(ids: Seq[Long]) =
+    ids.map(i => (i, vec(i))).toDF("vec_id", "embedding")
+
+  private val allIds = (0L until 120L)
+  private val baseIds = allIds.filter(_ % 10 != 0)
+  private val batchIds = allIds.filter(_ % 10 == 0)
+
+  test("create persists the descent build: topK off the asset equals " +
+      "the fresh build exactly; re-create is a no-op") {
+    val root = fresh("create")
+    val corpus = corpusDf(allIds)
+    KnnGraphIndex.create(corpus, root)
+    assert(VersionedTable.versions(spark, root) === Seq(1L))
+    val (centroids, p) = KnnGraphIndex.readModel(spark, root)
+    val freshBuild = KnnGraph.knnGraphDescent(corpus, p.k, centroids,
+        p.nprobe, p.degree, p.iters, p.targetCell, p.seed)
+      .collect().map(_.toSeq).toSet
+    val indexed = KnnGraphIndex.topK(spark, root)
+      .collect().map(_.toSeq).toSet
+    assert(indexed === freshBuild)
+    // second create: no new version, no refit
+    KnnGraphIndex.create(corpus, root)
+    assert(VersionedTable.versions(spark, root) === Seq(1L))
+    // stats sidecar carries the adjacency row count (the catalog stat)
+    val stat = VersionedStats.statsFor(spark, root).map(_._1)
+    assert(stat.contains(VersionedTable.read(spark, root).count()))
+  }
+
+  test("build determinism across roots: two creates of the same corpus " +
+      "commit identical adjacencies") {
+    val corpus = corpusDf(allIds)
+    val r1 = fresh("det1"); val r2 = fresh("det2")
+    KnnGraphIndex.create(corpus, r1)
+    KnnGraphIndex.create(corpus, r2)
+    val a = KnnGraphIndex.adjacency(spark, r1)
+      .collect().map(_.toSeq).toSet
+    val b = KnnGraphIndex.adjacency(spark, r2)
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
+  test("ingest absorbs a batch without rebuild: completeness, recall, " +
+      "locality, idempotence") {
+    val root = fresh("ingest")
+    val base = corpusDf(baseIds)
+    val all = corpusDf(allIds)
+    val batch = corpusDf(batchIds)
+    KnnGraphIndex.create(base, root)
+    val v1 = KnnGraphIndex.adjacency(spark, root)
+      .collect().map(_.toSeq).toSet
+    val v2n = KnnGraphIndex.ingest(root, all, batch)
+    assert(v2n === 2L)
+    val (_, p) = KnnGraphIndex.readModel(spark, root)
+    // completeness: every corpus vector — old and ingested — has
+    // exactly k ranked edges
+    val g = KnnGraphIndex.topK(spark, root)
+    val degs = g.groupBy($"vec_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(degs.keySet === allIds.toSet)
+    assert(degs.values.forall(_ == p.k.toLong))
+    // recall: the ingested vectors' edges vs brute force over the full
+    // corpus clear the library floor (a seed-only or batch-blind ingest
+    // fails this on the clustered fixture)
+    val queries = all.join(batchIds.toDF("vec_id"), Seq("vec_id"),
+      "left_semi")
+    val recall = Similarity.recallFraction(
+        g.join(batchIds.toDF("vec_id"), Seq("vec_id"), "left_semi")
+          .select($"vec_id".as("query_id"), $"neighbor_id".as("cand_id")),
+        all, queries, k = p.k)
+      .select($"recall").head().getDouble(0)
+    assert(recall >= 0.6, s"ingested-vector recall $recall under floor")
+    // locality: ingest touches the affected neighborhood, not the
+    // whole graph — some old vertices' lists change (they gained a new
+    // near neighbor), but not all of them
+    val v2 = KnnGraphIndex.adjacency(spark, root)
+      .collect().map(_.toSeq).toSet
+    val changedOld = (v2 diff v1).map(_.head.asInstanceOf[Long])
+      .filter(_ % 10 != 0)
+    assert(changedOld.size < baseIds.size,
+      "ingest rewrote every old vertex — no locality")
+    // old vertices never sighted with a new candidate carry over
+    // byte-identical (their v1 rows are still present verbatim)
+    val untouched = baseIds.toSet -- changedOld
+    assert(untouched.nonEmpty)
+    assert(v1.filter(r => untouched(r.head.asInstanceOf[Long]))
+      .subsetOf(v2))
+    // idempotence: re-ingesting the same batch is a no-op
+    assert(KnnGraphIndex.ingest(root, all, batch) === 2L)
+    assert(VersionedTable.versions(spark, root) === Seq(1L, 2L))
+  }
+
+  test("ingest determinism: two roots ingesting the same batch commit " +
+      "identical adjacencies") {
+    val base = corpusDf(baseIds)
+    val all = corpusDf(allIds)
+    val batch = corpusDf(batchIds)
+    val r1 = fresh("idet1"); val r2 = fresh("idet2")
+    KnnGraphIndex.create(base, r1); KnnGraphIndex.ingest(r1, all, batch)
+    KnnGraphIndex.create(base, r2); KnnGraphIndex.ingest(r2, all, batch)
+    val a = KnnGraphIndex.adjacency(spark, r1)
+      .collect().map(_.toSeq).toSet
+    val b = KnnGraphIndex.adjacency(spark, r2)
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+}
