@@ -53,19 +53,61 @@ object Bench {
     * A run against a DIFFERENT sf than the committed reference never
     * replaces it either (round 11: a calm sf0.01 iteration run silently
     * committed itself over the sf0.1 reference — calm, full, green, and
-    * still the wrong number). `force` (SPARK_GRAFT_BENCH_FORCE_REF=1)
-    * overrides the noise and sf gates, for deliberate re-pins. Returns
-    * the action for the artifact: written | subset_skip | failed_skip |
-    * sf_mismatch_skip | refused_noisy. */
+    * still the wrong number).
+    *
+    * Cross-run normalizer (VERDICT r13 #3 — the box-day hole): the
+    * noise gates are INSTANT readings (load at start, steal during),
+    * and a uniformly slow box-day walks straight through them — the
+    * r13 re-pin accepted 238.8 s over a 170.9 s reference at
+    * load0 0.79, degrading the headline comparator 1.10 → 1.52 with no
+    * real regression underneath. `medianRatio` is the MEDIAN per-query
+    * ratio of this run vs the current committed reference over shared
+    * queries whose reference time exceeds 0.3 s (sub-0.3 s rows are
+    * jitter); a median above [[RefInflationCap]] means the whole box
+    * ran uniformly slower than the pinned day, and the re-pin is
+    * refused (routed to the dirty file, like the sf gate). A uniformly
+    * FASTER run re-pins freely — that restores the honest comparator.
+    * None (no comparable committed reference, or too few shared slow
+    * queries to take a median) passes the gate: there is nothing to
+    * normalize against.
+    *
+    * `force` (SPARK_GRAFT_BENCH_FORCE_REF=1) overrides the noise, sf,
+    * and inflation gates, for deliberate re-pins. Returns the action
+    * for the artifact: written | subset_skip | failed_skip |
+    * sf_mismatch_skip | refused_noisy | refused_inflated. */
   def refDecision(subset: Boolean, nFailed: Int, load0: Double,
                   stealPct: Double, force: Boolean,
-                  sfMatch: Boolean = true): String =
+                  sfMatch: Boolean = true,
+                  medianRatio: Option[Double] = None): String =
     if (subset) "subset_skip"
     else if (nFailed > 0) "failed_skip"
     else if (!sfMatch && !force) "sf_mismatch_skip"
+    else if (!force && medianRatio.exists(_ > RefInflationCap))
+      "refused_inflated"
     else if (force || (load0 >= 0 && load0 < 2.0 && stealPct < 0.5))
       "written"
     else "refused_noisy"
+
+  /** Median shared-query ratio above which a re-pin is refused: 1.15
+    * tolerates honest jitter and small code-wide constants while
+    * catching the measured box-day signatures (1.30× in r13, and the
+    * uniform envelopes every round's verdict has noted since r1). */
+  val RefInflationCap: Double = 1.15
+
+  /** The cross-run normalizer's input: median of per-query ratios
+    * (this run / committed reference) over shared queries with
+    * reference time > 0.3 s. None when fewer than `minShared` such
+    * queries exist — a median of a handful of rows is noise, not a
+    * box-day signal. */
+  def medianRefRatio(current: Map[String, Double],
+                     reference: Map[String, Double],
+                     minShared: Int = 8): Option[Double] = {
+    val ratios = reference.toSeq.collect {
+      case (n, p) if p > 0.3 && current.contains(n) => current(n) / p
+    }.sorted
+    if (ratios.size < minShared) None
+    else Some(ratios(ratios.size / 2))
+  }
 
   /** The sf recorded in the COMMITTED reference, for the sf gate; None
     * when no committed reference exists (first pin: any sf may write). */
@@ -344,7 +386,7 @@ object Bench {
     }.mkString("[", ",", "]")
     val failedJson = failed.map(q =>
       s"""{"q":"${q.name}","err":${jstr(q.err)}}""").mkString("[", ",", "]")
-    val meta = s""""sf":"$sfDir","seed":$seed,"warm_full":$warmFull,"load_avg_start":${f2(load0)},"load_avg_end":${f2(load1)},"steal_pct":${f2(stealPct)},"heap_max_mb":${Runtime.getRuntime.maxMemory() >> 20},"spill_mem_mb":${spillMem.get() >> 20},"spill_disk_mb":${spillDisk.get() >> 20}"""
+    def meta(medRatio: Option[Double]) = s""""sf":"$sfDir","seed":$seed,"warm_full":$warmFull,"load_avg_start":${f2(load0)},"load_avg_end":${f2(load1)},"steal_pct":${f2(stealPct)},"median_ref_ratio":${medRatio.map(f2).getOrElse("null")},"heap_max_mb":${Runtime.getRuntime.maxMemory() >> 20},"spill_mem_mb":${spillMem.get() >> 20},"spill_disk_mb":${spillDisk.get() >> 20}"""
     // Deviation guard (VERDICT r05 hygiene item 2): flag every query
     // that ran >3x slower than the last committed full map, so a noisy
     // run reads as a one-line artifact instead of a forensic pass.
@@ -376,15 +418,28 @@ object Bench {
     // numbers land in BENCH_FULL.dirty.json instead — visible for
     // inspection, never the next run's deviation reference.
     val refSf = committedRefSf(fullPath)
+    // cross-run normalizer input: only the COMMITTED reference is a pin
+    // worth defending (a disk fallback is just the previous local run)
+    val medRatio =
+      if (prevSource == "HEAD") medianRefRatio(results.toMap, prevQ)
+      else None
     val refAction = refDecision(only.nonEmpty, failed.size, load0, stealPct,
       sys.env.get("SPARK_GRAFT_BENCH_FORCE_REF").contains("1"),
-      sfMatch = refSf.forall(_ == sfDir))
+      sfMatch = refSf.forall(_ == sfDir),
+      medianRatio = medRatio)
     val fullTarget = refAction match {
       case "written" => Some(fullPath)
       case "refused_noisy" =>
         System.err.println(s"[bench] NOISY window (load0=${f2(load0)}, " +
           s"steal=${f2(stealPct)}%): reference kept; full map -> " +
           s"$fullPath.dirty.json (force with SPARK_GRAFT_BENCH_FORCE_REF=1)")
+        Some(s"$fullPath.dirty.json")
+      case "refused_inflated" =>
+        System.err.println(s"[bench] UNIFORM INFLATION vs committed " +
+          s"reference (median shared-query ratio ${f2(medRatio.get)} > " +
+          s"${Bench.RefInflationCap}): box-day, not code — reference " +
+          s"kept; full map -> $fullPath.dirty.json (force with " +
+          "SPARK_GRAFT_BENCH_FORCE_REF=1)")
         Some(s"$fullPath.dirty.json")
       case "sf_mismatch_skip" =>
         System.err.println(s"[bench] sf mismatch (reference ${refSf.get}, " +
@@ -396,11 +451,11 @@ object Bench {
     fullTarget.foreach { path =>
       try {
         val w = new java.io.PrintWriter(path, "UTF-8")
-        try w.println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","ref_update":"$refAction","queries":${qjson(byTime)},"telemetry":$teleJson,$devMeta,$meta}""")
+        try w.println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","ref_update":"$refAction","queries":${qjson(byTime)},"telemetry":$teleJson,$devMeta,${meta(medRatio)}}""")
         finally w.close()
       } catch { case _: Throwable => () }
     }
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${qjson(byTime.take(40))},"n_queries":${results.size},"n_failed":${failed.size},"ref_update":"$refAction","all_queries_file":"$fullPath",$devMeta,$meta}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${qjson(byTime.take(40))},"n_queries":${results.size},"n_failed":${failed.size},"ref_update":"$refAction","all_queries_file":"$fullPath",$devMeta,${meta(medRatio)}}""")
     spark.stop()
     // Loud exit: a broken query is a broken bench. total above excludes
     // the failed queries (they contributed no timing), so rc is the only

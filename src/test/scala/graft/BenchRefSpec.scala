@@ -57,4 +57,48 @@ class BenchRefSpec extends AnyFunSuite {
       load0 = 9.0, stealPct = 3.0, force = false,
       sfMatch = false) === "sf_mismatch_skip")
   }
+
+  test("uniform inflation vs the committed reference refuses the re-pin") {
+    // the r13 hole: a uniformly slow box-day (every query ~1.3x) passes
+    // every instant noise gate and replaces a calm pin with an inflated
+    // one — the cross-run normalizer catches exactly this
+    assert(Bench.refDecision(subset = false, nFailed = 0,
+      load0 = 0.4, stealPct = 0.1, force = false,
+      medianRatio = Some(1.30)) === "refused_inflated")
+    // honest jitter / small code-wide constants under the cap still pin
+    assert(Bench.refDecision(subset = false, nFailed = 0,
+      load0 = 0.4, stealPct = 0.1, force = false,
+      medianRatio = Some(1.10)) === "written")
+    // a uniformly FASTER run re-pins freely (restores the comparator)
+    assert(Bench.refDecision(subset = false, nFailed = 0,
+      load0 = 0.4, stealPct = 0.1, force = false,
+      medianRatio = Some(0.80)) === "written")
+    // no comparable committed reference -> nothing to normalize against
+    assert(Bench.refDecision(subset = false, nFailed = 0,
+      load0 = 0.4, stealPct = 0.1, force = false,
+      medianRatio = None) === "written")
+    // force is the deliberate escape hatch for the inflation gate too
+    assert(Bench.refDecision(subset = false, nFailed = 0,
+      load0 = 0.4, stealPct = 0.1, force = true,
+      medianRatio = Some(2.0)) === "written")
+    // inflation out-ranks the noise verdict (the more specific signal)
+    assert(Bench.refDecision(subset = false, nFailed = 0,
+      load0 = 9.0, stealPct = 3.0, force = false,
+      medianRatio = Some(1.30)) === "refused_inflated")
+  }
+
+  test("medianRefRatio: shared >0.3s queries only, min-count guarded") {
+    val ref = (1 to 10).map(i => s"q$i" -> 1.0).toMap +
+      ("tiny" -> 0.1) + ("missing" -> 5.0)
+    // uniform 1.3x inflation on the shared slow rows; the tiny row and
+    // the reference-only row must not dilute the median
+    val cur = (1 to 10).map(i => s"q$i" -> 1.3).toMap +
+      ("tiny" -> 10.0) + ("extra" -> 99.0)
+    val r = Bench.medianRefRatio(cur, ref)
+    assert(r.isDefined && math.abs(r.get - 1.3) < 1e-9)
+    // under the min-shared floor: no verdict
+    val few = (1 to 5).map(i => s"q$i" -> 1.0).toMap
+    assert(Bench.medianRefRatio(
+      few.map { case (k, _) => k -> 1.3 }, few).isEmpty)
+  }
 }
