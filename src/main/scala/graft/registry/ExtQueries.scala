@@ -132,6 +132,53 @@ object ExtQueries {
         .orderBy(col("split"))
     }),
 
+    // The SEMANTIC regime of the leakage-safe split (VERDICT r13 #5):
+    // the lexical split keys on winnowing components only, so near-dups
+    // the lexical pass cannot see — paraphrases, exactly what
+    // semantic_dedup finds — still straddle the boundary. Here the
+    // component step runs over the UNION of both pair generators:
+    // winnowing (lexical, bucketed) edges on doc_id plus
+    // embedding-cosine near-dup edges (vec_id ≡ doc_id for the docs
+    // that carry an embedding — the testdata contract), so a cluster
+    // that is lexically distinct but semantically duplicated still
+    // lands wholly on one side. The witness counts cross-boundary
+    // pairs OF THE UNION (computed, never assumed; must be 0). The
+    // semantic edges use the exact pair generator so the DuckDB oracle
+    // re-runs BOTH generators verbatim; at corpus scale the LSH /
+    // multi-probe near-dup family substitutes as the edge source — the
+    // split construction (components → hash on representative) is
+    // generator-agnostic, and the witness stays sound for whatever
+    // pair frame fed it.
+    "leakage_safe_split_semantic" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val lex = Dedup.winnowingPairs(docs, k = 5, w = 4, minShared = 10)
+        .select(col("doc_a"), col("doc_b"))
+      val sem = Similarity.cosineNearDupPairs(emb, threshold = 0.4)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      val pairs = lex.unionByName(sem)
+      val comps = graft.ext.Components.connectedComponents(
+        pairs, "doc_a", "doc_b")
+      val withRep = docs.select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("rep"))
+      val split = Sampling.deterministicSplit(withRep, col("rep"),
+        Seq("train" -> 80, "eval" -> 20))
+      val cross = pairs
+        .join(split.select(col("doc_id").as("doc_a"),
+          col("split").as("__sa")), Seq("doc_a"))
+        .join(split.select(col("doc_id").as("doc_b"),
+          col("split").as("__sb")), Seq("doc_b"))
+        .where(col("__sa") =!= col("__sb"))
+        .agg(count(lit(1)).as("cross_split_pairs"))
+      split.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("rep")).as("n_groups"))
+        .crossJoin(broadcast(cross))
+        .orderBy(col("split"))
+    }),
+
     // Exact cosine top-5 for 10 probe vectors (brute-force ANN baseline).
     "knn_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
