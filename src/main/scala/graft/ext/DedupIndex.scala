@@ -301,6 +301,105 @@ object DedupIndex {
       keyCols = Seq("sh"), append = true)
   }
 
+  /** Ensure the latest version of a span-index root is range-clustered
+    * with registered per-file key ranges — compact once
+    * ([[graft.sources.Compaction.compactVersioned]] with the `sh`
+    * range stat) if the latest version has none. Idempotent across
+    * runs (the compacted version carries its sidecar, so later calls
+    * no-op); same-root callers serialize in-JVM. */
+  def ensureFileRanges(spark: SparkSession, root: String,
+                       targetRowsPerFile: Long = 4096): Unit =
+    graft.sources.KeyedLocks.withLock(root) {
+      if (graft.sources.VersionedStats.fileRangesFor(spark, root).isEmpty)
+        graft.sources.Compaction.compactVersioned(spark, root,
+          Seq(col("sh")), targetRowsPerFile, rangeStatCol = Some("sh"))
+    }
+
+  /** Driver-collected probe-key budget for the file-skip read path. */
+  val ProbeLookupMaxKeys = 4096
+
+  /** FILE-level pruned read of a span index for a SMALL key set: load
+    * only the manifest files whose registered [min, max] `sh` range
+    * ([[graft.sources.VersionedStats.writeFileRanges]]) contains at
+    * least one probe key. No false skips — a key present in the table
+    * lies inside its file's range by definition — so membership
+    * verdicts off the pruned frame are exact. Files without a
+    * registered range are always read (unknown range never skips).
+    * Returns (frame, files read, files total).
+    *
+    * Scale regime, stated honestly: md5 keys are uniform, so a probe
+    * of B keys against F range-clustered files expects ~F·(1−(1−1/F)^B)
+    * files hit — the skip wins when B is small relative to F (the
+    * eval-suite / sentence-lookup shape: dozens of spans against a
+    * corpus-sized index), and degrades gracefully to a full read for
+    * batch-sized probes, where the bloom-pruned exchange
+    * ([[gatedSeen]]) is the operative defense. */
+  def prunedSpanIndexRead(spark: SparkSession, root: String,
+                          keys: Seq[String],
+                          version: Option[Long] = None)
+      : (DataFrame, Int, Int) = {
+    require(keys.size <= ProbeLookupMaxKeys,
+      s"file-skip probe collects keys to the driver: ${keys.size} > " +
+        s"$ProbeLookupMaxKeys — use spanContamination for batch probes")
+    val vs = VersionedTable.versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions under $root")
+    val v = version.getOrElse(vs.last)
+    val all = VersionedTable.manifestFiles(spark, root, v)
+    val ranges = graft.sources.VersionedStats.fileRangesFor(spark, root,
+      Some(v))
+    val keep = ranges match {
+      case None => all
+      case Some(r) => all.filter { f =>
+        r.get(f) match {
+          case Some((lo, hi)) => keys.exists(k => k >= lo && k <= hi)
+          case None => true
+        }
+      }
+    }
+    val df =
+      if (keep.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("sh",
+              org.apache.spark.sql.types.StringType))))
+      else spark.read.parquet(keep: _*)
+    (df.select(col("sh")), keep.size, all.size)
+  }
+
+  /** Span membership lookup through the file-skip path: for each probe
+    * row (probe_id, span), is the span's k-gram hash anywhere in the
+    * persisted index? The eval-decontamination question at its smallest
+    * grain ("is this exact sentence in the corpus"), answered by
+    * reading only the files whose key range can contain a probe.
+    * Probes are collected (small by contract — [[ProbeLookupMaxKeys]]).
+    * Output: (probe_id, seen, files_pruned), probe_id ascending; also
+    * returns (files read, files total) for callers that assert the
+    * skip. */
+  def spanProbeLookup(spark: SparkSession, root: String,
+                      probes: DataFrame): (DataFrame, Int, Int) = {
+    def md5hex(s: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val rows = probes.select(col("probe_id"), col("span")).collect()
+    require(rows.length <= ProbeLookupMaxKeys,
+      s"${rows.length} probes exceed the lookup budget $ProbeLookupMaxKeys")
+    val keyed = rows.map(r => (r.getLong(0), md5hex(r.getString(1))))
+    val (idx, read, total) = prunedSpanIndexRead(spark, root,
+      keyed.map(_._2).distinct.toSeq)
+    import spark.implicits._
+    val keysDf = keyed.toSeq.toDF("probe_id", "sh")
+    val hits = idx
+      .join(broadcast(keysDf.select(col("sh")).distinct()),
+        Seq("sh"), "left_semi")
+      .distinct().withColumn("__seen", lit(1))
+    val out = keysDf.join(hits, Seq("sh"), "left")
+      .select(col("probe_id"), col("__seen").isNotNull.as("seen"),
+        lit(read < total).as("files_pruned"))
+      .orderBy(col("probe_id"))
+    (out, read, total)
+  }
+
   /** The production shape of substring dedup at 100 TB: cut an incoming
     * batch against the PERSISTED span index — every batch token run
     * already present anywhere in the corpus is removed, the corpus is

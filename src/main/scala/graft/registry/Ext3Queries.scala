@@ -245,6 +245,38 @@ object Ext3Queries {
           .map(_._1))
     }),
 
+    // Span membership lookup through the FILE-SKIP read path (VERDICT
+    // r13 #7): the smallest-grain decontamination question — "is this
+    // exact 5-gram anywhere in the corpus" — against the persisted span
+    // index, reading ONLY the files whose registered [min,max] sh range
+    // can contain a probe key. The index is range-clustered once
+    // (Compaction.compactVersioned with the sh range stat, idempotent
+    // across runs); probes are the first 5-gram of docs 0-2 plus a
+    // literal never-in-corpus span. files_pruned is the earned witness:
+    // the pruned read touched strictly fewer files than the manifest
+    // lists (spec pins the counts; uniform md5 keys mean the skip wins
+    // exactly in this small-probe regime — batch-sized probes keep the
+    // gated bloom-prune path).
+    "span_probe_file_skip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val split = graft.ext.Sampling.deterministicSplit(
+        docs, col("doc_id"), Seq("corpus" -> 80, "batch" -> 20))
+      val root = "/tmp/graft_dedup_index/" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "/spanfr"
+      graft.ext.DedupIndex.readOrBuild(s, root,
+        graft.ext.DedupIndex.spanIndex(
+          split.where(col("split") === "corpus"), k = 5),
+        statsKeys = Seq("sh"))
+      graft.ext.DedupIndex.ensureFileRanges(s, root)
+      val probes = docs.where(col("doc_id") < 3)
+        .select(col("doc_id").as("probe_id"),
+          array_join(slice(graft.ext.TextAnalysis.tokens(col("text")),
+            1, 5), " ").as("span"))
+        .unionByName(s.range(1).select(lit(99L).as("probe_id"),
+          lit("zz90 zz91 zz92 zz93 zz94").as("span")))
+      graft.ext.DedupIndex.spanProbeLookup(s, root, probes)._1
+    }),
+
     // Ordered conversion funnel: users clearing view -> click -> purchase
     // strictly in order (operators/Funnel; one shuffle + one sort, k
     // chained window-mins, no per-user history buffer).

@@ -419,6 +419,38 @@ object ExtOracleB {
            GROUP BY b.doc_id ORDER BY b.doc_id"""
       },
 
+      // span_probe_file_skip: same 80/20 corpus split; probes are the
+      // first 5-gram of docs 0-2 plus a literal absent span. seen is
+      // recomputed from the corpus span set; files_pruned is the
+      // engine-earned file-skip witness (lit TRUE here — the oracle has
+      // no file layout, the spec pins the counts).
+      "span_probe_file_skip" -> {
+        val hex32 = foldSum(
+          "list_transform(generate_series(1, 8), i -> " +
+            "CAST(CASE WHEN ascii(substr(mh, i, 1)) <= 57 " +
+            "THEN ascii(substr(mh, i, 1)) - 48 " +
+            "ELSE ascii(substr(mh, i, 1)) - 87 END AS BIGINT) " +
+            "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+          "CAST(0 AS BIGINT)")
+        s"""WITH m AS (SELECT doc_id, text,
+               md5(CAST(doc_id AS VARCHAR)) AS mh FROM documents),
+           d AS (SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
+               $hex32 % 100 AS bucket FROM m),
+           csp AS (SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS span
+                   FROM d, LATERAL unnest(generate_series(1, len(w)-4)) t(i)
+                   WHERE bucket < 80),
+           pr AS (SELECT doc_id AS probe_id,
+                    array_to_string(w[1:5], ' ') AS span
+                  FROM d WHERE doc_id < 3
+                  UNION ALL
+                  SELECT CAST(99 AS BIGINT), 'zz90 zz91 zz92 zz93 zz94')
+           SELECT pr.probe_id, (c.span IS NOT NULL) AS seen,
+             TRUE AS files_pruned
+           FROM pr LEFT JOIN csp c USING (span)
+           ORDER BY probe_id"""
+      },
+
       "span_cut_indexed" -> {
         // corpus spans own everything; batch hits -> islands -> rebuild
         // (same algebra as span_cut_docs, corpus side from the split)

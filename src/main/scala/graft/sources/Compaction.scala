@@ -60,7 +60,8 @@ object Compaction {
     * Returns the committed version. */
   def compactVersioned(spark: SparkSession, root: String,
                        clusterCols: Seq[Column],
-                       targetRowsPerFile: Long): Long = {
+                       targetRowsPerFile: Long,
+                       rangeStatCol: Option[String] = None): Long = {
     require(targetRowsPerFile > 0, s"need positive target: $targetRowsPerFile")
     val latest = VersionedTable.read(spark, root)
     val n = latest.count()
@@ -77,6 +78,10 @@ object Compaction {
     // maintained) carries forward EXACTLY — OPTIMIZE must not demote
     // the catalog to on-demand estimation
     VersionedStats.carryForward(spark, root, prior, v)
+    // the rewrite is exactly when per-file key ranges become disjoint
+    // contiguous runs — register them so small-probe readers can skip
+    // files ([[VersionedStats.writeFileRanges]])
+    rangeStatCol.foreach(c => VersionedStats.writeFileRanges(spark, root, v, c))
     v
   }
 }

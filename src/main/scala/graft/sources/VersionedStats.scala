@@ -192,6 +192,62 @@ object VersionedStats {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  private def rangesPath(root: String, v: Long) =
+    new Path(new Path(root, "_stats"), s"franges_v$v.json")
+
+  /** Register per-file [min, max] of a STRING key column for a
+    * committed version — the catalog half of FILE-level probe pruning:
+    * after a range-clustered rewrite ([[Compaction.compactVersioned]])
+    * every file holds a disjoint contiguous key range, so a reader with
+    * a SMALL key set can skip files whose range contains none of its
+    * keys (no false skips: a key present in the table lies inside its
+    * file's [min, max] by definition). One aggregate pass grouped by
+    * input file — run at compaction time, when the table is being
+    * rewritten anyway. File paths and keys are hex-encoded in the
+    * sidecar (the same escaping-free discipline as the heavy-hitter
+    * block). No-op (false) if a sidecar already exists. */
+  def writeFileRanges(spark: SparkSession, root: String, v: Long,
+                      keyCol: String): Boolean = {
+    val rows = VersionedTable.read(spark, root, Some(v))
+      .groupBy(input_file_name().as("__f"))
+      .agg(min(col(keyCol).cast("string")).as("__lo"),
+        max(col(keyCol).cast("string")).as("__hi"))
+      .collect()
+    val items = rows.map(r =>
+      s"""["${toHex(r.getString(0))}","${toHex(r.getString(1))}","${toHex(r.getString(2))}"]""")
+      .mkString(",")
+    val p = rangesPath(root, v)
+    val f = fs(spark, p)
+    if (f.exists(p)) return false
+    f.mkdirs(p.getParent)
+    val out = f.create(p, false)
+    try out.write(s"""{"ranges": [$items]}""".getBytes("UTF-8"))
+    finally out.close()
+    true
+  }
+
+  /** Stored per-file key ranges for a version (latest by default):
+    * file URI → (min, max). None when the sidecar is missing or the
+    * version is not committed — callers read every file (advisory
+    * stats degrade, never fail). */
+  def fileRangesFor(spark: SparkSession, root: String,
+                    version: Option[Long] = None)
+      : Option[Map[String, (String, String)]] = {
+    val vs = VersionedTable.versions(spark, root)
+    if (vs.isEmpty) return None
+    val v = version.getOrElse(vs.last)
+    if (!vs.contains(v)) return None
+    val json = readSidecar(spark, rangesPath(root, v))
+      .getOrElse(return None)
+    try {
+      val item = "\\[\"([0-9a-f]*)\",\"([0-9a-f]*)\",\"([0-9a-f]*)\"\\]".r
+      val m = item.findAllMatchIn(json).map(i =>
+        fromHex(i.group(1)) -> (fromHex(i.group(2)), fromHex(i.group(3))))
+        .toMap
+      if (m.isEmpty) None else Some(m)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Carry a version's sidecar forward to a CONTENT-IDENTICAL later
     * version — the OPTIMIZE composition: a layout rewrite
     * ([[Compaction.compactVersioned]]) changes files, not rows, and

@@ -218,8 +218,8 @@ object VersionedTable {
       .sorted.toSeq
   }
 
-  private def manifestFiles(spark: SparkSession, root: String,
-                            v: Long): Seq[String] = {
+  private[graft] def manifestFiles(spark: SparkSession, root: String,
+                                   v: Long): Seq[String] = {
     val p = new Path(manifestDir(root), s"v$v.json")
     val f = fs(spark, p)
     require(f.exists(p), s"no such version $v under $root")
@@ -313,6 +313,7 @@ object VersionedTable {
       // stats sidecars ([[VersionedStats]]) are keyed by version: one
       // sweeps with its manifest, or they accumulate forever
       f.delete(new Path(new Path(root, "_stats"), s"v$v.json"), false)
+      f.delete(new Path(new Path(root, "_stats"), s"franges_v$v.json"), false)
     }
     // streaming ingest markers ([[graft.streaming.StreamingDecontamination]])
     // are keyed by batch id; only the LAST batch can ever replay (the

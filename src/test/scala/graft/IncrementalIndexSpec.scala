@@ -263,6 +263,35 @@ class IncrementalIndexSpec extends SparkSpec {
       === v2Rows)
   }
 
+  test("file-skip lookup: pruned read touches fewer files, verdicts exact") {
+    // a corpus big enough to range-cluster into several files
+    val corpus = (0L until 400L).map(i =>
+        (i, "en", (0 until 12).map(t => s"c${i}t$t").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val root = tmp("graft_spanfr") + "/span"
+    DedupIndex.readOrBuild(spark, root,
+      DedupIndex.spanIndex(corpus, k = 3), statsKeys = Seq("sh"))
+    DedupIndex.ensureFileRanges(spark, root, targetRowsPerFile = 256)
+    // second call is a no-op: the compacted version carries its sidecar
+    val vAfter = VersionedTable.versions(spark, root)
+    DedupIndex.ensureFileRanges(spark, root, targetRowsPerFile = 256)
+    assert(VersionedTable.versions(spark, root) === vAfter)
+    // probes: one span known present (doc 7's first 3-gram), one absent
+    val probes = Seq((7L, "c7t0 c7t1 c7t2"), (99L, "zz90 zz91 zz92"))
+      .toDF("probe_id", "span")
+    val (out, read, total) = DedupIndex.spanProbeLookup(spark, root, probes)
+    assert(total > 1, s"fixture produced a single file ($total)")
+    assert(read < total, s"no files skipped: $read of $total")
+    assert(out.as[(Long, Boolean, Boolean)].collect().sortBy(_._1).toSeq
+      === Seq((7L, true, true), (99L, false, true)))
+    // no false skips: every indexed span still reads seen through the
+    // pruned path (spot-check a spread of docs)
+    val spread = Seq(0L, 123L, 256L, 399L).map(i =>
+      (i, s"c${i}t3 c${i}t4 c${i}t5")).toDF("probe_id", "span")
+    val (out2, _, _) = DedupIndex.spanProbeLookup(spark, root, spread)
+    assert(out2.where(!col("seen")).count() === 0L)
+  }
+
   test("span index ingest is idempotent: re-ingest appends nothing") {
     val root = tmp("graft_spanidx2") + "/span"
     DedupIndex.readOrBuild(spark, root,
