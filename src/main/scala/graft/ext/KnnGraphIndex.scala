@@ -64,11 +64,16 @@ object KnnGraphIndex {
         val n = corpus.count()
         val nlist = math.min(Similarity.IvfFitNlistCap.toLong,
           math.max(8L, n / targetCell)).toInt
-        val degree = KnnGraph.degreeFor(n)
-        require(k >= 1 && degree >= k,
-          s"need 1 <= k <= degree: k=$k degree=$degree")
         val centroids = Similarity.ivfFit(corpus, nlist = nlist,
           seed = seed)
+        // structure-aware degree (KnnGraph.degreeForCorpus): the
+        // isotropic rule shrunk toward the floor on measurably
+        // clustered corpora — the statistic is one linear aggregate,
+        // noise next to the build this create exists to amortize
+        val degree = KnnGraph.degreeForCorpus(n,
+          KnnGraph.compactness(corpus, centroids))
+        require(k >= 1 && degree >= k,
+          s"need 1 <= k <= degree: k=$k degree=$degree")
         val adj = KnnGraph.descentAdjacency(corpus, centroids, nprobe,
           degree, iters, targetCell, seed)
         if (!fs.exists(mp)) {

@@ -329,9 +329,15 @@ object ExtQueries {
       val nlist = math.min(Similarity.IvfFitNlistCap.toLong,
         math.max(8L, n / 512L)).toInt
       val centroids = Similarity.ivfFit(emb, nlist = nlist)
+      // structure-aware degree (r14): the isotropic count-scaled rule,
+      // shrunk toward the floor when the measured compactness statistic
+      // says the corpus is clustered (KnnGraph.degreeForCorpus trade
+      // table) — at gate sizes (n <= 20k) both arms give the floor, so
+      // registered results stay bit-identical
       val graph = graft.ext.KnnGraph.knnGraphDescent(
         emb, k = 3, centroids, nprobe = 3,
-        degree = graft.ext.KnnGraph.degreeFor(n), iters = 3)
+        degree = graft.ext.KnnGraph.degreeForCorpus(n,
+          graft.ext.KnnGraph.compactness(emb, centroids)), iters = 3)
       val queries = emb.where(col("vec_id") < 10)
       val recall = Similarity.recallWitness(
         graph.where(col("vec_id") < 10)

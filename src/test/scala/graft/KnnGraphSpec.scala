@@ -59,4 +59,42 @@ class KnnGraphSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(run() === run())
   }
+
+  test("compactness separates clustered from isotropic-like corpora; " +
+      "degreeForCorpus interpolates on it") {
+    import spark.implicits._
+    val dim = 16
+    // strongly clustered: 4 tight clusters around +-1 corners
+    val clustered = (0L until 200L).map { i =>
+      val c = (i % 4).toInt
+      (i, Array.tabulate(dim)(d =>
+        (if ((d + c) % 2 == 0) 1f else -1f) +
+          ((i * 31 + d * 7) % 11).toFloat / 100f))
+    }.toDF("vec_id", "embedding")
+    // isotropic-like: well-mixed hash-valued dims, no cluster structure
+    val iso = (0L until 200L).map { i =>
+      (i, Array.tabulate(dim) { d =>
+        var x = (i + 1) * 0x9E3779B97F4A7C15L + (d + 1) * 0xBF58476D1CE4E5B9L
+        x ^= (x >>> 31); x *= 0x94D049BB133111EBL; x ^= (x >>> 29)
+        ((x % 1024L).toFloat / 512f)
+      })
+    }.toDF("vec_id", "embedding")
+    val cClu = graft.ext.KnnGraph.compactness(clustered,
+      Similarity.ivfFit(clustered, nlist = 4))
+    val cIso = graft.ext.KnnGraph.compactness(iso,
+      Similarity.ivfFit(iso, nlist = 4))
+    assert(cClu < 0.25, s"clustered compactness $cClu not small")
+    assert(cIso > 0.5, s"isotropic compactness $cIso not large")
+    // rule arms: floor on clustered geometry, the isotropic
+    // count-scaled rule on no-structure geometry, floor at gate sizes
+    // regardless (registered results stay bit-identical)
+    import graft.ext.KnnGraph.{degreeFor, degreeForCorpus}
+    assert(degreeForCorpus(200000L, 0.02) === 18)
+    assert(degreeForCorpus(200000L, 0.99) === degreeFor(200000L))
+    assert(degreeForCorpus(2000L, 0.02) === 18)
+    assert(degreeForCorpus(2000L, 0.99) === 18)
+    // monotone interpolation in between
+    val mid = degreeForCorpus(200000L, 0.5)
+    assert(mid >= 18 && mid <= degreeFor(200000L))
+  }
 }
