@@ -11,13 +11,16 @@ import org.apache.spark.sql.functions._
   * Algorithm: iterative min-label propagation. Every node starts labeled
   * with its own id; each round every node takes the minimum of its own and
   * its neighbors' labels; fixpoint = components labeled by their smallest
-  * member. Converges in O(component diameter) rounds — for near-dup
-  * clusters (dense, tiny diameter) a handful; the driver loop only runs a
-  * per-round distributed join + aggregate and checks a changed-row count,
-  * so each round is one shuffle on the edge key. This is the
-  * GraphX/Pregel-free formulation (cf. the map-reduce CC literature's
-  * label-propagation baseline; small-star/large-star halves rounds on
-  * high-diameter graphs but near-dup clusters don't have them).
+  * member. Each round ALSO pointer-jumps through the previous round's
+  * labels (label ← label-of-label — the short-cutting idea of the
+  * map-reduce CC literature's small-star/large-star family), so the
+  * reachable distance doubles per round and convergence is O(log
+  * component diameter) rounds, not O(diameter): dense near-dup clusters
+  * still finish in a handful, and the 16-hop chains the semantic
+  * near-dup graph produces (measured at sf0.1, threshold 0.4) finish in
+  * ~5 instead of 16. The driver loop only runs a per-round distributed
+  * join + aggregate and checks a changed-row count, so each round is one
+  * shuffle on the edge key plus a node-count-sized label lookup.
   *
   * Scale posture: edges are persisted once (re-read every round). Each
   * round's labels are checkpointed LAZILY and the convergence count is the
@@ -78,13 +81,28 @@ object Components {
         .agg(min(col("label")).as("nbr_label"))
       // `ch` rides along in the snapshot so convergence needs no
       // next-vs-prev join: labels only ever decrease, so changed ⟺ some
-      // neighbor label beat the current one.
+      // hop improved the current label.
       val next = snapshot(labels
         .join(nbr, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("label"),
-          coalesce(col("nbr_label") < col("label"), lit(false)).as("ch")))
+            .as("l1"),
+          coalesce(col("nbr_label") < col("label"), lit(false)).as("ch1"))
+        // SHORT-CUT (pointer jumping): a second hop through the PREVIOUS
+        // round's materialized labels — l1 is itself a node id, and its
+        // stored label pulls the min within last round's reach, so the
+        // per-round reachable distance DOUBLES (O(log diameter) rounds,
+        // not O(diameter)) for one extra node-count-sized join against a
+        // checkpointed leaf; the round still materializes in ONE job.
+        // This stopped being a theoretical nicety in r14: the semantic
+        // near-dup graph at 0.4 forms 16-hop chains (measured), and the
+        // plain propagation paid 16 rounds within a 25-round cap.
+        .join(labels.select(col("node").as("l1"), col("label").as("l2")),
+          Seq("l1"), "left")
+        .select(col("node"),
+          least(col("l1"), coalesce(col("l2"), col("l1"))).as("label"),
+          (col("ch1") ||
+            coalesce(col("l2") < col("l1"), lit(false))).as("ch")))
       changed = next.where(col("ch")).count() // materializes the snapshot
       labels = next.drop("ch")
       iter += 1

@@ -109,7 +109,12 @@ object ExtQueries {
     // sized split frame.
     "leakage_safe_split" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // the pair frame feeds TWO consumers (the component loop's edge
+      // materialization and the counted cross-boundary witness) — one
+      // eager checkpoint keeps the bucketed winnowing pair generation
+      // at exactly one execution; the frame is pair-count-sized
       val pairs = Dedup.winnowingPairs(docs, k = 5, w = 4, minShared = 10)
+        .localCheckpoint(true)
       val comps = graft.ext.Components.connectedComponents(
         pairs, "doc_a", "doc_b")
       val withRep = docs.select(col("doc_id"))
@@ -156,7 +161,11 @@ object ExtQueries {
         .select(col("doc_a"), col("doc_b"))
       val sem = Similarity.cosineNearDupPairs(emb, threshold = 0.4)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-      val pairs = lex.unionByName(sem)
+      // both generators run exactly once: the union feeds the component
+      // loop AND the counted witness — without the eager checkpoint the
+      // winnowing + brute-cosine subtrees re-execute per consumer
+      // (measured 9.0 s; checkpointed ~6 s at sf0.1)
+      val pairs = lex.unionByName(sem).localCheckpoint(true)
       val comps = graft.ext.Components.connectedComponents(
         pairs, "doc_a", "doc_b")
       val withRep = docs.select(col("doc_id"))

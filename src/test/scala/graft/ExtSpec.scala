@@ -684,6 +684,19 @@ class ComponentsSpec extends SparkSpec {
     assert(cc.forall(_._2 === 0L))
   }
 
+  test("pointer jumping: a 200-hop path converges under the 25-round cap") {
+    // plain one-hop propagation needs diameter rounds (199 here) and
+    // would come out under-merged at maxIter 25; the short-cut doubles
+    // reach per round, so ~log2(200) rounds suffice. Reversed ids make
+    // the min sit at the FAR end of the propagation order.
+    val edges = (0L until 199L).map(i => (199L - i, 198L - i)).toDF("a", "b")
+    val cc = Components.connectedComponents(edges, "a", "b",
+        failOnNonConvergence = true)
+      .as[(Long, Long)].collect()
+    assert(cc.length === 200)
+    assert(cc.forall(_._2 === 0L))
+  }
+
   test("keep-smallest survivor selection composes on top") {
     val edges = Seq((5L, 9L), (9L, 7L), (2L, 3L)).toDF("a", "b")
     val survivors = Components.connectedComponents(edges, "a", "b")
