@@ -92,11 +92,10 @@ object BenchMixed {
     val perTrigger = math.min(docsPerTrigger, base.length)
     val maxId = base.map(_.getLong(0)).max + 1L
     val indexRoot = tmp("bm-dc-index")
-    graft.sources.VersionedStats.commitWithStats(
+    graft.sources.VersionedStats.commitWithRowStat(
       graft.ext.DedupIndex.spanIndex(
         graft.sources.Tables.table(spark, sfDir, "documents")
-          .select(col("doc_id"), col("text")), k = 12), indexRoot,
-      keyCols = Seq("sh"))
+          .select(col("doc_id"), col("text")), k = 12), indexRoot)
     val input = MemoryStream[(Long, String)]
     val stream = input.toDF().toDF("doc_id", "text")
     val q = graft.streaming.StreamingDecontamination.decontaminationWriter(

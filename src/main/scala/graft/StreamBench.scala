@@ -190,11 +190,10 @@ object StreamBench {
       val indexRoot = tmp("sb-dc-index")
       val reportRoot = tmp("sb-dc-report")
       // pre-seed: the corpus-sized span index every trigger cuts against
-      graft.sources.VersionedStats.commitWithStats(
+      graft.sources.VersionedStats.commitWithRowStat(
         graft.ext.DedupIndex.spanIndex(
           graft.sources.Tables.table(spark, sf, "documents")
-            .select(col("doc_id"), col("text")), k = 12), indexRoot,
-        keyCols = Seq("sh"))
+            .select(col("doc_id"), col("text")), k = 12), indexRoot)
       val input = MemoryStream[(Long, String)]
       val stream = input.toDF().toDF("doc_id", "text")
       // Continuous micro-batch trigger: the writer's AvailableNow default
@@ -378,12 +377,12 @@ object StreamBench {
           .agg(max(col("doc_id"))).head().getLong(0) + 1L
         val indexRoot = tmp("sb-soak-index")
         val reportRoot = tmp("sb-soak-report")
-        graft.sources.VersionedStats.commitWithStats(
+        graft.sources.VersionedStats.commitWithRowStat(
           graft.ext.DedupIndex.spanIndex(
             graft.sources.Tables.table(spark, sf, "documents")
               .select(col("doc_id"), col("text"))
               .orderBy(col("doc_id")).limit(docsPerTrigger), k = 12),
-          indexRoot, keyCols = Seq("sh"))
+          indexRoot)
         val input = MemoryStream[(Long, String)]
         val q = StreamingDecontamination.decontaminationWriter(
           input.toDF().toDF("doc_id", "text"), indexRoot, reportRoot,

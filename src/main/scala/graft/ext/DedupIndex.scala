@@ -297,8 +297,11 @@ object DedupIndex {
     val fresh = batchSpans.select(col("sh")).distinct().join(
       gatedSeen(index, batchSpans, indexRows, spanRows()),
       Seq("sh"), "left_anti")
-    graft.sources.VersionedStats.commitWithStats(fresh, root,
-      keyCols = Seq("sh"), append = true)
+    // rows-only sidecar: the gate consumes the row count and nothing
+    // estimates joins on md5 keys — the AGMS pass would be a pure
+    // per-trigger constant
+    graft.sources.VersionedStats.commitWithRowStat(fresh, root,
+      append = true)
   }
 
   /** Ensure the latest version of a span-index root is range-clustered

@@ -192,6 +192,33 @@ object VersionedStats {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Rows-only stats commit — for tables whose only consumed catalog
+    * stat is the ROW COUNT (the span index: its prune gate reads rows;
+    * nothing estimates joins on md5 keys). Skips the AGMS sketch pass
+    * entirely: the delta row count is one count over the committed
+    * delta's parquet (metadata-cheap — no column decode), merged with
+    * the stored prior on append. A later [[commitWithStats]] on the
+    * same root simply re-establishes sketches from its own commit.
+    * Returns the committed version. */
+  def commitWithRowStat(df: DataFrame, root: String,
+                        append: Boolean = false): Long = {
+    val spark = df.sparkSession
+    val prior = if (append) statsFor(spark, root).map(_._1) else None
+    val v = VersionedTable.commit(df, root, append)
+    val deltaRows =
+      if (prior.isDefined)
+        spark.read.parquet(new Path(root, s"data/v$v").toString).count()
+      else VersionedTable.read(spark, root, Some(v)).count()
+    val rows = prior.getOrElse(0L) + deltaRows
+    val json = s"""{"rows": $rows, "sketches": {}}"""
+    val p = statsPath(root, v)
+    val f = fs(spark, p)
+    f.mkdirs(p.getParent)
+    val out = f.create(p, false)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    v
+  }
+
   private def rangesPath(root: String, v: Long) =
     new Path(new Path(root, "_stats"), s"franges_v$v.json")
 

@@ -183,9 +183,8 @@ object StreamingDecontamination {
         .lastOption.getOrElse(0L)
       if (nowLatest == pre) {
         if (pre == 0L)
-          graft.sources.VersionedStats.commitWithStats(
-            spans.select(col("sh")).distinct(), indexRoot,
-            keyCols = Seq("sh"))
+          graft.sources.VersionedStats.commitWithRowStat(
+            spans.select(col("sh")).distinct(), indexRoot)
         else DedupIndex.ingestSpansOn(indexRoot, spark, spans,
           () => nSpans)
       }
