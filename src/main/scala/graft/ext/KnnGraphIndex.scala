@@ -219,18 +219,30 @@ object KnnGraphIndex {
           .where(col("cell").isNotNull)
           .select(col("cell"), col("vec_id"), col("embedding").as("qv"),
             col("n2").as("qn2"))
-        // checkpoint BEFORE the column-swapped reversal (the build's own
-        // discipline): reversing (vec_id, neighbor_id) by aliased swap
-        // over a plan still carrying the `neighbor_id =!= vec_id` score
-        // constraint trips Catalyst's union constraint rewrite with a
-        // dangling attribute; a leaf has no constraints to rewrite
-        val seed = score(cand.join(q, Seq("cell"))).localCheckpoint(true)
-        // new sightings accumulate here, both directions (an old vertex
-        // near a new vector must gain it too)
-        var newRows = seed
-          .unionByName(seed.select(col("neighbor_id").as("vec_id"),
-            col("vec_id").as("neighbor_id"), col("cos_sim")))
+        // RAW pair lists are never materialized (the build's own
+        // discipline — scored pairs stream into bounded, map-side
+        // combined, spillable top-k aggregates): the first probe of
+        // this path checkpointed the scored seed verbatim and
+        // materialized |batch|·nprobe·cellsize rows (42M at the 200k
+        // lane — the exact unbounded intermediate KnnGraph exists to
+        // avoid). Capping at 2·degree per vertex BEFORE every
+        // checkpoint is lossless for the final merge: top-degree of
+        // (old ∪ new) ⊆ old ∪ top-2·degree-of-new per vertex. The
+        // capped frame is also what breaks the reversal's lineage (the
+        // aliased column swap over a plan still carrying the score
+        // filter's constraint trips Catalyst's union constraint
+        // rewrite; a checkpointed leaf has no constraints).
+        val seed = score(cand.join(q, Seq("cell")))
+        val fwd = KnnGraph.topDegree(seed, 2 * p.degree)
           .localCheckpoint(true)
+        // reverse sightings (an old vertex near a new vector must gain
+        // it) derive from the CAPPED forward lists — the same
+        // reversed-from-capped adjacency the build's descent walks
+        val rev = KnnGraph.topDegree(
+          fwd.select(col("neighbor_id").as("vec_id"),
+            col("vec_id").as("neighbor_id"), col("cos_sim")),
+          2 * p.degree).localCheckpoint(true)
+        var newRows = fwd.unionByName(rev)
         for (_ <- 1 to rounds) {
           // affected adjacency = stored edges of touched vertices + the
           // new sightings; capped at 2·degree per vertex as the build
@@ -250,11 +262,19 @@ object KnnGraphIndex {
             .select(col("b"), explode_outer(col("__adj")).as("__e"))
             .where(col("__e").isNotNull)
             .select(col("b"), col("__e.id").as("p"))
+          // exchange sized from the affected-vertex count so per-task
+          // sort chunks stay bounded (the build's adjP rule; touched is
+          // a leaf-derived distinct, so the count is one cheap job)
+          val nTouched = touched.count()
+          val dim = centroids(0).length
+          val adjRowBytes = dim * 8L + 64L
+          val adjP = math.max(par.toLong, math.min(4096L,
+            nTouched * 2 * p.degree * adjRowBytes / (32L << 20) + 1)).toInt
           val adj = capped.join(
               v.select(col("vec_id").as("p"), col("embedding"),
                 col("n2")).hint("shuffle_hash"),
               Seq("p"))
-            .repartition(col("b"))
+            .repartition(adjP, col("b"))
           val x = adj.select(col("b"), col("p").as("u"),
             col("embedding").as("uv"), col("n2").as("un2"))
           val y = adj.select(col("b"), col("p").as("w"),
@@ -264,12 +284,16 @@ object KnnGraphIndex {
             .select(col("u"), col("w"),
               round(Similarity.pairCosine(dotNative(col("uv"), col("wv")),
                 col("un2"), col("wn2")), 6).as("cos_sim"))
-          newRows = newRows
-            .unionByName(pairs.select(col("u").as("vec_id"),
-              col("w").as("neighbor_id"), col("cos_sim")))
-            .unionByName(pairs.select(col("w").as("vec_id"),
-              col("u").as("neighbor_id"), col("cos_sim")))
-            .localCheckpoint(true)
+          // scored descent pairs stream straight into the bounded
+          // aggregate — only top-2·degree new sightings per vertex ever
+          // materialize (lossless for the final merge, see above)
+          val roundNew = KnnGraph.topDegree(
+            pairs.select(col("u").as("vec_id"),
+                col("w").as("neighbor_id"), col("cos_sim"))
+              .unionByName(pairs.select(col("w").as("vec_id"),
+                col("u").as("neighbor_id"), col("cos_sim"))),
+            2 * p.degree).localCheckpoint(true)
+          newRows = newRows.unionByName(roundNew)
         }
         // merge: touched vertices recompute their top-degree lists
         // (duplicate sightings carry bit-identical rounded cosines, so
