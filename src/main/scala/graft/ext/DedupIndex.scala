@@ -304,18 +304,37 @@ object DedupIndex {
       append = true)
   }
 
-  /** Ensure the latest version of a span-index root is range-clustered
-    * with registered per-file key ranges — compact once
-    * ([[graft.sources.Compaction.compactVersioned]] with the `sh`
-    * range stat) if the latest version has none. Idempotent across
-    * runs (the compacted version carries its sidecar, so later calls
-    * no-op); same-root callers serialize in-JVM. */
+  /** Ensure the latest version of a span-index root carries registered
+    * per-file key ranges for the file-skip read path. The full
+    * range-clustering rewrite ([[graft.sources.Compaction
+    * .compactVersioned]] with the `sh` range stat) runs at most ONCE
+    * per root — when no committed version has ever carried ranges.
+    * After that, an append that leaves the latest version sidecar-less
+    * gets its ranges REGISTERED (one aggregate pass over the version,
+    * [[graft.sources.VersionedStats.writeFileRanges]]) rather than
+    * re-clustered: the base files keep their disjoint compacted ranges,
+    * the appended delta files get their own (possibly wide) ranges, and
+    * the no-false-skip contract holds either way — pruning quality on
+    * the bulk is preserved without paying an O(index) rewrite per
+    * append. Idempotent across runs; same-root callers serialize
+    * in-JVM. */
   def ensureFileRanges(spark: SparkSession, root: String,
                        targetRowsPerFile: Long = 4096): Unit =
     graft.sources.KeyedLocks.withLock(root) {
-      if (graft.sources.VersionedStats.fileRangesFor(spark, root).isEmpty)
-        graft.sources.Compaction.compactVersioned(spark, root,
-          Seq(col("sh")), targetRowsPerFile, rangeStatCol = Some("sh"))
+      if (graft.sources.VersionedStats.fileRangesFor(spark, root).nonEmpty) {
+        // latest already registered — metadata-only no-op
+      } else {
+        val everRanged = VersionedTable.versions(spark, root)
+          .exists(v => graft.sources.VersionedStats
+            .fileRangesFor(spark, root, Some(v)).nonEmpty)
+        if (everRanged) {
+          VersionedTable.versions(spark, root).lastOption.foreach(v =>
+            graft.sources.VersionedStats.writeFileRanges(spark, root, v,
+              "sh"))
+        } else
+          graft.sources.Compaction.compactVersioned(spark, root,
+            Seq(col("sh")), targetRowsPerFile, rangeStatCol = Some("sh"))
+      }
     }
 
   /** Driver-collected probe-key budget for the file-skip read path. */

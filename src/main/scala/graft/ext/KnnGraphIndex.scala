@@ -18,11 +18,12 @@ import graft.sources.{VersionedStats, VersionedTable}
   *
   *  - `_model/` — the frozen coarse centroids (the engine-seeded
   *    [[Similarity.ivfFit]] the build used) plus the build parameters
-  *    (k, nprobe, degree, iters, targetCell, seed), written exactly
-  *    once at [[create]]. Frozen for the same reason [[PqIndex]]
-  *    freezes its codebooks: [[ingest]] must seed new vectors from the
-  *    SAME cells the build used, or incremental edges stop being
-  *    comparable to built ones.
+  *    (k, nprobe, degree, iters, targetCell, seed, buildN — typed
+  *    columns), written exactly once at [[create]]. Frozen for the
+  *    same reason [[PqIndex]] freezes its codebooks: [[ingest]] must
+  *    seed new vectors from the SAME cells the build used, or
+  *    incremental edges stop being comparable to built ones. The
+  *    frozen fit carries its refusal boundary ([[stalenessRatio]]).
   *  - the [[VersionedTable]] edge table — the descent's full
   *    DEGREE-width adjacency (vec_id, neighbor_id, cos_sim), not the
   *    top-k: readers derive the top-k view with one bounded aggregate
@@ -41,9 +42,32 @@ object KnnGraphIndex {
 
   private def modelPath(root: String) = new Path(root, "_model")
 
-  /** Frozen build parameters, stored beside the centroids. */
+  /** Frozen build parameters, stored beside the centroids. `buildN` is
+    * the corpus count at [[create]] — the fit stat the staleness check
+    * ([[stalenessRatio]]) compares the grown corpus against. */
   case class Params(k: Int, nprobe: Int, degree: Int, iters: Int,
-                    targetCell: Int, seed: Long)
+                    targetCell: Int, seed: Long, buildN: Long)
+
+  /** Schema of the persisted `_model` parquet. Params live in TYPED
+    * columns (not a Seq[Double] — a Long seed widened through Double
+    * silently loses precision past 2^53, so a caller pinning a large
+    * seed would read back a model recording a different seed than the
+    * build used); centroid rows carry the dims array and leave the
+    * param columns null. */
+  private val ModelSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("kind", StringType, nullable = false),
+      StructField("code", IntegerType, nullable = false),
+      StructField("dims", ArrayType(DoubleType), nullable = true),
+      StructField("k", IntegerType, nullable = true),
+      StructField("nprobe", IntegerType, nullable = true),
+      StructField("degree", IntegerType, nullable = true),
+      StructField("iters", IntegerType, nullable = true),
+      StructField("target_cell", IntegerType, nullable = true),
+      StructField("seed", LongType, nullable = true),
+      StructField("build_n", LongType, nullable = true)))
+  }
 
   /** Build-if-missing: fit cells (nlist from the corpus count, the
     * registered queries' catalog-stat sizing), run the full descent
@@ -58,8 +82,21 @@ object KnnGraphIndex {
       val spark = corpus.sparkSession
       val mp = modelPath(root)
       val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(mp) && VersionedTable.versions(spark, root).nonEmpty) {
+      val committed = VersionedTable.versions(spark, root).nonEmpty
+      if (fs.exists(mp) && committed) {
         // already built — the common case after the first touch
+      } else if (fs.exists(mp)) {
+        // CRASH RECOVERY: a prior attempt wrote the model but died
+        // before the version commit. Build the adjacency FROM THE
+        // STORED model — never re-fit: a re-fit on the current corpus
+        // would commit an adjacency inconsistent with the frozen
+        // centroids/params when the corpus changed between attempts
+        // (ingest would then seed new vectors from stale cells, and
+        // the frozen degree would disagree with the committed edges).
+        val (centroids, p) = readModel(spark, root)
+        val adj = KnnGraph.descentAdjacency(corpus, centroids, p.nprobe,
+          p.degree, p.iters, p.targetCell, p.seed)
+        commitChecked(adj, root)
       } else {
         val n = corpus.count()
         val nlist = math.min(Similarity.IvfFitNlistCap.toLong,
@@ -76,32 +113,39 @@ object KnnGraphIndex {
           s"need 1 <= k <= degree: k=$k degree=$degree")
         val adj = KnnGraph.descentAdjacency(corpus, centroids, nprobe,
           degree, iters, targetCell, seed)
-        if (!fs.exists(mp)) {
-          import spark.implicits._
-          val rows =
-            centroids.zipWithIndex.map { case (c, j) =>
-              ("centroid", j, c.toSeq) } :+
-            (("params", 0, Seq[Double](k, nprobe, degree, iters,
-              targetCell, seed.toDouble)))
-          rows.toSeq.toDF("kind", "code", "dims")
-            .coalesce(1).write.mode("errorifexists").parquet(mp.toString)
-        }
-        if (VersionedTable.versions(spark, root).isEmpty) {
-          VersionedStats.commitWithStats(adj, root,
-            keyCols = Seq("vec_id"))
-          // persistence round-trip witness, earned at build time (the
-          // only time the fresh frame exists): the committed bytes read
-          // back row-identical to what descent produced. adj is
-          // localCheckpointed (materialized), so this is two linear
-          // passes over n·degree scalar rows — noise next to the build.
-          val back = VersionedTable.read(spark, root)
-          val torn = back.exceptAll(adj).limit(1).count() +
-            adj.exceptAll(back).limit(1).count()
-          require(torn == 0L,
-            s"kNN graph round-trip mismatch at $root — torn commit?")
-        }
+        // model first, then the version commit: the recovery branch
+        // above makes the (model-written, uncommitted) crash window
+        // converge to a consistent asset. errorifexists keeps a
+        // cross-process loser failing clean.
+        val rows: Seq[org.apache.spark.sql.Row] =
+          centroids.zipWithIndex.map { case (c, j) =>
+            org.apache.spark.sql.Row("centroid", j, c.toSeq,
+              null, null, null, null, null, null, null) }.toSeq :+
+          org.apache.spark.sql.Row("params", 0, null,
+            k, nprobe, degree, iters, targetCell, seed, n)
+        spark.createDataFrame(
+            java.util.Arrays.asList(rows: _*), ModelSchema)
+          .coalesce(1).write.mode("errorifexists").parquet(mp.toString)
+        if (VersionedTable.versions(spark, root).isEmpty)
+          commitChecked(adj, root)
       }
     }
+
+  /** Commit the adjacency + stats, then earn the persistence round-trip
+    * witness at build time (the only moment the fresh frame exists):
+    * the committed bytes read back row-identical to what descent
+    * produced. adj is localCheckpointed (materialized), so this is two
+    * linear passes over n·degree scalar rows — noise next to the
+    * build. */
+  private def commitChecked(adj: DataFrame, root: String): Unit = {
+    val spark = adj.sparkSession
+    VersionedStats.commitWithStats(adj, root, keyCols = Seq("vec_id"))
+    val back = VersionedTable.read(spark, root)
+    val torn = back.exceptAll(adj).limit(1).count() +
+      adj.exceptAll(back).limit(1).count()
+    require(torn == 0L,
+      s"kNN graph round-trip mismatch at $root — torn commit?")
+  }
 
   private val modelCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Array[Array[Double]], Params)]()
@@ -112,19 +156,48 @@ object KnnGraphIndex {
                 root: String): (Array[Array[Double]], Params) = {
     val cached = modelCache.get(root)
     if (cached != null) return cached
-    val rows = spark.read.parquet(modelPath(root).toString)
-      .select(col("kind"), col("code"), col("dims")).collect()
-      .map(r => (r.getString(0), r.getInt(1), r.getSeq[Double](2).toArray))
-    val centroids = rows.filter(_._1 == "centroid").sortBy(_._2).map(_._3)
-    val p = rows.find(_._1 == "params")
-      .getOrElse(sys.error(s"KnnGraphIndex model at $root has no params row"))
-      ._3
+    val df = spark.read.parquet(modelPath(root).toString)
+    val centroids = df.where(col("kind") === "centroid")
+      .select(col("code"), col("dims")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
     require(centroids.nonEmpty, s"KnnGraphIndex model at $root is empty")
-    val loaded = (centroids, Params(p(0).toInt, p(1).toInt, p(2).toInt,
-      p(3).toInt, p(4).toInt, p(5).toLong))
+    val p = df.where(col("kind") === "params")
+      .select(col("k"), col("nprobe"), col("degree"), col("iters"),
+        col("target_cell"), col("seed"), col("build_n"))
+      .collect().headOption
+      .getOrElse(sys.error(s"KnnGraphIndex model at $root has no params row"))
+    val loaded = (centroids, Params(p.getInt(0), p.getInt(1), p.getInt(2),
+      p.getInt(3), p.getInt(4), p.getLong(5), p.getLong(6)))
     modelCache.putIfAbsent(root, loaded)
     loaded
   }
+
+  /** STALENESS of the frozen model: the ratio of the indexed corpus
+    * size to the build-time corpus count ([[Params.buildN]]). The
+    * indexed size comes from the stats sidecar the commits maintain
+    * (adjacency rows / frozen degree) — metadata-only, no scan.
+    *
+    * The refit boundary is a DECADE: [[KnnGraph.degreeFor]] steps the
+    * internal degree +12 per decade of n, so once the corpus outgrows
+    * 10× the build count the frozen degree sits a full rule-step below
+    * what a fresh fit would choose — recall quietly decays from there
+    * (measured: fixed d18 fell 0.767 → 0.50 from 20k to 200k on the
+    * isotropic family). Same boundary class as a frozen PQ codebook's.
+    * [[ingest]] refuses past the boundary rather than degrading
+    * silently; re-[[create]] (or pass `allowStale = true` knowingly). */
+  def stalenessRatio(spark: SparkSession, root: String): Double = {
+    val (_, p) = readModel(spark, root)
+    VersionedStats.statsFor(spark, root) match {
+      case Some((rows, _)) =>
+        (rows.toDouble / p.degree) / math.max(1L, p.buildN)
+      case None => 0.0 // no stat: advisory check degrades open
+    }
+  }
+
+  /** One decade of growth past the build count — [[stalenessRatio]]'s
+    * refusal boundary, public so callers can probe before ingesting. */
+  val StaleDecade = 10.0
 
   /** The stored degree-width adjacency — latest version, or pinned. */
   def adjacency(spark: SparkSession, root: String,
@@ -165,17 +238,32 @@ object KnnGraphIndex {
     * no-op (returns the current version). The frozen degree is the
     * build-time count-scaled value — re-[[create]] when the corpus
     * outgrows the rule's next decade ([[KnnGraph.degreeFor]]), the same
-    * refit boundary a frozen PQ codebook has. */
+    * refit boundary a frozen PQ codebook has. That boundary is
+    * ENFORCED, not just documented: once [[stalenessRatio]] crosses
+    * [[StaleDecade]] the ingest refuses loudly (metadata-only check)
+    * instead of silently committing edges at a degree the rule has
+    * outgrown; pass `allowStale = true` to override knowingly. */
   def ingest(root: String, corpus: DataFrame, batch: DataFrame,
-             rounds: Int = 1): Long =
+             rounds: Int = 1, allowStale: Boolean = false): Long =
     graft.sources.KeyedLocks.withLock(root) {
       val spark = batch.sparkSession
       require(rounds >= 0, s"rounds must be >= 0: $rounds")
       val (centroids, p) = readModel(spark, root)
+      val stale = stalenessRatio(spark, root)
+      require(allowStale || stale < StaleDecade,
+        f"KnnGraphIndex at $root is STALE: the indexed corpus is " +
+          f"$stale%.1fx the build-time count (${p.buildN} vectors, " +
+          f"frozen degree ${p.degree}) — past the degree rule's decade " +
+          "boundary recall decays silently. re-create the index, or " +
+          "pass allowStale = true to keep ingesting at the frozen fit")
       val existing = adjacency(spark, root)
+      // no distinct on the anti-join's right side: left_anti never
+      // duplicates left rows, and the distinct was an index-wide
+      // aggregation on EVERY ingest call — the exact O(index)
+      // per-trigger pass the affected-neighborhood design removes
+      // everywhere else
       val fresh = batch.select(col("vec_id"))
-        .join(existing.select(col("vec_id")).distinct(),
-          Seq("vec_id"), "left_anti")
+        .join(existing.select(col("vec_id")), Seq("vec_id"), "left_anti")
         .limit(1).count()
       if (fresh == 0L)
         VersionedTable.versions(spark, root).last
@@ -197,6 +285,7 @@ object KnnGraphIndex {
           .select(col("vec_id"), col("embedding"),
             dotNative(col("embedding"), col("embedding")).as("n2"))
           .persist()
+        try {
         def score(pairs: DataFrame): DataFrame = pairs
           .where(col("neighbor_id") =!= col("vec_id"))
           .select(col("vec_id"), col("neighbor_id"),
@@ -308,10 +397,11 @@ object KnnGraphIndex {
         val merged = existing
           .join(touched, Seq("vec_id"), "left_anti")
           .unionByName(updated)
-        val version = VersionedStats.commitWithStats(merged, root,
+        VersionedStats.commitWithStats(merged, root,
           keyCols = Seq("vec_id"))
-        v.unpersist(false)
-        version
+        // try/finally, not success-path-only: an exception mid-descent
+        // must not leak the cached corpus projection for the session
+        } finally v.unpersist(false)
       }
     }
 }

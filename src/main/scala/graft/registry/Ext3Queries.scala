@@ -252,11 +252,15 @@ object Ext3Queries {
     // can contain a probe key. The index is range-clustered once
     // (Compaction.compactVersioned with the sh range stat, idempotent
     // across runs); probes are the first 5-gram of docs 0-2 plus a
-    // literal never-in-corpus span. files_pruned is the earned witness:
-    // the pruned read touched strictly fewer files than the manifest
-    // lists (spec pins the counts; uniform md5 keys mean the skip wins
-    // exactly in this small-probe regime — batch-sized probes keep the
-    // gated bloom-prune path).
+    // literal never-in-corpus span. The file-skip witness (pruned read
+    // touches strictly fewer files than the manifest lists) is pinned
+    // in IncrementalIndexSpec, where the file counts are real — NOT in
+    // the oracle-compared columns: a hardcoded TRUE there would couple
+    // membership correctness to physical layout (a one-file index at a
+    // tiny SF, or URI-encoding drift between input_file_name and the
+    // manifest, would fail verify even though every verdict is exact).
+    // Uniform md5 keys mean the skip wins exactly in this small-probe
+    // regime — batch-sized probes keep the gated bloom-prune path.
     "span_probe_file_skip" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val split = graft.ext.Sampling.deterministicSplit(
@@ -275,6 +279,7 @@ object Ext3Queries {
         .unionByName(s.range(1).select(lit(99L).as("probe_id"),
           lit("zz90 zz91 zz92 zz93 zz94").as("span")))
       graft.ext.DedupIndex.spanProbeLookup(s, root, probes)._1
+        .select(col("probe_id"), col("seen"))
     }),
 
     // Ordered conversion funnel: users clearing view -> click -> purchase

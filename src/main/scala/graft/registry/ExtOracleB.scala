@@ -421,9 +421,9 @@ object ExtOracleB {
 
       // span_probe_file_skip: same 80/20 corpus split; probes are the
       // first 5-gram of docs 0-2 plus a literal absent span. seen is
-      // recomputed from the corpus span set; files_pruned is the
-      // engine-earned file-skip witness (lit TRUE here — the oracle has
-      // no file layout, the spec pins the counts).
+      // recomputed from the corpus span set; the file-skip witness is
+      // deliberately NOT an oracle column (the oracle has no file
+      // layout) — IncrementalIndexSpec pins the pruned-read counts.
       "span_probe_file_skip" -> {
         val hex32 = foldSum(
           "list_transform(generate_series(1, 8), i -> " +
@@ -445,8 +445,7 @@ object ExtOracleB {
                   FROM d WHERE doc_id < 3
                   UNION ALL
                   SELECT CAST(99 AS BIGINT), 'zz90 zz91 zz92 zz93 zz94')
-           SELECT pr.probe_id, (c.span IS NOT NULL) AS seen,
-             TRUE AS files_pruned
+           SELECT pr.probe_id, (c.span IS NOT NULL) AS seen
            FROM pr LEFT JOIN csp c USING (span)
            ORDER BY probe_id"""
       },

@@ -386,7 +386,7 @@ object ExtQueries {
       val emb = t(s, dir, "embeddings")
       val root = graft.ext.PqIndex.fingerprintedRoot(s,
         "/tmp/graft_dedup_index/" +
-          dir.replaceAll("[^A-Za-z0-9]", "_") + "/kg",
+          dir.replaceAll("[^A-Za-z0-9]", "_") + "/kg3",
         dir + "/embeddings.parquet")
       graft.ext.KnnGraphIndex.create(emb, root)
       val graph = graft.ext.KnnGraphIndex.topK(s, root)
@@ -429,7 +429,7 @@ object ExtQueries {
       val batch = emb.where(col("vec_id") % 10 === 0)
       val root = graft.ext.PqIndex.fingerprintedRoot(s,
         "/tmp/graft_dedup_index/" +
-          dir.replaceAll("[^A-Za-z0-9]", "_") + "/kgi",
+          dir.replaceAll("[^A-Za-z0-9]", "_") + "/kgi3",
         dir + "/embeddings.parquet")
       graft.ext.KnnGraphIndex.create(base, root)
       graft.ext.KnnGraphIndex.ingest(root, emb, batch)

@@ -235,6 +235,12 @@ object VersionedStats {
     * block). No-op (false) if a sidecar already exists. */
   def writeFileRanges(spark: SparkSession, root: String, v: Long,
                       keyCol: String): Boolean = {
+    // no-op check FIRST: the aggregation below is a whole-table scan,
+    // and a repeat call (idempotent ensure loops run this every trigger)
+    // must cost a metadata stat, not a scan
+    val p = rangesPath(root, v)
+    val f = fs(spark, p)
+    if (f.exists(p)) return false
     val rows = VersionedTable.read(spark, root, Some(v))
       .groupBy(input_file_name().as("__f"))
       .agg(min(col(keyCol).cast("string")).as("__lo"),
@@ -243,9 +249,6 @@ object VersionedStats {
     val items = rows.map(r =>
       s"""["${toHex(r.getString(0))}","${toHex(r.getString(1))}","${toHex(r.getString(2))}"]""")
       .mkString(",")
-    val p = rangesPath(root, v)
-    val f = fs(spark, p)
-    if (f.exists(p)) return false
     f.mkdirs(p.getParent)
     val out = f.create(p, false)
     try out.write(s"""{"ranges": [$items]}""".getBytes("UTF-8"))

@@ -121,6 +121,106 @@ class KnnGraphIndexSpec extends SparkSpec {
     assert(VersionedTable.versions(spark, root) === Seq(1L, 2L))
   }
 
+  test("create crash recovery: a model with no committed version is " +
+      "completed FROM THE STORED MODEL, never re-fit") {
+    // build a full asset on corpus A, then reconstruct the crash window
+    // at a second root: _model present, no version committed
+    val rootA = fresh("crashA"); val rootB = fresh("crashB")
+    val corpusA = corpusDf(allIds)
+    // corpus B: different vectors (shifted id stream) — a re-fit on B
+    // would freeze different centroids than A's stored model
+    val corpusB = corpusDf(allIds.map(_ + 1000L))
+    KnnGraphIndex.create(corpusA, rootA)
+    val conf = spark.sessionState.newHadoopConf()
+    val src = new org.apache.hadoop.fs.Path(rootA, "_model")
+    val dst = new org.apache.hadoop.fs.Path(rootB, "_model")
+    val fs = src.getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+    // retry against the CURRENT corpus (B): must commit an adjacency
+    // consistent with the frozen A-model — seeds/params from the stored
+    // centroids, not a fresh fit on B
+    KnnGraphIndex.create(corpusB, rootB)
+    assert(VersionedTable.versions(spark, rootB) === Seq(1L))
+    val (centA, pA) = KnnGraphIndex.readModel(spark, rootA)
+    val (centB, pB) = KnnGraphIndex.readModel(spark, rootB)
+    assert(pB === pA)
+    assert(centB.map(_.toSeq).toSeq === centA.map(_.toSeq).toSeq)
+    val expected = KnnGraph.knnGraphDescent(corpusB, pA.k, centA,
+        pA.nprobe, pA.degree, pA.iters, pA.targetCell, pA.seed)
+      .collect().map(_.toSeq).toSet
+    assert(KnnGraphIndex.topK(spark, rootB)
+      .collect().map(_.toSeq).toSet === expected)
+  }
+
+  test("params round-trip typed: a seed above 2^53 survives exactly") {
+    val root = fresh("seed")
+    val bigSeed = (1L << 55) + 3L // not representable as a Double
+    KnnGraphIndex.create(corpusDf(allIds), root, seed = bigSeed)
+    val (_, p) = KnnGraphIndex.readModel(spark, root)
+    assert(p.seed === bigSeed)
+    assert(p.buildN === allIds.size.toLong)
+  }
+
+  test("stale frozen model: ingest refuses past the decade boundary, " +
+      "allowStale overrides knowingly") {
+    val root = fresh("stale")
+    val seedIds = (0L until 12L)
+    KnnGraphIndex.create(corpusDf(seedIds), root) // buildN = 12
+    // the metadata-only ratio (rows/degree vs buildN) biases LOW on tiny
+    // corpora (a 12-vector vertex can't have 18 neighbors) — that only
+    // DELAYS the signal, never false-fires; assert the loose band
+    val r0 = KnnGraphIndex.stalenessRatio(spark, root)
+    assert(r0 > 0.0 && r0 <= 1.0, s"ratio $r0")
+    // grow the index far past a decade of the build count in one
+    // in-bounds ingest (the pre-ingest check sees the SMALL index)
+    val grown = seedIds ++ (100L until 400L)
+    KnnGraphIndex.ingest(root, corpusDf(grown), corpusDf(100L until 400L))
+    val r1 = KnnGraphIndex.stalenessRatio(spark, root)
+    assert(r1 >= KnnGraphIndex.StaleDecade, s"ratio $r1")
+    val e = intercept[IllegalArgumentException] {
+      KnnGraphIndex.ingest(root, corpusDf(grown ++ Seq(999L)),
+        corpusDf(Seq(999L)))
+    }
+    assert(e.getMessage.contains("STALE"))
+    // the loud refusal is an earned signal, not a dead end
+    val v = KnnGraphIndex.ingest(root, corpusDf(grown ++ Seq(999L)),
+      corpusDf(Seq(999L)), allowStale = true)
+    assert(KnnGraphIndex.topK(spark, root)
+      .where($"vec_id" === 999L).count() > 0)
+    assert(v === VersionedTable.versions(spark, root).last)
+  }
+
+  test("ingest failure mid-descent leaks no cached corpus projection") {
+    val root = fresh("leak")
+    KnnGraphIndex.create(corpusDf(baseIds), root)
+    // ledger: RDD ids with materialized cached blocks before the ingest
+    val before = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+    // a poisoned row detonates when the corpus projection is SCANNED —
+    // i.e. inside the seed job, after the projection is persisted and
+    // before any commit (the fresh-id probe only reads batch vec_ids,
+    // so column pruning keeps it clear of the poison)
+    val poisoned = corpusDf(baseIds :+ 9999L)
+      .withColumn("embedding",
+        when(assert_true(col("vec_id") =!= 9999L).isNull,
+          col("embedding")))
+    intercept[Exception] {
+      KnnGraphIndex.ingest(root, poisoned, Seq((9999L, vec(9999L)))
+        .toDF("vec_id", "embedding"))
+    }
+    // the finally-unpersist is non-blocking — poll briefly for the
+    // cached corpus projection's blocks to drain. A leak (no finally)
+    // never drains: nothing unpersists and no GC pressure frees it.
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var now = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+    while (now.diff(before).nonEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      now = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+    }
+    assert(now.diff(before).isEmpty,
+      s"failed ingest left cached blocks: rdd ids ${now.diff(before)}")
+    assert(VersionedTable.versions(spark, root) === Seq(1L))
+  }
+
   test("ingest determinism: two roots ingesting the same batch commit " +
       "identical adjacencies") {
     val base = corpusDf(baseIds)
