@@ -299,10 +299,12 @@ object ExtOracleA {
       },
 
       // leakage_safe_split_semantic: BOTH pair generators re-run —
-      // winnowing (the component CTEs) UNIONed with brute-force
-      // embedding-cosine pairs at the 0.4 threshold (vec_id ≡ doc_id
-      // for docs carrying an embedding) — then the same
-      // representative-keyed split and counted cross-boundary witness.
+      // winnowing (the component CTEs) UNIONed with the MULTI-PROBE
+      // LSH cosine pairs at the 0.4 threshold (vec_id ≡ doc_id for
+      // docs carrying an embedding; the Hamming-<=1 signature join is
+      // the exact mask-subset rule, same as the neardup_multiprobe
+      // oracle) — then the same representative-keyed split and counted
+      // cross-boundary witness.
       "leakage_safe_split_semantic" -> {
         val hex32 = foldSum(
           "list_transform(generate_series(1, 8), i -> " +
@@ -313,9 +315,11 @@ object ExtOracleA {
           "CAST(0 AS BIGINT)")
         s"""WITH RECURSIVE $winnowCtes,
            ev AS (SELECT vec_id, embedding AS emb,
-               ${dotSql("embedding", "embedding")} AS n2 FROM embeddings),
+               ${dotSql("embedding", "embedding")} AS n2,
+               ${bucketOf("embedding")} AS bucket FROM embeddings),
            sem AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
              FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+               AND bit_count(xor(a.bucket, b.bucket)) <= 1
              WHERE round(CASE WHEN sqrt(a.n2) = 0.0 OR sqrt(b.n2) = 0.0
                         THEN 0.0
                         ELSE ${dotSql("a.emb", "b.emb")}

@@ -147,19 +147,27 @@ object ExtQueries {
     // that carry an embedding — the testdata contract), so a cluster
     // that is lexically distinct but semantically duplicated still
     // lands wholly on one side. The witness counts cross-boundary
-    // pairs OF THE UNION (computed, never assumed; must be 0). The
-    // semantic edges use the exact pair generator so the DuckDB oracle
-    // re-runs BOTH generators verbatim; at corpus scale the LSH /
-    // multi-probe near-dup family substitutes as the edge source — the
-    // split construction (components → hash on representative) is
-    // generator-agnostic, and the witness stays sound for whatever
-    // pair frame fed it.
+    // pairs OF THE UNION (computed, never assumed; must be 0).
+    //
+    // The semantic edges come from the MULTI-PROBE LSH generator — the
+    // scale path (bucket-bounded candidates, never all-pairs; VERDICT
+    // r14 #1): this registered plan is the one a user runs at corpus
+    // scale, not a guarded brute-force stand-in. The DuckDB oracle
+    // re-runs the generator exactly via the Hamming-<=1 signature join
+    // (the neardup_multiprobe oracle's mask-subset rule — at gate SFs
+    // the adaptive sizing degenerates to one 4-plane table, so the
+    // probe set is exactly "signatures differing in at most one bit").
+    // The split construction (components → hash on representative) is
+    // generator-agnostic and the witness stays sound for whatever pair
+    // frame fed it; ComponentsSpec keeps the brute-force generator as
+    // the spec twin on the paraphrase fixture.
     "leakage_safe_split_semantic" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val emb = t(s, dir, "embeddings")
       val lex = Dedup.winnowingPairs(docs, k = 5, w = 4, minShared = 10)
         .select(col("doc_a"), col("doc_b"))
-      val sem = Similarity.cosineNearDupPairs(emb, threshold = 0.4)
+      val sem = Similarity.cosineNearDupPairsMultiProbe(emb,
+          threshold = 0.4)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
       // both generators run exactly once: the union feeds the component
       // loop AND the counted witness — without the eager checkpoint the
