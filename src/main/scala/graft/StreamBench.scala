@@ -32,6 +32,9 @@ import graft.streaming.{StreamingDecontamination, StreamingKpis,
   *  - decontamination: the versioned span-index loop (cut batch against
   *    index, append report, ingest spans) over real sf0.001 documents —
   *    per trigger the index grows, so trigger_ms trend is the signal.
+  *  - knn_graph_ingest: the persisted kNN graph's maintenance lane —
+  *    fresh vectors per trigger absorbed by local descent; trend again
+  *    the signal (a climb means ingest stopped being batch-local).
   */
 object StreamBench {
 
@@ -350,6 +353,70 @@ object StreamBench {
       (stats, extra)
     }
 
+    // ---- kNN-graph maintenance loop -------------------------------------
+    // The fifth index family's lane (VERDICT r14 #2): the graph +
+    // lane-owned corpus table are pre-seeded with the full sf0.1
+    // embeddings, then each trigger streams a batch of FRESH vectors
+    // (decorrelated transform, new ids — the pure ingest path; the
+    // no-op/replay paths are spec-gated, and a re-sent batch would
+    // short-circuit to ~0 work, which is not a throughput number).
+    // Per trigger: novelty anti-join + corpus append + seed from the
+    // frozen cells + one local-descent round over the affected
+    // neighborhood + full-snapshot commit. The graph grows every
+    // trigger, so the trigger_ms TREND is the signal — a superlinear
+    // climb means the ingest stopped being batch-local. Corpus
+    // compaction armed (appends add a file per trigger).
+    val (kgStats, kgExtra) = {
+      val sf = sys.env.getOrElse("SPARK_GRAFT_STREAM_DOCS_DIR",
+        "/root/testdata/sf0.1")
+      val kgTriggers =
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_KG_TRIGGERS", "6").toInt
+      val base = graft.sources.Tables.table(spark, sf, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val vecsPerTrigger = math.min(
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_KG_VECS", "500").toInt,
+        base.length)
+      val maxId = base.map(_._1).max + 1L
+      val graphRoot = tmp("sb-kg-graph")
+      val corpusRoot = tmp("sb-kg-corpus")
+      val seed = graft.sources.Tables.table(spark, sf, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      graft.ext.KnnGraphIndex.create(seed, graphRoot)
+      graft.sources.VersionedTable.commit(seed, corpusRoot)
+      val input = MemoryStream[(Long, Array[Float])]
+      val q = graft.streaming.StreamingKnnGraph.ingestWriter(
+        input.toDF().toDF("vec_id", "embedding"), graphRoot, corpusRoot,
+        checkpoint = tmp("sb-kg-ckpt"),
+        trigger = org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("0 seconds"),
+        compactAboveFiles = 8).start()
+      val stats = (1 to kgTriggers).map { i =>
+        // per-trigger rotation offset (the screen lane's trick): fresh
+        // vectors decorrelated from everything indexed AND from every
+        // earlier trigger's batch
+        val batch = base.take(vecsPerTrigger).map { case (id, e) =>
+          val d = e.length
+          val v = Array.tabulate(d)(j =>
+            (if (j % 2 == 0) 1f else -1f) * e((j + d / 2 + i) % d))
+          (id + i * maxId, v)
+        }
+        input.addData(batch.toSeq)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        TriggerStat(batch.length.toLong, (System.nanoTime() - t0) / 1e6)
+      }
+      q.stop()
+      val graphRows = graft.sources.VersionedTable
+        .read(spark, graphRoot).count()
+      val corpusRows = graft.sources.VersionedTable
+        .read(spark, corpusRoot).count()
+      val extra = s""","vecs_per_trigger":$vecsPerTrigger,"graph_rows_final":$graphRows,"corpus_rows_final":$corpusRows,"graph_versions_last":${graft.sources.VersionedTable.versions(spark, graphRoot).size},"corpus_files_last":${graft.sources.VersionedTable.fileCount(spark, corpusRoot)}"""
+      (stats, extra)
+    }
+
     // ---- trigger-scale soak (VERDICT r11 #7) ---------------------------
     // 100+ triggers through the decontamination loop with compaction
     // armed AND the retention policy live: every 10 triggers,
@@ -435,7 +502,8 @@ object StreamBench {
         "hourly_kpis", kpiStats)},${report("decontamination", decontStats,
         decontExtra)},${report("semantic_screen", screenStats,
         screenExtra)},${report("lexical_screen", lexStats,
-        lexExtra)},${if (soakStats.nonEmpty)
+        lexExtra)},${report("knn_graph_ingest", kgStats,
+        kgExtra)},${if (soakStats.nonEmpty)
           report("decontamination_soak", soakStats, soakExtra) + ","
         else ""}"triggers":$triggers,"rows_per_trigger":$rowsPerTrigger,"load_avg_start":$load0,"load_avg_end":${Bench.loadAvg()},"steal_pct":${f2(stealPct)}}"""
     val w = new java.io.PrintWriter("BENCH_STREAMING.json", "UTF-8")
