@@ -271,8 +271,17 @@ object Dedup {
     * Same bucket-collect shape as [[jaccardPairs]] — one shuffle groups
     * doc ids per fingerprint, pairs generate inside the bucket. */
   def winnowingPairs(docs: DataFrame, k: Int = 5, w: Int = 4,
-                     minShared: Long = 10, maxBucket: Int = 1000): DataFrame = {
-    val fp = winnowingFingerprints(docs, k, w)
+                     minShared: Long = 10, maxBucket: Int = 1000): DataFrame =
+    winnowingPairsFromFps(winnowingFingerprints(docs, k, w), minShared,
+      maxBucket)
+
+  /** [[winnowingPairs]]' pair-generation stage on an ALREADY-BUILT
+    * (doc_id, fp) frame — the entry the persisted split index uses so
+    * its committed fingerprint postings and its committed edges come
+    * from the same frame (and so the in-bucket pair algebra lives in
+    * exactly one place). */
+  def winnowingPairsFromFps(fp: DataFrame, minShared: Long = 10,
+                            maxBucket: Int = 1000): DataFrame = {
     val buckets = fp.groupBy(col("fp"))
       .agg(sort_array(collectSetCapped(col("doc_id"), maxBucket)).as("d"), count(lit(1)).as("c"))
       .where(col("c") >= 2 && col("c") <= maxBucket)

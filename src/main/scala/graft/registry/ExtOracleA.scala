@@ -50,6 +50,50 @@ object ExtOracleA {
            FROM fpp a JOIN fpp b ON a.fp = b.fp AND a.doc_id < b.doc_id
            GROUP BY 1, 2)"""
 
+    // leakage_safe_split: the component CTEs + the doc_splits hashBucket
+    // mirror keyed on the component REPRESENTATIVE, plus the
+    // cross-boundary near-dup pair count (the witness — 0 by
+    // construction, but counted from the pair frame, never assumed).
+    // Shared verbatim by leakage_safe_split_indexed: the persisted
+    // labels/edges MUST reproduce exactly what a fresh pass computes.
+    val leakageSafeSplitSql = {
+      val hex32 = foldSum(
+        "list_transform(generate_series(1, 8), i -> " +
+          "CAST(CASE WHEN ascii(substr(mh, i, 1)) <= 57 " +
+          "THEN ascii(substr(mh, i, 1)) - 48 " +
+          "ELSE ascii(substr(mh, i, 1)) - 87 END AS BIGINT) " +
+          "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+        "CAST(0 AS BIGINT)")
+      s"""WITH RECURSIVE $winnowCtes,
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                   WHERE n_shared_fp >= 10
+                   UNION SELECT doc_b, doc_a FROM pairs
+                   WHERE n_shared_fp >= 10),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+                  FROM reach GROUP BY a),
+         rep AS (SELECT d.doc_id,
+                   COALESCE(c.component, d.doc_id) AS rep
+                 FROM documents d LEFT JOIN comp c USING (doc_id)),
+         m AS (SELECT doc_id, rep,
+                 md5(CAST(rep AS VARCHAR)) AS mh FROM rep),
+         s AS (SELECT doc_id, rep,
+                 CASE WHEN $hex32 % 100 < 80 THEN 'train'
+                      ELSE 'eval' END AS split FROM m),
+         x AS (SELECT CAST(count(*) AS BIGINT) AS cross_split_pairs
+               FROM pairs p
+               JOIN s sa ON sa.doc_id = p.doc_a
+               JOIN s sb ON sb.doc_id = p.doc_b
+               WHERE p.n_shared_fp >= 10 AND sa.split <> sb.split)
+         SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT rep) AS BIGINT) AS n_groups,
+           (SELECT cross_split_pairs FROM x) AS cross_split_pairs
+         FROM s GROUP BY split ORDER BY split"""
+    }
+
     Map(
       "text_stats" ->
         s"""WITH $tokCte
@@ -256,47 +300,11 @@ object ExtOracleA {
            SELECT a AS doc_id, least(a, min(b)) AS component
            FROM reach GROUP BY a ORDER BY doc_id""",
 
-      // leakage_safe_split: the component CTEs above + the doc_splits
-      // hashBucket mirror, keyed on the component REPRESENTATIVE, plus
-      // the cross-boundary near-dup pair count (the witness — 0 by
-      // construction, but counted from the pair frame, never assumed).
-      "leakage_safe_split" -> {
-        val hex32 = foldSum(
-          "list_transform(generate_series(1, 8), i -> " +
-            "CAST(CASE WHEN ascii(substr(mh, i, 1)) <= 57 " +
-            "THEN ascii(substr(mh, i, 1)) - 48 " +
-            "ELSE ascii(substr(mh, i, 1)) - 87 END AS BIGINT) " +
-            "* CAST(pow(16.0, 8 - i) AS BIGINT))",
-          "CAST(0 AS BIGINT)")
-        s"""WITH RECURSIVE $winnowCtes,
-           edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-                     WHERE n_shared_fp >= 10
-                     UNION SELECT doc_b, doc_a FROM pairs
-                     WHERE n_shared_fp >= 10),
-           reach AS (
-             SELECT a, b FROM edges
-             UNION
-             SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-           comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
-                    FROM reach GROUP BY a),
-           rep AS (SELECT d.doc_id,
-                     COALESCE(c.component, d.doc_id) AS rep
-                   FROM documents d LEFT JOIN comp c USING (doc_id)),
-           m AS (SELECT doc_id, rep,
-                   md5(CAST(rep AS VARCHAR)) AS mh FROM rep),
-           s AS (SELECT doc_id, rep,
-                   CASE WHEN $hex32 % 100 < 80 THEN 'train'
-                        ELSE 'eval' END AS split FROM m),
-           x AS (SELECT CAST(count(*) AS BIGINT) AS cross_split_pairs
-                 FROM pairs p
-                 JOIN s sa ON sa.doc_id = p.doc_a
-                 JOIN s sb ON sb.doc_id = p.doc_b
-                 WHERE p.n_shared_fp >= 10 AND sa.split <> sb.split)
-           SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(count(DISTINCT rep) AS BIGINT) AS n_groups,
-             (SELECT cross_split_pairs FROM x) AS cross_split_pairs
-           FROM s GROUP BY split ORDER BY split"""
-      },
+      "leakage_safe_split" -> leakageSafeSplitSql,
+
+      // The indexed form must answer IDENTICALLY from persisted state
+      // (the span_cut_indexed pattern): the oracle recomputes fresh.
+      "leakage_safe_split_indexed" -> leakageSafeSplitSql,
 
       // leakage_safe_split_semantic: BOTH pair generators re-run —
       // winnowing (the component CTEs) UNIONed with the MULTI-PROBE

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Components, Dedup, Sampling, SplitIndex}
+import graft.sources.VersionedTable
+
+/** The persisted split-labels index (ext/SplitIndex): build-once
+  * read-many split assignment, ingest = components on the affected
+  * neighborhood only, always answering identically to a fresh pass. */
+class SplitIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"graft-splitidx-$tag")
+      .resolve("root").toString
+
+  // near-dup fixture: groups of docs sharing a 60-token text (identical
+  // docs share every winnowing fingerprint), singletons unique
+  private def text(tag: String) = (0 until 60).map(t => s"$tag$t")
+    .mkString(" ")
+  private val corpus = Seq(
+    (0L, text("a")), (1L, text("a")),          // component {0,1}
+    (2L, text("b")), (3L, text("b")),          // component {2,3}
+    (4L, text("u4")), (5L, text("u5")),        // singletons
+    (6L, text("u6")), (7L, text("u7")))
+  private def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+
+  private def freshLabels(rows: Seq[(Long, String)]) = {
+    val docs = df(rows)
+    val pairs = Dedup.winnowingPairs(docs, k = 5, w = 4, minShared = 10)
+    docs.select($"doc_id")
+      .join(Components.connectedComponents(pairs, "doc_a", "doc_b"),
+        Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"component", $"doc_id").as("rep"))
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("create persists labels for every doc; the split read path " +
+      "equals the fresh pass; re-create is a no-op") {
+    val root = tmp("create")
+    SplitIndex.create(df(corpus), root)
+    val lab = SplitIndex.labels(spark, root)
+      .as[(Long, Long)].collect().toMap
+    assert(lab === freshLabels(corpus))
+    assert(lab(0L) === 0L && lab(1L) === 0L)
+    assert(lab(2L) === 2L && lab(3L) === 2L)
+    assert(lab(4L) === 4L)
+    // the lookup-path split matches computing the split fresh
+    val viaIndex = SplitIndex.split(spark, root,
+        Seq("train" -> 80, "eval" -> 20))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val fresh = Sampling.deterministicSplit(
+        lab.toSeq.toDF("doc_id", "rep"), $"rep",
+        Seq("train" -> 80, "eval" -> 20))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(viaIndex === fresh)
+    // clusters land whole-side by construction
+    assert(viaIndex(0L) === viaIndex(1L) && viaIndex(2L) === viaIndex(3L))
+    val labV = VersionedTable.versions(spark, root + "/labels")
+    SplitIndex.create(df(corpus), root)
+    assert(VersionedTable.versions(spark, root + "/labels") === labV)
+  }
+
+  test("ingest equals a fresh rebuild: delta-delta and delta-corpus " +
+      "edges, affected components merged, untouched labels verbatim") {
+    val root = tmp("ingest")
+    SplitIndex.create(df(corpus), root)
+    // delta: a twin of doc 4 (delta-corpus pair), an identical pair of
+    // new docs (delta-delta pair), and a fresh singleton
+    val delta = Seq(
+      (100L, text("u4")),                       // joins {4}
+      (101L, text("c")), (102L, text("c")),     // new component
+      (103L, text("u103")))
+    val v = SplitIndex.ingest(root, df(delta))
+    assert(v === VersionedTable.versions(spark, root + "/labels").last)
+    val lab = SplitIndex.labels(spark, root)
+      .as[(Long, Long)].collect().toMap
+    // the whole post-ingest state must equal a fresh build on the
+    // full corpus — labels AND edges
+    val full = corpus ++ delta
+    assert(lab === freshLabels(full))
+    assert(lab(100L) === 4L && lab(101L) === 101L && lab(102L) === 101L)
+    val fresh2 = tmp("fresh2")
+    SplitIndex.create(df(full), fresh2)
+    assert(SplitIndex.edges(spark, root)
+      .as[(Long, Long, Long)].collect().toSet
+      === SplitIndex.edges(spark, fresh2)
+        .as[(Long, Long, Long)].collect().toSet)
+    assert(SplitIndex.labels(spark, fresh2)
+      .as[(Long, Long)].collect().toMap === lab)
+  }
+
+  test("ingest merges components BRIDGED by a delta doc") {
+    val root = tmp("bridge")
+    SplitIndex.create(df(corpus), root)
+    // a doc carrying both group texts shares >= minShared fingerprints
+    // with each side: {0,1} and {2,3} must merge under rep 0
+    val bridge = Seq((200L, text("a") + " " + text("b")))
+    SplitIndex.ingest(root, df(bridge))
+    val lab = SplitIndex.labels(spark, root)
+      .as[(Long, Long)].collect().toMap
+    assert(lab === freshLabels(corpus ++ bridge))
+    assert(Seq(0L, 1L, 2L, 3L, 200L).forall(lab(_) === 0L))
+    // untouched singletons still rep themselves
+    assert(Seq(4L, 5L, 6L, 7L).forall(i => lab(i) === i))
+  }
+
+  test("ingest idempotence and crash-replay convergence") {
+    val root = tmp("idem")
+    SplitIndex.create(df(corpus), root)
+    val delta = Seq((100L, text("u4")), (101L, text("x101")))
+    val v1 = SplitIndex.ingest(root, df(delta))
+    val lab1 = SplitIndex.labels(spark, root)
+      .as[(Long, Long)].collect().toMap
+    val fps1 = VersionedTable.read(spark, root + "/fps").count()
+    val edges1 = SplitIndex.edges(spark, root).count()
+    // re-ingest: a no-op (ids already labeled)
+    assert(SplitIndex.ingest(root, df(delta)) === v1)
+    assert(VersionedTable.read(spark, root + "/fps").count() === fps1)
+    assert(SplitIndex.edges(spark, root).count() === edges1)
+    assert(SplitIndex.labels(spark, root)
+      .as[(Long, Long)].collect().toMap === lab1)
+
+    // crash replay: a prior attempt that died AFTER the postings commit
+    // but BEFORE labels (labels are the authority) — re-running ingest
+    // must not double-count postings or duplicate edges
+    val root2 = tmp("crash")
+    SplitIndex.create(df(corpus), root2)
+    val p = SplitIndex.readModel(spark, root2)
+    graft.sources.VersionedStats.commitWithRowStat(
+      Dedup.winnowingFingerprints(df(delta), p.k, p.w),
+      root2 + "/fps", append = true)
+    val v2 = SplitIndex.ingest(root2, df(delta))
+    assert(v2 === VersionedTable.versions(spark, root2 + "/labels").last)
+    assert(SplitIndex.labels(spark, root2)
+      .as[(Long, Long)].collect().toMap === lab1)
+    assert(VersionedTable.read(spark, root2 + "/fps").count() === fps1)
+    assert(SplitIndex.edges(spark, root2).count() === edges1)
+  }
+}
