@@ -81,6 +81,10 @@ object PqIndex {
       // vector's ADC distance to its own code is exactly its
       // reconstruction error, so a dup-screen threshold must clear
       // it). One approx-percentile pass at build time, never again.
+      // The stats row also records the BUILD-TIME CORPUS COUNT — the
+      // fit stat [[stalenessRatio]] compares the grown index against
+      // (a count is exact in Double far past any corpus size the
+      // sample-capped fit could see).
       val errP99 = ProductQuant
         .ivfReconstructionError(corpus, coarse, cb)
         .agg(expr("percentile_approx(pq_err2, 0.99, 10000)"))
@@ -90,12 +94,15 @@ object PqIndex {
           ("coarse", 0, j, c.toSeq) } ++
         cb.zipWithIndex.flatMap { case (sub, s) =>
           sub.zipWithIndex.map { case (c, j) => ("cb", s, j, c.toSeq) } } ++
-        Seq(("stats", 0, 0, Seq(errP99)))
+        Seq(("stats", 0, 0, Seq(errP99, corpus.count().toDouble)))
       rows.toSeq.toDF("kind", "sub", "code", "dims")
         .coalesce(1).write.mode("errorifexists").parquet(mp.toString)
     }
     if (VersionedTable.versions(spark, root).isEmpty)
-      VersionedTable.commit(
+      // rows-only stats commit: the sidecar keeps the codes row count
+      // a METADATA read, which is what lets the per-trigger staleness
+      // check cost nothing
+      graft.sources.VersionedStats.commitWithRowStat(
         ProductQuant.encodeIvfPacked(corpus, coarse, cb)
           .select(col("vec_id"), col("list_id"), col("pq_packed")), root)
     }
@@ -164,14 +171,53 @@ object PqIndex {
             version: Option[Long] = None): DataFrame =
     VersionedTable.read(spark, root, version)
 
+  /** STALENESS of the frozen codebooks: indexed codes count (from the
+    * rows-stats sidecar — metadata-only) over the build-time corpus
+    * count recorded in the model's stats row. Same boundary class as
+    * [[KnnGraphIndex.stalenessRatio]]: the sample-capped Lloyd fit saw
+    * the BUILD corpus; one decade of growth later ~90% of the indexed
+    * mass was never seen by the fit, and quantization error (hence the
+    * [[tau2For]]-calibrated screens) drifts silently. Degrades OPEN
+    * (0.0) for legacy roots without the build_n stats element or the
+    * rows sidecar. */
+  def stalenessRatio(spark: SparkSession, root: String): Double = {
+    val stats = spark.read.parquet(modelPath(root).toString)
+      .where(col("kind") === "stats")
+      .select(col("dims")).collect()
+    stats.headOption.map(_.getSeq[Double](0))
+      .filter(_.length >= 2).map(_.apply(1)) match {
+      case Some(buildN) =>
+        graft.sources.VersionedStats.statsFor(spark, root) match {
+          case Some((rows, _)) => rows.toDouble / math.max(1.0, buildN)
+          case None => 0.0
+        }
+      case None => 0.0
+    }
+  }
+
+  /** One decade of growth past the build count — [[stalenessRatio]]'s
+    * refusal boundary (shared constant class with
+    * [[KnnGraphIndex.StaleDecade]]). */
+  val StaleDecade = 10.0
+
   /** Encode a new batch with the STORED model and append it as the next
     * version. Returns the new version. Caller contract: batch vec_ids
     * are new (dedup upstream — the index is an append log, not a map).
-    */
-  def ingest(root: String, batch: DataFrame): Long = {
+    * Refuses loudly once the index has outgrown the frozen fit's decade
+    * boundary ([[stalenessRatio]]) — re-[[create]] on the accumulated
+    * corpus, or pass `allowStale = true` knowingly. */
+  def ingest(root: String, batch: DataFrame,
+             allowStale: Boolean = false): Long = {
     val spark = batch.sparkSession
     val (coarse, cb) = readModel(spark, root)
-    VersionedTable.commit(
+    val stale = stalenessRatio(spark, root)
+    require(allowStale || stale < StaleDecade,
+      f"PqIndex at $root is STALE: the indexed codes are $stale%.1fx " +
+        "the build-time corpus count — past the frozen codebooks' " +
+        "decade boundary quantization error (and every tau2-calibrated " +
+        "screen) drifts silently. re-create the index, or pass " +
+        "allowStale = true to keep ingesting at the frozen fit")
+    graft.sources.VersionedStats.commitWithRowStat(
       ProductQuant.encodeIvfPacked(batch, coarse, cb)
         .select(col("vec_id"), col("list_id"), col("pq_packed")),
       root, append = true)

@@ -42,6 +42,13 @@ import graft.sources.VersionedTable
   * doesn't contain them yet — same contract as the span loop); feed
   * batches through exact/minhash dedup upstream if intra-batch
   * duplication matters.
+  *
+  * The frozen model's staleness boundary applies per trigger: a stream
+  * whose survivor ingests grow the codes past a decade of the
+  * build-time corpus count gets [[PqIndex.ingest]]'s loud refusal
+  * (quantization error — and every tau2-calibrated threshold — drifts
+  * past the frozen fit), not silent degradation. Re-[[PqIndex.create]]
+  * on the accumulated corpus and resume.
   */
 object StreamingSemanticDecontamination {
 

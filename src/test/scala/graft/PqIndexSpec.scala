@@ -62,6 +62,27 @@ class PqIndexSpec extends SparkSpec {
     // against the appended version without refit
   }
 
+  test("stale frozen codebooks: ingest refuses past the decade " +
+      "boundary, allowStale overrides knowingly") {
+    val root = freshRoot("stale")
+    PqIndex.create(emb.where(col("vec_id") < 40), root) // buildN = 40
+    assert(PqIndex.stalenessRatio(spark, root) === 1.0)
+    // one in-bounds ingest grows the codes far past a decade of the
+    // build count (the pre-ingest check sees the small index)
+    PqIndex.ingest(root, emb.where(col("vec_id") >= 40 &&
+      col("vec_id") < 480))
+    assert(PqIndex.stalenessRatio(spark, root) === 480.0 / 40.0)
+    val e = intercept[IllegalArgumentException] {
+      PqIndex.ingest(root, emb.where(col("vec_id") === 480))
+    }
+    assert(e.getMessage.contains("STALE"))
+    val v = PqIndex.ingest(root, emb.where(col("vec_id") === 480),
+      allowStale = true)
+    assert(v === graft.sources.VersionedTable.versions(spark, root).last)
+    assert(PqIndex.codes(spark, root)
+      .where(col("vec_id") === 480).count() === 1L)
+  }
+
   test("tau2For: threshold calibrated from the stored err2_p99 stat") {
     val root = freshRoot("tau")
     val corpus = emb.where(col("vec_id") < 400)
