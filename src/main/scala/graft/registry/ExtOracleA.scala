@@ -306,6 +306,11 @@ object ExtOracleA {
       // (the span_cut_indexed pattern): the oracle recomputes fresh.
       "leakage_safe_split_indexed" -> leakageSafeSplitSql,
 
+      // The ingested form is held to the SAME fresh-full-corpus oracle:
+      // an 80% build + 20% incremental ingest must be indistinguishable
+      // from having built on everything.
+      "leakage_safe_split_ingested" -> leakageSafeSplitSql,
+
       // leakage_safe_split_semantic: BOTH pair generators re-run —
       // winnowing (the component CTEs) UNIONed with the MULTI-PROBE
       // LSH cosine pairs at the 0.4 threshold (vec_id ≡ doc_id for

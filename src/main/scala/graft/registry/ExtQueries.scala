@@ -171,6 +171,42 @@ object ExtQueries {
         .orderBy(col("split"))
     }),
 
+    // Incremental maintenance of the split index, held to the FRESH
+    // oracle: the index is built on 80% of the corpus, the held-out
+    // 20% arrives as a delta, and ingest absorbs it WITHOUT a rebuild
+    // — delta fingerprints probe the stored postings (corpus text
+    // never rescanned), components re-run over the affected
+    // neighborhood only. The witness is the strongest available: the
+    // post-ingest asset must answer BYTE-IDENTICALLY to the DuckDB
+    // oracle that recomputes the whole pipeline on the full corpus
+    // (same SQL as leakage_safe_split). Re-running is a no-op, so the
+    // result is run-stable.
+    "leakage_safe_split_ingested" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs.where(col("doc_id") % 5 =!= 0)
+      val delta = docs.where(col("doc_id") % 5 === 0)
+      val root = graft.ext.PqIndex.fingerprintedRoot(s,
+        "/tmp/graft_dedup_index/" +
+          dir.replaceAll("[^A-Za-z0-9]", "_") + "/spliti",
+        dir + "/documents.parquet")
+      graft.ext.SplitIndex.create(base, root)
+      graft.ext.SplitIndex.ingest(root, delta)
+      val split = graft.ext.SplitIndex.split(s, root,
+        Seq("train" -> 80, "eval" -> 20))
+      val cross = graft.ext.SplitIndex.edges(s, root)
+        .join(split.select(col("doc_id").as("doc_a"),
+          col("split").as("__sa")), Seq("doc_a"))
+        .join(split.select(col("doc_id").as("doc_b"),
+          col("split").as("__sb")), Seq("doc_b"))
+        .where(col("__sa") =!= col("__sb"))
+        .agg(count(lit(1)).as("cross_split_pairs"))
+      split.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("rep")).as("n_groups"))
+        .crossJoin(broadcast(cross))
+        .orderBy(col("split"))
+    }),
+
     // The SEMANTIC regime of the leakage-safe split (VERDICT r13 #5):
     // the lexical split keys on winnowing components only, so near-dups
     // the lexical pass cannot see — paraphrases, exactly what
