@@ -35,6 +35,9 @@ import graft.streaming.{StreamingDecontamination, StreamingKpis,
   *  - knn_graph_ingest: the persisted kNN graph's maintenance lane —
   *    fresh vectors per trigger absorbed by local descent; trend again
   *    the signal (a climb means ingest stopped being batch-local).
+  *  - split_maintenance: the persisted split index's lane — arriving
+  *    docs inherit their near-dup cluster's side via the stored-postings
+  *    probe; assignments append to the report table per trigger.
   */
 object StreamBench {
 
@@ -417,6 +420,63 @@ object StreamBench {
       (stats, extra)
     }
 
+    // ---- split-maintenance loop ------------------------------------------
+    // The sixth index family's lane: the split index is pre-seeded with
+    // the full corpus, then each trigger streams a batch of arriving
+    // docs — half verbatim re-texts under new ids (near-dups that must
+    // INHERIT their cluster's side: the fingerprint-probe + affected-CC
+    // path), half word-salted (fresh singletons: the cheap path) — and
+    // the batch's assignments append to the report table. The postings
+    // table grows per trigger, so the trigger_ms trend is the signal;
+    // fps compaction armed.
+    val (splitStats, splitExtra) = {
+      val sf = sys.env.getOrElse("SPARK_GRAFT_STREAM_DOCS_DIR",
+        "/root/testdata/sf0.1")
+      val spTriggers =
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_SPLIT_TRIGGERS", "6").toInt
+      val base = graft.sources.Tables.table(spark, sf, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")).collect()
+      val docsPerTrigger = math.min(
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_SPLIT_DOCS", "1000").toInt,
+        base.length)
+      val maxId = base.map(_.getLong(0)).max + 1L
+      val indexRoot = tmp("sb-sp-index")
+      val reportRoot = tmp("sb-sp-report")
+      graft.ext.SplitIndex.create(
+        graft.sources.Tables.table(spark, sf, "documents")
+          .select(col("doc_id"), col("text")), indexRoot)
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingSplitMaintenance.assignWriter(
+        input.toDF().toDF("doc_id", "text"), indexRoot, reportRoot,
+        checkpoint = tmp("sb-sp-ckpt"),
+        trigger = org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("0 seconds"),
+        compactAboveFiles = 16).start()
+      val stats = (1 to spTriggers).map { i =>
+        val batch = base.take(docsPerTrigger).zipWithIndex.map {
+          case (r, j) =>
+            val t = if (j % 2 == 0) r.getString(1) // inherit path
+              else r.getString(1).split(" ").map(_ + s"s$i$j")
+                .mkString(" ")                     // fresh singleton
+            (r.getLong(0) + i * maxId, t)
+        }
+        input.addData(batch.toSeq)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        TriggerStat(batch.length.toLong, (System.nanoTime() - t0) / 1e6)
+      }
+      q.stop()
+      val labelRows = graft.sources.VersionedTable
+        .read(spark, indexRoot + "/labels").count()
+      val reportRows = graft.sources.VersionedTable
+        .read(spark, reportRoot).count()
+      val fpsFiles = graft.sources.VersionedTable
+        .fileCount(spark, indexRoot + "/fps")
+      val extra = s""","docs_per_trigger":$docsPerTrigger,"label_rows_final":$labelRows,"report_rows_final":$reportRows,"fps_files_last":$fpsFiles"""
+      (stats, extra)
+    }
+
     // ---- trigger-scale soak (VERDICT r11 #7) ---------------------------
     // 100+ triggers through the decontamination loop with compaction
     // armed AND the retention policy live: every 10 triggers,
@@ -503,7 +563,8 @@ object StreamBench {
         decontExtra)},${report("semantic_screen", screenStats,
         screenExtra)},${report("lexical_screen", lexStats,
         lexExtra)},${report("knn_graph_ingest", kgStats,
-        kgExtra)},${if (soakStats.nonEmpty)
+        kgExtra)},${report("split_maintenance", splitStats,
+        splitExtra)},${if (soakStats.nonEmpty)
           report("decontamination_soak", soakStats, soakExtra) + ","
         else ""}"triggers":$triggers,"rows_per_trigger":$rowsPerTrigger,"load_avg_start":$load0,"load_avg_end":${Bench.loadAvg()},"steal_pct":${f2(stealPct)}}"""
     val w = new java.io.PrintWriter("BENCH_STREAMING.json", "UTF-8")
