@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ext.SplitIndex
+
+/** Ingest-vs-rebuild probe for the persisted split-labels index
+  * ([[graft.ext.SplitIndex]]): the sixth family's economic claim is
+  * that absorbing an arriving slice costs a FRACTION of re-running the
+  * winnowing pass + components over everything — while answering
+  * BYTE-IDENTICALLY. This harness builds the index on 90% of a corpus,
+  * times `ingest` of the held-out 10%, times a full `create` on 100%
+  * at a second root for comparison, asserts label identity between the
+  * two assets, and prints ONE JSON line.
+  *
+  * The generated corpus is deterministic (seeded token streams, no
+  * wall clock): `dupFrac` of the docs are verbatim copies of earlier
+  * docs (near-dup clusters the ingest must merge across the 90/10
+  * boundary — ids ending in 0 are the held-out slice, so ~`dupFrac`/10
+  * of the delta carries cross-boundary edges); the rest are unique
+  * singletons.
+  *
+  * Usage: runMain graft.SplitIndexProbe [nDocs] [dupFrac%]
+  * Env: SPARK_GRAFT_CPUS (default 32).
+  */
+object SplitIndexProbe {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.lift(0).map(_.toLong).getOrElse(50000L)
+    val dupPct = args.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // deterministic corpus: when doc i's hash lands under dupPct it is
+    // a verbatim copy of the 50-aligned anchor below it, offset to end
+    // in 1 (clusters of ~dupPct% of 50 ≈ 5 docs — far under the
+    // stop-fingerprint bucket cap, so every cluster is FOUND, unlike a
+    // single giant hub whose buckets the cap rightly drops). Anchors
+    // end in 1, i.e. live in the BASE; the held-out slice (ids ending
+    // in 0) carries ~dupPct% docs that near-dup base clusters — the
+    // inherit path — plus singletons, the realistic arrival mix. All
+    // other docs are unique singletons.
+    val docs = spark.range(nDocs)
+      .select(col("id").as("doc_id"),
+        when(pmod(hash(col("id")), lit(100)) < dupPct && col("id") >= 51,
+          col("id") - pmod(col("id"), lit(50)) + 1)
+          .otherwise(col("id")).as("__src"))
+      .select(col("doc_id"),
+        array_join(transform(sequence(lit(0), lit(59)),
+          j => concat(lit("t"), col("__src"), lit("w"), j)), " ")
+          .as("text"))
+      .persist()
+    docs.count()
+    val base = docs.where(col("doc_id") % 10 =!= 0)
+    val delta = docs.where(col("doc_id") % 10 === 0)
+    def tmp(tag: String) = java.nio.file.Files
+      .createTempDirectory(s"splitidx-probe-$tag").toString + "/root"
+
+    val incRoot = tmp("inc")
+    val t0 = System.nanoTime()
+    SplitIndex.create(base, incRoot)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    SplitIndex.ingest(incRoot, delta)
+    val ingestSec = (System.nanoTime() - t1) / 1e9
+
+    val fullRoot = tmp("full")
+    val t2 = System.nanoTime()
+    SplitIndex.create(docs, fullRoot)
+    val rebuildSec = (System.nanoTime() - t2) / 1e9
+
+    // identity: the maintained asset answers exactly like the rebuild
+    val mismatched = SplitIndex.labels(spark, incRoot)
+      .withColumnRenamed("rep", "__a")
+      .join(SplitIndex.labels(spark, fullRoot)
+        .withColumnRenamed("rep", "__b"), Seq("doc_id"), "full")
+      .where(col("__a").isNull || col("__b").isNull ||
+        col("__a") =!= col("__b"))
+      .limit(1).count()
+    val edgeDelta = SplitIndex.edges(spark, incRoot)
+      .select(col("doc_a"), col("doc_b"))
+      .exceptAll(SplitIndex.edges(spark, fullRoot)
+        .select(col("doc_a"), col("doc_b")))
+      .limit(1).count() +
+      SplitIndex.edges(spark, fullRoot)
+        .select(col("doc_a"), col("doc_b"))
+        .exceptAll(SplitIndex.edges(spark, incRoot)
+          .select(col("doc_a"), col("doc_b")))
+        .limit(1).count()
+    val nLabels = SplitIndex.labels(spark, incRoot).count()
+    val nEdges = SplitIndex.edges(spark, incRoot).count()
+
+    def f2(d: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, d)
+    println(s"""{"metric":"split_index_ingest_vs_rebuild","n_docs":$nDocs,"dup_pct":$dupPct,"build90_sec":${f2(buildSec)},"ingest10_sec":${f2(ingestSec)},"rebuild100_sec":${f2(rebuildSec)},"ingest_over_rebuild":${f2(ingestSec / math.max(rebuildSec, 1e-9))},"labels":$nLabels,"edges":$nEdges,"label_mismatches":$mismatched,"edge_set_delta":$edgeDelta}""")
+    spark.stop()
+  }
+}
