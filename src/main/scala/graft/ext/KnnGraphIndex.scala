@@ -151,7 +151,18 @@ object KnnGraphIndex {
     String, (Array[Array[Double]], Params)]()
 
   /** The stored (centroids, params) — frozen at [[create]], so the
-    * per-JVM cache can never serve a stale model. */
+    * per-JVM cache can never serve a stale model.
+    *
+    * LEGACY roots (written before the typed-params schema) pack the
+    * params into the `dims` array of the params row — (k, nprobe,
+    * degree, iters, targetCell, seed), no build_n. Selecting the typed
+    * columns there would throw AnalysisException and brick every
+    * pre-change persisted root, so the reader degrades by SCHEMA, not
+    * by root name: a model file without a `build_n` column parses the
+    * packed row (exact — all legacy params fit a Double) and records
+    * buildN = 0, the sentinel [[stalenessRatio]] treats as "no build
+    * stat: advisory check degrades open", matching [[PqIndex]]'s
+    * legacy posture. */
   def readModel(spark: SparkSession,
                 root: String): (Array[Array[Double]], Params) = {
     val cached = modelCache.get(root)
@@ -162,13 +173,26 @@ object KnnGraphIndex {
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).map(_._2)
     require(centroids.nonEmpty, s"KnnGraphIndex model at $root is empty")
-    val p = df.where(col("kind") === "params")
-      .select(col("k"), col("nprobe"), col("degree"), col("iters"),
-        col("target_cell"), col("seed"), col("build_n"))
-      .collect().headOption
-      .getOrElse(sys.error(s"KnnGraphIndex model at $root has no params row"))
-    val loaded = (centroids, Params(p.getInt(0), p.getInt(1), p.getInt(2),
-      p.getInt(3), p.getInt(4), p.getLong(5), p.getLong(6)))
+    val params =
+      if (df.columns.contains("build_n")) {
+        val p = df.where(col("kind") === "params")
+          .select(col("k"), col("nprobe"), col("degree"), col("iters"),
+            col("target_cell"), col("seed"), col("build_n"))
+          .collect().headOption
+          .getOrElse(sys.error(
+            s"KnnGraphIndex model at $root has no params row"))
+        Params(p.getInt(0), p.getInt(1), p.getInt(2), p.getInt(3),
+          p.getInt(4), p.getLong(5), p.getLong(6))
+      } else {
+        val p = df.where(col("kind") === "params")
+          .select(col("dims")).collect().headOption
+          .map(_.getSeq[Double](0))
+          .getOrElse(sys.error(
+            s"KnnGraphIndex model at $root has no params row"))
+        Params(p(0).toInt, p(1).toInt, p(2).toInt, p(3).toInt,
+          p(4).toInt, p(5).toLong, buildN = 0L)
+      }
+    val loaded = (centroids, params)
     modelCache.putIfAbsent(root, loaded)
     loaded
   }
@@ -188,6 +212,11 @@ object KnnGraphIndex {
     * silently; re-[[create]] (or pass `allowStale = true` knowingly). */
   def stalenessRatio(spark: SparkSession, root: String): Double = {
     val (_, p) = readModel(spark, root)
+    // buildN == 0 is the legacy-model sentinel (see [[readModel]]):
+    // no build-time count was recorded, so the advisory check degrades
+    // OPEN rather than dividing by the max(1, 0) floor and refusing
+    // every legacy ingest as infinitely stale
+    if (p.buildN == 0L) return 0.0
     VersionedStats.statsFor(spark, root) match {
       case Some((rows, _)) =>
         (rows.toDouble / p.degree) / math.max(1L, p.buildN)
@@ -249,13 +278,6 @@ object KnnGraphIndex {
       val spark = batch.sparkSession
       require(rounds >= 0, s"rounds must be >= 0: $rounds")
       val (centroids, p) = readModel(spark, root)
-      val stale = stalenessRatio(spark, root)
-      require(allowStale || stale < StaleDecade,
-        f"KnnGraphIndex at $root is STALE: the indexed corpus is " +
-          f"$stale%.1fx the build-time count (${p.buildN} vectors, " +
-          f"frozen degree ${p.degree}) — past the degree rule's decade " +
-          "boundary recall decays silently. re-create the index, or " +
-          "pass allowStale = true to keep ingesting at the frozen fit")
       val existing = adjacency(spark, root)
       // no distinct on the anti-join's right side: left_anti never
       // duplicates left rows, and the distinct was an index-wide
@@ -266,8 +288,21 @@ object KnnGraphIndex {
         .join(existing.select(col("vec_id")), Seq("vec_id"), "left_anti")
         .limit(1).count()
       if (fresh == 0L)
+        // the no-op short-circuit runs BEFORE the staleness refusal: a
+        // replayed all-duplicate batch (the documented crash-replay
+        // convergence of the streaming lane) must stay a no-op even
+        // when the index has since crossed the decade boundary —
+        // refusing it would wedge a stream on work it does not do
         VersionedTable.versions(spark, root).last
       else {
+        val stale = stalenessRatio(spark, root)
+        require(allowStale || stale < StaleDecade,
+          f"KnnGraphIndex at $root is STALE: the indexed corpus is " +
+            f"$stale%.1fx the build-time count (${p.buildN} vectors, " +
+            f"frozen degree ${p.degree}) — past the degree rule's " +
+            "decade boundary recall decays silently. re-create the " +
+            "index, or pass allowStale = true to keep ingesting at " +
+            "the frozen fit")
         // Union children are CHECKPOINTED LEAVES throughout ingest: a
         // union whose children share attribute lineage (the stored
         // adjacency semi-joined through `touched`, which itself derives

@@ -85,16 +85,24 @@ object PqIndex {
       // fit stat [[stalenessRatio]] compares the grown index against
       // (a count is exact in Double far past any corpus size the
       // sample-capped fit could see).
-      val errP99 = ProductQuant
+      // ONE aggregate job yields both stats: the p99 AND the build-time
+      // corpus count ride the same reconstruction-error pass (the
+      // error frame is one row per corpus vector, so its count IS the
+      // corpus count) — the separate corpus.count() job this used to
+      // issue was a second full scan for a number already flowing by
+      val statsRow = ProductQuant
         .ivfReconstructionError(corpus, coarse, cb)
-        .agg(expr("percentile_approx(pq_err2, 0.99, 10000)"))
-        .head.getDouble(0)
+        .agg(expr("percentile_approx(pq_err2, 0.99, 10000)"),
+          count(lit(1)))
+        .head
+      val errP99 = statsRow.getDouble(0)
+      val buildN = statsRow.getLong(1)
       val rows =
         coarse.zipWithIndex.map { case (c, j) =>
           ("coarse", 0, j, c.toSeq) } ++
         cb.zipWithIndex.flatMap { case (sub, s) =>
           sub.zipWithIndex.map { case (c, j) => ("cb", s, j, c.toSeq) } } ++
-        Seq(("stats", 0, 0, Seq(errP99, corpus.count().toDouble)))
+        Seq(("stats", 0, 0, Seq(errP99, buildN.toDouble)))
       rows.toSeq.toDF("kind", "sub", "code", "dims")
         .coalesce(1).write.mode("errorifexists").parquet(mp.toString)
     }
@@ -155,13 +163,31 @@ object PqIndex {
               cosThreshold: Double): Double = {
     require(cosThreshold >= -1.0 && cosThreshold <= 1.0,
       s"cosThreshold $cosThreshold outside [-1, 1]")
-    val stats = spark.read.parquet(modelPath(root).toString)
-      .where(col("kind") === "stats")
-      .select(col("dims")).collect()
+    val stats = statsDims(spark, root)
     require(stats.nonEmpty, s"PqIndex at $root has no stats row — " +
       "rebuilt indexes record err2_p99 at create; pass an explicit " +
       "tau2 for legacy indexes")
-    (2.0 - 2.0 * cosThreshold) + stats.head.getSeq[Double](0).head
+    (2.0 - 2.0 * cosThreshold) + stats.get.head
+  }
+
+  // the parsed stats-row dims (err2_p99, build_n), cached per root: the
+  // stats row is FROZEN at create (same argument as [[readModel]]'s
+  // cache), and both the per-trigger staleness check and every
+  // tau2-calibrated screen read it — without the cache each ingest
+  // trigger paid a _model parquet read for a constant
+  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[Seq[Double]]]()
+
+  private def statsDims(spark: SparkSession,
+                        root: String): Option[Seq[Double]] = {
+    val cached = statsCache.get(root)
+    if (cached != null) return cached
+    val loaded = spark.read.parquet(modelPath(root).toString)
+      .where(col("kind") === "stats")
+      .select(col("dims")).collect()
+      .headOption.map(_.getSeq[Double](0))
+    statsCache.putIfAbsent(root, loaded)
+    loaded
   }
 
   /** Codes frame (vec_id, list_id, pq_packed) — latest version, or a
@@ -181,10 +207,7 @@ object PqIndex {
     * (0.0) for legacy roots without the build_n stats element or the
     * rows sidecar. */
   def stalenessRatio(spark: SparkSession, root: String): Double = {
-    val stats = spark.read.parquet(modelPath(root).toString)
-      .where(col("kind") === "stats")
-      .select(col("dims")).collect()
-    stats.headOption.map(_.getSeq[Double](0))
+    statsDims(spark, root)
       .filter(_.length >= 2).map(_.apply(1)) match {
       case Some(buildN) =>
         graft.sources.VersionedStats.statsFor(spark, root) match {

@@ -165,12 +165,20 @@ object SplitIndex {
         // committed, so the re-run must not double-count)
         val dFps = Dedup.winnowingFingerprints(delta, p.k, p.w)
           .localCheckpoint(true)
-        // posting commits are atomic, so a prior crashed attempt either
-        // landed the WHOLE delta's postings or none — one probe decides
-        // both the pair-count exclusion and the re-append skip
-        val alreadyPosted = VersionedTable.read(spark, fpsRoot(root))
-          .join(deltaIds, Seq("doc_id"), "left_semi")
-          .limit(1).count() > 0L
+        // the re-append guard is PER DOC, not per batch: a delta mixing
+        // one already-posted doc_id (a re-sent seed doc in a streaming
+        // batch) with fresh docs must still post the fresh docs'
+        // fingerprints — a batch-level flag skipped the whole append
+        // and permanently lost them, so later near-dups of those docs
+        // were undetectable (the silent leakage-safety break). Posting
+        // commits are atomic per delta, so a doc's postings are always
+        // wholly present or wholly absent — the doc_id anti-join is
+        // exact. left_anti never duplicates left rows: no distinct on
+        // the stored side, the probe stays delta-bounded.
+        val unpostedFps = dFps
+          .join(VersionedTable.read(spark, fpsRoot(root))
+            .select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
         val stored = VersionedTable.read(spark, fpsRoot(root))
           .join(deltaIds, Seq("doc_id"), "left_anti")
         // only fingerprints the delta TOUCHES can create new pairs:
@@ -233,9 +241,12 @@ object SplitIndex {
             "left_anti")
           .unionByName(recomputed)
         // postings and edges first (each with a replay-dedup guard),
-        // labels LAST — the commit that flips the no-op check
-        if (!alreadyPosted)
-          VersionedStats.commitWithRowStat(dFps, fpsRoot(root),
+        // labels LAST — the commit that flips the no-op check. The
+        // emptiness probe is delta-bounded (unpostedFps is already
+        // materialized) and keeps a pure replay from committing an
+        // empty posting version per re-run.
+        if (unpostedFps.limit(1).count() > 0L)
+          VersionedStats.commitWithRowStat(unpostedFps, fpsRoot(root),
             append = true)
         val storedEdges = VersionedTable.read(spark, edgesRoot(root))
         VersionedTable.commit(

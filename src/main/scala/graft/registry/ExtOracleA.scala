@@ -54,8 +54,11 @@ object ExtOracleA {
     // mirror keyed on the component REPRESENTATIVE, plus the
     // cross-boundary near-dup pair count (the witness — 0 by
     // construction, but counted from the pair frame, never assumed).
-    // Shared verbatim by leakage_safe_split_indexed: the persisted
-    // labels/edges MUST reproduce exactly what a fresh pass computes.
+    // Shared verbatim by THREE registered rows — leakage_safe_split
+    // (the fresh pass), leakage_safe_split_indexed (the persisted read
+    // path) and leakage_safe_split_ingested (80% build + 20% delta
+    // ingest): the persisted labels/edges MUST reproduce exactly what
+    // a fresh full-corpus pass computes, whichever path produced them.
     val leakageSafeSplitSql = {
       val hex32 = foldSum(
         "list_transform(generate_series(1, 8), i -> " +

@@ -182,12 +182,67 @@ class KnnGraphIndexSpec extends SparkSpec {
         corpusDf(Seq(999L)))
     }
     assert(e.getMessage.contains("STALE"))
+    // a replayed ALL-DUPLICATE batch stays a no-op even on the stale
+    // index: the streaming lane's crash-replay convergence re-sends a
+    // batch whose ids are all absorbed — refusing it would wedge the
+    // stream on work the ingest does not do (the no-op short-circuit
+    // runs BEFORE the staleness require)
+    val latest = VersionedTable.versions(spark, root).last
+    assert(KnnGraphIndex.ingest(root, corpusDf(grown),
+      corpusDf(100L until 400L)) === latest)
     // the loud refusal is an earned signal, not a dead end
     val v = KnnGraphIndex.ingest(root, corpusDf(grown ++ Seq(999L)),
       corpusDf(Seq(999L)), allowStale = true)
     assert(KnnGraphIndex.topK(spark, root)
       .where($"vec_id" === 999L).count() > 0)
     assert(v === VersionedTable.versions(spark, root).last)
+  }
+
+  test("legacy dims-packed model: readModel degrades by schema, " +
+      "staleness degrades open, ingest still works") {
+    val root = fresh("legacy-src")
+    KnnGraphIndex.create(corpusDf(baseIds), root)
+    val (cents, p) = KnnGraphIndex.readModel(spark, root)
+    // replica root with the PRE-typed-columns model layout: params
+    // packed into the dims array (k, nprobe, degree, iters,
+    // targetCell, seed), no build_n column — what every persisted
+    // root written before the schema change still holds on disk
+    val legacyRoot = fresh("legacy")
+    val src = java.nio.file.Paths.get(root)
+    val dst = java.nio.file.Paths.get(legacyRoot)
+    java.nio.file.Files.walk(src).forEach { from =>
+      val to = dst.resolve(src.relativize(from))
+      if (java.nio.file.Files.isDirectory(from))
+        java.nio.file.Files.createDirectories(to)
+      else java.nio.file.Files.copy(from, to)
+    }
+    val mp = new java.io.File(legacyRoot, "_model")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(mp)
+    val legacyRows = cents.zipWithIndex.map { case (c, j) =>
+        ("centroid", j, c.toSeq) } :+
+      (("params", 0, Seq[Double](p.k, p.nprobe, p.degree, p.iters,
+        p.targetCell, p.seed.toDouble)))
+    legacyRows.toSeq.toDF("kind", "code", "dims")
+      .coalesce(1).write.parquet(mp.getAbsolutePath)
+    val (c2, p2) = KnnGraphIndex.readModel(spark, legacyRoot)
+    assert(c2.map(_.toSeq).toSeq === cents.map(_.toSeq).toSeq)
+    assert((p2.k, p2.nprobe, p2.degree, p2.iters, p2.targetCell,
+      p2.seed) === (p.k, p.nprobe, p.degree, p.iters, p.targetCell,
+      p.seed))
+    assert(p2.buildN === 0L) // the legacy sentinel
+    // no build stat → the advisory staleness check degrades OPEN
+    assert(KnnGraphIndex.stalenessRatio(spark, legacyRoot) === 0.0)
+    // and the root keeps working: ingest absorbs a batch
+    val v = KnnGraphIndex.ingest(legacyRoot, corpusDf(allIds),
+      corpusDf(batchIds))
+    assert(v === VersionedTable.versions(spark, legacyRoot).last)
+    assert(KnnGraphIndex.topK(spark, legacyRoot)
+      .where($"vec_id".isin(batchIds.map(java.lang.Long.valueOf): _*))
+      .count() > 0)
   }
 
   test("ingest failure mid-descent leaks no cached corpus projection") {

@@ -138,4 +138,32 @@ class SplitIndexSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root2 + "/fps").count() === fps1)
     assert(SplitIndex.edges(spark, root2).count() === edges1)
   }
+
+  test("a delta mixing an already-posted doc with fresh docs still " +
+      "posts the fresh docs' fingerprints (per-doc guard, not batch)") {
+    val root = tmp("mixed")
+    SplitIndex.create(df(corpus), root)
+    val d1 = Seq((100L, text("u100")))
+    SplitIndex.ingest(root, df(d1))
+    // delta 2 re-sends the absorbed doc 100 ALONGSIDE fresh docs — the
+    // batch-level alreadyPosted flag skipped the entire append here,
+    // permanently losing 101/102's fingerprints
+    val d2 = Seq((100L, text("u100")),
+      (101L, text("m")), (102L, text("z102")))
+    SplitIndex.ingest(root, df(d2))
+    val posted = VersionedTable.read(spark, root + "/fps")
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    assert(posted.contains(101L) && posted.contains(102L),
+      s"fresh docs' postings lost: $posted")
+    // the invariant the postings exist FOR: a later near-dup of a
+    // fresh-in-mixed-delta doc must still be detected and inherit its
+    // component (under the lost postings it silently became a
+    // singleton — free to land on the opposite split side)
+    val d3 = Seq((103L, text("m")))
+    SplitIndex.ingest(root, df(d3))
+    val lab = SplitIndex.labels(spark, root)
+      .as[(Long, Long)].collect().toMap
+    assert(lab(103L) === lab(101L))
+    assert(lab === freshLabels(corpus ++ d1 ++ d2 ++ d3))
+  }
 }
