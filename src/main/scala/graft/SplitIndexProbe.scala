@@ -65,13 +65,31 @@ object SplitIndexProbe {
     def tmp(tag: String) = java.nio.file.Files
       .createTempDirectory(s"splitidx-probe-$tag").toString + "/root"
 
+    // bytes on disk under a table root's data/ — the write-amplification
+    // witness: the ingest's label commit must scale with |affected|,
+    // not |corpus| (merge-on-read overlay; VERDICT r15 #2)
+    def dataBytes(root: String): Long = {
+      val d = java.nio.file.Paths.get(root, "data")
+      if (!java.nio.file.Files.isDirectory(d)) 0L
+      else {
+        val s = java.nio.file.Files.walk(d)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
+    }
+
     val incRoot = tmp("inc")
     val t0 = System.nanoTime()
     SplitIndex.create(base, incRoot)
     val buildSec = (System.nanoTime() - t0) / 1e9
+    val labelBaseBytes = dataBytes(incRoot + "/labels")
     val t1 = System.nanoTime()
-    SplitIndex.ingest(incRoot, delta)
+    // compaction disarmed for the measurement: the probe times ONE
+    // ingest, and the amortized fold would read as its write cost
+    SplitIndex.ingest(incRoot, delta, compactLabelsAboveFiles = 0)
     val ingestSec = (System.nanoTime() - t1) / 1e9
+    val labelIngestBytes = dataBytes(incRoot + "/labels") - labelBaseBytes
 
     val fullRoot = tmp("full")
     val t2 = System.nanoTime()
@@ -100,7 +118,7 @@ object SplitIndexProbe {
     val nEdges = SplitIndex.edges(spark, incRoot).count()
 
     def f2(d: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, d)
-    println(s"""{"metric":"split_index_ingest_vs_rebuild","n_docs":$nDocs,"dup_pct":$dupPct,"build90_sec":${f2(buildSec)},"ingest10_sec":${f2(ingestSec)},"rebuild100_sec":${f2(rebuildSec)},"ingest_over_rebuild":${f2(ingestSec / math.max(rebuildSec, 1e-9))},"labels":$nLabels,"edges":$nEdges,"label_mismatches":$mismatched,"edge_set_delta":$edgeDelta}""")
+    println(s"""{"metric":"split_index_ingest_vs_rebuild","n_docs":$nDocs,"dup_pct":$dupPct,"build90_sec":${f2(buildSec)},"ingest10_sec":${f2(ingestSec)},"rebuild100_sec":${f2(rebuildSec)},"ingest_over_rebuild":${f2(ingestSec / math.max(rebuildSec, 1e-9))},"labels":$nLabels,"edges":$nEdges,"label_mismatches":$mismatched,"edge_set_delta":$edgeDelta,"label_base_bytes":$labelBaseBytes,"label_ingest_bytes":$labelIngestBytes,"label_write_frac":${f2(labelIngestBytes.toDouble / math.max(1L, labelBaseBytes))}}""")
     spark.stop()
   }
 }

@@ -467,8 +467,9 @@ object StreamBench {
         TriggerStat(batch.length.toLong, (System.nanoTime() - t0) / 1e6)
       }
       q.stop()
-      val labelRows = graft.sources.VersionedTable
-        .read(spark, indexRoot + "/labels").count()
+      // the logical label view (merge-on-read: physical rows include
+      // superseded overlay duplicates)
+      val labelRows = graft.ext.SplitIndex.labels(spark, indexRoot).count()
       val reportRows = graft.sources.VersionedTable
         .read(spark, reportRoot).count()
       val fpsFiles = graft.sources.VersionedTable

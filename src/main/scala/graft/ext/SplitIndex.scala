@@ -21,6 +21,16 @@ import graft.sources.{VersionedStats, VersionedTable}
   *    represent themselves). THE lookup path: a split is a pure hash
   *    projection of `rep` ([[Sampling.deterministicSplit]]), so reading
   *    labels answers "which side is this doc on" with zero pair work.
+  *    Stored MERGE-ON-READ (the deletion-vector idea of the modern
+  *    table formats, at row grain): the base snapshot plus per-ingest
+  *    OVERLAY appends carrying only the recomputed (affected) rows,
+  *    superseded by doc_id at read time — so the label WRITE of an
+  *    ingest scales with the affected neighborhood, never the corpus
+  *    (the one O(corpus) term the r15 design still paid per delta).
+  *    Overlay debt is bounded by a file-count compaction policy that
+  *    periodically folds the reconstructed view back into a base
+  *    snapshot (amortized: one corpus-sized write per
+  *    `compactLabelsAboveFiles` ingests, not per ingest).
   *  - `edges/` — the near-dup pair frame (doc_a, doc_b, n_shared_fp)
   *    that fed the components, kept so the COUNTED cross-boundary
   *    witness stays computable from stored state (never assumed).
@@ -114,14 +124,84 @@ object SplitIndex {
         if (VersionedTable.versions(spark, edgesRoot(root)).isEmpty)
           VersionedTable.commit(pairs, edgesRoot(root))
         if (VersionedTable.versions(spark, labelsRoot(root)).isEmpty)
-          VersionedStats.commitWithRowStat(labels, labelsRoot(root))
+          commitLabelsBase(labels, root)
       }
     }
 
-  /** The committed (doc_id, rep) labels — latest version, or pinned. */
+  // ---- merge-on-read label storage ---------------------------------
+  // Base snapshot rows carry is_base = true; each ingest appends ONLY
+  // the recomputed rows (is_base = false) stamped with a monotone lv,
+  // and the read path supersedes by doc_id (highest lv wins; ties
+  // impossible — one commit's doc_ids are distinct). At most one base
+  // generation is ever manifested: compaction commits the merged view
+  // with append = false, which drops the old base AND all overlays
+  // from the new manifest while old versions stay time-travelable.
+
+  /** Commit `labels` (doc_id, rep) as a full BASE snapshot and record
+    * the base file count (the compaction trigger's zero point). */
+  private def commitLabelsBase(labels: DataFrame, root: String): Long = {
+    val spark = labels.sparkSession
+    val lv = VersionedTable.versions(spark, labelsRoot(root))
+      .lastOption.getOrElse(0L) + 1
+    val v = VersionedStats.commitWithRowStat(
+      labels.select(col("doc_id"), col("rep"), lit(lv).as("lv"),
+        lit(true).as("is_base")),
+      labelsRoot(root))
+    writeBaseMarker(spark, root, v,
+      VersionedTable.fileCount(spark, labelsRoot(root), Some(v)))
+    v
+  }
+
+  private def baseMarkerPath(root: String) = new Path(root, "_labels_base")
+
+  // marker = "baseVersion baseFileCount". ADVISORY only: reads never
+  // consult it (the is_base column is the truth), so a crash between a
+  // base commit and the marker rewrite merely overstates the overlay
+  // file count and triggers one extra compaction, which converges.
+  private def writeBaseMarker(spark: SparkSession, root: String,
+                              v: Long, files: Int): Unit = {
+    val p = baseMarkerPath(root)
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (f.exists(p)) f.delete(p, false)
+    val out = f.create(p, true)
+    try out.write(s"$v $files".getBytes("UTF-8")) finally out.close()
+  }
+
+  private def baseFileCount(spark: SparkSession, root: String): Int = {
+    val p = baseMarkerPath(root)
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!f.exists(p)) return 0
+    val in = f.open(p)
+    try {
+      val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+      in.readFully(bytes)
+      new String(bytes, "UTF-8").trim.split("\\s+")(1).toInt
+    } catch { case scala.util.control.NonFatal(_) => 0 }
+    finally in.close()
+  }
+
+  /** The committed (doc_id, rep) labels — latest version, or pinned:
+    * the base snapshot with overlay rows superseding by doc_id. The
+    * base and overlay branches are SEPARATE reads of the manifest (not
+    * two filters of one frame) so the union's children share no
+    * attribute lineage — the Catalyst union-constraint rewrite trips
+    * on conflicting filters over one scan. Plan shape: the overlay
+    * aggregate is overlay-sized and its doc_id set anti-joins the base
+    * scan (broadcastable while the compaction policy holds overlay
+    * small), so the read path never shuffles the base. */
   def labels(spark: SparkSession, root: String,
-             version: Option[Long] = None): DataFrame =
+             version: Option[Long] = None): DataFrame = {
+    val latest = VersionedTable
+      .read(spark, labelsRoot(root), version)
+      .where(col("is_base") === false)
+      .groupBy(col("doc_id"))
+      .agg(max_by(col("rep"), col("lv")).as("rep"))
     VersionedTable.read(spark, labelsRoot(root), version)
+      .where(col("is_base") === true)
+      .select(col("doc_id"), col("rep"))
+      .join(latest.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(latest.select(col("doc_id"), col("rep")))
+  }
 
   /** The committed near-dup edges (doc_a, doc_b, n_shared_fp). */
   def edges(spark: SparkSession, root: String,
@@ -141,13 +221,15 @@ object SplitIndex {
     * never rescanned), then components re-run over the AFFECTED
     * neighborhood only — the new edges plus the stored (doc_id → rep)
     * membership edges of every component a new edge touches; the far
-    * rest of the label table carries over byte-identical. Commits
-    * postings, edges, then labels (labels LAST — they are the
-    * idempotence authority: re-ingesting a delta whose ids are all
-    * labeled is a no-op, and every earlier crash window re-runs to the
-    * same state thanks to the per-table dedup guards). Returns the
-    * labels version. */
-  def ingest(root: String, delta: DataFrame): Long =
+    * rest of the label table is carried BY THE MANIFEST (merge-on-read
+    * overlay — see the object doc), so the label write is
+    * affected-sized too. Commits postings, edges, then labels (labels
+    * LAST — they are the idempotence authority: re-ingesting a delta
+    * whose ids are all labeled is a no-op, and every earlier crash
+    * window re-runs to the same state thanks to the per-table dedup
+    * guards). Returns the labels version. */
+  def ingest(root: String, delta: DataFrame,
+             compactLabelsAboveFiles: Int = 16): Long =
     graft.sources.KeyedLocks.withLock(root) {
       val spark = delta.sparkSession
       val p = readModel(spark, root)
@@ -236,10 +318,6 @@ object SplitIndex {
           .select(col("doc_id"),
             coalesce(col("component"), col("doc_id")).as("rep"))
           .localCheckpoint(true)
-        val merged = lab
-          .join(recomputed.select(col("doc_id")), Seq("doc_id"),
-            "left_anti")
-          .unionByName(recomputed)
         // postings and edges first (each with a replay-dedup guard),
         // labels LAST — the commit that flips the no-op check. The
         // emptiness probe is delta-bounded (unpostedFps is already
@@ -253,7 +331,25 @@ object SplitIndex {
           newEdges.join(storedEdges.select(col("doc_a"), col("doc_b")),
             Seq("doc_a", "doc_b"), "left_anti"),
           edgesRoot(root), append = true)
-        VersionedStats.commitWithRowStat(merged, labelsRoot(root))
+        // the label commit is DELTA-SHAPED: only the recomputed
+        // (affected) rows append as an overlay; the untouched rest of
+        // the label table is carried by the manifest, not rewritten —
+        // write bytes scale with |affected|, never |corpus|
+        val lv = VersionedTable.versions(spark, labelsRoot(root)).last + 1
+        val v = VersionedStats.commitWithRowStat(
+          recomputed.select(col("doc_id"), col("rep"),
+            lit(lv).as("lv"), lit(false).as("is_base")),
+          labelsRoot(root), append = true)
+        // fold overlay debt back into a base snapshot once the manifest
+        // has grown compactLabelsAboveFiles files past the base — one
+        // corpus-sized write AMORTIZED over that many ingests, and the
+        // bound that keeps the read path's supersede-set broadcastable
+        if (compactLabelsAboveFiles > 0 &&
+            VersionedTable.fileCount(spark, labelsRoot(root))
+              - baseFileCount(spark, root) > compactLabelsAboveFiles)
+          commitLabelsBase(labels(spark, root).localCheckpoint(true),
+            root)
+        else v
       }
     }
 }

@@ -152,7 +152,7 @@ object ExtQueries {
       val docs = t(s, dir, "documents")
       val root = graft.ext.PqIndex.fingerprintedRoot(s,
         "/tmp/graft_dedup_index/" +
-          dir.replaceAll("[^A-Za-z0-9]", "_") + "/split",
+          dir.replaceAll("[^A-Za-z0-9]", "_") + "/split2",
         dir + "/documents.parquet")
       graft.ext.SplitIndex.create(docs, root)
       val split = graft.ext.SplitIndex.split(s, root,
@@ -187,7 +187,7 @@ object ExtQueries {
       val delta = docs.where(col("doc_id") % 5 === 0)
       val root = graft.ext.PqIndex.fingerprintedRoot(s,
         "/tmp/graft_dedup_index/" +
-          dir.replaceAll("[^A-Za-z0-9]", "_") + "/spliti",
+          dir.replaceAll("[^A-Za-z0-9]", "_") + "/spliti2",
         dir + "/documents.parquet")
       graft.ext.SplitIndex.create(base, root)
       graft.ext.SplitIndex.ingest(root, delta)

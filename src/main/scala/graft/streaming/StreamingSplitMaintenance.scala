@@ -85,10 +85,11 @@ object StreamingSplitMaintenance {
     * report (doc_id, rep, split).
     *
     * `compactAboveFiles > 0` arms the shared file-count compaction
-    * policy on the POSTINGS table (the append-per-trigger side; labels
-    * commit full snapshots), clustered on `fp` — the ingest's probe
-    * reads postings by fingerprint, so fp-clustered files keep footer
-    * stats useful. */
+    * policy on the POSTINGS table, clustered on `fp` — the ingest's
+    * probe reads postings by fingerprint, so fp-clustered files keep
+    * footer stats useful. (Labels bound their own overlay debt: the
+    * ingest's merge-on-read commit carries a built-in file-count
+    * compaction policy — [[SplitIndex.ingest]].) */
   def assignBatch(batch: DataFrame, batchId: Long, indexRoot: String,
                   reportRoot: String,
                   weights: Seq[(String, Int)] = Seq("train" -> 80,

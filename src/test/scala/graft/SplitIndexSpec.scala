@@ -139,6 +139,40 @@ class SplitIndexSpec extends SparkSpec {
     assert(SplitIndex.edges(spark, root2).count() === edges1)
   }
 
+  test("label commits are delta-shaped: an ingest appends only the " +
+      "affected rows as an overlay; compaction folds the debt back") {
+    val root = tmp("overlay")
+    SplitIndex.create(df(corpus), root)
+    val basePhysical = VersionedTable
+      .read(spark, root + "/labels").count()
+    assert(basePhysical === corpus.size.toLong)
+    // delta: a twin of doc 4 plus a fresh singleton → affected set =
+    // {100, 101} (the delta) ∪ {4} (the touched component's members)
+    val delta = Seq((100L, text("u4")), (101L, text("x101")))
+    SplitIndex.ingest(root, df(delta), compactLabelsAboveFiles = 0)
+    val afterPhysical = VersionedTable
+      .read(spark, root + "/labels").count()
+    assert(afterPhysical === basePhysical + 3,
+      s"overlay should carry exactly the 3 affected rows: " +
+        s"$basePhysical -> $afterPhysical")
+    // the logical view supersedes by doc_id and equals the fresh pass
+    val lab = SplitIndex.labels(spark, root)
+      .as[(Long, Long)].collect().toMap
+    assert(lab.size === corpus.size + delta.size)
+    assert(lab === freshLabels(corpus ++ delta))
+    // a second ingest with an aggressive fold threshold compacts: the
+    // physical table collapses back to one row per doc, the logical
+    // view unchanged (still the fresh answer)
+    val delta2 = Seq((102L, text("u5")))
+    SplitIndex.ingest(root, df(delta2), compactLabelsAboveFiles = 1)
+    val physical2 = VersionedTable.read(spark, root + "/labels")
+    assert(physical2.count() === corpus.size + delta.size + delta2.size)
+    assert(physical2.where($"is_base" === false).count() === 0L)
+    assert(SplitIndex.labels(spark, root)
+      .as[(Long, Long)].collect().toMap
+      === freshLabels(corpus ++ delta ++ delta2))
+  }
+
   test("a delta mixing an already-posted doc with fresh docs still " +
       "posts the fresh docs' fingerprints (per-doc guard, not batch)") {
     val root = tmp("mixed")
