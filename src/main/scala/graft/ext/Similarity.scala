@@ -469,10 +469,14 @@ object Similarity {
 
   /** Shared multi-probe pair generator: `probes` masks (the exact
     * bucket + probes−1 single sign bits) over `tables` seeded plane
-    * sets of `planes` bits. */
-  private def multiProbePairs(corpus: DataFrame, threshold: Double,
-                              planes: Int, probes: Int, tables: Int,
-                              seed: Long, dim: Int): DataFrame = {
+    * sets of `planes` bits. private[ext]: [[SplitIndex]]'s semantic
+    * regime must generate pairs under its FROZEN model params (a
+    * crash-recovered create may not re-derive the adaptive sizing from
+    * today's corpus count), so it calls this directly instead of the
+    * count-adaptive public wrapper. */
+  private[ext] def multiProbePairs(corpus: DataFrame, threshold: Double,
+                                   planes: Int, probes: Int, tables: Int,
+                                   seed: Long, dim: Int): DataFrame = {
     require(probes >= 1 && probes <= planes + 1,
       s"probes must be in [1, ${planes + 1}]: $probes")
     val par = corpus.sparkSession.sparkContext.defaultParallelism

@@ -97,6 +97,66 @@ object ExtOracleA {
          FROM s GROUP BY split ORDER BY split"""
     }
 
+    // leakage_safe_split_semantic: BOTH pair generators re-run —
+    // winnowing (the component CTEs) UNIONed with the MULTI-PROBE LSH
+    // cosine pairs at the 0.4 threshold (vec_id ≡ doc_id for docs
+    // carrying an embedding; the Hamming-<=1 signature join is the
+    // exact mask-subset rule, same as the neardup_multiprobe oracle) —
+    // then the same representative-keyed split and counted
+    // cross-boundary witness. Shared verbatim by THREE registered rows
+    // — leakage_safe_split_semantic (fresh),
+    // leakage_safe_split_semantic_indexed (the persisted read path) and
+    // leakage_safe_split_semantic_ingested (80% build + 20% delta
+    // ingest): the persisted labels/edges/sigs must reproduce exactly
+    // what a fresh full-corpus pass computes.
+    val leakageSafeSplitSemanticSql = {
+      val hex32 = foldSum(
+        "list_transform(generate_series(1, 8), i -> " +
+          "CAST(CASE WHEN ascii(substr(mh, i, 1)) <= 57 " +
+          "THEN ascii(substr(mh, i, 1)) - 48 " +
+          "ELSE ascii(substr(mh, i, 1)) - 87 END AS BIGINT) " +
+          "* CAST(pow(16.0, 8 - i) AS BIGINT))",
+        "CAST(0 AS BIGINT)")
+      s"""WITH RECURSIVE $winnowCtes,
+         ev AS (SELECT vec_id, embedding AS emb,
+             ${dotSql("embedding", "embedding")} AS n2,
+             ${bucketOf("embedding")} AS bucket FROM embeddings),
+         sem AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+           FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+             AND bit_count(xor(a.bucket, b.bucket)) <= 1
+           WHERE round(CASE WHEN sqrt(a.n2) = 0.0 OR sqrt(b.n2) = 0.0
+                      THEN 0.0
+                      ELSE ${dotSql("a.emb", "b.emb")}
+                           / (sqrt(a.n2) * sqrt(b.n2)) END, 6) >= 0.4),
+         allp AS (SELECT doc_a, doc_b FROM pairs WHERE n_shared_fp >= 10
+                  UNION ALL SELECT doc_a, doc_b FROM sem),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM allp
+                   UNION SELECT doc_b, doc_a FROM allp),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+                  FROM reach GROUP BY a),
+         rep AS (SELECT d.doc_id,
+                   COALESCE(c.component, d.doc_id) AS rep
+                 FROM documents d LEFT JOIN comp c USING (doc_id)),
+         m AS (SELECT doc_id, rep,
+                 md5(CAST(rep AS VARCHAR)) AS mh FROM rep),
+         s AS (SELECT doc_id, rep,
+                 CASE WHEN $hex32 % 100 < 80 THEN 'train'
+                      ELSE 'eval' END AS split FROM m),
+         x AS (SELECT CAST(count(*) AS BIGINT) AS cross_split_pairs
+               FROM allp p
+               JOIN s sa ON sa.doc_id = p.doc_a
+               JOIN s sb ON sb.doc_id = p.doc_b
+               WHERE sa.split <> sb.split)
+         SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT rep) AS BIGINT) AS n_groups,
+           (SELECT cross_split_pairs FROM x) AS cross_split_pairs
+         FROM s GROUP BY split ORDER BY split"""
+    }
+
     Map(
       "text_stats" ->
         s"""WITH $tokCte
@@ -314,60 +374,18 @@ object ExtOracleA {
       // from having built on everything.
       "leakage_safe_split_ingested" -> leakageSafeSplitSql,
 
-      // leakage_safe_split_semantic: BOTH pair generators re-run —
-      // winnowing (the component CTEs) UNIONed with the MULTI-PROBE
-      // LSH cosine pairs at the 0.4 threshold (vec_id ≡ doc_id for
-      // docs carrying an embedding; the Hamming-<=1 signature join is
-      // the exact mask-subset rule, same as the neardup_multiprobe
-      // oracle) — then the same representative-keyed split and counted
-      // cross-boundary witness.
-      "leakage_safe_split_semantic" -> {
-        val hex32 = foldSum(
-          "list_transform(generate_series(1, 8), i -> " +
-            "CAST(CASE WHEN ascii(substr(mh, i, 1)) <= 57 " +
-            "THEN ascii(substr(mh, i, 1)) - 48 " +
-            "ELSE ascii(substr(mh, i, 1)) - 87 END AS BIGINT) " +
-            "* CAST(pow(16.0, 8 - i) AS BIGINT))",
-          "CAST(0 AS BIGINT)")
-        s"""WITH RECURSIVE $winnowCtes,
-           ev AS (SELECT vec_id, embedding AS emb,
-               ${dotSql("embedding", "embedding")} AS n2,
-               ${bucketOf("embedding")} AS bucket FROM embeddings),
-           sem AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-             FROM ev a JOIN ev b ON a.vec_id < b.vec_id
-               AND bit_count(xor(a.bucket, b.bucket)) <= 1
-             WHERE round(CASE WHEN sqrt(a.n2) = 0.0 OR sqrt(b.n2) = 0.0
-                        THEN 0.0
-                        ELSE ${dotSql("a.emb", "b.emb")}
-                             / (sqrt(a.n2) * sqrt(b.n2)) END, 6) >= 0.4),
-           allp AS (SELECT doc_a, doc_b FROM pairs WHERE n_shared_fp >= 10
-                    UNION ALL SELECT doc_a, doc_b FROM sem),
-           edges AS (SELECT doc_a AS a, doc_b AS b FROM allp
-                     UNION SELECT doc_b, doc_a FROM allp),
-           reach AS (
-             SELECT a, b FROM edges
-             UNION
-             SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-           comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
-                    FROM reach GROUP BY a),
-           rep AS (SELECT d.doc_id,
-                     COALESCE(c.component, d.doc_id) AS rep
-                   FROM documents d LEFT JOIN comp c USING (doc_id)),
-           m AS (SELECT doc_id, rep,
-                   md5(CAST(rep AS VARCHAR)) AS mh FROM rep),
-           s AS (SELECT doc_id, rep,
-                   CASE WHEN $hex32 % 100 < 80 THEN 'train'
-                        ELSE 'eval' END AS split FROM m),
-           x AS (SELECT CAST(count(*) AS BIGINT) AS cross_split_pairs
-                 FROM allp p
-                 JOIN s sa ON sa.doc_id = p.doc_a
-                 JOIN s sb ON sb.doc_id = p.doc_b
-                 WHERE sa.split <> sb.split)
-           SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(count(DISTINCT rep) AS BIGINT) AS n_groups,
-             (SELECT cross_split_pairs FROM x) AS cross_split_pairs
-           FROM s GROUP BY split ORDER BY split"""
-      },
+      // see leakageSafeSplitSemanticSql (shared by three rows)
+      "leakage_safe_split_semantic" -> leakageSafeSplitSemanticSql,
+
+      // The indexed form must answer IDENTICALLY from persisted state
+      // (labels + both edge tables); the oracle recomputes fresh.
+      "leakage_safe_split_semantic_indexed" -> leakageSafeSplitSemanticSql,
+
+      // The ingested form is held to the SAME fresh-full-corpus oracle:
+      // an 80% build + 20% incremental ingest (text AND embeddings)
+      // must be indistinguishable from having built on everything.
+      "leakage_safe_split_semantic_ingested" ->
+        leakageSafeSplitSemanticSql,
 
       "dedup_survivors" ->
         // same component CTEs; non-survivors (doc_id <> component = min

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Components, Dedup, Sampling, SplitIndex}
+import graft.ext.{Components, Dedup, Sampling, Similarity, SplitIndex}
 import graft.sources.VersionedTable
 
 /** The persisted split-labels index (ext/SplitIndex): build-once
@@ -171,6 +171,113 @@ class SplitIndexSpec extends SparkSpec {
     assert(SplitIndex.labels(spark, root)
       .as[(Long, Long)].collect().toMap
       === freshLabels(corpus ++ delta ++ delta2))
+  }
+
+  test("gate fixtures stay clear of the maxBucket straddle zone: no " +
+      "fingerprint bucket crosses the cap between the 80% build and " +
+      "the full corpus") {
+    // the monotone edge-keep contract (object doc): a bucket that
+    // crosses maxBucket between the 80% build and the delta makes
+    // ingest keep edges a fresh rebuild would drop — sound for
+    // leakage safety, but the registered *_ingested rows are held to
+    // the FRESH-full-corpus oracle, so the oracle fixtures must not
+    // straddle the cap. This pins that precondition on every gate SF
+    // instead of assuming it.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val docs = graft.sources.Tables
+        .table(spark, s"/root/testdata/$sf", "documents")
+        .select($"doc_id", $"text")
+      val fps = Dedup.winnowingFingerprints(docs, k = 5, w = 4)
+        .localCheckpoint(true)
+      val full = fps.groupBy($"fp")
+        .agg(count(lit(1)).as("c_full"))
+      val base = fps.where($"doc_id" % 5 =!= 0).groupBy($"fp")
+        .agg(count(lit(1)).as("c_base"))
+      val straddlers = full.join(base, Seq("fp"))
+        .where($"c_full" > 1000 && $"c_base" <= 1000)
+        .count()
+      assert(straddlers === 0L,
+        s"$sf: $straddlers fingerprint buckets cross the maxBucket " +
+          "cap at the 80/20 boundary — the ingested oracle row is " +
+          "not exact on this fixture")
+    }
+  }
+
+  // ---- the SEMANTIC regime -----------------------------------------
+
+  // basis-vector embeddings: cosine 1.0 within a shared axis, 0.0
+  // across axes — semantic pairs are exactly the shared-axis pairs,
+  // invisible to the lexical pass (every sem-paired doc gets a unique
+  // text below)
+  private def bvec(axis: Int): Array[Float] =
+    Array.tabulate(64)(j => if (j == axis) 1f else 0f)
+
+  private def embDf(rows: Seq[(Long, Int)]) =
+    rows.map { case (id, ax) => (id, bvec(ax)) }
+      .toDF("vec_id", "embedding")
+
+  private def freshSemLabels(docRows: Seq[(Long, String)],
+                             embRows: Seq[(Long, Int)]) = {
+    val docs = df(docRows)
+    val lex = Dedup.winnowingPairs(docs, k = 5, w = 4, minShared = 10)
+      .select($"doc_a", $"doc_b")
+    val sem = Similarity.cosineNearDupPairsMultiProbe(embDf(embRows),
+        threshold = 0.4)
+      .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
+    val pairs = lex.unionByName(sem).localCheckpoint(true)
+    docs.select($"doc_id")
+      .join(Components.connectedComponents(pairs, "doc_a", "doc_b"),
+        Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"component", $"doc_id").as("rep"))
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("semantic regime: ingest equals a fresh rebuild on a growth " +
+      "fixture — labels AND the union edge multiset, across " +
+      "delta↔corpus and delta↔delta pairs of BOTH generators") {
+    // base: the lexical corpus, each doc on its own embedding axis
+    val baseEmb = corpus.map { case (id, _) => (id, id.toInt) }
+    // delta: 100 lexical-twins doc 4; 101/102 an identical new lex
+    // pair; 103/105 a delta↔delta SEMANTIC pair (shared axis 40);
+    // 104 a delta↔corpus SEMANTIC twin of doc 6 (axis 6) — all
+    // sem-paired docs carry unique texts, so only the embedding links
+    // them
+    val delta = Seq(
+      (100L, text("u4")), (101L, text("c")), (102L, text("c")),
+      (103L, text("u103")), (104L, text("u104")), (105L, text("u105")))
+    val deltaEmb = Seq((100L, 36), (101L, 37), (102L, 38),
+      (103L, 40), (104L, 6), (105L, 40))
+    val incRoot = tmp("sem-inc")
+    SplitIndex.createSemantic(df(corpus), embDf(baseEmb), incRoot)
+    val v = SplitIndex.ingestSemantic(incRoot, df(delta),
+      embDf(deltaEmb))
+    assert(v === VersionedTable
+      .versions(spark, incRoot + "/labels").last)
+    val fullRoot = tmp("sem-full")
+    SplitIndex.createSemantic(df(corpus ++ delta),
+      embDf(baseEmb ++ deltaEmb), fullRoot)
+    val incLab = SplitIndex.labels(spark, incRoot)
+      .as[(Long, Long)].collect().toMap
+    assert(incLab === SplitIndex.labels(spark, fullRoot)
+      .as[(Long, Long)].collect().toMap)
+    assert(incLab === freshSemLabels(corpus ++ delta,
+      baseEmb ++ deltaEmb))
+    // the semantic merges actually happened (not vacuously green)
+    assert(incLab(104L) === incLab(6L))
+    assert(incLab(103L) === incLab(105L))
+    assert(incLab(100L) === incLab(4L))
+    // union edge MULTISET identity: the witness counts pairs with
+    // generator multiplicity, so the persisted union must reproduce
+    // the fresh union exactly, duplicates included
+    def unionMultiset(root: String) =
+      SplitIndex.unionEdges(spark, root)
+        .as[(Long, Long)].collect().toSeq.sorted
+    assert(unionMultiset(incRoot) === unionMultiset(fullRoot))
+    // ingest idempotence carries to the semantic regime
+    assert(SplitIndex.ingestSemantic(incRoot, df(delta),
+      embDf(deltaEmb)) === v)
+    assert(unionMultiset(incRoot).size
+      === SplitIndex.unionEdges(spark, incRoot).count())
   }
 
   test("a delta mixing an already-posted doc with fresh docs still " +
