@@ -226,6 +226,35 @@ object Ext3Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // Catalog-level index health (ext/IndexHealth — VERDICT r15 #4):
+    // per (family, table) the version count, latest version, manifest
+    // file count, rows sidecar and — for the fit-carrying families —
+    // the frozen model's staleness ratio with the decade boundary
+    // evaluated. METADATA-ONLY (manifest + sidecar + model row, no
+    // data scan) and READ-ONLY (a cold catalog reports zeros — that IS
+    // the signal). Roots are the exact roots the registered indexed
+    // queries build, so on a warm catalog this is the view an operator
+    // of this suite would see. Rows-only correctness check: files and
+    // rows are layout/machine-dependent (the span_probe_file_skip
+    // lesson — layout witnesses live in specs, here IndexHealthSpec,
+    // which also pins the decade-boundary crossing).
+    "index_health" -> ((s, dir) => {
+      val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
+      def fp(base: String, src: String) =
+        graft.ext.PqIndex.fingerprintedRoot(s,
+          s"/tmp/graft_dedup_index/$dirKey/$base", s"$dir/$src")
+      graft.ext.IndexHealth.report(s, Seq(
+        "span_dedup" -> s"/tmp/graft_dedup_index/$dirKey/span",
+        "pq" -> fp("pq", "embeddings.parquet"),
+        "lexical" -> fp("lex", "documents.parquet"),
+        "knn_graph" -> fp("kg3", "embeddings.parquet"),
+        "split" -> fp("split2", "documents.parquet"),
+        "split_semantic" -> graft.ext.PqIndex.fingerprintedRoot(s,
+          fp("splitsem", "documents.parquet"),
+          s"$dir/embeddings.parquet")))
+        .orderBy(col("family"), col("table"))
+    }),
+
     // The production substring-dedup shape: the batch CUT against the
     // persisted span index (corpus never rescanned, corpus owns all its
     // spans). Same byte-exact md5 witness as span_cut_docs.
