@@ -47,6 +47,27 @@ object StreamBench {
     if (xs.isEmpty) -1.0
     else xs.sorted.apply(math.min(xs.size - 1, (p * xs.size).toInt))
 
+  /** Growth slope of a trigger-latency series: p50 of the last
+    * `steady/2` triggers over p50 of the first `steady/2` (equal-size
+    * halves; an odd middle trigger is dropped), the warmup trigger
+    * excluded — the mixed lane's state-growth witness generalized so
+    * the growing-index lanes (knn_graph_ingest, split_maintenance)
+    * assert flatness BY NUMBER instead of by eyeball (VERDICT r15 #3).
+    * ~1.0 = flat (per-trigger cost independent of accumulated state);
+    * a sustained climb means ingest stopped being batch-local. -1 when
+    * fewer than 4 steady triggers (halves would be noise, not trend).
+    * Public and pure so StreamBenchSlopeSpec pins the exact semantics
+    * the artifact reports. */
+  def growthSlope(ms: Seq[Double]): Double = {
+    val steady = ms.drop(1)
+    if (steady.size < 4) -1.0
+    else {
+      val half = steady.size / 2
+      pct(steady.takeRight(half), 0.5) /
+        math.max(pct(steady.take(half), 0.5), 1e-9)
+    }
+  }
+
   private def f1(d: Double): String =
     "%.1f".formatLocal(java.util.Locale.ROOT, d)
   private def f2(d: Double): String =
@@ -372,8 +393,10 @@ object StreamBench {
     val (kgStats, kgExtra) = {
       val sf = sys.env.getOrElse("SPARK_GRAFT_STREAM_DOCS_DIR",
         "/root/testdata/sf0.1")
+      // 12 triggers: enough steady-state halves for the growth-slope
+      // fit to read trend rather than noise
       val kgTriggers =
-        sys.env.getOrElse("SPARK_GRAFT_STREAM_KG_TRIGGERS", "6").toInt
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_KG_TRIGGERS", "12").toInt
       val base = graft.sources.Tables.table(spark, sf, "embeddings")
         .select(col("vec_id"), col("embedding"))
         .orderBy(col("vec_id"))
@@ -416,7 +439,7 @@ object StreamBench {
         .read(spark, graphRoot).count()
       val corpusRows = graft.sources.VersionedTable
         .read(spark, corpusRoot).count()
-      val extra = s""","vecs_per_trigger":$vecsPerTrigger,"graph_rows_final":$graphRows,"corpus_rows_final":$corpusRows,"graph_versions_last":${graft.sources.VersionedTable.versions(spark, graphRoot).size},"corpus_files_last":${graft.sources.VersionedTable.fileCount(spark, corpusRoot)}"""
+      val extra = s""","vecs_per_trigger":$vecsPerTrigger,"growth_slope_p50":${f2(growthSlope(stats.map(_.ms)))},"graph_rows_final":$graphRows,"corpus_rows_final":$corpusRows,"graph_versions_last":${graft.sources.VersionedTable.versions(spark, graphRoot).size},"corpus_files_last":${graft.sources.VersionedTable.fileCount(spark, corpusRoot)}"""
       (stats, extra)
     }
 
@@ -432,8 +455,9 @@ object StreamBench {
     val (splitStats, splitExtra) = {
       val sf = sys.env.getOrElse("SPARK_GRAFT_STREAM_DOCS_DIR",
         "/root/testdata/sf0.1")
+      // 12 triggers for a meaningful slope fit, as in the kg lane
       val spTriggers =
-        sys.env.getOrElse("SPARK_GRAFT_STREAM_SPLIT_TRIGGERS", "6").toInt
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_SPLIT_TRIGGERS", "12").toInt
       val base = graft.sources.Tables.table(spark, sf, "documents")
         .select(col("doc_id"), col("text"))
         .orderBy(col("doc_id")).collect()
@@ -474,7 +498,7 @@ object StreamBench {
         .read(spark, reportRoot).count()
       val fpsFiles = graft.sources.VersionedTable
         .fileCount(spark, indexRoot + "/fps")
-      val extra = s""","docs_per_trigger":$docsPerTrigger,"label_rows_final":$labelRows,"report_rows_final":$reportRows,"fps_files_last":$fpsFiles"""
+      val extra = s""","docs_per_trigger":$docsPerTrigger,"growth_slope_p50":${f2(growthSlope(stats.map(_.ms)))},"label_rows_final":$labelRows,"report_rows_final":$reportRows,"fps_files_last":$fpsFiles"""
       (stats, extra)
     }
 
