@@ -30,10 +30,12 @@ import graft.sources.{VersionedStats, VersionedTable}
   *    superseded by doc_id at read time — so the label WRITE of an
   *    ingest scales with the affected neighborhood, never the corpus
   *    (the one O(corpus) term the r15 design still paid per delta).
-  *    Overlay debt is bounded by a file-count compaction policy that
-  *    periodically folds the reconstructed view back into a base
-  *    snapshot (amortized: one corpus-sized write per
-  *    `compactLabelsAboveFiles` ingests, not per ingest).
+  *    Overlay debt is bounded by a two-signal compaction policy —
+  *    appended FILES past the base (many small ingests) or overlay
+  *    ROWS passing half the base count (few large deltas), both
+  *    metadata-only — that folds the reconstructed view back into a
+  *    base snapshot (amortized: one corpus-sized write per budget,
+  *    not per ingest).
   *  - `edges/` — the near-dup pair frame (doc_a, doc_b, n_shared_fp)
   *    that fed the components, kept so the COUNTED cross-boundary
   *    witness stays computable from stored state (never assumed).
@@ -141,7 +143,8 @@ object SplitIndex {
   // from the new manifest while old versions stay time-travelable.
 
   /** Commit `labels` (doc_id, rep) as a full BASE snapshot and record
-    * the base file count (the compaction trigger's zero point). */
+    * the base file count + row count (the compaction triggers' zero
+    * points). */
   private def commitLabelsBase(labels: DataFrame, root: String): Long = {
     val spark = labels.sparkSession
     val lv = VersionedTable.versions(spark, labelsRoot(root))
@@ -151,35 +154,44 @@ object SplitIndex {
         lit(true).as("is_base")),
       labelsRoot(root))
     writeBaseMarker(spark, root, v,
-      VersionedTable.fileCount(spark, labelsRoot(root), Some(v)))
+      VersionedTable.fileCount(spark, labelsRoot(root), Some(v)),
+      VersionedStats.statsFor(spark, labelsRoot(root), Some(v))
+        .map(_._1).getOrElse(0L))
     v
   }
 
   private def baseMarkerPath(root: String) = new Path(root, "_labels_base")
 
-  // marker = "baseVersion baseFileCount". ADVISORY only: reads never
-  // consult it (the is_base column is the truth), so a crash between a
-  // base commit and the marker rewrite merely overstates the overlay
-  // file count and triggers one extra compaction, which converges.
+  // marker = "baseVersion baseFileCount baseRows". ADVISORY only:
+  // reads never consult it (the is_base column is the truth), so a
+  // crash between a base commit and the marker rewrite merely
+  // overstates the overlay debt and triggers one extra compaction,
+  // which converges.
   private def writeBaseMarker(spark: SparkSession, root: String,
-                              v: Long, files: Int): Unit = {
+                              v: Long, files: Int, rows: Long): Unit = {
     val p = baseMarkerPath(root)
     val f = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (f.exists(p)) f.delete(p, false)
     val out = f.create(p, true)
-    try out.write(s"$v $files".getBytes("UTF-8")) finally out.close()
+    try out.write(s"$v $files $rows".getBytes("UTF-8"))
+    finally out.close()
   }
 
-  private def baseFileCount(spark: SparkSession, root: String): Int = {
+  /** (baseFileCount, baseRows) from the marker — (0, 0) when absent or
+    * torn (pre-rows markers degrade to rows 0, which only means the
+    * rows trigger fires once and the fold rewrites the marker). */
+  private def baseMarker(spark: SparkSession,
+                         root: String): (Int, Long) = {
     val p = baseMarkerPath(root)
     val f = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!f.exists(p)) return 0
+    if (!f.exists(p)) return (0, 0L)
     val in = f.open(p)
     try {
       val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
       in.readFully(bytes)
-      new String(bytes, "UTF-8").trim.split("\\s+")(1).toInt
-    } catch { case scala.util.control.NonFatal(_) => 0 }
+      val parts = new String(bytes, "UTF-8").trim.split("\\s+")
+      (parts(1).toInt, if (parts.length >= 3) parts(2).toLong else 0L)
+    } catch { case scala.util.control.NonFatal(_) => (0, 0L) }
     finally in.close()
   }
 
@@ -376,15 +388,26 @@ object SplitIndex {
       recomputed.select(col("doc_id"), col("rep"),
         lit(lv).as("lv"), lit(false).as("is_base")),
       labelsRoot(root), append = true)
-    // fold overlay debt back into a base snapshot once the manifest
-    // has grown compactLabelsAboveFiles files past the base — one
-    // corpus-sized write AMORTIZED over that many ingests, and the
-    // bound that keeps the read path's supersede-set broadcastable
-    if (compactLabelsAboveFiles > 0 &&
-        VersionedTable.fileCount(spark, labelsRoot(root))
-          - baseFileCount(spark, root) > compactLabelsAboveFiles)
-      commitLabelsBase(labels(spark, root).localCheckpoint(true), root)
-    else v
+    // fold overlay debt back into a base snapshot once EITHER budget
+    // is spent — compactLabelsAboveFiles appended files (many small
+    // ingests: manifest growth is the debt) or overlay rows passing
+    // half the base row count (few LARGE deltas: a file-count-only
+    // policy would let overlay rows outgrow the base before 16 files
+    // accrue, and the read path's supersede set stops being the small
+    // side of the anti-join). Both signals are metadata-only (manifest
+    // size + the rows sidecar vs the marker's base row count); the
+    // fold is one corpus-sized write AMORTIZED over the budget.
+    if (compactLabelsAboveFiles > 0) {
+      val (baseFiles, baseRows) = baseMarker(spark, root)
+      val files = VersionedTable.fileCount(spark, labelsRoot(root))
+      val totalRows = VersionedStats
+        .statsFor(spark, labelsRoot(root)).map(_._1).getOrElse(0L)
+      if (files - baseFiles > compactLabelsAboveFiles ||
+          (baseRows > 0L && totalRows - baseRows > baseRows / 2))
+        commitLabelsBase(labels(spark, root).localCheckpoint(true),
+          root)
+      else v
+    } else v
   }
 
   // ---- the SEMANTIC regime ------------------------------------------

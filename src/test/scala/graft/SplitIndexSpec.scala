@@ -173,6 +173,24 @@ class SplitIndexSpec extends SparkSpec {
       === freshLabels(corpus ++ delta ++ delta2))
   }
 
+  test("the ROWS compaction signal folds a few-large-deltas overlay " +
+      "even when the file budget is nowhere near spent") {
+    val root = tmp("rowsfold")
+    SplitIndex.create(df(corpus), root) // base: 8 rows
+    // one delta of 6 fresh singletons: overlay rows 6 > base/2 = 4,
+    // while appended files stay far under the 1000-file budget — a
+    // file-count-only policy would leave this overlay unbounded
+    val delta = (300L until 306L).map(i => (i, text(s"u$i")))
+    SplitIndex.ingest(root, df(delta), compactLabelsAboveFiles = 1000)
+    val physical = VersionedTable.read(spark, root + "/labels")
+    assert(physical.count() === (corpus.size + delta.size).toLong)
+    assert(physical.where($"is_base" === false).count() === 0L,
+      "rows signal did not fold the overlay")
+    assert(SplitIndex.labels(spark, root)
+      .as[(Long, Long)].collect().toMap
+      === freshLabels(corpus ++ delta))
+  }
+
   test("gate fixtures stay clear of the maxBucket straddle zone: no " +
       "fingerprint bucket crosses the cap between the 80% build and " +
       "the full corpus") {
