@@ -21,13 +21,39 @@ import graft.ext.SplitIndex
   * of the delta carries cross-boundary edges); the rest are unique
   * singletons.
   *
-  * Usage: runMain graft.SplitIndexProbe [nDocs] [dupFrac%]
+  * SEMANTIC mode (3rd arg `sem`): the same corpus plus deterministic
+  * embeddings keyed on the SAME dup structure — docs sharing a source
+  * share an identical vector (cosine 1.0, always a semantic pair);
+  * distinct docs get independent pseudo-random 64-dim vectors (cosine
+  * concentrated near 0, far under [[SemThreshold]] — see its doc for
+  * why the probe runs at the production 0.9 point rather than the
+  * gate queries' 0.4) — and the probe exercises createSemantic /
+  * ingestSemantic, asserting labels AND the union edge MULTISET
+  * identical to the full semantic rebuild. The multi-probe
+  * generator's constant-recall cost is super-linear by the ρ-law
+  * (~N^1.22 at 0.9), so semantic-mode sizes are meant for ~50-200k,
+  * not the lexical mode's 1M.
+  *
+  * Usage: runMain graft.SplitIndexProbe [nDocs] [dupFrac%] [sem]
   * Env: SPARK_GRAFT_CPUS (default 32).
   */
 object SplitIndexProbe {
+
+  /** Semantic-mode threshold: the PRODUCTION near-dup point (0.9 —
+    * p ≈ 0.86 at the threshold angle, so the ρ-law table count stays
+    * small), not the registered queries' deliberately-low 0.4: the
+    * probe's random-vector fixture has pair cosines concentrated at
+    * ±1/√64 ≈ 0.125, and 0.4 sits only 3.2σ out — at probe sizes that
+    * admits tens of thousands of accidental pairs whose giant
+    * component makes every "affected neighborhood" corpus-sized,
+    * measuring the fixture, not the operator. 0.9 is ~7σ: exactly the
+    * engineered dup clusters (cosine 1.0) and nothing else. */
+  private val SemThreshold = 0.9
+
   def main(args: Array[String]): Unit = {
     val nDocs = args.lift(0).map(_.toLong).getOrElse(50000L)
     val dupPct = args.lift(1).map(_.toInt).getOrElse(10)
+    val semantic = args.lift(2).contains("sem")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -62,6 +88,32 @@ object SplitIndexProbe {
     docs.count()
     val base = docs.where(col("doc_id") % 10 =!= 0)
     val delta = docs.where(col("doc_id") % 10 === 0)
+    // semantic-mode embeddings: the SAME __src keying as the texts, so
+    // dup clusters share an identical vector and everything else is
+    // independent pseudo-random (element-wise hash of (__src, dim),
+    // uniform in [-1, 1) — pair cosine of independent vectors
+    // concentrates at ±1/√64 ≈ 0.125, far under the 0.4 threshold)
+    val emb =
+      if (!semantic) null
+      else {
+        val e = spark.range(nDocs)
+          .select(col("id").as("vec_id"),
+            when(pmod(hash(col("id")), lit(100)) < dupPct
+                && col("id") >= 51,
+              col("id") - pmod(col("id"), lit(50)) + 1)
+              .otherwise(col("id")).as("__src"))
+          .select(col("vec_id"),
+            transform(sequence(lit(0), lit(63)),
+              j => ((pmod(hash(col("__src"), j), lit(2001)) - 1000)
+                / lit(1000.0)).cast("float")).as("embedding"))
+          .persist()
+        e.count()
+        e
+      }
+    val baseEmb =
+      if (semantic) emb.where(col("vec_id") % 10 =!= 0) else null
+    val deltaEmb =
+      if (semantic) emb.where(col("vec_id") % 10 === 0) else null
     def tmp(tag: String) = java.nio.file.Files
       .createTempDirectory(s"splitidx-probe-$tag").toString + "/root"
 
@@ -81,22 +133,37 @@ object SplitIndexProbe {
 
     val incRoot = tmp("inc")
     val t0 = System.nanoTime()
-    SplitIndex.create(base, incRoot)
+    if (semantic)
+      SplitIndex.createSemantic(base, baseEmb, incRoot,
+        threshold = SemThreshold)
+    else SplitIndex.create(base, incRoot)
     val buildSec = (System.nanoTime() - t0) / 1e9
     val labelBaseBytes = dataBytes(incRoot + "/labels")
     val t1 = System.nanoTime()
     // compaction disarmed for the measurement: the probe times ONE
     // ingest, and the amortized fold would read as its write cost
-    SplitIndex.ingest(incRoot, delta, compactLabelsAboveFiles = 0)
+    if (semantic)
+      SplitIndex.ingestSemantic(incRoot, delta, deltaEmb,
+        compactLabelsAboveFiles = 0)
+    else SplitIndex.ingest(incRoot, delta, compactLabelsAboveFiles = 0)
     val ingestSec = (System.nanoTime() - t1) / 1e9
     val labelIngestBytes = dataBytes(incRoot + "/labels") - labelBaseBytes
 
     val fullRoot = tmp("full")
     val t2 = System.nanoTime()
-    SplitIndex.create(docs, fullRoot)
+    if (semantic)
+      SplitIndex.createSemantic(docs, emb, fullRoot,
+        threshold = SemThreshold)
+    else SplitIndex.create(docs, fullRoot)
     val rebuildSec = (System.nanoTime() - t2) / 1e9
 
-    // identity: the maintained asset answers exactly like the rebuild
+    // identity: the maintained asset answers exactly like the rebuild.
+    // In semantic mode the edge comparison is the union MULTISET (the
+    // witness counts pairs with generator multiplicity).
+    def pairFrame(root: String) =
+      if (semantic) SplitIndex.unionEdges(spark, root)
+      else SplitIndex.edges(spark, root)
+        .select(col("doc_a"), col("doc_b"))
     val mismatched = SplitIndex.labels(spark, incRoot)
       .withColumnRenamed("rep", "__a")
       .join(SplitIndex.labels(spark, fullRoot)
@@ -104,21 +171,19 @@ object SplitIndexProbe {
       .where(col("__a").isNull || col("__b").isNull ||
         col("__a") =!= col("__b"))
       .limit(1).count()
-    val edgeDelta = SplitIndex.edges(spark, incRoot)
-      .select(col("doc_a"), col("doc_b"))
-      .exceptAll(SplitIndex.edges(spark, fullRoot)
-        .select(col("doc_a"), col("doc_b")))
+    val edgeDelta = pairFrame(incRoot)
+      .exceptAll(pairFrame(fullRoot))
       .limit(1).count() +
-      SplitIndex.edges(spark, fullRoot)
-        .select(col("doc_a"), col("doc_b"))
-        .exceptAll(SplitIndex.edges(spark, incRoot)
-          .select(col("doc_a"), col("doc_b")))
+      pairFrame(fullRoot)
+        .exceptAll(pairFrame(incRoot))
         .limit(1).count()
     val nLabels = SplitIndex.labels(spark, incRoot).count()
-    val nEdges = SplitIndex.edges(spark, incRoot).count()
+    val nEdges = pairFrame(incRoot).count()
 
     def f2(d: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, d)
-    println(s"""{"metric":"split_index_ingest_vs_rebuild","n_docs":$nDocs,"dup_pct":$dupPct,"build90_sec":${f2(buildSec)},"ingest10_sec":${f2(ingestSec)},"rebuild100_sec":${f2(rebuildSec)},"ingest_over_rebuild":${f2(ingestSec / math.max(rebuildSec, 1e-9))},"labels":$nLabels,"edges":$nEdges,"label_mismatches":$mismatched,"edge_set_delta":$edgeDelta,"label_base_bytes":$labelBaseBytes,"label_ingest_bytes":$labelIngestBytes,"label_write_frac":${f2(labelIngestBytes.toDouble / math.max(1L, labelBaseBytes))}}""")
+    val metric = if (semantic) "split_index_semantic_ingest_vs_rebuild"
+      else "split_index_ingest_vs_rebuild"
+    println(s"""{"metric":"$metric","n_docs":$nDocs,"dup_pct":$dupPct,"build90_sec":${f2(buildSec)},"ingest10_sec":${f2(ingestSec)},"rebuild100_sec":${f2(rebuildSec)},"ingest_over_rebuild":${f2(ingestSec / math.max(rebuildSec, 1e-9))},"labels":$nLabels,"edges":$nEdges,"label_mismatches":$mismatched,"edge_set_delta":$edgeDelta,"label_base_bytes":$labelBaseBytes,"label_ingest_bytes":$labelIngestBytes,"label_write_frac":${f2(labelIngestBytes.toDouble / math.max(1L, labelBaseBytes))}}""")
     spark.stop()
   }
 }

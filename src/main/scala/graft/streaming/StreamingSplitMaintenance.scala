@@ -20,7 +20,12 @@ import graft.sources.VersionedTable
   * affected components; then the batch's assignments — (doc_id, rep,
   * split), read off the post-ingest labels — append to an audit/report
   * table, so downstream training jobs learn each arriving document's
-  * side the moment it lands.
+  * side the moment it lands. A stream additionally carrying an
+  * `embedding` column maintains a SEMANTIC-regime index instead
+  * ([[SplitIndex.ingestSemantic]] — both posting families probed, so
+  * paraphrase arrivals with no shared text still inherit their
+  * cluster's side); the batch shape declares the regime and a
+  * mismatch with the root's frozen model fails loudly.
   *
   * This is the production split discipline at streaming grain: a
   * document that near-duplicates anything already assigned INHERITS
@@ -101,7 +106,19 @@ object StreamingSplitMaintenance {
       s"SplitIndex at $indexRoot has no committed labels — create the " +
         "index from the seed corpus before starting the stream")
     val docs = batch.select(col("doc_id"), col("text"))
-    SplitIndex.ingest(indexRoot, docs) // idempotent by construction
+    // the batch SHAPE declares the regime: a stream carrying an
+    // embedding column maintains a semantic-regime index (both posting
+    // families probed, vec_id ≡ doc_id — the corpus contract); a
+    // text-only stream maintains the lexical regime. A mismatch with
+    // the root's frozen model fails loudly inside the ingest (each
+    // regime's ingest requires its own model schema) rather than
+    // silently half-maintaining the asset. Both ingests are idempotent
+    // by construction (labels committed last, per-table replay guards).
+    if (batch.columns.contains("embedding"))
+      SplitIndex.ingestSemantic(indexRoot, docs,
+        batch.select(col("doc_id").as("vec_id"), col("embedding")))
+    else
+      SplitIndex.ingest(indexRoot, docs)
     val labelsPost0 = VersionedTable
       .versions(spark, indexRoot + "/labels").last
     val reportPre0 = VersionedTable.versions(spark, reportRoot)
@@ -141,7 +158,12 @@ object StreamingSplitMaintenance {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          assignBatch(batch.select(col("doc_id"), col("text")), batchId,
+          // pass the embedding column through when the stream carries
+          // one — the semantic-regime maintenance path
+          val cols = Seq(col("doc_id"), col("text")) ++
+            (if (batch.columns.contains("embedding"))
+              Seq(col("embedding")) else Seq.empty)
+          assignBatch(batch.select(cols: _*), batchId,
             indexRoot, reportRoot, weights, compactAboveFiles,
             compactTargetRows)
           val v = VersionedTable

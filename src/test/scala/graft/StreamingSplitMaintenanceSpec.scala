@@ -114,4 +114,42 @@ class StreamingSplitMaintenanceSpec extends SparkSpec {
       === SplitIndex.labels(spark, fresh)
         .as[(Long, Long)].collect().toMap)
   }
+
+  test("semantic regime: a stream carrying an embedding column " +
+      "maintains BOTH posting families — a semantic twin with a " +
+      "unique text inherits the side through the signature probe") {
+    val root = tmp("sem"); val report = tmp("sem-rep")
+    def bvec(axis: Int): Array[Float] =
+      Array.tabulate(64)(j => if (j == axis) 1f else 0f)
+    SplitIndex.createSemantic(
+      seedCorpus.toDF("doc_id", "text"),
+      seedCorpus.map { case (id, _) => (id, bvec(id.toInt)) }
+        .toDF("vec_id", "embedding"),
+      root)
+    val sideOf = SplitIndex.split(spark, root,
+        Seq("train" -> 80, "eval" -> 20))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    // the arriving doc shares NO text with anything indexed — only its
+    // vector (axis 20) links it to doc 20. Inheriting the side proves
+    // the stored signature postings were probed, not just fingerprints.
+    val b = Seq((200L, text("z200"), bvec(20)))
+      .toDF("doc_id", "text", "embedding")
+    val r = StreamingSplitMaintenance.assignBatch(b, batchId = 0,
+      root, report)
+    val row = r.as[(Long, Long, String)].head()
+    assert(row._2 === 20L, "semantic twin did not join its cluster")
+    assert(row._3 === sideOf(20L), "semantic twin did not inherit side")
+    // the semantic posting family was maintained: the new vector's
+    // signatures are committed, so FUTURE semantic twins of 200 find it
+    assert(VersionedTable.read(spark, root + "/sigs")
+      .where($"vec_id" === 200L).count() > 0L)
+    // replay converges: same report row, nothing re-appended
+    val n = VersionedTable.read(spark, report).count()
+    val labelsVs = VersionedTable.versions(spark, root + "/labels")
+    val rb = StreamingSplitMaintenance.assignBatch(b, batchId = 0,
+      root, report)
+    assert(rb.as[(Long, Long, String)].head() === row)
+    assert(VersionedTable.read(spark, report).count() === n)
+    assert(VersionedTable.versions(spark, root + "/labels") === labelsVs)
+  }
 }
