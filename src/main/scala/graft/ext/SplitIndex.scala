@@ -177,21 +177,23 @@ object SplitIndex {
     finally out.close()
   }
 
-  /** (baseFileCount, baseRows) from the marker — (0, 0) when absent or
-    * torn (pre-rows markers degrade to rows 0, which only means the
-    * rows trigger fires once and the fold rewrites the marker). */
+  /** (baseVersion, baseFileCount, baseRows) from the marker —
+    * (-1, 0, 0) when absent or torn (pre-rows markers degrade to rows
+    * 0, which only means the rows trigger fires once and the fold
+    * rewrites the marker). */
   private def baseMarker(spark: SparkSession,
-                         root: String): (Int, Long) = {
+                         root: String): (Long, Int, Long) = {
     val p = baseMarkerPath(root)
     val f = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!f.exists(p)) return (0, 0L)
+    if (!f.exists(p)) return (-1L, 0, 0L)
     val in = f.open(p)
     try {
       val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
       in.readFully(bytes)
       val parts = new String(bytes, "UTF-8").trim.split("\\s+")
-      (parts(1).toInt, if (parts.length >= 3) parts(2).toLong else 0L)
-    } catch { case scala.util.control.NonFatal(_) => (0, 0L) }
+      (parts(0).toLong, parts(1).toInt,
+        if (parts.length >= 3) parts(2).toLong else 0L)
+    } catch { case scala.util.control.NonFatal(_) => (-1L, 0, 0L) }
     finally in.close()
   }
 
@@ -206,6 +208,22 @@ object SplitIndex {
     * small), so the read path never shuffles the base. */
   def labels(spark: SparkSession, root: String,
              version: Option[Long] = None): DataFrame = {
+    // Fast path for the COMMON state — the manifest being read is
+    // exactly the latest base snapshot (right after create or a fold,
+    // and on every read-dominated root between ingests): the marker's
+    // base version deciding it is ADVISORY-safe, because when the
+    // requested version IS a base snapshot its manifest holds only
+    // base files, so the overlay machinery below would plan an empty
+    // aggregate + anti-join around the same scan — correct but three
+    // extra operators per consumption. A stale/absent marker merely
+    // falls through to the general plan, which is always correct.
+    val (baseV, _, _) = baseMarker(spark, root)
+    val v = version.getOrElse(
+      VersionedTable.versions(spark, labelsRoot(root))
+        .lastOption.getOrElse(-2L))
+    if (baseV >= 0L && v == baseV)
+      return VersionedTable.read(spark, labelsRoot(root), Some(v))
+        .select(col("doc_id"), col("rep"))
     val latest = VersionedTable
       .read(spark, labelsRoot(root), version)
       .where(col("is_base") === false)
@@ -398,7 +416,7 @@ object SplitIndex {
     // size + the rows sidecar vs the marker's base row count); the
     // fold is one corpus-sized write AMORTIZED over the budget.
     if (compactLabelsAboveFiles > 0) {
-      val (baseFiles, baseRows) = baseMarker(spark, root)
+      val (_, baseFiles, baseRows) = baseMarker(spark, root)
       val files = VersionedTable.fileCount(spark, labelsRoot(root))
       val totalRows = VersionedStats
         .statsFor(spark, labelsRoot(root)).map(_._1).getOrElse(0L)
