@@ -201,7 +201,19 @@ object ScaleProbe {
     // NN-descent sibling (r13): bounded-cell seed + 3 descent rounds at
     // n·36²/2 scored pairs each — linear by construction, and the one
     // form whose recall floor holds at x10/x30 (its registered witness)
-    "knn_graph_refined")
+    "knn_graph_refined",
+    // split-index family (r16): the fresh rows scale like their pair
+    // generators (winnowing by k under word-salting; + multi-probe LSH
+    // for the semantic regime) feeding pointer-jumped components; the
+    // *_indexed rows measure the READ path off committed labels —
+    // attempt 1 pays the per-factor index build at that scale,
+    // min-of-attempts keeps the steady-state lookup, which must stay
+    // ~linear (a scan + hash projection + the stored-edge witness
+    // join). Ingest-vs-rebuild economics live in SplitIndexProbe; the
+    // *_ingested twins are omitted here because min-of-attempts
+    // reduces them to the same read path as *_indexed.
+    "leakage_safe_split", "leakage_safe_split_indexed",
+    "leakage_safe_split_semantic", "leakage_safe_split_semantic_indexed")
 
   /** Probe-only operators: production paths whose REGISTERED query form
     * carries a deliberately-quadratic exact-witness side (the
