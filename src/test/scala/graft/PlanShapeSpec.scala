@@ -476,4 +476,30 @@ class PlanShapeSpec extends SparkSpec {
       s"cell assignment leaked into a pushed filter:\n${scanFilters.mkString("\n")}")
     assert(!p.contains("NestedLoop"), "IVF-PQ join degraded to nested loop")
   }
+
+  test("split-label merge-on-read: the overlay supersede is a broadcast " +
+      "anti-join (base never shuffled); the pure-base state reads as a " +
+      "plain scan with no join at all") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-planshape-split").resolve("r").toString
+    val text = (0 until 60).map(t => s"a$t").mkString(" ")
+    graft.ext.SplitIndex.create(
+      Seq((0L, text), (1L, text), (2L, "b " * 60)).toDF("doc_id", "text"),
+      tmp)
+    // pure base (marker fast path): no join operator in the read plan
+    val basePlan = plan(graft.ext.SplitIndex.labels(spark, tmp))
+    assert(!basePlan.contains("Join"),
+      s"pure-base label read plans a join:\n$basePlan")
+    // with an overlay (compaction disarmed): the supersede must be a
+    // broadcast LeftAnti into the base scan — a SortMergeJoin here
+    // would shuffle the whole base per lookup at corpus scale
+    graft.ext.SplitIndex.ingest(tmp,
+      Seq((10L, text)).toDF("doc_id", "text"),
+      compactLabelsAboveFiles = 0)
+    val p = plan(graft.ext.SplitIndex.labels(spark, tmp))
+    assert(p.contains("BroadcastHashJoin LeftAnti"),
+      s"overlay supersede is not a broadcast anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"label read shuffles the base snapshot:\n$p")
+  }
 }

@@ -173,6 +173,28 @@ class SplitIndexSpec extends SparkSpec {
       === freshLabels(corpus ++ delta ++ delta2))
   }
 
+  test("label version retention: vacuum prunes superseded overlay " +
+      "files after a fold and the read path stays exact") {
+    val root = tmp("vac")
+    SplitIndex.create(df(corpus), root)                    // v1 base
+    val d1 = Seq((100L, text("u100")))
+    SplitIndex.ingest(root, df(d1), compactLabelsAboveFiles = 0) // v2
+    val d2 = Seq((101L, text("u101")))
+    SplitIndex.ingest(root, df(d2), compactLabelsAboveFiles = 1)
+    // the second ingest folds (2 overlay files > budget 1): latest
+    // version is a pure base snapshot again
+    val expected = freshLabels(corpus ++ d1 ++ d2)
+    assert(SplitIndex.labels(spark, root)
+      .as[(Long, Long)].collect().toMap === expected)
+    // retention: keep only the folded snapshot — the old base and both
+    // superseded overlays become unreferenced and are swept
+    val removed = graft.sources.VersionedTable.vacuum(spark,
+      root + "/labels", keepVersions = 1)
+    assert(removed > 0L, "nothing swept — overlay files leaked")
+    assert(SplitIndex.labels(spark, root)
+      .as[(Long, Long)].collect().toMap === expected)
+  }
+
   test("the ROWS compaction signal folds a few-large-deltas overlay " +
       "even when the file budget is nowhere near spent") {
     val root = tmp("rowsfold")
