@@ -80,9 +80,16 @@ object Bpe {
     * materialization JOB (`wt.count()`) per merge on top of K cache
     * copies of the same-sized table. */
   def learnMerges(docs: DataFrame, rounds: Int): Seq[Merge] = {
-    require(rounds >= 1 && rounds <= 64, s"unreasonable BPE rounds: $rounds")
     val base = wordTypes(docs).select(seed(col("word")).as("seq"), col("n"))
       .cache()
+    try learnOn(base, rounds) finally base.unpersist()
+  }
+
+  /** Learner core over an already-persisted seeded (seq, n) table —
+    * shared by [[learnMerges]] and [[learnAndSegmentationStats]] (which
+    * feeds learner AND segmentation from ONE word-type scan). */
+  private def learnOn(base: DataFrame, rounds: Int): Seq[Merge] = {
+    require(rounds >= 1 && rounds <= 64, s"unreasonable BPE rounds: $rounds")
     val out = Seq.newBuilder[Merge]
     var learned = List.empty[(String, String)] // reversed rule chain
     var r = 1
@@ -103,7 +110,6 @@ object Bpe {
       }
       r += 1
     }
-    base.unpersist()
     out.result()
   }
 
@@ -130,11 +136,33 @@ object Bpe {
     * language, token count, total symbols, and mean symbols/token —
     * the fertility number a tokenizer is judged by. One corpus scan
     * (the word-type join is vocabulary-sized and broadcastable). */
-  def segmentationStats(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+  def segmentationStats(docs: DataFrame, merges: Seq[Merge]): DataFrame =
+    statsOverTypes(docs, wordTypes(docs), merges)
+
+  /** Learn the vocabulary AND report segmentation stats from ONE
+    * word-type scan: the separate-call composition
+    * (`segmentationStats(docs, learnMerges(docs, r))`) tokenized and
+    * type-aggregated the corpus twice — once inside the learner, once
+    * for the type segmentation. Here the (word, n) table materializes
+    * once (eager executor-local checkpoint, vocabulary-sized) and feeds
+    * the learner's cached seed table and the stats' segmentation leg;
+    * only the per-(lang, token) occurrence scan still reads the corpus.
+    * Identical results by construction — same learner, same stats, same
+    * inputs. */
+  def learnAndSegmentationStats(docs: DataFrame, rounds: Int): DataFrame = {
+    val wt = wordTypes(docs).localCheckpoint(true)
+    val base = wt.select(seed(col("word")).as("seq"), col("n")).cache()
+    val merges = try learnOn(base, rounds) finally base.unpersist()
+    statsOverTypes(docs, wt, merges)
+  }
+
+  /** Stats core: segment each word TYPE once (from `wt` = (word, n)),
+    * broadcast-join occurrences against it — K replaces run
+    * vocabulary-many times, not corpus-many. */
+  private def statsOverTypes(docs: DataFrame, wt: DataFrame,
+                             merges: Seq[Merge]): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    // segment each word TYPE once, broadcast-join occurrences against it
-    // — K replaces run vocabulary-many times, not corpus-many
-    val types = wordTypes(docs)
+    val types = wt
       .select(col("word"),
         size(segmented(col("word"), merges)).cast("long").as("n_sym"))
     docs.repartition(par)

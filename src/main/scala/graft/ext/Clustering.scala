@@ -37,9 +37,27 @@ import graft.functions.VectorAggregates.vecSum
 object Clustering {
 
   /** Lloyd fit: `rounds` full rounds from the deterministic init.
-    * Returns the k×dim centroid table (rounded to `dp`). */
+    * Returns the k×dim centroid table (rounded to `dp`).
+    *
+    * The (vec_id, embedding) working set is persisted for the duration
+    * of the fit — every round is one aggregate over the SAME projection,
+    * and re-deriving it from the source per round re-pays the scan
+    * `rounds`+1 times (the [[graft.ext.PageRank]] working-set pattern,
+    * guide §5: reuse + recompute-cost both in favor). The cache is
+    * contained: unpersisted before returning, so no state outlives the
+    * call. */
   def lloydFit(vecs: DataFrame, k: Int, rounds: Int,
                dp: Int = 6): Array[Array[Double]] = {
+    val work = vecs.select(col("vec_id"), col("embedding")).persist()
+    try lloydFitOn(work, k, rounds, dp)
+    finally work.unpersist(false)
+  }
+
+  /** Fit core over an already-persisted working set — shared by
+    * [[lloydFit]] and [[elbowFrame]] (which runs several fits over ONE
+    * cached projection, concurrently). */
+  private def lloydFitOn(vecs: DataFrame, k: Int, rounds: Int,
+                         dp: Int = 6): Array[Array[Double]] = {
     require(k >= 2 && k <= 4096, s"unreasonable k: $k")
     require(rounds >= 0 && rounds <= 64, s"unreasonable rounds: $rounds")
     // ALL rounding happens through Spark's own `round` (HALF_UP with
@@ -93,8 +111,13 @@ object Clustering {
         acc + d * d
       })
     }
-    assignments(vecs, centroids)
-      .join(vecs.select(col("vec_id"), col("embedding")), "vec_id")
+    // cluster AND embedding in ONE projection over the scan: the earlier
+    // shape re-attached the embedding via assignments ⋈ vecs on vec_id —
+    // a corpus-sized self-join (2 Exchange + join) buying a column the
+    // projection already had (guide §2.4: remove shuffles outright).
+    vecs.select(
+        Similarity.ivfListId(col("embedding"), centroids).as("cluster"),
+        col("embedding"))
       .select(col("cluster"), distSq.as("d2"))
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n"), round(sum(col("d2")), 4).as("inertia"))
@@ -128,8 +151,10 @@ object Clustering {
       typedLit(centroids.indices.map(_.toLong)),
       (d, i) => when(i === col("cluster").cast("long"), lit(null)
         .cast("double")).otherwise(d)))
-    assignments(vecs, centroids)
-      .join(vecs.select(col("vec_id"), col("embedding")), "vec_id")
+    // same fused-projection shape as [[clusterStats]]: no re-attach join
+    vecs.select(
+        Similarity.ivfListId(col("embedding"), centroids).as("cluster"),
+        col("embedding"))
       .select(col("cluster"), dists.as("__d"))
       .select(col("cluster"),
         when(greatest(a, b) > 0.0, (b - a) / greatest(a, b))
@@ -140,10 +165,32 @@ object Clustering {
   }
 
   /** Elbow curve: total inertia after `rounds` Lloyd rounds for each k —
-    * one independent fit per k, each one aggregate row. */
-  def elbowFrame(vecs: DataFrame, ks: Seq[Int], rounds: Int): DataFrame =
-    ks.map { k =>
-      val cent = lloydFit(vecs, k, rounds)
+    * one independent fit per k, each one aggregate row.
+    *
+    * The fits share ONE persisted working set and run CONCURRENTLY
+    * (guide §2.6 — independent jobs submitted from a small thread pool
+    * back-fill each other's stragglers; each fit is a chain of tiny
+    * collect jobs, so serializing them left the cluster idle between
+    * rounds). Results are unchanged: the fits are independent and each
+    * is deterministic. The cache is contained — unpersisted once every
+    * fit has collected; the returned inertia legs re-derive from the
+    * source (fused projection, no join). */
+  def elbowFrame(vecs: DataFrame, ks: Seq[Int], rounds: Int): DataFrame = {
+    val work = vecs.select(col("vec_id"), col("embedding")).persist()
+    val cents: Seq[(Int, Array[Array[Double]])] =
+      if (ks.size <= 1) ks.map(k => k -> lloydFitOn(work, k, rounds))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(ks.size)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(
+            ks.map(k => scala.concurrent.Future(k -> lloydFitOn(work, k, rounds)))),
+          scala.concurrent.duration.Duration.Inf)
+        finally pool.shutdown()
+      }
+    work.unpersist(false)
+    cents.map { case (k, cent) =>
       val dim = cent(0).length
       val cl = typedLit(cent.map(_.toSeq).toSeq)
       val d2 = aggregate(sequence(lit(1), lit(dim)), lit(0.0), (acc, i) => {
@@ -151,12 +198,14 @@ object Clustering {
           element_at(element_at(cl, col("cluster") + 1), i)
         acc + d * d
       })
-      assignments(vecs, cent)
-        .join(vecs.select(col("vec_id"), col("embedding")), "vec_id")
+      vecs.select(
+          Similarity.ivfListId(col("embedding"), cent).as("cluster"),
+          col("embedding"))
         .select(d2.as("d2"))
         .agg(round(sum(col("d2")), 4).as("inertia"))
         .select(lit(k.toLong).as("k"), col("inertia"))
     }.reduce(_ unionByName _)
+  }
 
   /** Final centroid table as a frame: (cluster, dim, centroid). */
   def centroidsFrame(vecs: DataFrame, k: Int, rounds: Int): DataFrame = {

@@ -22,10 +22,10 @@ import org.apache.spark.sql.functions._
   * ride the same pass as raw counts via a conditional sum, so the target
   * slice is never re-scanned), one scores documents against the
   * broadcast `dim`-row log-ratio table (map-side join + per-doc sum).
-  * Nothing driver-side ever exceeds `dim` rows. At 100 TB the feature
-  * frame would be computed once and reused for both passes via a
-  * persisted intermediate; recomputation keeps the operator stateless
-  * here and changes nothing semantically.
+  * Nothing driver-side ever exceeds `dim` rows. The feature frame is
+  * computed ONCE and reused for both passes via an eager executor-local
+  * checkpoint of the narrow (doc_id, bucket, cnt) triples — the heavy
+  * tokenize/bigram/hash fan-out never re-executes per consumer.
   *
   * Determinism: per-doc weights round to 6 dp; selection ranks on the
   * ROUNDED weight with doc_id as the total tie-break.
@@ -69,7 +69,16 @@ object ImportanceSampling {
                         dim: Int = 1024, alpha: Double = 1.0): DataFrame = {
     require(alpha > 0, s"smoothing alpha must be positive: $alpha")
     val flagged = docs.withColumn("__tgt", isTarget)
-    val feats = hashedNgramCounts(flagged, dim)
+    // The hashed-feature frame feeds TWO consumers — the bucket-model
+    // aggregate and the per-doc scoring join — through a chain of nested
+    // broadcast subtrees (totals inside ratio inside the score join).
+    // One eager executor-local checkpoint runs the tokenize + bigram +
+    // md5 fan-out exactly once; the stored rows are the narrow
+    // (doc_id, bucket, cnt) triples. This is the persisted intermediate
+    // the scale note below always promised at 100 TB — now the shipped
+    // shape at every scale (guide §8: heavy pass once, decisions on the
+    // proxy).
+    val feats = hashedNgramCounts(flagged, dim).localCheckpoint(true)
     val flags = flagged.select(col("doc_id"), col("__tgt"))
     val withFlag = feats.join(flags, "doc_id")
     // one dim-row model table for BOTH distributions

@@ -50,9 +50,13 @@ object Triangles {
     // orient low (degree, id) -> high; a < b already, so ties keep a -> b
     val lowFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
+    // The oriented edge list feeds BOTH sides of the wedge self-join —
+    // one eager executor-local materialization (edge-count scalar rows)
+    // instead of re-running the two degree joins per side (guide §2.4).
     val oriented = withDeg.select(
       when(lowFirst, col("a")).otherwise(col("b")).as("u"),
       when(lowFirst, col("b")).otherwise(col("a")).as("v"))
+      .localCheckpoint(true)
     val cand = oriented.select(col("u"), col("v").as("x"))
       .join(oriented.select(col("u"), col("v").as("y")), "u")
       .where(col("x") < col("y"))
@@ -68,7 +72,11 @@ object Triangles {
     * open or closed) and clustering = 3·triangles / wedges (0 when the
     * graph has no wedge). */
   def triangleStats(edges: DataFrame): DataFrame = {
-    val und = undirect(edges)
+    // `edges` is typically an expensive upstream build (the registered
+    // queries derive it from a fact-table self-join + aggregate) and the
+    // normalized frame feeds THREE consumers (degrees, orientation,
+    // closing-edge probe): materialize it once, edge-sized scalar rows.
+    val und = undirect(edges).localCheckpoint(true)
     val deg = degrees(und)
     val tris = triangleCorners(und, deg)
       .agg(count(lit(1)).as("n_triangles"))
@@ -90,7 +98,8 @@ object Triangles {
     * 2·t_v / (deg_v·(deg_v − 1)), 0 for degree-<2 nodes. The Watts-
     * Strogatz per-node cohesion signal (ego-net density). */
   def localClustering(edges: DataFrame): DataFrame = {
-    val und = undirect(edges)
+    // same one-execution normalization as [[triangleStats]]
+    val und = undirect(edges).localCheckpoint(true)
     val deg = degrees(und)
     val perNode = triangleCorners(und, deg)
       .select(explode_outer(array(col("u"), col("x"), col("y")))

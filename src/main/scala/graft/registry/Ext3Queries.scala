@@ -978,11 +978,12 @@ object Ext3Queries {
     // The learned vocabulary applied back to the corpus: per-language
     // token counts, total subword symbols, and fertility — each word
     // TYPE segmented once, occurrences broadcast-joined against it.
-    "bpe_segmentation_stats" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      graft.ext.Bpe.segmentationStats(docs,
-        graft.ext.Bpe.learnMerges(docs, rounds = 8))
-    }),
+    "bpe_segmentation_stats" -> ((s, dir) =>
+      // fused learn+stats: ONE word-type scan feeds the 8-round learner
+      // AND the type segmentation (the separate-call form paid the
+      // corpus tokenize + type aggregation twice); identical results
+      graft.ext.Bpe.learnAndSegmentationStats(
+        t(s, dir, "documents"), rounds = 8)),
 
     // Persisted lexical decontamination screen (ext/LexicalIndex — the
     // fifth index family): eval set = docs 0-9 indexed once as a

@@ -754,8 +754,15 @@ object ExtQueries {
     // and PQ fits are engine-seeded): exact query count + recall@5 of
     // the PQ path vs in-plan brute force over the SAME hashed vectors.
     "text_knn_hashed" -> ((s, dir) => {
+      // The vectorizer output is a DERIVED corpus consumed by FOUR
+      // independent subtrees (the PQ fit's sample collect, the encoded
+      // corpus leg, the broadcast query leg, and the witness's in-plan
+      // brute-force leg) — one eager checkpoint runs the tokenize+hash
+      // pivot exactly once instead of per consumer (guide §8: compute
+      // the proxy once, decide on it many times). Doc-count × dim rows.
       val vecs = TextAnalysis.hashingVectorizer(t(s, dir, "documents"))
         .withColumnRenamed("doc_id", "vec_id")
+        .localCheckpoint(true)
       val queries = vecs.where(col("vec_id") < 10)
       val cb = ProductQuant.pqFit(vecs)
       val pq = ProductQuant.knnPq(vecs, queries, k = 5, cb)

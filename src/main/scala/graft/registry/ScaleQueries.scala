@@ -180,9 +180,18 @@ object ScaleQueries {
     // pair work); brute force stays inside the BruteForceCap guard.
     "semantic_dedup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      // Both shared frames are materialized ONCE (eager, executor-local):
+      // the verdict frame feeds THREE witness legs (pruned checks,
+      // survivor-clean self-join sides) and the brute prunable set TWO
+      // (subset probe, exact count) — without the checkpoint each leg
+      // re-plans and partially re-executes the pair-generation subtrees.
+      // Both frames are verdict/duplicate-count-sized scalars, never
+      // vector-carrying.
       val v = SemanticDedup.verdicts(emb, threshold = 0.4)
+        .localCheckpoint(true)
       val prunableIds = Similarity.cosineNearDupPairs(emb, 0.4)
         .select(col("vec_b").as("vec_id")).distinct()
+        .localCheckpoint(true)
       val e1 = emb.select(col("vec_id"), col("embedding"))
       val e2 = emb.select(col("vec_id").as("keeper_id"),
         col("embedding").as("kv"))
@@ -246,10 +255,16 @@ object ScaleQueries {
     //    deliberate trade).
     "semantic_dedup_refined" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      // Only the brute prunable set is checkpointed here: unlike
+      // semantic_dedup, the refined witness consumes the verdict frame
+      // in ONE leg (no survivor-clean self-join), so an eager verdict
+      // materialization would add a job with nothing to reuse (measured
+      // +0.2 s when tried in r16).
       val v = SemanticDedup.verdicts(emb, threshold = 0.4,
         targetClusterSize = 32, flatNlistCap = 8)
       val prunableIds = Similarity.cosineNearDupPairs(emb, 0.4)
         .select(col("vec_b").as("vec_id")).distinct()
+        .localCheckpoint(true)
       val e1 = emb.select(col("vec_id"), col("embedding"))
       val e2 = emb.select(col("vec_id").as("keeper_id"),
         col("embedding").as("kv"))
