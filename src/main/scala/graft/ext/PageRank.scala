@@ -54,16 +54,36 @@ object PageRank {
     val base = unit * (100 - dampingPct) / 100
     var ranks = nodes.withColumn("rank_micro", lit(unit))
     if (iterations == 0) return ranks // working sets stay for the caller
-    for (_ <- 1 to iterations) {
+    // Nodes with NO in-edge keep rank = base every round (their
+    // neighbor sum is empty) — split them out ONCE instead of paying a
+    // nodes ⋈ sums left join every round to re-discover the same fact:
+    // each round is then join + aggregate + a union of a fixed frame
+    // (one join per round removed; identical arithmetic — coalesce(s,0)
+    // on a no-in-edge node is exactly `base`).
+    val noIn = nodes.join(withDeg.select(col("dst")).distinct(),
+        col("node") === col("dst"), "left_anti")
+      .select(col("node"), lit(base).as("rank_micro")).persist()
+    for (i <- 1 to iterations) {
       val sums = ranks
         .join(withDeg, col("node") === col("src"))
         .select(col("dst"), expr("rank_micro div outdeg").as("share"))
         .groupBy(col("dst")).agg(sum(col("share")).as("s"))
-      ranks = nodes
-        .join(sums, col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit(base) + expr(s"($dampingPct * coalesce(s, 0L)) div 100"))
+      ranks = sums
+        .select(col("dst").as("node"),
+          (lit(base) + expr(s"($dampingPct * s) div 100"))
             .as("rank_micro"))
+        .unionByName(noIn)
+      // Lineage truncation every SECOND round: AQE re-optimizes the
+      // REMAINING plan after every finished stage, so the cost of a
+      // deep multi-round tree is paid superlinearly at run time even
+      // though the dataflow is linear — while a checkpoint EVERY round
+      // pays a job launch per round (the measured-slower round-10
+      // shape). Every-2 keeps both costs bounded: plan depth ≤ 2
+      // rounds, extra jobs = iterations/2 (node-count-sized scalar
+      // rows). Results unchanged — the checkpoint is a materialization
+      // boundary, not a computation change.
+      if (i % 2 == 0 && i < iterations)
+        ranks = ranks.localCheckpoint(true)
     }
     // No per-round checkpoint: with the edge/node working sets cached,
     // round N's lineage is N LINEAR join/agg layers over
