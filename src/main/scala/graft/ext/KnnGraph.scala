@@ -73,8 +73,10 @@ import graft.functions.VectorFunctions.dotNative
   * is read by THREE consumers next round (forward, reversed, merge) and
   * must be one execution, not three; rows are n·degree scalars, never
   * vectors. The corpus projection is persisted for the seed + every
-  * round's embedding re-attach ([[PageRank]]'s working-set pattern —
-  * intentionally left cached for the caller's evaluation).
+  * round's embedding re-attach ([[PageRank]]'s working-set pattern),
+  * hash-partitioned on vec_id so the re-attach join never exchanges
+  * the corpus side, and unpersisted once the last round has
+  * checkpointed (contained lifetime).
   *
   * Determinism: centroids are the caller's (engine-seeded fit), plane
   * seeds derive from `seed`, every top-k/cap tie breaks (cos DESC, id
@@ -246,8 +248,15 @@ object KnnGraph {
     require(iters >= 0, s"iters must be >= 0: $iters")
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val dim = centroids(0).length
-    // working set: (vec_id, embedding, |v|²) — cached, PageRank-style
-    val v = corpus.repartition(par)
+    // working set: (vec_id, embedding, |v|²) — cached, PageRank-style.
+    // HASH-partitioned on vec_id (not round-robin): every descent
+    // round's embedding re-attach joins this frame on the id, and a
+    // cached HashPartitioning(vec_id, par) satisfies the join's
+    // distribution directly — the corpus side of that join never
+    // exchanges again (guide §2.4: keyed the same way, share the
+    // exchange). Also retry-safe where round-robin needs its
+    // sort-before-repartition.
+    val v = corpus.repartition(par, col("vec_id"))
       .select(col("vec_id"), col("embedding"),
         dotNative(col("embedding"), col("embedding")).as("n2"))
       .persist()
@@ -419,6 +428,12 @@ object KnnGraph {
           col("u").as("neighbor_id"), col("cos_sim")))
       edges = topDegree(merged, degree).localCheckpoint(true)
     }
+    // The working set is dead past the last round: every returned row
+    // lives in the final localCheckpoint, so the cache would only hold
+    // executor memory hostage until LRU eviction (and silently feed the
+    // next invocation through CacheManager plan-identity). Contained
+    // lifetime, like lloydFit's.
+    v.unpersist(false)
     edges
   }
 
