@@ -54,12 +54,19 @@ object Retrieval {
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
     val par = docs.sparkSession.sparkContext.defaultParallelism
+    // The (doc, token, tf) frame is the root of FOUR consumers (doc
+    // lengths, corpus totals, document frequencies, the postings probe)
+    // — one eager executor-local checkpoint of the narrow grouped rows
+    // runs the corpus tokenize exactly once; everything downstream
+    // re-aggregates from postings-count-sized scalars (the inverted-
+    // index build-once posture the object doc promises).
     val tf = docs.repartition(par)
       .select(col("doc_id"),
         explode_outer(TextAnalysis.tokens(col("text"))).as("token"))
       .where(col("token").isNotNull) // outer: avoids InferFiltersFromGenerate
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val totals = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
@@ -104,12 +111,15 @@ object Retrieval {
     * and an exactly-oracled integer surface for the BM25 inputs. */
   def bm25CorpusStats(docs: DataFrame): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
+    // two consumers (doc lengths, postings/vocab) — same build-once
+    // checkpoint as [[bm25Scores]]'s tf frame
     val tf = docs.repartition(par)
       .select(col("doc_id"),
         explode_outer(TextAnalysis.tokens(col("text"))).as("token"))
       .where(col("token").isNotNull)
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val postings = tf.agg(count(lit(1)).as("n_postings"),
       countDistinct(col("token")).as("vocab"))

@@ -172,8 +172,10 @@ object TextAnalysis {
     val toks = docs.repartition(par)
       .select(col("doc_id"), explode_outer(tokens(col("text"))).as("token"))
       .where(col("token").isNotNull) // outer: avoids InferFiltersFromGenerate
+    // tf feeds the df re-aggregation AND the score join — build once
     val tf = toks.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
@@ -214,11 +216,14 @@ object TextAnalysis {
   def unigramPerplexity(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
     require(alpha > 0, s"need positive smoothing alpha: $alpha")
     val par = docs.sparkSession.sparkContext.defaultParallelism
+    // (doc, token, m) feeds the model re-aggregation AND the score join
+    // — build once (eager executor-local checkpoint, grouped narrow rows)
     val dt = docs.repartition(par)
       .select(col("doc_id"), explode_outer(tokens(col("text"))).as("tok"))
       .where(col("tok").isNotNull) // outer: avoids InferFiltersFromGenerate
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("m"))
+      .localCheckpoint(true)
     val vocab = dt.groupBy(col("tok")).agg(sum(col("m")).as("cnt"))
     val totals = vocab.agg(sum(col("cnt")).as("T"),
       count(lit(1)).as("V"))
@@ -257,6 +262,7 @@ object TextAnalysis {
     val bigrams = transform(sequence(lit(1), size(col("__t")) - 1),
       i => concat(element_at(col("__t"), i), lit(" "),
         element_at(col("__t"), i + 1)))
+    // same build-once checkpoint as [[unigramPerplexity]]'s dt
     val dt = docs.repartition(par)
       .withColumn("__t", tokens(col("text")))
       .where(size(col("__t")) >= 2)
@@ -264,6 +270,7 @@ object TextAnalysis {
       .where(col("bg").isNotNull) // computed-array explode trap
       .groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("m"))
+      .localCheckpoint(true)
     val c2 = dt.groupBy(col("bg")).agg(sum(col("m")).as("c2"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
