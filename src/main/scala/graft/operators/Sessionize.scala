@@ -73,10 +73,16 @@ object Sessionize {
                         endCol: String, buckets: Int = 0): DataFrame = {
     val nBuckets = if (buckets > 0) buckets
       else sessions.sparkSession.sessionState.conf.numShufflePartitions
+    // The delta stream feeds THREE consumers (range bounds, bucket
+    // offsets, the bucketed sweep itself), and `sessions` is typically
+    // an expensive upstream window pipeline — materialize the
+    // 2-rows-per-session scalar deltas once instead of replaying that
+    // pipeline per consumer.
     val deltas = sessions.select(explode(array(
         struct(col(startCol).as("t"), lit(1).as("d")),
         struct(col(endCol).as("t"), lit(-1).as("d")))).as("e"))
       .select(col("e.t"), col("e.d"))
+      .localCheckpoint(true)
     // Observed time range: one broadcast row; equi-width bucket of t.
     // Monotone in t and ties on t share a bucket, so per-bucket (t, d)
     // order concatenated in bucket order IS the global sweep order.

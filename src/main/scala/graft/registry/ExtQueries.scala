@@ -683,12 +683,17 @@ object ExtQueries {
           dir.replaceAll("[^A-Za-z0-9]", "_") + "/pq",
         dir + "/embeddings.parquet")
       graft.ext.PqIndex.create(emb, root)
+      // both legs feed BOTH sides of the two-way exceptAll — checkpoint
+      // each once (queries × k scalar rows) so the read path and the
+      // fresh rebuild each execute exactly once, not twice
       val indexed = graft.ext.PqIndex.knn(s, root, queries, k = 5,
         nprobe = 4, rerankFrom = emb, refine = 200)
+        .localCheckpoint(true)
       val coarse = ProductQuant.coarseFit(emb, nlist = 8)
       val cb = ProductQuant.pqFitIvf(emb, coarse)
       val fresh = ProductQuant.knnIvfPq(emb, queries, k = 5, coarse, cb,
         nprobe = 4, refine = 200)
+        .localCheckpoint(true)
       val diffs = indexed.exceptAll(fresh).select(lit(1).as("one"))
         .unionAll(fresh.exceptAll(indexed).select(lit(1).as("one")))
         .agg(count(lit(1)).as("__mismatch"))
