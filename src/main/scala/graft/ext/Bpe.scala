@@ -150,6 +150,9 @@ object Bpe {
     * Identical results by construction — same learner, same stats, same
     * inputs. */
   def learnAndSegmentationStats(docs: DataFrame, rounds: Int): DataFrame = {
+    // validate BEFORE the eager checkpoint: an invalid rounds argument
+    // must not pay a corpus scan before throwing (ADVICE r16)
+    require(rounds >= 1 && rounds <= 64, s"unreasonable BPE rounds: $rounds")
     val wt = wordTypes(docs).localCheckpoint(true)
     val base = wt.select(seed(col("word")).as("seq"), col("n")).cache()
     val merges = try learnOn(base, rounds) finally base.unpersist()

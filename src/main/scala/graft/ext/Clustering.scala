@@ -177,19 +177,26 @@ object Clustering {
     * source (fused projection, no join). */
   def elbowFrame(vecs: DataFrame, ks: Seq[Int], rounds: Int): DataFrame = {
     val work = vecs.select(col("vec_id"), col("embedding")).persist()
+    // try/finally: a throwing fit (lloydFitOn's k-cap require, corpus
+    // smaller than k) must not leak the persisted working set for the
+    // rest of the session (ADVICE r16). Pool capped at 8 — "small thread
+    // pool" per §2.6: enough concurrent job chains to back-fill
+    // stragglers, not one scheduler fight per requested k.
     val cents: Seq[(Int, Array[Array[Double]])] =
-      if (ks.size <= 1) ks.map(k => k -> lloydFitOn(work, k, rounds))
-      else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(ks.size)
-        implicit val ec: scala.concurrent.ExecutionContext =
-          scala.concurrent.ExecutionContext.fromExecutorService(pool)
-        try scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence(
-            ks.map(k => scala.concurrent.Future(k -> lloydFitOn(work, k, rounds)))),
-          scala.concurrent.duration.Duration.Inf)
-        finally pool.shutdown()
-      }
-    work.unpersist(false)
+      try {
+        if (ks.size <= 1) ks.map(k => k -> lloydFitOn(work, k, rounds))
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(ks.size, 8))
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutorService(pool)
+          try scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(
+              ks.map(k => scala.concurrent.Future(k -> lloydFitOn(work, k, rounds)))),
+            scala.concurrent.duration.Duration.Inf)
+          finally pool.shutdown()
+        }
+      } finally work.unpersist(false)
     cents.map { case (k, cent) =>
       val dim = cent(0).length
       val cl = typedLit(cent.map(_.toSeq).toSeq)

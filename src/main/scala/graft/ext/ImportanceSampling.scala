@@ -24,8 +24,10 @@ import org.apache.spark.sql.functions._
   * broadcast `dim`-row log-ratio table (map-side join + per-doc sum).
   * Nothing driver-side ever exceeds `dim` rows. The feature frame is
   * computed ONCE and reused for both passes via an eager executor-local
-  * checkpoint of the narrow (doc_id, bucket, cnt) triples — the heavy
-  * tokenize/bigram/hash fan-out never re-executes per consumer.
+  * checkpoint of the narrow (doc_id, __tgt, bucket, cnt) rows — the
+  * heavy tokenize/bigram/hash fan-out never re-executes per consumer,
+  * and the carried target flag means the model aggregate never joins
+  * the postings-sized frame back to the corpus.
   *
   * Determinism: per-doc weights round to 6 dp; selection ranks on the
   * ROUNDED weight with doc_id as the total tie-break.
@@ -37,25 +39,38 @@ object ImportanceSampling {
     * materialized per row before element reads (the HOF re-evaluation
     * trap, cf. [[Bpe]]), and `sequence(1, size-1)` is guarded by
     * `size >= 2` — Spark sequences step backwards when start > stop. */
-  def hashedNgramCounts(docs: DataFrame, dim: Int): DataFrame = {
+  def hashedNgramCounts(docs: DataFrame, dim: Int): DataFrame =
+    hashedNgramCountsCarrying(docs, dim, Nil)
+
+  /** [[hashedNgramCounts]] with extra doc-level columns CARRIED through
+    * the grouped aggregate (each must be functionally dependent on
+    * doc_id — e.g. a target-domain flag): grouping by (doc_id, carry,
+    * bucket) yields exactly the (doc_id, bucket) groups with the carried
+    * columns riding along, so a consumer needing them reads the grouped
+    * frame directly instead of re-attaching them with a corpus-keyed
+    * join over the postings-sized rows (guide §2.4). */
+  private def hashedNgramCountsCarrying(docs: DataFrame, dim: Int,
+                                        carry: Seq[String]): DataFrame = {
     require(dim >= 2, s"unreasonable feature dim: $dim")
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val base = docs.repartition(par)
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__t"))
+    val keep = (col("doc_id") +: carry.map(col)) :+
+      TextAnalysis.tokens(col("text")).as("__t")
+    val ids = col("doc_id") +: carry.map(col)
+    val base = docs.repartition(par).select(keep: _*)
     val uni = base
-      .select(col("doc_id"), explode_outer(col("__t")).as("g"))
+      .select((ids :+ explode_outer(col("__t")).as("g")): _*)
       .where(col("g").isNotNull)
     val bi = base.where(size(col("__t")) >= 2)
-      .select(col("doc_id"), explode_outer(
+      .select((ids :+ explode_outer(
         transform(sequence(lit(1), size(col("__t")) - 1), i =>
           concat(element_at(col("__t"), i), lit(" "),
-            element_at(col("__t"), i + 1)))).as("g"))
+            element_at(col("__t"), i + 1)))).as("g")): _*)
       .where(col("g").isNotNull)
     uni.unionByName(bi)
       .withColumn("bucket",
         (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long")
           % dim).cast("int"))
-      .groupBy(col("doc_id"), col("bucket"))
+      .groupBy((ids :+ col("bucket")): _*)
       .agg(count(lit(1)).as("cnt"))
   }
 
@@ -74,15 +89,19 @@ object ImportanceSampling {
     // broadcast subtrees (totals inside ratio inside the score join).
     // One eager executor-local checkpoint runs the tokenize + bigram +
     // md5 fan-out exactly once; the stored rows are the narrow
-    // (doc_id, bucket, cnt) triples. This is the persisted intermediate
+    // (doc_id, __tgt, bucket, cnt) triples — the target flag is CARRIED
+    // through the grouped aggregate (functionally dependent on doc_id,
+    // so the groups are unchanged), which lets the bucket-model
+    // aggregate read it directly instead of re-attaching it with a
+    // doc_id-keyed join over the postings-sized frame (one corpus-sized
+    // exchange removed, guide §2.4). This is the persisted intermediate
     // the scale note below always promised at 100 TB — now the shipped
     // shape at every scale (guide §8: heavy pass once, decisions on the
     // proxy).
-    val feats = hashedNgramCounts(flagged, dim).localCheckpoint(true)
-    val flags = flagged.select(col("doc_id"), col("__tgt"))
-    val withFlag = feats.join(flags, "doc_id")
+    val feats = hashedNgramCountsCarrying(flagged, dim, Seq("__tgt"))
+      .localCheckpoint(true)
     // one dim-row model table for BOTH distributions
-    val buckets = withFlag.groupBy(col("bucket"))
+    val buckets = feats.groupBy(col("bucket"))
       .agg(sum(when(col("__tgt"), col("cnt")).otherwise(lit(0L))).as("ct"),
         sum(col("cnt")).as("cr"))
     val totals = buckets.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))

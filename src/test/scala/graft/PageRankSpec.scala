@@ -52,4 +52,23 @@ class PageRankSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a === b)
   }
+
+  test("contained lifetime: no persisted frame survives pageRank()") {
+    // VERDICT r16 #4: the working sets (degree-annotated edges, the
+    // dangling split and its constant share frame) must be unpersisted
+    // before return — a surviving cache holds executor memory hostage
+    // and silently feeds later invocations through CacheManager
+    // plan-identity, which made the round-16 bench understate the
+    // query's honest cost.
+    spark.sharedState.cacheManager.clearCache()
+    val edges = Seq(1L -> 2L, 2L -> 1L, 1L -> 3L, 3L -> 4L)
+    val r = PageRank.pageRank(edges.toDF("src", "dst"), 3)
+    assert(r.count() === 4)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "pageRank leaked persisted working sets into the session cache")
+    // the zero-iterations early return must be contained too
+    val r0 = PageRank.pageRank(edges.toDF("src", "dst"), 0)
+    assert(r0.count() === 4)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
 }
