@@ -211,4 +211,49 @@ class TopKSpec extends SparkSpec {
     assert(causes(e).exists(c => c.isInstanceOf[IllegalStateException] &&
       c.getMessage.contains("contract violation")))
   }
+
+  test("threshold rejection is exact: late winners enter, late losers " +
+      "don't evict established entries") {
+    // one group in ONE partition: strong entries first lock the
+    // rejection threshold at the 2k compaction, then a loser flood
+    // (every row O(1)-rejected), then late winners that beat the
+    // threshold and must still displace — exact vs the window form
+    val rows = (1L to 6L).map(i => (0, i, 100.0 + i)) ++
+      (100L to 600L).map(i => (0, i, 1.0)) ++
+      Seq((0, 700L, 150.0), (0, 701L, 104.5))
+    val df = rows.toDF("g", "id", "v").coalesce(1)
+    val a = viaAgg(df, 3).orderBy($"rank")
+      .as[(Int, Int, Long, Double)].collect().toSeq
+    val w = viaWindow(df, 3).orderBy($"rank")
+      .as[(Int, Int, Long, Double)].collect().toSeq
+    assert(a === w)
+  }
+
+  test("deserialize never restores a rejection threshold (buffers " +
+      "serialized at len == k are insertion-ordered)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val agg = graft.functions.TopKByDouble(
+      BoundReference(0, DoubleType, nullable = true),
+      BoundReference(1, LongType, nullable = true), k = 2,
+      distinctIds = true)
+    // two sightings of ONE id: len == k with no compaction — the bytes
+    // are insertion-ordered and dup-carrying, so entry k-1 is NOT the
+    // k-th distinct best and no threshold may be inferred from them
+    val src = agg.createAggregationBuffer()
+    agg.update(src, InternalRow(5.0, 7L))
+    agg.update(src, InternalRow(5.0, 7L))
+    val back = agg.deserialize(agg.serialize(src))
+    assert(!back.hasThreshold)
+    // a later, worse-valued id must still reach the final top-2 after
+    // the round-trip (a bogus restored threshold would reject it)
+    val tgt = agg.createAggregationBuffer()
+    agg.merge(tgt, back)
+    agg.update(tgt, InternalRow(3.0, 9L))
+    val out = agg.eval(tgt).asInstanceOf[GenericArrayData]
+    assert(out.numElements() === 2)
+    assert(out.getStruct(1, 2).getLong(1) === 9L)
+  }
 }
