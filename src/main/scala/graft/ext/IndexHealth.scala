@@ -20,11 +20,14 @@ import graft.sources.{VersionedStats, VersionedTable}
   * The report READS state, never creates it: a root with no committed
   * versions reports zeros (versions = 0), which is itself the health
   * signal an operator wants from a cold catalog. Layout-dependent
-  * columns (files, rows) make the row VALUES machine-specific, so the
-  * registered `index_health` query carries the weaker rows-only
-  * correctness check — the deterministic part (the family/table
-  * inventory and the staleness semantics) is pinned by IndexHealthSpec
-  * instead, including the decade-boundary crossing.
+  * columns (files, rows) make those row VALUES machine-specific, so
+  * the registered `index_health` query first ENSURES every reported
+  * family exists (delegating the cold-catalog question to the
+  * creators' fingerprint-keyed no-op) and projects only the
+  * deterministic columns — which holds it to the DuckDB oracle like
+  * every other query. The layout-dependent columns stay here for
+  * operators and are pinned by IndexHealthSpec, including the
+  * decade-boundary staleness crossing.
   *
   * Reference scope: the reference pipeline has no persisted index
   * machinery; this extends the LLM-data-pipeline surface (SURVEY §6).

@@ -227,31 +227,66 @@ object Ext3Queries {
     }),
 
     // Catalog-level index health (ext/IndexHealth — VERDICT r15 #4):
-    // per (family, table) the version count, latest version, manifest
-    // file count, rows sidecar and — for the fit-carrying families —
-    // the frozen model's staleness ratio with the decade boundary
-    // evaluated. METADATA-ONLY (manifest + sidecar + model row, no
-    // data scan) and READ-ONLY (a cold catalog reports zeros — that IS
-    // the signal). Roots are the exact roots the registered indexed
-    // queries build, so on a warm catalog this is the view an operator
-    // of this suite would see. Rows-only correctness check: files and
-    // rows are layout/machine-dependent (the span_probe_file_skip
-    // lesson — layout witnesses live in specs, here IndexHealthSpec,
-    // which also pins the decade-boundary crossing).
+    // per (family, table) the version count, latest version, sidecar
+    // presence and — for the fit-carrying families — the frozen
+    // model's staleness ratio with the decade boundary evaluated.
+    // Roots are the exact roots the registered indexed queries build.
+    // Each family is ENSURED first (create is a fingerprint-keyed
+    // no-op on a warm catalog — the steady state in any repeated run),
+    // which makes the report a pure function of the input corpus:
+    // cold-vs-warm catalog state and query execution order stop being
+    // variables, so the row set is held to the DuckDB oracle like
+    // every other query (VERDICT r16 #1/#3 — previously the one
+    // rows-only exemption). The layout/machine-dependent columns the
+    // full IndexHealth.report carries (manifest file count, sidecar
+    // row count) are NOT emitted here — layout witnesses live in
+    // IndexHealthSpec (the span_probe_file_skip lesson), which also
+    // pins the decade-boundary staleness crossing. Every ensure below
+    // mirrors its authoritative creator registration exactly (same
+    // root derivation, same inputs, same params) — a drifted copy
+    // would race the real creator into the same root.
     "index_health" -> ((s, dir) => {
       val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
       def fp(base: String, src: String) =
         graft.ext.PqIndex.fingerprintedRoot(s,
           s"/tmp/graft_dedup_index/$dirKey/$base", s"$dir/$src")
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      // span_dedup — mirrors span_contamination_indexed
+      val spanRoot = s"/tmp/graft_dedup_index/$dirKey/span"
+      val split = graft.ext.Sampling.deterministicSplit(
+        docs, col("doc_id"), Seq("corpus" -> 80, "batch" -> 20))
+      graft.ext.DedupIndex.readOrBuild(s, spanRoot,
+        graft.ext.DedupIndex.spanIndex(
+          split.where(col("split") === "corpus"), k = 5),
+        statsKeys = Seq("sh"))
+      // pq — mirrors knn_pq_indexed
+      val pqRoot = fp("pq", "embeddings.parquet")
+      graft.ext.PqIndex.create(emb, pqRoot)
+      // lexical — mirrors lexical_contamination
+      val lexRoot = fp("lex", "documents.parquet")
+      graft.ext.LexicalIndex.create(docs.where(col("doc_id") < 10), lexRoot)
+      // knn_graph — mirrors knn_graph_indexed
+      val kgRoot = fp("kg3", "embeddings.parquet")
+      graft.ext.KnnGraphIndex.create(emb, kgRoot)
+      // split — mirrors leakage_safe_split_indexed
+      val splitRoot = fp("split2", "documents.parquet")
+      graft.ext.SplitIndex.create(docs, splitRoot)
+      // split_semantic — mirrors leakage_safe_split_semantic_indexed
+      val semRoot = graft.ext.PqIndex.fingerprintedRoot(s,
+        fp("splitsem", "documents.parquet"),
+        s"$dir/embeddings.parquet")
+      graft.ext.SplitIndex.createSemantic(docs, emb, semRoot)
       graft.ext.IndexHealth.report(s, Seq(
-        "span_dedup" -> s"/tmp/graft_dedup_index/$dirKey/span",
-        "pq" -> fp("pq", "embeddings.parquet"),
-        "lexical" -> fp("lex", "documents.parquet"),
-        "knn_graph" -> fp("kg3", "embeddings.parquet"),
-        "split" -> fp("split2", "documents.parquet"),
-        "split_semantic" -> graft.ext.PqIndex.fingerprintedRoot(s,
-          fp("splitsem", "documents.parquet"),
-          s"$dir/embeddings.parquet")))
+        "span_dedup" -> spanRoot,
+        "pq" -> pqRoot,
+        "lexical" -> lexRoot,
+        "knn_graph" -> kgRoot,
+        "split" -> splitRoot,
+        "split_semantic" -> semRoot))
+        .select(col("family"), col("table"), col("versions"),
+          col("latest_version"), col("has_row_stats"),
+          col("staleness_ratio"), col("stale"))
         .orderBy(col("family"), col("table"))
     }),
 

@@ -419,6 +419,35 @@ object ExtOracleB {
            GROUP BY b.doc_id ORDER BY b.doc_id"""
       },
 
+      // index_health: the registered query ENSURES every reported
+      // family exists before reporting (create is a fingerprint-keyed
+      // no-op on a warm catalog), so the emitted columns are the
+      // constants of a healthy warm catalog — exactly one committed
+      // version per table, fresh fits (staleness ratio exactly
+      // count/count = 1.0, below the decade boundary), and a rows
+      // sidecar precisely where each creator writes one. The
+      // layout/machine-dependent columns (manifest file count, sidecar
+      // row value) are not emitted by the query; IndexHealthSpec pins
+      // those plus the decade-boundary crossing.
+      "index_health" ->
+        """SELECT * FROM (VALUES
+             ('knn_graph', 'adjacency', CAST(1 AS BIGINT),
+              CAST(1 AS BIGINT), TRUE, CAST(1.0 AS DOUBLE), FALSE),
+             ('lexical', 'postings', 1, 1, FALSE, NULL, NULL),
+             ('pq', 'codes', 1, 1, TRUE, 1.0, FALSE),
+             ('span_dedup', 'spans', 1, 1, TRUE, NULL, NULL),
+             ('split', 'edges', 1, 1, FALSE, NULL, NULL),
+             ('split', 'fps', 1, 1, TRUE, NULL, NULL),
+             ('split', 'labels', 1, 1, TRUE, NULL, NULL),
+             ('split_semantic', 'edges', 1, 1, FALSE, NULL, NULL),
+             ('split_semantic', 'fps', 1, 1, TRUE, NULL, NULL),
+             ('split_semantic', 'labels', 1, 1, TRUE, NULL, NULL),
+             ('split_semantic', 'semedges', 1, 1, FALSE, NULL, NULL),
+             ('split_semantic', 'sigs', 1, 1, TRUE, NULL, NULL))
+           AS t(family, "table", versions, latest_version,
+                has_row_stats, staleness_ratio, stale)
+           ORDER BY family, "table"""",
+
       // span_probe_file_skip: same 80/20 corpus split; probes are the
       // first 5-gram of docs 0-2 plus a literal absent span. seen is
       // recomputed from the corpus span set; the file-skip witness is

@@ -30,18 +30,15 @@ class OracleSqlLintSpec extends AnyFunSuite {
   }
 
   test("queries and oracleSql cover exactly the same names") {
-    // The one DELIBERATE rows-only query: index_health reports
-    // manifest file counts and sidecar rows — layout/machine-dependent
-    // values a SQL oracle cannot predict (the span_probe_file_skip
-    // lesson: layout witnesses live in specs — IndexHealthSpec pins
-    // the deterministic semantics). Everything else must be exactly
-    // oracled, and an oracle-less query NOT on this list still fails.
-    val rowsOnly = Set("index_health")
+    // EVERY declared query carries a DuckDB oracle — no exemptions.
+    // (round 17: the one former rows-only query, index_health, now
+    // ensures its reported families exist and emits only the
+    // deterministic columns, so it is exactly oracled like the rest;
+    // its layout-dependent file/row counts live in IndexHealthSpec.)
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracle without query: ${(o -- q).toSeq.sorted}")
-    assert((q -- o) === rowsOnly,
-      s"rows-only queries beyond the documented exception: " +
-        s"${(q -- o -- rowsOnly).toSeq.sorted}")
+    assert((q -- o).isEmpty,
+      s"query without oracle: ${(q -- o).toSeq.sorted}")
   }
 }
