@@ -172,7 +172,11 @@ object TextAnalysis {
     val toks = docs.repartition(par)
       .select(col("doc_id"), explode_outer(tokens(col("text"))).as("token"))
       .where(col("token").isNotNull) // outer: avoids InferFiltersFromGenerate
-    // tf feeds the df re-aggregation AND the score join — build once
+    // tf feeds the df re-aggregation AND the score join — build once.
+    // Postings-sized executor-local blocks: executor loss fails the
+    // query (caller re-runs); persist(MEMORY_AND_DISK) measured
+    // 1.5-1.7x slower and leaks in CacheManager — see the stated
+    // tradeoff at Retrieval.bm25Scores' tf frame.
     val tf = toks.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
@@ -217,7 +221,9 @@ object TextAnalysis {
     require(alpha > 0, s"need positive smoothing alpha: $alpha")
     val par = docs.sparkSession.sparkContext.defaultParallelism
     // (doc, token, m) feeds the model re-aggregation AND the score join
-    // — build once (eager executor-local checkpoint, grouped narrow rows)
+    // — build once (eager executor-local checkpoint, grouped narrow
+    // rows; postings-sized — measured durability tradeoff stated at
+    // Retrieval.bm25Scores' tf frame)
     val dt = docs.repartition(par)
       .select(col("doc_id"), explode_outer(tokens(col("text"))).as("tok"))
       .where(col("tok").isNotNull) // outer: avoids InferFiltersFromGenerate
@@ -262,7 +268,8 @@ object TextAnalysis {
     val bigrams = transform(sequence(lit(1), size(col("__t")) - 1),
       i => concat(element_at(col("__t"), i), lit(" "),
         element_at(col("__t"), i + 1)))
-    // same build-once checkpoint as [[unigramPerplexity]]'s dt
+    // same build-once checkpoint (and stated durability tradeoff) as
+    // [[unigramPerplexity]]'s dt
     val dt = docs.repartition(par)
       .withColumn("__t", tokens(col("text")))
       .where(size(col("__t")) >= 2)
@@ -530,6 +537,23 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("bucket"))
       .agg(sum(col("s")).as("weight"))
   }
+
+  /** [[hashedFeatures]] computed FROM a pre-grouped (doc_id, token, tf)
+    * postings frame (Retrieval.tfFrame) — same buckets, same signs,
+    * same weights: the per-occurrence sum of ±1 equals ±tf per
+    * DISTINCT token (both exact integers in double, far below 2^53),
+    * so the grouped aggregate is arithmetic-identical. Lets a caller
+    * that already built the postings frame (BM25) feed the dense half
+    * of hybrid retrieval without a second corpus tokenize. */
+  def hashedFeaturesFromTf(tf: DataFrame, dim: Int = 64): DataFrame =
+    tf
+      .withColumn("hv",
+        conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"))
+      .withColumn("bucket", (col("hv") % dim).cast("int"))
+      .withColumn("s",
+        when(expr(s"hv div $dim") % 2 === 0, 1.0).otherwise(-1.0))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("s") * col("tf")).as("weight"))
 
   /** Dense `dim`-float embedding per doc from [[hashedFeatures]] —
     * schema-compatible with the `embeddings` table, so every ANN /

@@ -1249,14 +1249,15 @@ object Ext3Queries {
     // fusion frame is ≤ 20 rows/query. Oracled end to end: DuckDB
     // reruns BM25, the signed-hash dot products, both rank windows, and
     // the fusion arithmetic.
-    "hybrid_rrf_top_docs" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val qs = bm25Queries(s)
-      Retrieval.rrfFuse(
-          Retrieval.bm25TopK(docs, qs, k = 10),
-          Retrieval.hashedDenseTopK(docs, qs, k = 10))
-        .orderBy(col("query_id"), col("fused_rank"))
-    })
+    "hybrid_rrf_top_docs" -> ((s, dir) =>
+      // one corpus tokenize for BOTH retriever legs (r17, guide §2.4):
+      // Retrieval.hybridRrfTopDocs shares the postings checkpoint
+      // between BM25 and the hashed dense ranks — bit-identical to the
+      // former bm25TopK + hashedDenseTopK composition, minus the
+      // second tokenize+group pass
+      Retrieval.hybridRrfTopDocs(t(s, dir, "documents"), bm25Queries(s),
+          k = 10)
+        .orderBy(col("query_id"), col("fused_rank")))
   )
 
   /** Fixed BM25 query set: in-vocabulary multi-term, high-df mixed, and a

@@ -117,4 +117,22 @@ class RetrievalSpec extends SparkSpec {
     assert(f(1)._3 === 2L && f(1)._4 === 0L) // doc 11: lex-only
     assert(f(2)._3 === 0L && f(2)._4 === 2L) // doc 12: dense-only
   }
+
+  test("hybridRrfTopDocs (shared postings frame) equals the two-tokenize " +
+    "composition row for row") {
+    // multi-token docs with repeats so tf > 1 exercises the
+    // ±1-per-occurrence ≡ ±tf-per-distinct-token equivalence of
+    // hashedFeaturesFromTf, and enough docs that both legs rank
+    val d = Seq((0L, "a b a b c"), (1L, "b c"), (2L, "a c c d"),
+      (3L, "d d d a"), (4L, "e f a"), (5L, "a b"))
+      .toDF("doc_id", "text")
+    val q = Seq((0L, "a c"), (1L, "b d"), (2L, "zz")).toDF("query_id", "query_text")
+    val fused = Retrieval.hybridRrfTopDocs(d, q, k = 3)
+      .orderBy("query_id", "fused_rank").collect().toSeq
+    val composed = Retrieval.rrfFuse(
+        Retrieval.bm25TopK(d, q, k = 3),
+        Retrieval.hashedDenseTopK(d, q, k = 3))
+      .orderBy("query_id", "fused_rank").collect().toSeq
+    assert(fused === composed)
+  }
 }
