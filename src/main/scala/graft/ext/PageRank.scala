@@ -69,10 +69,21 @@ object PageRank {
     * (src, dst); duplicate edges count as parallel edges (dedupe first
     * for an unweighted graph).
     *
+    * `symmetric = true` DECLARES every edge is present in both
+    * directions (a caller that built `e ∪ e.swap` knows this by
+    * construction): the dangling-node split is then provably empty, so
+    * its derivation (two distinct projections + an anti join + an
+    * emptiness probe — measured ~1 s of the registered query's wall)
+    * is skipped outright. Results are identical to the default path on
+    * any symmetric graph (spec-pinned); declaring it on a graph that
+    * is NOT symmetric silently treats dangling nodes as absent — the
+    * caller owns the claim, like [[KnnGraph.degreeForCorpus]]'s
+    * structure declaration.
+    *
     * NOTE eager: rounds materialize at call time — this is an iterative
     * builder, not a lazy plan fragment (see the object doc). */
   def pageRank(edges: DataFrame, iterations: Int, dampingPct: Int = 85,
-               unit: Long = 1000000L): DataFrame = {
+               unit: Long = 1000000L, symmetric: Boolean = false): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0: $iterations")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0, 100]: $dampingPct")
@@ -88,14 +99,18 @@ object PageRank {
     val base = unit * (100 - dampingPct) / 100
     // No-in-edge nodes = src-set ∖ dst-set (a node missing from dst has
     // an empty neighbor sum): rank = base from round 1 on, so their
-    // outgoing shares are a CONSTANT frame for every round >= 2.
-    val noIn = withDeg.select(col("src").as("node")).distinct()
-      .join(withDeg.select(col("dst")).distinct(),
-        col("node") === col("dst"), "left_anti")
-      .select(col("node"), lit(base).as("rank_micro")).persist()
-    val noInShare = noIn
+    // outgoing shares are a CONSTANT frame for every round >= 2. On a
+    // DECLARED-symmetric graph both frames are provably empty and are
+    // never built at all.
+    val noIn =
+      if (symmetric) None
+      else Some(withDeg.select(col("src").as("node")).distinct()
+        .join(withDeg.select(col("dst")).distinct(),
+          col("node") === col("dst"), "left_anti")
+        .select(col("node"), lit(base).as("rank_micro")).persist())
+    val noInShare = noIn.map(_
       .join(withDeg, col("node") === col("src"))
-      .select(col("dst"), expr(s"$base div outdeg").as("share")).persist()
+      .select(col("dst"), expr(s"$base div outdeg").as("share")).persist())
     try {
       if (iterations == 0) {
         val nodes = withDeg.select(col("src").as("node"))
@@ -103,12 +118,12 @@ object PageRank {
         return nodes.withColumn("rank_micro", lit(unit))
           .localCheckpoint(true)
       }
-      // One node-set-sized action: a fully symmetrized graph (the
-      // registered query) has NO dangling split, and knowing that here
+      // One node-set-sized action on the undeclared path: a fully
+      // symmetrized graph has NO dangling split, and knowing that here
       // drops the per-round and final unions from the plans entirely —
       // the same results (union with an empty frame) minus its stages.
       // The probe reads the persisted noIn this loop consumes anyway.
-      val hasNoIn = !noIn.isEmpty
+      val hasNoIn = noIn.exists(n => !n.isEmpty)
       // Round 1: every rank is `unit` — shares come straight off the
       // cached edge set, no join.
       def finish(sums: DataFrame): DataFrame = sums
@@ -121,8 +136,9 @@ object PageRank {
         val shares = inRanks
           .join(withDeg, col("node") === col("src"))
           .select(col("dst"), expr("rank_micro div outdeg").as("share"))
-        inRanks = finish((if (hasNoIn) shares.unionByName(noInShare) else shares)
-          .groupBy(col("dst")).agg(sum(col("share")).as("s")))
+        inRanks = finish(
+          (if (hasNoIn) shares.unionByName(noInShare.get) else shares)
+            .groupBy(col("dst")).agg(sum(col("share")).as("s")))
         // Lineage truncation every SECOND round: AQE re-optimizes the
         // REMAINING plan after every finished stage, so a deep
         // multi-round tree is replanned superlinearly at run time —
@@ -134,13 +150,13 @@ object PageRank {
           inRanks = inRanks.localCheckpoint(true)
       }
       // No-in-edge nodes surface once, here — not re-unioned per round.
-      (if (hasNoIn) inRanks.unionByName(noIn) else inRanks)
+      (if (hasNoIn) inRanks.unionByName(noIn.get) else inRanks)
         .localCheckpoint(true)
     } finally {
       // Contained lifetime (KnnGraph's pattern): every returned row
       // lives in the final localCheckpoint.
-      noInShare.unpersist(false)
-      noIn.unpersist(false)
+      noInShare.foreach(_.unpersist(false))
+      noIn.foreach(_.unpersist(false))
       withDeg.unpersist(false)
       ()
     }

@@ -168,21 +168,30 @@ object CoreQueries {
     // Graph centrality as a curation signal: PageRank over the
     // symmetrized customer↔supplier trade graph (5 fixed iterations,
     // integer micro-units — bit-exact vs the oracle's unrolled CTEs).
-    // All rounds compose into ONE job; ReuseExchange collapses the
-    // per-round edge/degree subtrees (ext/PageRank scaladoc).
+    // ext/PageRank is an eager builder (r17): rounds materialize at
+    // call time against a persisted working set whose lifetime is
+    // contained inside the call.
     "supplier_pagerank" -> ((s, dir) => {
+      // e0 materialized ONCE (r17): under AQE the union's two legs do
+      // NOT share the distinct's exchange (stage reuse misses across
+      // the swapped projections — both legs ran the lineitem⋈orders
+      // dedup, ~0.7 s each at sf0.1); the checkpoint runs it once and
+      // the swap leg re-reads edge-list-sized blocks.
       val e0 = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
         .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .select((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
+        .localCheckpoint(true)
       // no distinct after the union: forward edges are (even→odd) and
       // swapped ones (odd→even) — disjoint by the key encoding, and each
-      // side is already distinct, so a second dedup is a wasted shuffle
+      // side is already distinct, so a second dedup is a wasted shuffle.
+      // symmetric = true BY CONSTRUCTION (e0 ∪ e0.swap): the builder
+      // skips the dangling-node split and its emptiness probe outright.
       val edges = e0.union(
         e0.select(col("dst").as("src"), col("src").as("dst")))
-      graft.ext.PageRank.pageRank(edges, iterations = 5)
+      graft.ext.PageRank.pageRank(edges, iterations = 5, symmetric = true)
         .where(col("node") % 2 === 1)
         .select(expr("(node - 1) div 2").as("s_suppkey"), col("rank_micro"))
         .orderBy(col("s_suppkey"))

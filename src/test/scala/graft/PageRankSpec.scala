@@ -71,4 +71,20 @@ class PageRankSpec extends SparkSpec {
     assert(r0.count() === 4)
     assert(spark.sharedState.cacheManager.isEmpty)
   }
+
+  test("declared-symmetric path gives identical ranks on a symmetrized " +
+      "graph (and stays contained)") {
+    // the registered query's case: edges = e ∪ e.swap by construction —
+    // symmetric = true must skip the dangling machinery without
+    // changing a single rank
+    spark.sharedState.cacheManager.clearCache()
+    val half = (1L to 30L).map(i => i -> (i % 11 + 1))
+    val edges = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val a = PageRank.pageRank(edges, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = PageRank.pageRank(edges, 4, symmetric = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
 }
